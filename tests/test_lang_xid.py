@@ -1,0 +1,56 @@
+"""E19/E20 lang normalization + deterministic xid ids."""
+
+from webscraper_ray.oracle.lang import is_rtl, lang639_3, lang_map_sql_values
+from webscraper_ray.oracle.xid import make_xid, xid_from_str, xid_timestamp, xid_to_str
+
+
+def test_lang_iso1():
+    assert lang639_3("en") == "eng"
+    assert lang639_3("zh") == "zho"
+    assert lang639_3("fr") == "fra"
+
+
+def test_lang_iso3_passthrough():
+    assert lang639_3("deu") == "deu"
+
+
+def test_lang_name_variants_case_insensitive():
+    assert lang639_3("French") == "fra"
+    assert lang639_3("français") == "fra"
+    assert lang639_3("ESPAÑOL") == "spa"
+    assert lang639_3("中文") == "zho"
+
+
+def test_lang_unknown_empty():
+    assert lang639_3("xx") == ""
+    assert lang639_3("") == ""
+
+
+def test_rtl():
+    assert is_rtl("ara") and is_rtl("heb") and is_rtl("urd")
+    assert not is_rtl("eng") and not is_rtl("")
+
+
+def test_lang_sql_values_shape():
+    sql = lang_map_sql_values()
+    assert "('en', 'eng')" in sql and "('français', 'fra')" in sql
+
+
+def test_xid_layout_and_sort():
+    a = make_xid(1000, 0, "https://a/")
+    b = make_xid(2000, 0, "https://a/")
+    assert len(a) == 12 and len(b) == 12
+    assert xid_timestamp(a) == 1000
+    assert b > a  # byte order = time order -> max(id) is newest (A3 argmax)
+
+
+def test_xid_deterministic():
+    assert make_xid(5, 1, "https://u/") == make_xid(5, 1, "https://u/")
+    assert make_xid(5, 1, "https://u/") != make_xid(5, 2, "https://u/")
+
+
+def test_xid_string_roundtrip():
+    x = make_xid(1700000000, 3, "https://example.com/p")
+    s = xid_to_str(x)
+    assert len(s) == 20 and set(s) <= set("0123456789abcdefghijklmnopqrstuv")
+    assert xid_from_str(s) == x

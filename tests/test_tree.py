@@ -1,0 +1,238 @@
+"""E9-E11, E15 — tree parse/amend/serialize (reference src/tiptap.ts)."""
+
+import json
+
+from webscraper_ray.oracle.cbor import dumps, loads
+from webscraper_ray.oracle.tree import (
+    Amender,
+    DeterministicIds,
+    find_title,
+    html_to_tree,
+    parse_and_amend,
+    tree_text,
+    tree_to_html,
+)
+
+
+def types_of(tree):
+    out = []
+
+    def rec(n):
+        out.append(n["type"])
+        for c in n.get("content") or []:
+            rec(c)
+
+    rec(tree)
+    return out
+
+
+def test_basic_blocks():
+    tree = html_to_tree("<h2>Head</h2><p>Body <strong>bold</strong> tail</p>")
+    assert tree["type"] == "doc"
+    h, p = tree["content"]
+    assert h["type"] == "heading" and h["attrs"]["level"] == 2
+    assert p["type"] == "paragraph"
+    assert p["content"][1]["marks"] == [{"type": "bold"}]
+
+
+def test_inline_at_top_level_wrapped_in_paragraph():
+    tree = html_to_tree("stray text <em>emph</em><p>real</p>")
+    assert [n["type"] for n in tree["content"]] == ["paragraph", "paragraph"]
+
+
+def test_dl_dt_dd_become_paragraphs():
+    # Mirrors the reference fixture where <dt>/<dd> text renders as <p>.
+    tree = html_to_tree("<dl><dt>Stream:</dt><dd>IETF</dd></dl>")
+    assert [n["type"] for n in tree["content"]] == ["paragraph", "paragraph"]
+    assert tree_text(tree) == "Stream: IETF"
+
+
+def test_table_cells():
+    tree = html_to_tree(
+        '<table><tr><th>H</th><td colspan="2">C</td></tr></table>'
+    )
+    table = tree["content"][0]
+    row = table["content"][0]
+    th, td = row["content"]
+    assert th["type"] == "tableHeader"
+    assert td["type"] == "tableCell" and td["attrs"]["colspan"] == 2
+    assert td["content"][0]["type"] == "paragraph"
+
+
+def test_lists():
+    tree = html_to_tree('<ol start="3"><li>a</li><li>b</li></ol><ul><li>c</li></ul>')
+    ol, ul = tree["content"]
+    assert ol["type"] == "orderedList" and ol["attrs"]["start"] == 3
+    assert [li["type"] for li in ol["content"]] == ["listItem", "listItem"]
+    assert ul["type"] == "bulletList"
+
+
+def test_codeblock_preserves_whitespace():
+    tree = html_to_tree("<pre>line1\n  line2</pre>")
+    cb = tree["content"][0]
+    assert cb["type"] == "codeBlock"
+    assert cb["content"][0]["text"] == "line1\n  line2"
+
+
+def test_whitespace_collapse_in_paragraph():
+    tree = html_to_tree("<p>  a \n\n  b   c </p>")
+    assert tree["content"][0]["content"][0]["text"] == "a b c"
+
+
+def test_link_mark_attrs_captured():
+    tree = html_to_tree('<p><a href="https://x.com/" class="c">t</a></p>')
+    marks = tree["content"][0]["content"][0]["marks"]
+    assert marks[0]["type"] == "link"
+    assert marks[0]["attrs"]["href"] == "https://x.com/"
+
+
+# --- amender (exact port behaviors, src/tiptap.ts:135-187) -----------------
+
+
+def test_amender_drops_image_without_src():
+    tree = {"type": "doc", "content": [{"type": "image", "attrs": {"src": ""}},
+                                        {"type": "paragraph", "content": [{"type": "text", "text": "x"}]}]}
+    out = Amender(DeterministicIds("s")).amend_node(tree)
+    assert [n["type"] for n in out["content"]] == ["paragraph"]
+
+
+def test_amender_drops_empty_paragraph_and_lone_hardbreak():
+    tree = {
+        "type": "doc",
+        "content": [
+            {"type": "paragraph", "content": []},
+            {"type": "paragraph", "content": [{"type": "hardBreak"}]},
+            {"type": "paragraph", "content": [{"type": "text", "text": "keep"}]},
+        ],
+    }
+    out = Amender(DeterministicIds("s")).amend_node(tree)
+    assert len(out["content"]) == 1
+    assert out["content"][0]["content"][0]["text"] == "keep"
+
+
+def test_amender_assigns_unique_ids():
+    tree = html_to_tree("<p>a</p><p>b</p><h1>t</h1>")
+    out = Amender(DeterministicIds("seed")).amend_node(tree)
+    ids = [n["attrs"]["id"] for n in out["content"]]
+    assert all(isinstance(i, str) and len(i) == 6 for i in ids)
+    assert len(set(ids)) == 3
+
+
+def test_amender_dedupes_colliding_ids():
+    tree = {
+        "type": "doc",
+        "content": [
+            {"type": "paragraph", "attrs": {"id": "dup"}, "content": [{"type": "text", "text": "a"}]},
+            {"type": "paragraph", "attrs": {"id": "dup"}, "content": [{"type": "text", "text": "b"}]},
+        ],
+    }
+    out = Amender(DeterministicIds("s")).amend_node(tree)
+    ids = [n["attrs"]["id"] for n in out["content"]]
+    assert ids[0] == "dup" and ids[1] != "dup"
+
+
+def test_amender_rewrites_link_marks():
+    tree = {
+        "type": "doc",
+        "content": [
+            {
+                "type": "paragraph",
+                "content": [
+                    {
+                        "type": "text",
+                        "text": "t",
+                        "marks": [{"type": "link", "attrs": {"href": "https://x", "class": "z"}}],
+                    }
+                ],
+            }
+        ],
+    }
+    out = Amender(DeterministicIds("s")).amend_node(tree)
+    attrs = out["content"][0]["content"][0]["marks"][0]["attrs"]
+    assert "class" not in attrs
+    assert attrs["rel"] == "noopener noreferrer" and attrs["target"] == "_blank"
+
+
+def test_deterministic_ids_stable_across_runs():
+    a = parse_and_amend("<p>a</p><p>b</p>", seed="https://u")
+    b = parse_and_amend("<p>a</p><p>b</p>", seed="https://u")
+    assert a == b
+    c = parse_and_amend("<p>a</p><p>b</p>", seed="https://other")
+    assert c != a  # ids differ by seed
+
+
+# --- serializer -------------------------------------------------------------
+
+
+def test_roundtrip_html():
+    src = '<h1>T</h1><p>Hello <strong>W</strong> <a href="https://l/">x</a></p>'
+    tree = parse_and_amend(src, seed="s")
+    html = tree_to_html(tree)
+    assert html.startswith("<h1 data-id=")
+    assert '<a target="_blank" rel="noopener noreferrer" href="https://l/">x</a>' in html
+    # re-parse the clean HTML: text content is preserved
+    assert tree_text(parse_and_amend(html, seed="s")) == tree_text(tree)
+
+
+def test_table_serialization_has_tbody_and_no_cell_ids():
+    tree = parse_and_amend("<table><tr><td>v</td></tr></table>", seed="s")
+    html = tree_to_html(tree)
+    assert "<tbody>" in html
+    assert '<td colspan="1" rowspan="1"><p data-id="' in html
+
+
+def test_find_title_levels():
+    tree = parse_and_amend("<h2>Second</h2><h1>First A</h1>", seed="s")
+    assert find_title(tree, 1) == "First A"
+    assert find_title(tree, 2) == "Second"
+    assert find_title(tree, 3) == ""
+
+
+def test_find_title_joins_direct_text_children():
+    tree = {
+        "type": "doc",
+        "content": [
+            {
+                "type": "heading",
+                "attrs": {"level": 1},
+                "content": [
+                    {"type": "text", "text": "A"},
+                    {"type": "hardBreak"},
+                    {"type": "text", "text": "B"},
+                ],
+            }
+        ],
+    }
+    assert find_title(tree, 1) == "A B"
+
+
+# --- CBOR -------------------------------------------------------------------
+
+
+def test_cbor_roundtrip_tree():
+    tree = parse_and_amend("<h1>T</h1><p>body <em>i</em></p>", seed="s")
+    blob = dumps(tree)
+    assert isinstance(blob, bytes) and loads(blob) == tree
+
+
+def test_cbor_known_vectors():
+    # RFC 8949 appendix A vectors
+    assert dumps(0) == bytes.fromhex("00")
+    assert dumps(23) == bytes.fromhex("17")
+    assert dumps(24) == bytes.fromhex("1818")
+    assert dumps(-1) == bytes.fromhex("20")
+    assert dumps("a") == bytes.fromhex("6161")
+    assert dumps([1, [2, 3]]) == bytes.fromhex("8201820203")
+    assert dumps({"a": 1}) == bytes.fromhex("a1616101")
+    assert dumps(1.1) == bytes.fromhex("fb3ff199999999999a")
+    assert dumps(True) == b"\xf5" and dumps(None) == b"\xf6"
+
+
+def test_cbor_encoding_deterministic_insertion_order():
+    assert dumps({"b": 1, "a": 2}) != dumps({"a": 2, "b": 1})
+    assert dumps({"b": 1, "a": 2}) == dumps({"b": 1, "a": 2})
+
+
+def test_tree_json_cbor_equiv():
+    tree = parse_and_amend("<p>hello</p>", seed="x")
+    assert json.loads(json.dumps(tree)) == loads(dumps(tree))

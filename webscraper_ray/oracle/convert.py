@@ -1,0 +1,304 @@
+"""Converters C1-C5 (SURVEY.md §2.3; reference ``src/converting.ts``).
+
+MIME-dispatched parsers producing amended document trees:
+
+- C1 :func:`get_converter` — registry (``src/converting.ts:10-27``); unknown
+  MIME raises ``ValueError`` (reference: HTTP 400). This is the reference's
+  user-extension seam; new formats register here.
+- C2 :func:`convert_html` — utf-8 decode -> E9 parse -> E10 amend
+  (``src/converting.ts:29-34``).
+- C3 :func:`convert_markdown` — markdown -> HTML -> C2
+  (``src/converting.ts:36-41``; the reference uses ``marked.parse``, we
+  implement the common-markdown subset below deterministically).
+- C4 :func:`convert_pdf_items` — the reference's pdfjs heading heuristic
+  (``src/converting.ts:43-145``) over pre-extracted text-item streams.
+  Real PDF byte decoding needs a PDF library that is not in this
+  container: :func:`convert_pdf` is a clearly-marked stub that raises
+  ``NotImplementedError``; the histogram/heading/merge logic — the actual
+  semantics — is fully implemented and tested on synthetic item streams
+  (FIXTURES.md F5).
+- C5 :func:`convert_text` — split on CR/LF/CRLF, trim, drop empties, one
+  paragraph per line (``src/converting.ts:147-170``).
+
+Markdown subset (documented contract): ATX headings ``#``-``######``,
+paragraphs, ``-``/``*`` bullet lists, ``1.`` ordered lists, fenced code
+blocks, ``>`` blockquotes, ``---`` rules, inline ``**bold**``, ``*italic*``,
+`` `code` ``, ``[text](url)`` links.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterable
+
+from .tree import Amender, DeterministicIds, html_to_tree, parse_and_amend
+
+__all__ = [
+    "get_converter",
+    "convert_html",
+    "convert_markdown",
+    "convert_pdf",
+    "convert_pdf_items",
+    "convert_text",
+    "markdown_to_html",
+    "HeadingLevel",
+]
+
+
+# ---------------------------------------------------------------------------
+# C1 — registry
+# ---------------------------------------------------------------------------
+
+def get_converter(mime: str) -> Callable[[bytes], dict]:
+    registry: dict[str, Callable[[bytes], dict]] = {
+        "text/html": convert_html,
+        "text/markdown": convert_markdown,
+        "text/x-markdown": convert_markdown,
+        "application/pdf": convert_pdf,
+        "application/x-pdf": convert_pdf,
+        "text/plain": convert_text,
+    }
+    conv = registry.get(mime)
+    if conv is None:
+        raise ValueError(f"not implemented: {mime}")
+    return conv
+
+
+# ---------------------------------------------------------------------------
+# C2 — HTML
+# ---------------------------------------------------------------------------
+
+def convert_html(buf: bytes, seed: str = "") -> dict:
+    return parse_and_amend(buf.decode("utf-8"), seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# C3 — Markdown
+# ---------------------------------------------------------------------------
+
+_MD_INLINE_PATTERNS = [
+    (re.compile(r"`([^`]+)`"), lambda m: f"<code>{m.group(1)}</code>"),
+    (re.compile(r"\*\*([^*]+)\*\*"), lambda m: f"<strong>{m.group(1)}</strong>"),
+    (re.compile(r"\*([^*]+)\*"), lambda m: f"<em>{m.group(1)}</em>"),
+    (re.compile(r"\[([^\]]+)\]\(([^)\s]+)\)"), lambda m: f'<a href="{m.group(2)}">{m.group(1)}</a>'),
+]
+
+
+def _md_inline(text: str) -> str:
+    text = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    for pattern, repl in _MD_INLINE_PATTERNS:
+        text = pattern.sub(repl, text)
+    return text
+
+
+def markdown_to_html(md: str) -> str:
+    """Deterministic markdown -> HTML for the documented subset."""
+    lines = md.split("\n")
+    html: list[str] = []
+    paragraph: list[str] = []
+    i = 0
+
+    def flush_paragraph() -> None:
+        if paragraph:
+            html.append(f"<p>{_md_inline(' '.join(paragraph))}</p>")
+            paragraph.clear()
+
+    while i < len(lines):
+        line = lines[i]
+        stripped = line.strip()
+        if not stripped:
+            flush_paragraph()
+            i += 1
+        elif stripped.startswith("```"):
+            flush_paragraph()
+            i += 1
+            code: list[str] = []
+            while i < len(lines) and not lines[i].strip().startswith("```"):
+                code.append(lines[i])
+                i += 1
+            i += 1  # closing fence
+            escaped = "\n".join(code).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            html.append(f"<pre><code>{escaped}</code></pre>")
+        elif re.match(r"^#{1,6}\s", stripped):
+            flush_paragraph()
+            hashes, _, rest = stripped.partition(" ")
+            html.append(f"<h{len(hashes)}>{_md_inline(rest.strip())}</h{len(hashes)}>")
+            i += 1
+        elif re.match(r"^(-{3,}|\*{3,})$", stripped):
+            flush_paragraph()
+            html.append("<hr>")
+            i += 1
+        elif stripped.startswith(("- ", "* ")) or re.match(r"^\d+\.\s", stripped):
+            flush_paragraph()
+            ordered = bool(re.match(r"^\d+\.\s", stripped))
+            items: list[str] = []
+            while i < len(lines):
+                s = lines[i].strip()
+                if not ordered and s.startswith(("- ", "* ")):
+                    items.append(s[2:].strip())
+                elif ordered and re.match(r"^\d+\.\s", s):
+                    items.append(re.sub(r"^\d+\.\s*", "", s))
+                else:
+                    break
+                i += 1
+            tag = "ol" if ordered else "ul"
+            body = "".join(f"<li>{_md_inline(item)}</li>" for item in items)
+            html.append(f"<{tag}>{body}</{tag}>")
+        elif stripped.startswith(">"):
+            flush_paragraph()
+            quoted: list[str] = []
+            while i < len(lines) and lines[i].strip().startswith(">"):
+                quoted.append(lines[i].strip().lstrip(">").strip())
+                i += 1
+            html.append(f"<blockquote><p>{_md_inline(' '.join(quoted))}</p></blockquote>")
+        else:
+            paragraph.append(stripped)
+            i += 1
+    flush_paragraph()
+    return "".join(html)
+
+
+def convert_markdown(buf: bytes, seed: str = "") -> dict:
+    return parse_and_amend(markdown_to_html(buf.decode("utf-8")), seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# C4 — PDF heading-height histogram (src/converting.ts:43-145,172-217)
+# ---------------------------------------------------------------------------
+
+
+class HeadingLevel:
+    """Per-page histogram of text-item heights -> heading scale.
+
+    Port of the reference class (``src/converting.ts:172-217``): heights are
+    binned by ``(h - 0.01)`` rounded to 2 decimals; the most frequent bin is
+    body text; bins strictly larger than it, sorted ascending, truncated to
+    6, reversed, become heading levels 1..6 (largest = level 1).
+    """
+
+    def __init__(self) -> None:
+        self.sample: dict[str, int] = {}
+        self.levels: list[float] = []
+
+    @staticmethod
+    def _key(height: float) -> str:
+        # JS (h - 0.01).toFixed(2) — round-half-away-from-zero on the
+        # decimal repr; Python format() rounds half-even, so nudge.
+        value = height - 0.01
+        return f"{value + 1e-9:.2f}"
+
+    def add(self, height: float) -> None:
+        key = self._key(height)
+        self.sample[key] = self.sample.get(key, 0) + 1
+
+    def finalize(self) -> None:
+        if not self.sample:
+            return
+        keys = sorted(self.sample, key=lambda k: -self.sample[k])
+        body = float(keys[0])
+        levels = sorted(float(k) for k in keys[1:] if float(k) > body)
+        self.levels = sorted(levels[:6], reverse=True)
+
+    def level(self, height: float) -> int:
+        for i, lvl in enumerate(self.levels):
+            if height >= lvl:
+                return i + 1
+        return 0
+
+
+def convert_pdf_items(pages: Iterable[Iterable[dict]], seed: str = "") -> dict:
+    """The reference's page loop over pre-extracted text items.
+
+    Each item: ``{"str": str, "height": float, "hasEOL": bool, "dir": str}``
+    (the pdfjs TextItem fields the reference reads). Mirrors
+    ``src/converting.ts:48-141`` exactly: accumulate text until ``hasEOL``;
+    ``ttb`` direction converts newlines to spaces; line height = max item
+    height seen; heading level from the per-page histogram; consecutive
+    same-level headings merge into one node; leftover text becomes a
+    trailing paragraph.
+    """
+    doc: dict = {"type": "doc", "content": []}
+    for items in pages:
+        items = list(items)
+        hl = HeadingLevel()
+        for item in items:
+            if item.get("height", 0) > 0:
+                hl.add(item["height"])
+        hl.finalize()
+
+        texts: list[str] = []
+        height = 0.0
+        prev_node: dict | None = None
+        for item in items:
+            text = item.get("str")
+            if text is None:
+                continue
+            if item.get("dir") == "ttb":
+                text = text.replace("\n", " ")
+            if text != "":
+                texts.append(text)
+            if item.get("height", 0) > height:
+                height = item["height"]
+            if item.get("hasEOL"):
+                level = hl.level(height)
+                if level == 0:
+                    prev_node = {
+                        "type": "paragraph",
+                        "content": [{"type": "text", "text": "".join(texts)}],
+                    }
+                    doc["content"].append(prev_node)
+                elif (
+                    prev_node is not None
+                    and prev_node["type"] == "heading"
+                    and prev_node["attrs"]["level"] == level
+                ):
+                    prev_node["content"].append({"type": "text", "text": "".join(texts)})
+                else:
+                    prev_node = {
+                        "type": "heading",
+                        "attrs": {"id": None, "level": level},
+                        "content": [{"type": "text", "text": "".join(texts)}],
+                    }
+                    doc["content"].append(prev_node)
+                texts = []
+                height = 0.0
+
+        if texts:
+            doc["content"].append(
+                {"type": "paragraph", "content": [{"type": "text", "text": "".join(texts)}]}
+            )
+
+    out = Amender(DeterministicIds(seed)).amend_node(doc)
+    return out if out is not None else {"type": "doc", "content": []}
+
+
+def convert_pdf(buf: bytes, seed: str = "") -> dict:
+    """STUB: raw-PDF text extraction needs pdfjs/pdfium, absent here.
+
+    The heading heuristic itself lives in :func:`convert_pdf_items` and is
+    fully tested; wire a real extractor to it when a PDF library exists.
+    """
+    raise NotImplementedError(
+        "PDF byte decoding requires a PDF library not present in this "
+        "environment; use convert_pdf_items() on extracted text items"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5 — plain text
+# ---------------------------------------------------------------------------
+
+_LINE_SPLIT = re.compile(r"\r\n|\r|\n")
+
+
+def convert_text(buf: bytes, seed: str = "") -> dict:
+    doc: dict = {"type": "doc", "content": []}
+    for line in _LINE_SPLIT.split(buf.decode("utf-8")):
+        txt = line.strip()
+        if not txt:
+            continue
+        doc["content"].append(
+            {"type": "paragraph", "content": [{"type": "text", "text": txt}]}
+        )
+    out = Amender(DeterministicIds(seed)).amend_node(doc)
+    return out if out is not None else {"type": "doc", "content": []}
