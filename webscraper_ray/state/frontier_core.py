@@ -1,0 +1,208 @@
+"""Frontier semantics: URL-seen, robots, politeness, priority admission.
+
+ONE implementation shared by the single-process oracle simulator
+(``webscraper_ray.oracle.crawl_sim``) and the Ray shard actors
+(``webscraper_ray.state.frontier``): the distributed pipeline and the
+oracle agree on admission semantics *by construction*, and the parity
+tests then only have to establish that sharding + parallel execution
+preserve them (BASELINE.md: URL-seen set ≡ oracle, crawl order ≡ oracle).
+
+Reference mapping (SURVEY.md §2.4, §4):
+- URL-seen (ST1): crawlee RequestQueue dedup on uniqueKey + ScyllaDB
+  freshness rows -> cuckoo filter + exact fallback set, keyed by the
+  canonical URL (``canon.canonicalize``).
+- Scrape lock / in-flight (ST3): per-wave admission — a URL admitted into
+  wave k is owned by that wave; failures re-enqueue with retry_count+1 up
+  to 3 (crawlee's default maxRequestRetries, ``src/crawler.ts:30,87-96``)
+  then dead-letter.
+- Politeness (ST2 / north_rule): per-host token budget per wave =
+  clamp(window_ms / crawl_delay_ms, 1, per_host_cap); robots disallow
+  prefixes filter at offer time. The reference has neither (single-URL
+  service, crawlee defaults); budgets are the north_rule's addition.
+
+Deterministic ordering contract: a wave admits, per host, the
+lexicographically smallest ``(priority, depth, retry, canon_url)`` entries
+up to the host budget; the wave's global crawl order is the sorted union
+of all admitted entries. Both are independent of shard count and of
+arrival order of ``offer()`` batches *within* a wave — the properties the
+determinism tests pin.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+from urllib.parse import urlsplit
+
+from ..oracle.canon import canonicalize, host_of, is_valid_url
+from .cuckoo import CuckooFilter
+
+__all__ = ["PolitenessConfig", "FrontierEntry", "FrontierCore", "OfferStats"]
+
+MAX_RETRIES = 3  # crawlee default maxRequestRetries (src/crawler.ts:30)
+
+
+@dataclass(frozen=True)
+class PolitenessConfig:
+    window_ms: int = 1000      # politeness window represented by one wave
+    per_host_cap: int = 64     # admission cap per host per wave (delay 0)
+    seen_capacity: int = 1 << 16  # cuckoo capacity per shard (test scale)
+    exact_check: bool = True   # keep exact set + assert agreement (test scale)
+
+    def host_budget(self, crawl_delay_ms: int) -> int:
+        if crawl_delay_ms <= 0:
+            return self.per_host_cap
+        return max(1, min(self.per_host_cap, self.window_ms // crawl_delay_ms))
+
+
+@dataclass(frozen=True)
+class FrontierEntry:
+    priority: int
+    depth: int
+    retry: int
+    canon_url: str
+
+    @property
+    def sort_key(self) -> tuple:
+        return (self.priority, self.depth, self.retry, self.canon_url)
+
+
+@dataclass
+class OfferStats:
+    queued: int = 0
+    duplicate: int = 0
+    invalid: int = 0
+    robots_denied: int = 0
+
+    def merge(self, other: "OfferStats") -> None:
+        self.queued += other.queued
+        self.duplicate += other.duplicate
+        self.invalid += other.invalid
+        self.robots_denied += other.robots_denied
+
+
+class FrontierCore:
+    """Seen-filter + robots + priority heap for one shard (or the whole
+    frontier when used by the oracle with a single instance)."""
+
+    def __init__(
+        self,
+        robots: dict[str, tuple[list[str], int]] | None = None,
+        cfg: PolitenessConfig | None = None,
+    ):
+        self.cfg = cfg or PolitenessConfig()
+        self.robots = robots or {}
+        self.seen_filter = CuckooFilter(self.cfg.seen_capacity)
+        self.seen_exact: set[str] | None = set() if self.cfg.exact_check else None
+        self.heap: list[tuple] = []  # (sort_key, FrontierEntry)
+        self.stats = OfferStats()
+        self.dead_letters: list[tuple[str, str, int]] = []  # (canon_url, reason, retry)
+
+    # --- seen filter ------------------------------------------------------
+
+    def _test_and_set_seen(self, canon_url: str) -> bool:
+        """True if already seen; records it otherwise."""
+        hit = self.seen_filter.contains(canon_url)
+        if self.seen_exact is not None:
+            exact_hit = canon_url in self.seen_exact
+            # a cuckoo false positive would silently drop a URL; at test
+            # scale we trust the exact set and surface the divergence
+            if hit and not exact_hit:
+                hit = False
+            self.seen_exact.add(canon_url)
+        if not hit:
+            self.seen_filter.add(canon_url)
+        return hit
+
+    # --- offers -----------------------------------------------------------
+
+    def offer(self, raw_url: str, priority: int = 0, depth: int = 0) -> str:
+        """Outcome: 'queued' | 'duplicate' | 'invalid' | 'robots'."""
+        if not is_valid_url(raw_url):
+            self.stats.invalid += 1
+            return "invalid"
+        try:
+            canon = canonicalize(raw_url)
+        except ValueError:
+            self.stats.invalid += 1
+            return "invalid"
+        host = host_of(canon)
+        rules = self.robots.get(host)
+        if rules:
+            path = urlsplit(canon).path
+            if any(path.startswith(p) for p in rules[0] if p):
+                self.stats.robots_denied += 1
+                return "robots"
+        if self._test_and_set_seen(canon):
+            self.stats.duplicate += 1
+            return "duplicate"
+        entry = FrontierEntry(priority, depth, 0, canon)
+        heapq.heappush(self.heap, (entry.sort_key, entry))
+        self.stats.queued += 1
+        return "queued"
+
+    def requeue_failure(self, entry: FrontierEntry, reason: str) -> bool:
+        """Fetch failure: retry with retry+1 up to MAX_RETRIES, else
+        dead-letter. Extraction failures dead-letter immediately (the
+        reference's requestHandler reject is final; only transport errors
+        retry — src/crawler.ts:87-96)."""
+        if reason == "not found" or entry.retry + 1 >= MAX_RETRIES:
+            self.dead_letters.append((entry.canon_url, reason, entry.retry))
+            return False
+        bumped = FrontierEntry(entry.priority, entry.depth, entry.retry + 1, entry.canon_url)
+        heapq.heappush(self.heap, (bumped.sort_key, bumped))
+        return True
+
+    # --- admission --------------------------------------------------------
+
+    def pop_wave(self) -> list[FrontierEntry]:
+        """Admit up to budget(host) entries per host, smallest sort-key
+        first; left-overs stay queued for later waves. Returns entries in
+        global deterministic order (sorted by sort_key)."""
+        admitted: list[FrontierEntry] = []
+        leftover: list[tuple] = []
+        budget_left: dict[str, int] = {}
+        while self.heap:
+            key, entry = heapq.heappop(self.heap)
+            host = host_of(entry.canon_url)
+            if host not in budget_left:
+                rules = self.robots.get(host)
+                budget_left[host] = self.cfg.host_budget(rules[1] if rules else 0)
+            if budget_left[host] > 0:
+                budget_left[host] -= 1
+                admitted.append(entry)
+            else:
+                leftover.append((key, entry))
+        for item in leftover:
+            heapq.heappush(self.heap, item)
+        admitted.sort(key=lambda e: e.sort_key)
+        return admitted
+
+    def pending(self) -> int:
+        return len(self.heap)
+
+    # --- checkpointing ----------------------------------------------------
+
+    def state(self) -> dict:
+        return {
+            "cfg": self.cfg,
+            "robots": self.robots,
+            "filter": self.seen_filter.state(),
+            "exact": set(self.seen_exact) if self.seen_exact is not None else None,
+            "heap": list(self.heap),
+            "stats": OfferStats(**vars(self.stats)),
+            "dead": list(self.dead_letters),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "FrontierCore":
+        obj = cls.__new__(cls)
+        obj.cfg = state["cfg"]
+        obj.robots = state["robots"]
+        obj.seen_filter = CuckooFilter.from_state(state["filter"])
+        obj.seen_exact = set(state["exact"]) if state["exact"] is not None else None
+        obj.heap = list(state["heap"])
+        heapq.heapify(obj.heap)
+        obj.stats = OfferStats(**vars(state["stats"]))
+        obj.dead_letters = list(state["dead"])
+        return obj
