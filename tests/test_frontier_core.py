@@ -109,3 +109,24 @@ def test_entry_sort_key():
     b = FrontierEntry(0, 0, 0, "https://z/")
     c = FrontierEntry(1, 0, 0, "https://a/")
     assert sorted([c, a, b], key=lambda e: e.sort_key) == [b, a, c]
+
+
+def test_min_key_wins_regardless_of_offer_order():
+    # same url discovered from two parents with different priority/depth:
+    # any arrival order must produce the same admitted entry (min key)
+    a, b = FrontierCore(), FrontierCore()
+    a.offer("https://h.x/p", priority=2, depth=5)
+    a.offer("https://h.x/p", priority=0, depth=3)
+    b.offer("https://h.x/p", priority=0, depth=3)
+    b.offer("https://h.x/p", priority=2, depth=5)
+    ea, eb = a.pop_wave(), b.pop_wave()
+    assert ea == eb
+    assert ea[0].priority == 0 and ea[0].depth == 3
+
+
+def test_admitted_url_not_min_updated_by_late_offer():
+    fc = FrontierCore()
+    fc.offer("https://h.x/p", priority=1)
+    [e] = fc.pop_wave()
+    assert fc.offer("https://h.x/p", priority=0) == "duplicate"
+    assert fc.pop_wave() == []  # nothing re-queued

@@ -1,0 +1,248 @@
+"""The distributed crawl: BFS waves over a bucketized page store (M2/M3).
+
+Re-architecture of the reference's per-request scrape loop (SURVEY.md
+§3.1) as a Ray Data pipeline:
+
+    seeds -> frontier shards (offer)
+    wave k:  frontier.pop_wave()                 # politeness-ordered admission
+          -> fetch_wave (bucket-pruned read + broadcast semi-join)   # J4
+          -> map_batches(ExtractPages)           # E1-E15, zero-copy Arrow
+          -> map_batches(RouteOutlinks)          # offers -> shards, worker-side
+          -> write_parquet(docs/wave=k/)         # S3 analog, partitioned
+          -> read back (url, ok, err) only       # column-pruned
+          -> requeue fetch-misses / dead-letter extraction failures
+          -> checkpoint shards + manifest        # resume point
+
+Scale properties: the only all-to-all exchange is the ONE-TIME page-store
+bucketize; per wave everything is either broadcast (wave URL set), local
+batch transforms, or host-routed actor messages. Output is partitioned by
+wave (resumable: a rerun reads the manifest and continues from the last
+complete wave). Per-wave lineage (rows in/out, offer stats, paths) lives
+in ``manifest.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..gen import GenConfig, PAGES_SCHEMA, page_row, robots_table, seeds_table
+from ..state.frontier import ShardedFrontier, route_outlinks_batch
+from ..state.frontier_core import PolitenessConfig
+from ..stages.extract import extract_pages_batch
+from ..stages.fetch import PageStore, fetch_wave
+
+__all__ = ["CrawlConfig", "run_crawl", "generate_corpus_ray", "load_robots", "load_seeds"]
+
+
+@dataclass
+class CrawlConfig:
+    num_shards: int = 8
+    max_waves: int = 50
+    max_depth: int = 64
+    mode: str = "light"              # extract mode; 'full' builds content/html/page
+    batch_size: int = 64             # rows per extract batch (html blobs are wide)
+    extract_concurrency: int = 4     # reserved for actor-pool mode (model-loaded extractors)
+    record_order: bool = False       # record per-wave admitted URL order in the
+                                     # manifest (parity tests; off at scale)
+    politeness: PolitenessConfig = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.politeness is None:
+            self.politeness = PolitenessConfig()
+
+
+def load_robots(robots_parquet: str) -> dict[str, tuple[list[str], int]]:
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(robots_parquet)
+    return {
+        r["host"]: (list(r["disallow_prefixes"] or []), int(r["crawl_delay_ms"]))
+        for r in table.to_pylist()
+    }
+
+
+def load_seeds(seeds_parquet: str) -> list[tuple[str, int, int]]:
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(seeds_parquet)
+    return [(r["url"], int(r["priority"]), 0) for r in table.to_pylist()]
+
+
+def generate_corpus_ray(out_dir: str, cfg: GenConfig, n_buckets: int = 32) -> PageStore:
+    """Distributed corpus generation straight into the bucketized store.
+
+    ``page_row`` is a pure function of the row index, so generation is an
+    embarrassingly-parallel ``range -> map_batches`` with no shuffle: each
+    task generates its index slice and rows land in their URL-hash bucket
+    via ``partition_cols`` on write.
+    """
+    from ..stages.fetch import bucket_of
+
+    def gen_batch(batch: dict) -> pa.Table:
+        rows = [page_row(cfg, int(i)) for i in batch["id"]]
+        table = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+        buckets = [bucket_of(u, n_buckets) for u in table.column("url").to_pylist()]
+        return table.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    pages_root = os.path.join(out_dir, "pages")
+    (
+        ray.data.range(cfg.n_pages)
+        .map_batches(gen_batch, batch_format="numpy", batch_size=256)
+        .write_parquet(pages_root, partition_cols=["bucket"])
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(seeds_table(cfg), os.path.join(out_dir, "seeds.parquet"))
+    pq.write_table(robots_table(cfg), os.path.join(out_dir, "robots.parquet"))
+    return PageStore(pages_root, n_buckets)
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest.json")
+
+
+def _read_manifest(out_dir: str) -> dict | None:
+    path = _manifest_path(out_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    tmp = _manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, _manifest_path(out_dir))
+
+
+def run_crawl(
+    store: PageStore,
+    seeds: list[tuple[str, int, int]],
+    robots: dict[str, tuple[list[str], int]],
+    out_dir: str,
+    cfg: CrawlConfig | None = None,
+    resume: bool = False,
+) -> dict:
+    """Run (or resume) a crawl; returns the final manifest.
+
+    Resume contract: wave k is complete once docs/wave=k is fully written,
+    shard checkpoints for k exist, and the manifest records k. A rerun
+    with ``resume=True`` restores shard state from the last recorded wave
+    and continues — finished waves are never refetched (BASELINE.md
+    resume-correctness target).
+    """
+    cfg = cfg or CrawlConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt_dir = os.path.join(out_dir, "ckpt")
+    docs_dir = os.path.join(out_dir, "docs")
+
+    frontier = ShardedFrontier(cfg.num_shards, robots, cfg.politeness)
+    manifest = _read_manifest(out_dir) if resume else None
+    start_wave = 0
+    if manifest and manifest.get("complete_waves"):
+        last = manifest["complete_waves"][-1]
+        frontier.restore(ckpt_dir, last)
+        start_wave = last + 1
+    else:
+        manifest = {
+            "complete_waves": [],
+            "waves": {},
+            "config": {
+                "num_shards": cfg.num_shards,
+                "mode": cfg.mode,
+                "politeness": asdict(cfg.politeness),
+            },
+        }
+        frontier.offer(seeds)
+
+    wave = start_wave
+    try:
+        while wave < cfg.max_waves:
+            admitted = frontier.pop_wave()
+            if not admitted:
+                break
+            t0 = time.time()
+            wave_info: dict = {"admitted": len(admitted)}
+            if cfg.record_order:
+                wave_info["order"] = [e.canon_url for e in admitted]
+            admitted_by_url = {e.canon_url: e for e in admitted}
+
+            fetched_urls: set[str] = set()
+            ok_urls: set[str] = set()
+            err_by_url: dict[str, str] = {}
+            wave_docs_dir = os.path.join(docs_dir, f"wave={wave}")
+            ds = fetch_wave(store, admitted, batch_size=cfg.batch_size)
+            if ds is not None:
+                extracted = ds.map_batches(
+                    extract_pages_batch,
+                    fn_kwargs={"mode": cfg.mode, "wave": wave},
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                ).map_batches(
+                    route_outlinks_batch,
+                    fn_kwargs={
+                        "shards": frontier.shards,
+                        "num_shards": cfg.num_shards,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                )
+                extracted.write_parquet(wave_docs_dir)
+                # column-pruned read-back of what this wave produced (an
+                # all-miss wave writes no files -> treat as zero rows)
+                status = (
+                    ray.data.read_parquet(
+                        wave_docs_dir, columns=["url", "ok", "err"]
+                    ).take_all()
+                    if os.path.isdir(wave_docs_dir)
+                    else []
+                )
+                for row in status:
+                    fetched_urls.add(row["url"])
+                    if row["ok"]:
+                        ok_urls.add(row["url"])
+                    else:
+                        err_by_url[row["url"]] = row["err"]
+
+            failures: list = []
+            for url, entry in admitted_by_url.items():
+                if url not in fetched_urls:
+                    failures.append((entry, "fetch-miss"))
+                elif url not in ok_urls:
+                    failures.append((entry, err_by_url.get(url, "error")))
+            if failures:
+                frontier.requeue(failures)
+
+            frontier.checkpoint(ckpt_dir, wave)
+            wave_info.update(
+                {
+                    "fetched": len(fetched_urls),
+                    "ok": len(ok_urls),
+                    "failures": len(failures),
+                    "docs_dir": wave_docs_dir if ds is not None else None,
+                    "elapsed_s": round(time.time() - t0, 3),
+                    "frontier": frontier.stats(),
+                }
+            )
+            manifest["waves"][str(wave)] = wave_info
+            manifest["complete_waves"].append(wave)
+            _write_manifest(out_dir, manifest)
+            wave += 1
+
+        manifest["final_stats"] = frontier.stats()
+        manifest["dead_letters"] = frontier.dead_letters()
+        manifest["seen_count"] = len(frontier.seen_urls())
+        _write_manifest(out_dir, manifest)
+        return manifest
+    finally:
+        frontier.shutdown()

@@ -1,0 +1,223 @@
+"""Sharded frontier: Ray actors wrapping :class:`FrontierCore` (SURVEY.md M2).
+
+Replaces the reference's coordination state — crawlee RequestQueue dedup,
+ScyllaDB freshness rows and the 60 s scrape lock (ST1/ST3,
+``src/crawler.ts:99-104``, ``src/db/model.ts:45-50,115-135``) — with
+``num_shards`` named Ray actors, shard = ``hash(host) % num_shards``
+(north_rule: explicit hash-partitioning of the frontier by host). Because
+politeness budgets, robots rules and the seen-filter are all per-host and
+a host lives in exactly one shard, the union of per-shard admissions
+equals the single-core oracle's admission — sharding does not change
+semantics, only throughput.
+
+Actors are NAMED (not an anonymous pool): waves must address the same
+shard repeatedly and checkpoints are per-shard (SURVEY.md §7). Offers are
+routed worker-side by :class:`RouteOutlinks` (a map_batches stage holding
+the actor handles), so outlink traffic never funnels through the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+
+import pyarrow as pa
+
+import ray
+
+from ..oracle.canon import host_of
+from .frontier_core import FrontierCore, FrontierEntry, PolitenessConfig
+
+__all__ = [
+    "shard_of_host",
+    "shard_of_url",
+    "FrontierShard",
+    "ShardedFrontier",
+    "route_outlinks_batch",
+]
+
+
+def shard_of_host(host: str, num_shards: int) -> int:
+    digest = hashlib.blake2b(host.encode(), digest_size=8).digest()
+    return int.from_bytes(digest, "little") % num_shards
+
+
+def shard_of_url(canon_url: str, num_shards: int) -> int:
+    return shard_of_host(host_of(canon_url), num_shards)
+
+
+@ray.remote(num_cpus=0)
+class FrontierShard:
+    # num_cpus=0: shards are lightweight state holders serving short
+    # messages; reserving whole CPUs for them would starve the Data
+    # stages' task/actor slots (the scheduler deadlock we hit otherwise).
+    """One frontier shard. All methods take/return plain picklables."""
+
+    def __init__(self, shard_id: int, robots: dict, cfg: PolitenessConfig | None = None):
+        self.shard_id = shard_id
+        self.core = FrontierCore(robots=robots, cfg=cfg)
+
+    def offer_batch(self, offers: list[tuple[str, int, int]]) -> dict:
+        """offers: [(raw_url, priority, depth)]; returns outcome counts."""
+        counts = {"queued": 0, "duplicate": 0, "invalid": 0, "robots": 0}
+        for url, priority, depth in offers:
+            counts[self.core.offer(url, priority=priority, depth=depth)] += 1
+        return counts
+
+    def pop_wave(self) -> list[FrontierEntry]:
+        return self.core.pop_wave()
+
+    def requeue_batch(self, failures: list[tuple[FrontierEntry, str]]) -> int:
+        return sum(self.core.requeue_failure(e, reason) for e, reason in failures)
+
+    def pending(self) -> int:
+        return self.core.pending()
+
+    def stats(self) -> dict:
+        return vars(self.core.stats) | {
+            "pending": self.core.pending(),
+            "dead_letters": len(self.core.dead_letters),
+        }
+
+    def dead_letters(self) -> list[tuple[str, str, int]]:
+        return list(self.core.dead_letters)
+
+    def seen_urls(self) -> set[str]:
+        """Exact seen set — test scale only (exact_check mode)."""
+        return set(self.core.seen_exact or ())
+
+    def checkpoint(self, path: str) -> str:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(self.core.state(), f)
+        os.replace(tmp, path)  # atomic publish
+        return path
+
+    def restore(self, path: str) -> int:
+        with open(path, "rb") as f:
+            self.core = FrontierCore.from_state(pickle.load(f))
+        return self.core.pending()
+
+
+class ShardedFrontier:
+    """Driver-side facade over the named shard actors."""
+
+    def __init__(
+        self,
+        num_shards: int,
+        robots: dict[str, tuple[list[str], int]],
+        cfg: PolitenessConfig | None = None,
+    ):
+        self.num_shards = num_shards
+        self.shards = [
+            FrontierShard.remote(i, robots, cfg) for i in range(num_shards)
+        ]
+
+    def _group(self, offers: list[tuple[str, int, int]]) -> dict[int, list]:
+        grouped: dict[int, list] = {}
+        for url, priority, depth in offers:
+            # route by host of the RAW url; canonicalization preserves the
+            # (lowercased) host, so raw-host routing agrees with canon-host
+            grouped.setdefault(
+                shard_of_host(host_of(url.strip().lower()), self.num_shards), []
+            ).append((url, priority, depth))
+        return grouped
+
+    def offer(self, offers: list[tuple[str, int, int]]) -> dict:
+        total = {"queued": 0, "duplicate": 0, "invalid": 0, "robots": 0}
+        grouped = self._group(offers)
+        results = ray.get(
+            [self.shards[s].offer_batch.remote(batch) for s, batch in grouped.items()]
+        )
+        for counts in results:
+            for k, v in counts.items():
+                total[k] += v
+        return total
+
+    def pop_wave(self) -> list[FrontierEntry]:
+        parts = ray.get([s.pop_wave.remote() for s in self.shards])
+        merged = [e for part in parts for e in part]
+        merged.sort(key=lambda e: e.sort_key)
+        return merged
+
+    def requeue(self, failures: list[tuple[FrontierEntry, str]]) -> None:
+        grouped: dict[int, list] = {}
+        for entry, reason in failures:
+            grouped.setdefault(
+                shard_of_url(entry.canon_url, self.num_shards), []
+            ).append((entry, reason))
+        ray.get([self.shards[s].requeue_batch.remote(b) for s, b in grouped.items()])
+
+    def pending(self) -> int:
+        return sum(ray.get([s.pending.remote() for s in self.shards]))
+
+    def stats(self) -> dict:
+        parts = ray.get([s.stats.remote() for s in self.shards])
+        out: dict = {}
+        for p in parts:
+            for k, v in p.items():
+                out[k] = out.get(k, 0) + v
+        return out
+
+    def dead_letters(self) -> list[tuple[str, str, int]]:
+        parts = ray.get([s.dead_letters.remote() for s in self.shards])
+        return sorted(d for part in parts for d in part)
+
+    def seen_urls(self) -> set[str]:
+        parts = ray.get([s.seen_urls.remote() for s in self.shards])
+        return set().union(*parts) if parts else set()
+
+    def checkpoint(self, ckpt_dir: str, wave: int) -> list[str]:
+        paths = [
+            os.path.join(ckpt_dir, f"wave_{wave}", f"shard_{i}.pkl")
+            for i in range(self.num_shards)
+        ]
+        return ray.get(
+            [s.checkpoint.remote(p) for s, p in zip(self.shards, paths)]
+        )
+
+    def restore(self, ckpt_dir: str, wave: int) -> int:
+        paths = [
+            os.path.join(ckpt_dir, f"wave_{wave}", f"shard_{i}.pkl")
+            for i in range(self.num_shards)
+        ]
+        return sum(
+            ray.get([s.restore.remote(p) for s, p in zip(self.shards, paths)])
+        )
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+
+def route_outlinks_batch(batch: pa.Table, shards: list, num_shards: int) -> pa.Table:
+    """map_batches TASK stage: ship each batch's outlinks to the frontier
+    shards worker-side, then drop the outlinks column (docs don't store it).
+
+    Offers are idempotent (seen-filter dedup), so a Ray task retry at worst
+    double-counts offer stats — it cannot corrupt the frontier. Blocking on
+    the offer acks applies backpressure to the pipeline.
+    """
+    ok = batch.column("ok").to_pylist()
+    urls_lists = batch.column("outlinks").to_pylist()
+    priorities = (
+        batch.column("priority").to_pylist()
+        if "priority" in batch.column_names
+        else [0] * len(ok)
+    )
+    depths = batch.column("depth").to_pylist()
+    grouped: dict[int, list] = {}
+    for row_ok, links, priority, depth in zip(ok, urls_lists, priorities, depths):
+        if not row_ok or not links:
+            continue
+        for link in links:
+            grouped.setdefault(
+                shard_of_url(link, num_shards), []
+            ).append((link, priority, depth + 1))
+    if grouped:
+        ray.get([shards[s].offer_batch.remote(b) for s, b in grouped.items()])
+    drop = [c for c in ("outlinks", "priority") if c in batch.column_names]
+    return batch.drop_columns(drop)

@@ -25,7 +25,11 @@ lexicographically smallest ``(priority, depth, retry, canon_url)`` entries
 up to the host budget; the wave's global crawl order is the sorted union
 of all admitted entries. Both are independent of shard count and of
 arrival order of ``offer()`` batches *within* a wave — the properties the
-determinism tests pin.
+determinism tests pin. To make that hold when the same URL is discovered
+from several parents concurrently (different priority/depth), a pending
+URL keeps the MINIMUM sort key over all offers (min is commutative, so
+any offer arrival order yields the same frontier), rather than
+first-offer-wins which would depend on scheduling.
 """
 
 from __future__ import annotations
@@ -94,7 +98,10 @@ class FrontierCore:
         self.robots = robots or {}
         self.seen_filter = CuckooFilter(self.cfg.seen_capacity)
         self.seen_exact: set[str] | None = set() if self.cfg.exact_check else None
-        self.heap: list[tuple] = []  # (sort_key, FrontierEntry)
+        # canon_url -> (priority, depth, retry) while queued (not yet admitted);
+        # the heap may hold stale keys (lazy deletion on pop)
+        self.pending_keys: dict[str, tuple[int, int, int]] = {}
+        self.heap: list[tuple] = []  # (sort_key, canon_url)
         self.stats = OfferStats()
         self.dead_letters: list[tuple[str, str, int]] = []  # (canon_url, reason, retry)
 
@@ -117,7 +124,12 @@ class FrontierCore:
     # --- offers -----------------------------------------------------------
 
     def offer(self, raw_url: str, priority: int = 0, depth: int = 0) -> str:
-        """Outcome: 'queued' | 'duplicate' | 'invalid' | 'robots'."""
+        """Outcome: 'queued' | 'duplicate' | 'invalid' | 'robots'.
+
+        A URL still pending keeps the minimum (priority, depth) over all
+        offers — commutative, hence independent of offer arrival order.
+        A URL already admitted (or dead-lettered) is a duplicate.
+        """
         if not is_valid_url(raw_url):
             self.stats.invalid += 1
             return "invalid"
@@ -134,10 +146,15 @@ class FrontierCore:
                 self.stats.robots_denied += 1
                 return "robots"
         if self._test_and_set_seen(canon):
+            key = self.pending_keys.get(canon)
+            # min-update while queued and not a retry entry
+            if key is not None and key[2] == 0 and (priority, depth) < key[:2]:
+                self.pending_keys[canon] = (priority, depth, 0)
+                heapq.heappush(self.heap, ((priority, depth, 0, canon), canon))
             self.stats.duplicate += 1
             return "duplicate"
-        entry = FrontierEntry(priority, depth, 0, canon)
-        heapq.heappush(self.heap, (entry.sort_key, entry))
+        self.pending_keys[canon] = (priority, depth, 0)
+        heapq.heappush(self.heap, ((priority, depth, 0, canon), canon))
         self.stats.queued += 1
         return "queued"
 
@@ -149,8 +166,9 @@ class FrontierCore:
         if reason == "not found" or entry.retry + 1 >= MAX_RETRIES:
             self.dead_letters.append((entry.canon_url, reason, entry.retry))
             return False
-        bumped = FrontierEntry(entry.priority, entry.depth, entry.retry + 1, entry.canon_url)
-        heapq.heappush(self.heap, (bumped.sort_key, bumped))
+        key = (entry.priority, entry.depth, entry.retry + 1)
+        self.pending_keys[entry.canon_url] = key
+        heapq.heappush(self.heap, (key + (entry.canon_url,), entry.canon_url))
         return True
 
     # --- admission --------------------------------------------------------
@@ -163,23 +181,27 @@ class FrontierCore:
         leftover: list[tuple] = []
         budget_left: dict[str, int] = {}
         while self.heap:
-            key, entry = heapq.heappop(self.heap)
-            host = host_of(entry.canon_url)
+            key, canon = heapq.heappop(self.heap)
+            current = self.pending_keys.get(canon)
+            if current is None or key[:3] != current:
+                continue  # stale heap entry (min-updated or already admitted)
+            host = host_of(canon)
             if host not in budget_left:
                 rules = self.robots.get(host)
                 budget_left[host] = self.cfg.host_budget(rules[1] if rules else 0)
             if budget_left[host] > 0:
                 budget_left[host] -= 1
-                admitted.append(entry)
+                del self.pending_keys[canon]
+                admitted.append(FrontierEntry(key[0], key[1], key[2], canon))
             else:
-                leftover.append((key, entry))
+                leftover.append((key, canon))
         for item in leftover:
             heapq.heappush(self.heap, item)
         admitted.sort(key=lambda e: e.sort_key)
         return admitted
 
     def pending(self) -> int:
-        return len(self.heap)
+        return len(self.pending_keys)
 
     # --- checkpointing ----------------------------------------------------
 
@@ -189,7 +211,7 @@ class FrontierCore:
             "robots": self.robots,
             "filter": self.seen_filter.state(),
             "exact": set(self.seen_exact) if self.seen_exact is not None else None,
-            "heap": list(self.heap),
+            "pending": dict(self.pending_keys),
             "stats": OfferStats(**vars(self.stats)),
             "dead": list(self.dead_letters),
         }
@@ -201,7 +223,8 @@ class FrontierCore:
         obj.robots = state["robots"]
         obj.seen_filter = CuckooFilter.from_state(state["filter"])
         obj.seen_exact = set(state["exact"]) if state["exact"] is not None else None
-        obj.heap = list(state["heap"])
+        obj.pending_keys = dict(state["pending"])
+        obj.heap = [(key + (canon,), canon) for canon, key in obj.pending_keys.items()]
         heapq.heapify(obj.heap)
         obj.stats = OfferStats(**vars(state["stats"]))
         obj.dead_letters = list(state["dead"])
