@@ -1,44 +1,78 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline — the distributed batch crawl —
+end-to-end at micro scale: it deterministically synthesizes a
+Common-Crawl-style page corpus (BASELINE.json input_hint schema) into the
+bucketized page store, runs the sharded-frontier wave crawl in FULL
+document mode (extract -> tree -> CBOR -> clean HTML), and returns the
+docs table. ``queries()`` / ``oracle_sql()`` expose the relational /
+dedup / ANN / text / window operator inventory over the driver's
+TPC-H-ish tables (SURVEY.md §2 mapping cited per query in
+``webscraper_ray.queries``).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+_ENTRY_DIR = "/tmp/webscraper_ray_entry"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship crawl on a synthesized micro corpus; returns the docs
+    Dataset (full document schema incl. CBOR content and clean HTML)."""
+    import ray.data
+
+    from webscraper_ray.gen import GenConfig
+    from webscraper_ray.pipelines.crawl import (
+        CrawlConfig,
+        generate_corpus_ray,
+        load_robots,
+        load_seeds,
+        run_crawl,
+    )
+
+    gen_cfg = GenConfig(n_pages=250, n_hosts=12, n_seeds=12)
+    corpus_dir = os.path.join(_ENTRY_DIR, "corpus")
+    run_dir = os.path.join(_ENTRY_DIR, "run")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    if not os.path.isdir(os.path.join(corpus_dir, "pages")):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        store = generate_corpus_ray(corpus_dir, gen_cfg, n_buckets=8)
+    else:
+        from webscraper_ray.stages.fetch import PageStore
+
+        store = PageStore(os.path.join(corpus_dir, "pages"), 8)
+
+    seeds = load_seeds(os.path.join(corpus_dir, "seeds.parquet"))
+    robots = load_robots(os.path.join(corpus_dir, "robots.parquet"))
+    run_crawl(
+        store,
+        seeds,
+        robots,
+        run_dir,
+        CrawlConfig(num_shards=4, max_waves=12, mode="full"),
+    )
+    return ray.data.read_parquet(os.path.join(run_dir, "docs"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from webscraper_ray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; approximate
+    / heuristic ops (minhash, simhash, lang-id, fingerprint, LSH-ANN) are
+    intentionally absent -> rows-only checks."""
+    from webscraper_ray.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

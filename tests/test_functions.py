@@ -1,0 +1,103 @@
+"""Unit checks for the training-data operators (dedup / ANN / textstats)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webscraper_ray.functions.dedup import (
+    minhash_signature,
+    ngram_jaccard,
+    simhash64,
+)
+from webscraper_ray.functions.textstats import quality_scores, token_stats
+
+
+def test_minhash_signature_deterministic_and_similar():
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = "the quick brown fox jumps over the lazy dog near the river bank now"
+    c = "completely different content about database systems and query engines"
+    sa, sb, sc = (minhash_signature(t) for t in (a, b, c))
+    assert np.array_equal(sa, minhash_signature(a))
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    assert sim_ab > 0.5 > sim_ac
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+    assert ngram_jaccard("", "") == 1.0
+
+
+def test_simhash_similar_texts_close():
+    a = simhash64("the quick brown fox jumps over the lazy dog " * 5)
+    b = simhash64("the quick brown fox jumps over the lazy dog " * 5 + "tail")
+    c = simhash64("entirely unrelated words about ray data pipelines " * 5)
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+    assert simhash64("") == 0
+
+
+def test_minhash_lsh_finds_planted_dups(ray_session):
+    import ray.data
+
+    from webscraper_ray.functions.dedup import minhash_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank "
+    rows = [{"doc_id": 0, "text": base * 6}, {"doc_id": 1, "text": base * 6 + "extra"}]
+    rows += [
+        {"doc_id": 10 + i, "text": f"unique document number {i} " + " ".join(
+            f"tok{i}_{j}" for j in range(40)
+        )}
+        for i in range(20)
+    ]
+    ds = ray.data.from_items(rows)
+    pairs = minhash_near_dups(ds).to_pandas()
+    assert ((pairs.doc_a == 0) & (pairs.doc_b == 1)).any()
+    # no false pairs among the unique docs
+    assert not ((pairs.doc_a >= 10) | (pairs.doc_b >= 10)).any()
+
+
+def test_ann_lsh_recall_vs_bruteforce(ray_session):
+    import ray.data
+
+    from webscraper_ray.functions.ann import ann_bruteforce_topk, ann_lsh_topk
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((300, 16)).astype(np.float64)
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(300)]
+    ds = ray.data.from_items(rows)
+    qids, qmat = [0, 1], mat[:2]
+    exact = ann_bruteforce_topk(ds, qids, qmat, k=5).to_pandas()
+    approx = ann_lsh_topk(ray.data.from_items(rows), qids, qmat, k=5, bits=2).to_pandas()
+    # the query vector itself must be its own top hit in both
+    for q in qids:
+        top_exact = exact[exact.query_id == q].sort_values(
+            "cos_sim", ascending=False
+        ).iloc[0]
+        assert top_exact.vec_id == q and top_exact.cos_sim == 1.0
+        got = approx[approx.query_id == q]
+        assert (got.vec_id == q).any()
+    # recall@5 of the bucketed variant is reported, not asserted exact
+    inter = len(
+        set(map(tuple, exact[["query_id", "vec_id"]].values))
+        & set(map(tuple, approx[["query_id", "vec_id"]].values))
+    )
+    assert inter >= 2  # at minimum the self-hits
+
+
+def test_token_stats_empty_and_unicode():
+    batch = pa.table({"doc_id": [1, 2, 3], "text": ["", "  ", "héllo wörld x"]})
+    out = token_stats(batch).to_pydict()
+    assert out["n_tokens"] == [0, 0, 3]
+
+
+def test_quality_scores_rounding_matches_sql_semantics():
+    batch = pa.table({"doc_id": [1], "text": ["Ab cd. EF!"]})
+    out = quality_scores(batch).to_pydict()
+    # 3 tokens? "Ab", "cd.", "EF!" -> mean len = (2+3+3)/3 = 2.6667
+    assert out["n_tokens"] == [3]
+    assert out["mean_token_len"] == [2.6667]
+    assert out["punct_ratio"] == [round(2 / 10, 4)]
+    assert out["upper_ratio"] == [round(3 / 10, 4)]

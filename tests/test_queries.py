@@ -1,0 +1,84 @@
+"""Driver-contract checks: every SQL-backed query must match DuckDB
+exactly (columns, rows, values) at sf0.001 — a local mirror of the
+driver's CORRECTNESS gate."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _to_pandas(res):
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(6)
+        elif np.issubdtype(df[c].dtype, np.datetime64):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _sql_backed():
+    from webscraper_ray.queries import ORACLE_SQL
+
+    return sorted(ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", _sql_backed())
+def test_query_matches_duckdb(name, ray_session, duck):
+    from webscraper_ray.queries import ORACLE_SQL, QUERIES
+
+    mine = _normalize(_to_pandas(QUERIES[name](SF)))
+    want = _normalize(duck.execute(ORACLE_SQL[name]).df())
+    assert list(mine.columns) == list(want.columns), f"{name}: column names"
+    assert len(mine) == len(want), f"{name}: row count"
+    pd.testing.assert_frame_equal(mine, want, check_dtype=False, atol=1e-9)
+
+
+def test_rows_only_queries_run(ray_session):
+    from webscraper_ray.queries import ORACLE_SQL, QUERIES
+
+    for name in sorted(set(QUERIES) - set(ORACLE_SQL)):
+        out = _to_pandas(QUERIES[name](SF))
+        assert len(out) > 0, name
+
+
+def test_entry_contract(ray_session):
+    import __ray_entry__
+
+    ds = __ray_entry__.entry()
+    n = ds.count()
+    assert n > 0
+    names = set(ds.schema().names)
+    assert {"id", "url", "title", "text", "content", "html", "ok"} <= names
+    # every queries() key resolves; oracle_sql keys are a subset
+    q, o = __ray_entry__.queries(), __ray_entry__.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 15

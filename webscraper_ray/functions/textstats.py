@@ -1,0 +1,139 @@
+"""Text analysis operators: token counts, quality scoring, language-ID,
+fingerprinting (task brief §text-analysis). All vectorized-per-batch
+``map_batches`` transforms over the ``documents`` table; the only shuffles
+are tiny aggregate outputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+import ray.data
+
+__all__ = [
+    "token_stats",
+    "quality_scores",
+    "lang_id_ngram",
+    "fingerprint_rolling",
+]
+
+_WS = re.compile(r"\s+")
+_PUNCT = re.compile(r"[.!?,;:]")
+
+
+def _round4(x: float) -> float:
+    """Round half away from zero at 4 decimals (SQL ROUND semantics;
+    Python's built-in round is half-even and diverges on exact .5s)."""
+    import math
+
+    return math.floor(abs(x) * 10_000 + 0.5) / 10_000 * (1 if x >= 0 else -1)
+# tiny stopword lists per language for the n-gram/stopword heuristic
+_STOPWORDS = {
+    "eng": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "spa": {"el", "la", "de", "que", "y", "en", "un", "es", "se", "no"},
+    "deu": {"der", "die", "und", "das", "in", "von", "zu", "mit", "den", "ist"},
+    "fra": {"le", "la", "de", "et", "les", "des", "en", "un", "du", "une"},
+}
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, n_tokens, n_chars_seen): whitespace tokenization, the same
+    contract the oracle SQL expresses with string_split_regex."""
+    texts = batch.column(text_col).to_pylist()
+    n_tokens = [len(t.split()) if t and t.strip() else 0 for t in texts]
+    n_chars = [len(t) if t else 0 for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_chars_seen": pa.array(n_chars, pa.int64()),
+        }
+    )
+
+
+def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic quality components per doc:
+
+    - n_tokens, mean_token_len (rounded 4)
+    - punct_ratio: sentence-punctuation chars / chars (rounded 4)
+    - upper_ratio: uppercase chars / chars (rounded 4)
+
+    Chosen to be exactly reproducible in ANSI SQL for the oracle gate; a
+    composite "keep" policy thresholds these downstream.
+    """
+    texts = [t or "" for t in batch.column(text_col).to_pylist()]
+    n_tokens, mean_tok, punct, upper = [], [], [], []
+    for t in texts:
+        toks = t.split()
+        n = len(toks)
+        c = len(t)
+        n_tokens.append(n)
+        mean_tok.append(_round4(sum(map(len, toks)) / n) if n else 0.0)
+        punct.append(_round4(len(_PUNCT.findall(t)) / c) if c else 0.0)
+        # SQL oracle counts [A-Z]; mirror exactly (not unicode isupper)
+        upper.append(_round4(sum("A" <= ch <= "Z" for ch in t) / c) if c else 0.0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "mean_token_len": pa.array(mean_tok, pa.float64()),
+            "punct_ratio": pa.array(punct, pa.float64()),
+            "upper_ratio": pa.array(upper, pa.float64()),
+        }
+    )
+
+
+def lang_id_ngram(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stopword-vote language ID (heuristic, not SQL-expressible — the
+    driver records a rows-only check): argmax over per-language stopword
+    hit counts; 'und' (undetermined) when no stopword matches."""
+    texts = [t or "" for t in batch.column(text_col).to_pylist()]
+    langs = []
+    for t in texts:
+        toks = set(t.lower().split())
+        best, best_hits = "und", 0
+        for code, words in _STOPWORDS.items():
+            hits = len(toks & words)
+            if hits > best_hits:
+                best, best_hits = code, hits
+        langs.append(best)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "pred_lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def fingerprint_rolling(batch: pa.Table, text_col: str = "text", window: int = 8) -> pa.Table:
+    """Winnowing-style document fingerprint: min of rolling-window token
+    hashes (deterministic blake2b), as a 16-hex-char string."""
+    texts = [t or "" for t in batch.column(text_col).to_pylist()]
+    prints = []
+    for t in texts:
+        toks = t.lower().split()
+        if not toks:
+            prints.append("0" * 16)
+            continue
+        hashes = [
+            int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+            for tok in toks
+        ]
+        if len(hashes) <= window:
+            fp = min(hashes)
+        else:
+            fp = min(
+                min(hashes[i : i + window]) for i in range(len(hashes) - window + 1)
+            )
+        prints.append(f"{fp:016x}")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(prints, pa.string()),
+        }
+    )

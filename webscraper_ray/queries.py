@@ -1,0 +1,612 @@
+"""Relational query layer exposed through ``__ray_entry__`` (SURVEY.md M4).
+
+Each entry pairs a Ray-Data-first implementation with the ANSI-SQL string
+the driver runs through DuckDB on the same tables; column names match
+exactly (the driver hashes values after sorting columns by name). Queries
+mirror reference operators (cited per query) plus the training-data ops
+(dedup / ANN / text stats / windows). Non-SQL-expressible ops omit the
+SQL and get the driver's rows-only check.
+
+Scale discipline per query, in docstrings: what shuffles, what broadcasts,
+what pre-aggregates.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .functions.ann import ann_bruteforce_topk, ann_lsh_topk
+from .functions.dedup import exact_dedup, minhash_near_dups, simhash_dups
+from .functions.textstats import (
+    fingerprint_rolling,
+    lang_id_ngram,
+    quality_scores,
+    token_stats,
+)
+from .functions.windows import sessionize, tumbling_counts
+from .oracle.lang import lang_map_sql_values, RTL_CODES
+
+__all__ = ["QUERIES", "ORACLE_SQL", "run_query"]
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-op mirrors over the driver tables
+# ---------------------------------------------------------------------------
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """A3/O1/J1 'findLatest' (src/db/model.ts:161-191): argmax per key.
+
+    The reference sorts candidate rows by time-prefixed id desc and takes
+    the first with a title; here: latest event per user (ties: max
+    event_id, mirroring max-id-wins). groupby(user_id) is the one shuffle;
+    group fn is a vectorized idxmax.
+    """
+    import pandas as pd
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).tail(1)
+        return g[["user_id", "ts", "event_type", "value"]]
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"])
+        .groupby("user_id")
+        .map_groups(latest, batch_format="pandas")
+    )
+
+
+SQL_LATEST_EVENT = """
+SELECT user_id, ts, event_type, value
+FROM (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_doc_projection(sf_dir: str):
+    """E17 output-level projection + E1-style predicate: select a column
+    subset under a filter — pruned AT THE READ (columns=) and filtered
+    vectorized; no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_chars"), 200)),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOC_PROJECTION = """
+SELECT doc_id, lang, source, n_chars FROM documents WHERE n_chars > 200
+"""
+
+
+def q_lang_normalize(sf_dir: str):
+    """E19+E20 (src/lang.ts): normalize lang designators to ISO-639-3 and
+    flag RTL. The mapping table is a module constant broadcast with the
+    task closure (tiny); no shuffle."""
+    from .oracle.lang import is_rtl, lang639_3
+
+    def norm(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        lang3 = [lang639_3(v or "") for v in langs]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "lang3": pa.array(lang3, pa.string()),
+                "rtl": pa.array([is_rtl(v) for v in lang3], pa.bool_()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        norm, batch_format="pyarrow"
+    )
+
+
+def _sql_lang_normalize() -> str:
+    rtl = ", ".join(f"'{c}'" for c in sorted(RTL_CODES))
+    return f"""
+WITH langmap(key, iso3) AS (VALUES {lang_map_sql_values()})
+SELECT d.doc_id, d.lang,
+       coalesce(m.iso3, '') AS lang3,
+       coalesce(m.iso3, '') IN ({rtl}) AS rtl
+FROM documents d LEFT JOIN langmap m ON lower(d.lang) = m.key
+"""
+
+
+def q_paragraph_counts(sf_dir: str):
+    """C5 convertText (src/converting.ts:147-170): split CR/LF/CRLF, trim,
+    drop empties — here counted per document. Pure per-batch map."""
+    import re
+
+    split = re.compile(r"\r\n|\r|\n")
+
+    def count(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = [
+            sum(1 for line in split.split(t or "") if line.strip())
+            for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_paragraphs": pa.array(n, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow"
+    )
+
+
+SQL_PARAGRAPH_COUNTS = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\r\n|\r|\n'),
+                       x -> trim(x) <> '')) AS n_paragraphs
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational coverage (joins / aggregates / top-k)
+# ---------------------------------------------------------------------------
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Exact integer cents from a 2-decimal money double.
+
+    Parallel float sums are order-dependent: at sf>=0.01 the partial-sum
+    tree diverges from DuckDB's sequential sum by more than any sane
+    rounding tolerance. Money columns are 2-decimal by construction, so
+    both sides aggregate EXACT int64 cents and divide once at the end —
+    bit-identical results at any parallelism.
+    """
+    return pc.round(pc.multiply(col, pa.scalar(100.0))).cast(pa.int64())
+
+
+def q_pricing_summary(sf_dir: str):
+    """Grouped aggregate (A1-style histogramming at relational scale).
+
+    Pre-aggregation: exact-cents revenue computed vectorized per batch and
+    combined per batch; the groupby shuffles one partial row per (flag,
+    status, batch). Mirrors TPC-H Q1 shape.
+    """
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_c = _cents(t.column("l_discount"))
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": t.column("l_quantity"),
+                "price_c": price_c,
+                "rev_c4": rev,
+                "disc_c": disc_c,
+            }
+        )
+        g = tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_c", "sum"), ("rev_c4", "sum"),
+             ("disc_c", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "price_c", "rev_c4",
+             "disc_c", "n"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("rev_c4", alias_name="rev_c4"),
+            Sum("disc_c", alias_name="disc_c"),
+            Sum("n", alias_name="count_order"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": t.column("sum_qty"),
+                "sum_base_price": pc.divide(
+                    t.column("price_c").cast(pa.float64()), 100.0
+                ),
+                "sum_disc_price": pc.divide(
+                    t.column("rev_c4").cast(pa.float64()), 10_000.0
+                ),
+                "avg_disc": pc.divide(
+                    pc.divide(t.column("disc_c").cast(pa.float64()), 100.0),
+                    t.column("count_order").cast(pa.float64()),
+                ),
+                "count_order": t.column("count_order"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+       (sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(sf_dir: str):
+    """Join + grouped agg + top-k (J1/J3 + O2 LIMIT pushdown).
+
+    customer⨝orders: broadcast-style hash join via Dataset.join (both
+    sides partitioned on the key); lineitem revenue pre-aggregated per
+    batch to (orderkey, partial revenue) BEFORE joining, so the join
+    carries one row per order, not per lineitem.
+    """
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t.column("l_discount"))),
+        )
+        tt = pa.table({"l_orderkey": t.column("l_orderkey"), "rev_c4": rev})
+        return tt.group_by("l_orderkey").aggregate([("rev_c4", "sum")]).rename_columns(
+            ["l_orderkey", "rev_c4"]
+        )
+
+    order_rev = (
+        line.map_batches(partial_rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+        .map_batches(
+            lambda t: t.append_column(
+                "revenue", pc.divide(t.column("rev_c4").cast(pa.float64()), 10_000.0)
+            ).drop_columns(["rev_c4"]),
+            batch_format="pyarrow",
+        )
+    )
+    building = customers.map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")),
+        batch_format="pyarrow",
+    )
+    joined = orders.join(
+        building, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    full = joined.join(
+        order_rev, join_type="inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+    top = full.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.select_columns(["o_orderkey", "o_orderdate", "revenue"])
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT o.o_orderkey, o.o_orderdate,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+def q_regional_revenue(sf_dir: str):
+    """Multi-join with BROADCAST dimension tables (J3; ray_guide joins):
+    region⨝nation⨝supplier are tiny -> composed driver-side into a
+    suppkey->region dict, broadcast into the lineitem scan; only ONE
+    groupby('region') over small partials shuffles."""
+    import ray
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pylist()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pylist()
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pylist()
+    region_by_key = {r["r_regionkey"]: r["r_name"] for r in region}
+    region_by_nation = {n["n_nationkey"]: region_by_key[n["n_regionkey"]] for n in nation}
+    region_by_supp = {
+        s["s_suppkey"]: region_by_nation[s["s_nationkey"]] for s in supplier
+    }
+    supp_ref = ray.put(region_by_supp)
+
+    def partial(t: pa.Table, ref=supp_ref) -> pa.Table:
+        import ray as _ray
+
+        lookup = _ray.get(ref)
+        supp = t.column("l_suppkey").to_pylist()
+        regions = [lookup.get(s, "") for s in supp]
+        rev = pc.multiply(
+            _cents(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t.column("l_discount"))),
+        )
+        tt = pa.table({"r_name": pa.array(regions, pa.string()), "rev_c4": rev})
+        return tt.group_by("r_name").aggregate([("rev_c4", "sum")]).rename_columns(
+            ["r_name", "rev_c4"]
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "r_name": t.column("r_name"),
+                    "revenue": pc.divide(
+                        t.column("rev_c4").cast(pa.float64()), 10_000.0
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT r.r_name,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q_mktsegment_counts(sf_dir: str):
+    """O5/unique: distinct-value counting — groupby + count (shuffle of
+    one tiny row per (segment, batch))."""
+    return (
+        _read(sf_dir, "customer", ["c_mktsegment", "c_custkey"])
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Mean("c_custkey", alias_name="avg_custkey"),
+        )
+    )
+
+
+SQL_MKTSEGMENT_COUNTS = """
+SELECT c_mktsegment, count(*) AS n_customers, avg(c_custkey) AS avg_custkey
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text / ANN / windows
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup pairs; approximate -> rows-only check."""
+    return minhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash sketch groups; not SQL-expressible -> rows-only check."""
+    return simhash_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_token_stats(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_stats, batch_format="pyarrow"
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       length(text) AS n_chars_seen
+FROM documents
+"""
+
+
+def q_quality_scores(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_scores, batch_format="pyarrow"
+    )
+
+
+SQL_QUALITY_SCORES = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0.0
+            ELSE round(length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
+                 / len(string_split_regex(trim(text), '\s+')), 4) END AS mean_token_len,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+                 / length(text), 4) END AS punct_ratio,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
+                 / length(text), 4) END AS upper_ratio
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language ID — rows-only check."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lang_id_ngram, batch_format="pyarrow"
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    """Rolling-hash winnowing fingerprint — rows-only check."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_rolling, batch_format="pyarrow"
+    )
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = t.sort_by("vec_id").slice(0, n)
+    ids = t.column("vec_id").to_pylist()
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, mat
+
+
+def q_ann_bruteforce(sf_dir: str):
+    ids, mat = _query_vectors(sf_dir)
+    return ann_bruteforce_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), ids, mat, k=10
+    )
+
+
+SQL_ANN_BRUTEFORCE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, cos_sim
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN (approximate) — rows-only check; recall measured
+    against the brute-force baseline in tests."""
+    ids, mat = _query_vectors(sf_dir)
+    return ann_lsh_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), ids, mat, k=10
+    )
+
+
+def q_tumbling_window(sf_dir: str):
+    return tumbling_counts(
+        _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    )
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_sessionize(sf_dir: str):
+    return sessionize(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
+SQL_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM gaps GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "latest_event_per_user": q_latest_event_per_user,
+    "doc_projection": q_doc_projection,
+    "lang_normalize": q_lang_normalize,
+    "paragraph_counts": q_paragraph_counts,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "regional_revenue": q_regional_revenue,
+    "mktsegment_counts": q_mktsegment_counts,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "tumbling_window": q_tumbling_window,
+    "sessionize": q_sessionize,
+}
+
+ORACLE_SQL = {
+    "latest_event_per_user": SQL_LATEST_EVENT,
+    "doc_projection": SQL_DOC_PROJECTION,
+    "lang_normalize": _sql_lang_normalize(),
+    "paragraph_counts": SQL_PARAGRAPH_COUNTS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
+    "regional_revenue": SQL_REGIONAL_REVENUE,
+    "mktsegment_counts": SQL_MKTSEGMENT_COUNTS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "ann_bruteforce": SQL_ANN_BRUTEFORCE,
+    "tumbling_window": SQL_TUMBLING_WINDOW,
+    "sessionize": SQL_SESSIONIZE,
+    # dedup_minhash / dedup_simhash / lang_id / fingerprint / ann_lsh:
+    # approximate or heuristic -> rows-only checks by design
+}
+
+
+def run_query(name: str, sf_dir: str):
+    return QUERIES[name](sf_dir)
