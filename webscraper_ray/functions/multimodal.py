@@ -1,0 +1,162 @@
+"""Multimodal column operators — image/audio/video as opaque binary
+(task brief §multimodal).
+
+The container has no image/audio codecs, so the DECODE kernels are
+clearly-marked stubs (``decode_stub='fake'`` produces a deterministic
+fake decode; ``'raise'`` raises NotImplementedError as a real deploy
+would until a codec is wired in). Everything around the decode — the
+Arrow schema contract, actor-pool stage shape, batch sizing for large
+binary payloads, output layout — is real and tested.
+
+Schema contract for a media table::
+
+    media(media_id: int64, kind: string, payload: binary,
+          meta: map<string,string>)
+
+Stage shapes (all actor pools: a real decoder loads codecs/models once
+per actor in ``__init__``):
+
+- :class:`DecodeImage`  — payload -> (height, width, channels) + feature
+- :class:`FrameSample`  — video payload -> N evenly-spaced frame stubs
+- :class:`ResizeImage`  — decoded dims -> target dims (metadata math is
+  real; pixel work is the stubbed part)
+
+Large-payload batching: callers use small ``batch_size`` (e.g. 16-64)
+so batch x concurrency of multi-MB payloads fits worker heaps; columns
+are ``large_binary`` to dodge 2 GiB offset overflow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["MEDIA_SCHEMA", "DecodeImage", "FrameSample", "ResizeImage", "fake_media_table"]
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),
+        ("payload", pa.large_binary()),
+        ("meta", pa.map_(pa.string(), pa.string())),
+    ]
+)
+
+
+def fake_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media rows (payload = seeded pseudo-bytes)."""
+    rows = []
+    kinds = ["image/png", "image/jpeg", "audio/wav", "video/mp4"]
+    for i in range(n):
+        h = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=8).digest()
+        size = 256 + int.from_bytes(h[:2], "little") % 4096
+        payload = (h * (size // 8 + 1))[:size]
+        rows.append(
+            {
+                "media_id": i,
+                "kind": kinds[i % len(kinds)],
+                "payload": payload,
+                "meta": [("source", f"s{i % 3}")],
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int, int]:
+    h = hashlib.blake2b(payload, digest_size=8).digest()
+    return 32 + h[0] % 224, 32 + h[1] % 224, 3
+
+
+class DecodeImage:
+    """Actor-pool stage: image payload -> dims + a 16-d feature vector.
+
+    ``__init__`` is where a real build loads the codec + feature model
+    ONCE per actor; ``__call__`` only touches batch data.
+    """
+
+    def __init__(self, decode_stub: str = "fake"):
+        if decode_stub not in ("fake", "raise"):
+            raise ValueError(decode_stub)
+        self.decode_stub = decode_stub
+        # real build: self.codec = PIL/cv2; self.model = load_model(...)
+
+    def _decode(self, payload: bytes) -> tuple[int, int, int]:
+        if self.decode_stub == "raise":
+            raise NotImplementedError(
+                "image decode needs an imaging library absent from this "
+                "container; wire PIL/cv2 here"
+            )
+        return _fake_dims(payload)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        dims = [self._decode(p) for p in payloads]
+        feats = []
+        for p in payloads:
+            d = hashlib.blake2b(p, digest_size=16).digest()
+            feats.append((np.frombuffer(d, dtype=np.uint8) / 255.0).tolist())
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "height": pa.array([d[0] for d in dims], pa.int32()),
+                "width": pa.array([d[1] for d in dims], pa.int32()),
+                "channels": pa.array([d[2] for d in dims], pa.int32()),
+                "feature": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+class FrameSample:
+    """Actor-pool stage: video payload -> n evenly spaced frame records
+    (flat output: one row per sampled frame)."""
+
+    def __init__(self, n_frames: int = 4, decode_stub: str = "fake"):
+        self.n_frames = n_frames
+        self.decode_stub = decode_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, frame_sig = [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            if self.decode_stub == "raise":
+                raise NotImplementedError("video decode needs a codec library")
+            # fake duration derived from payload; evenly spaced sample points
+            duration = 1 + len(payload) % 600
+            for k in range(self.n_frames):
+                ts = k * duration // self.n_frames
+                ids.append(mid)
+                frame_idx.append(ts)
+                frame_sig.append(
+                    hashlib.blake2b(payload + ts.to_bytes(4, "little"), digest_size=8).hexdigest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_ts": pa.array(frame_idx, pa.int32()),
+                "frame_sig": pa.array(frame_sig, pa.string()),
+            }
+        )
+
+
+class ResizeImage:
+    """Actor-pool stage: aspect-preserving resize metadata (real math,
+    stubbed pixels)."""
+
+    def __init__(self, max_side: int = 224, decode_stub: str = "fake"):
+        self.max_side = max_side
+        self.decode_stub = decode_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        heights = batch.column("height").to_pylist()
+        widths = batch.column("width").to_pylist()
+        out_h, out_w = [], []
+        for h, w in zip(heights, widths):
+            scale = min(1.0, self.max_side / max(h, w))
+            out_h.append(max(1, int(h * scale)))
+            out_w.append(max(1, int(w * scale)))
+        t = batch.drop_columns([c for c in ("height", "width") if c in batch.column_names])
+        t = t.append_column("height", pa.array(out_h, pa.int32()))
+        return t.append_column("width", pa.array(out_w, pa.int32()))

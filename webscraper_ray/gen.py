@@ -65,6 +65,10 @@ class GenConfig:
     hot_hosts: int = 3          # first k hosts receive a large share of pages
     hot_share: int = 50         # % of pages on hot hosts (skew)
     max_outlinks: int = 12
+    extra_degree: int = 0       # flat out-degree boost (denser graph for bench)
+    page_scale: int = 1         # multiplies paragraph count and length; real
+                                # Common-Crawl pages are tens of KB, the
+                                # default unit page is ~3-5 KB (test speed)
     disallow_hosts_every: int = 5  # every k-th host gets a /private disallow
 
 
@@ -101,6 +105,7 @@ def _outlink_hrefs(cfg: GenConfig, i: int) -> list[str]:
     """Power-law out-degree link targets; mix of clean/variant/invalid links."""
     r = _h(cfg.seed, "deg", i) % 100
     degree = (r % 4) if r < 60 else (4 + r % 9) if r < 95 else (13 + r % (cfg.max_outlinks))
+    degree += cfg.extra_degree
     hrefs: list[str] = []
     for k in range(degree):
         target = _h(cfg.seed, "lnk", i, k) % cfg.n_pages
@@ -143,9 +148,9 @@ def page_html(cfg: GenConfig, i: int) -> str:
         head_parts.append(f'<meta property="article:section" content="s{i % 5}">')
         head_parts.append('<meta property="twitter:x" content="ignored">')
 
-    n_paras = 2 + _h(cfg.seed, "np", i) % 6
+    n_paras = (2 + _h(cfg.seed, "np", i) % 6) * cfg.page_scale
     paras = [
-        f"<p>{_words(cfg.seed, 'par', i, p, n=12 + _h(cfg.seed, 'pl', i, p) % 25)}</p>"
+        f"<p>{_words(cfg.seed, 'par', i, p, n=(12 + _h(cfg.seed, 'pl', i, p) % 25) * cfg.page_scale)}</p>"
         for p in range(n_paras)
     ]
     links = "".join(

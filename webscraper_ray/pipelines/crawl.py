@@ -38,7 +38,7 @@ from ..gen import GenConfig, PAGES_SCHEMA, page_row, robots_table, seeds_table
 from ..state.frontier import ShardedFrontier, route_outlinks_batch
 from ..state.frontier_core import PolitenessConfig
 from ..stages.extract import extract_pages_batch
-from ..stages.fetch import PageStore, fetch_wave
+from ..stages.fetch import PageStore, SandboxFetcher, fetch_wave
 
 __all__ = ["CrawlConfig", "run_crawl", "generate_corpus_ray", "load_robots", "load_seeds"]
 
@@ -51,6 +51,7 @@ class CrawlConfig:
     mode: str = "light"              # extract mode; 'full' builds content/html/page
     batch_size: int = 64             # rows per extract batch (html blobs are wide)
     extract_concurrency: int = 4     # reserved for actor-pool mode (model-loaded extractors)
+    fetch_pool_size: int = 8         # FetchCache shards (sandbox fetch layer)
     record_order: bool = False       # record per-wave admitted URL order in the
                                      # manifest (parity tests; off at scale)
     politeness: PolitenessConfig = None  # type: ignore[assignment]
@@ -103,7 +104,9 @@ def generate_corpus_ray(out_dir: str, cfg: GenConfig, n_buckets: int = 32) -> Pa
 
     pq.write_table(seeds_table(cfg), os.path.join(out_dir, "seeds.parquet"))
     pq.write_table(robots_table(cfg), os.path.join(out_dir, "robots.parquet"))
-    return PageStore(pages_root, n_buckets)
+    store = PageStore(pages_root, n_buckets)
+    store.compact()  # one file per bucket: wave reads open O(buckets) files
+    return store
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -132,6 +135,7 @@ def run_crawl(
     out_dir: str,
     cfg: CrawlConfig | None = None,
     resume: bool = False,
+    fetcher: SandboxFetcher | None = None,
 ) -> dict:
     """Run (or resume) a crawl; returns the final manifest.
 
@@ -147,6 +151,12 @@ def run_crawl(
     docs_dir = os.path.join(out_dir, "docs")
 
     frontier = ShardedFrontier(cfg.num_shards, robots, cfg.politeness)
+    # one fetch-cache pool for the whole run: bucket tables load once and
+    # serve point fetches for every subsequent wave (callers may pass a
+    # pre-warmed pool they own)
+    owns_fetcher = fetcher is None
+    if owns_fetcher:
+        fetcher = SandboxFetcher(store, pool_size=cfg.fetch_pool_size)
     manifest = _read_manifest(out_dir) if resume else None
     start_wave = 0
     if manifest and manifest.get("complete_waves"):
@@ -166,6 +176,12 @@ def run_crawl(
         frontier.offer(seeds)
 
     wave = start_wave
+    # URLs that already fetch-missed once: the page store is static, so a
+    # retry can never succeed — skip the pipeline for them and requeue
+    # directly (pure sandbox-fetch optimization; admission order, retry
+    # accounting and dead-lettering are unchanged). Driver-local state:
+    # lost on resume, in which case retries simply take the slow path.
+    known_missing: set[str] = set()
     try:
         while wave < cfg.max_waves:
             admitted = frontier.pop_wave()
@@ -175,15 +191,22 @@ def run_crawl(
             wave_info: dict = {"admitted": len(admitted)}
             if cfg.record_order:
                 wave_info["order"] = [e.canon_url for e in admitted]
-            admitted_by_url = {e.canon_url: e for e in admitted}
+            to_fetch = [e for e in admitted if e.canon_url not in known_missing]
+            skipped_misses = [e for e in admitted if e.canon_url in known_missing]
 
-            fetched_urls: set[str] = set()
-            ok_urls: set[str] = set()
-            err_by_url: dict[str, str] = {}
+            status: dict[str, tuple[bool, str]] = {}
             wave_docs_dir = os.path.join(docs_dir, f"wave={wave}")
-            ds = fetch_wave(store, admitted, batch_size=cfg.batch_size)
+            ds = (
+                fetch_wave(store, to_fetch, fetcher=fetcher)
+                if to_fetch
+                else None
+            )
             if ds is not None:
-                extracted = ds.map_batches(
+                # ONE dataset execution per wave: write_parquet consumes
+                # the pipeline; the route stage pushes (url, ok, err) to
+                # the shard actors in passing, so the wave outcome needs
+                # no second execution / materialize / read-back
+                ds.map_batches(
                     extract_pages_batch,
                     fn_kwargs={"mode": cfg.mode, "wave": wave},
                     batch_format="pyarrow",
@@ -196,30 +219,19 @@ def run_crawl(
                     },
                     batch_format="pyarrow",
                     batch_size=cfg.batch_size,
-                )
-                extracted.write_parquet(wave_docs_dir)
-                # column-pruned read-back of what this wave produced (an
-                # all-miss wave writes no files -> treat as zero rows)
-                status = (
-                    ray.data.read_parquet(
-                        wave_docs_dir, columns=["url", "ok", "err"]
-                    ).take_all()
-                    if os.path.isdir(wave_docs_dir)
-                    else []
-                )
-                for row in status:
-                    fetched_urls.add(row["url"])
-                    if row["ok"]:
-                        ok_urls.add(row["url"])
-                    else:
-                        err_by_url[row["url"]] = row["err"]
+                ).write_parquet(wave_docs_dir)
+                status = frontier.drain_status()
 
-            failures: list = []
-            for url, entry in admitted_by_url.items():
+            failures: list = [(e, "fetch-miss") for e in skipped_misses]
+            fetched_urls = set(status)
+            ok_urls = {u for u, (ok, _) in status.items() if ok}
+            for entry in to_fetch:
+                url = entry.canon_url
                 if url not in fetched_urls:
                     failures.append((entry, "fetch-miss"))
+                    known_missing.add(url)
                 elif url not in ok_urls:
-                    failures.append((entry, err_by_url.get(url, "error")))
+                    failures.append((entry, status[url][1] or "error"))
             if failures:
                 frontier.requeue(failures)
 
@@ -245,4 +257,6 @@ def run_crawl(
         _write_manifest(out_dir, manifest)
         return manifest
     finally:
+        if owns_fetcher:
+            fetcher.shutdown()
         frontier.shutdown()

@@ -57,6 +57,7 @@ class FrontierShard:
     def __init__(self, shard_id: int, robots: dict, cfg: PolitenessConfig | None = None):
         self.shard_id = shard_id
         self.core = FrontierCore(robots=robots, cfg=cfg)
+        self._status: list[tuple[str, bool, str]] = []
 
     def offer_batch(self, offers: list[tuple[str, int, int]]) -> dict:
         """offers: [(raw_url, priority, depth)]; returns outcome counts."""
@@ -64,6 +65,37 @@ class FrontierShard:
         for url, priority, depth in offers:
             counts[self.core.offer(url, priority=priority, depth=depth)] += 1
         return counts
+
+    def offer_canonical_batch(self, offers: list[tuple[str, int, int]]) -> dict:
+        """Pre-canonicalized offers (extract emits canonical outlinks);
+        skips per-URL canonicalization in this single-threaded actor."""
+        counts = {"queued": 0, "duplicate": 0, "invalid": 0, "robots": 0}
+        for url, priority, depth in offers:
+            counts[self.core.offer_canonical(url, priority=priority, depth=depth)] += 1
+        return counts
+
+    def ingest(
+        self,
+        offers: list[tuple[str, int, int]],
+        status: list[tuple[str, bool, str]],
+    ) -> None:
+        """One combined message per (route task, shard): canonical offers
+        + wave status — halves the RPC count of the route stage."""
+        offer = self.core.offer_canonical
+        for url, priority, depth in offers:
+            offer(url, priority=priority, depth=depth)
+        self._status.extend(status)
+
+    def report_status(self, rows: list[tuple[str, bool, str]]) -> None:
+        """Wave fetch/extract status (url, ok, err) pushed by the route
+        stage during pipeline execution — lets the driver learn the wave
+        outcome without a second dataset execution."""
+        self._status.extend(rows)
+
+    def drain_status(self) -> list[tuple[str, bool, str]]:
+        out = self._status
+        self._status = []
+        return out
 
     def pop_wave(self) -> list[FrontierEntry]:
         return self.core.pop_wave()
@@ -165,6 +197,12 @@ class ShardedFrontier:
         parts = ray.get([s.dead_letters.remote() for s in self.shards])
         return sorted(d for part in parts for d in part)
 
+    def drain_status(self) -> dict[str, tuple[bool, str]]:
+        """Wave status pushed by the route stage; deduped by url (a Ray
+        task retry may double-report identical rows)."""
+        parts = ray.get([s.drain_status.remote() for s in self.shards])
+        return {url: (ok, err) for part in parts for (url, ok, err) in part}
+
     def seen_urls(self) -> set[str]:
         parts = ray.get([s.seen_urls.remote() for s in self.shards])
         return set().union(*parts) if parts else set()
@@ -202,6 +240,8 @@ def route_outlinks_batch(batch: pa.Table, shards: list, num_shards: int) -> pa.T
     the offer acks applies backpressure to the pipeline.
     """
     ok = batch.column("ok").to_pylist()
+    urls = batch.column("url").to_pylist()
+    errs = batch.column("err").to_pylist()
     urls_lists = batch.column("outlinks").to_pylist()
     priorities = (
         batch.column("priority").to_pylist()
@@ -209,15 +249,34 @@ def route_outlinks_batch(batch: pa.Table, shards: list, num_shards: int) -> pa.T
         else [0] * len(ok)
     )
     depths = batch.column("depth").to_pylist()
-    grouped: dict[int, list] = {}
-    for row_ok, links, priority, depth in zip(ok, urls_lists, priorities, depths):
+    # dedupe offers within the batch keeping the MIN (priority, depth) per
+    # url — same commutative min-key rule as the frontier core, so batch
+    # pre-dedup cannot change admissions, it only cuts actor traffic
+    best: dict[str, tuple[int, int]] = {}
+    status: dict[int, list] = {}
+    for url, row_ok, err, links, priority, depth in zip(
+        urls, ok, errs, urls_lists, priorities, depths
+    ):
+        status.setdefault(shard_of_url(url, num_shards), []).append((url, row_ok, err))
         if not row_ok or not links:
             continue
         for link in links:
-            grouped.setdefault(
-                shard_of_url(link, num_shards), []
-            ).append((link, priority, depth + 1))
-    if grouped:
-        ray.get([shards[s].offer_batch.remote(b) for s, b in grouped.items()])
+            key = (priority, depth + 1)
+            prev = best.get(link)
+            if prev is None or key < prev:
+                best[link] = key
+    grouped: dict[int, list] = {}
+    for link, (priority, depth1) in best.items():
+        grouped.setdefault(
+            shard_of_url(link, num_shards), []
+        ).append((link, priority, depth1))
+    # outlinks come canonicalized from the extract stage; one combined
+    # (offers+status) message per shard applies backpressure via ray.get
+    pending = [
+        shards[s].ingest.remote(grouped.get(s, []), status.get(s, []))
+        for s in set(grouped) | set(status)
+    ]
+    if pending:
+        ray.get(pending)
     drop = [c for c in ("outlinks", "priority") if c in batch.column_names]
     return batch.drop_columns(drop)

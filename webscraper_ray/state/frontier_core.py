@@ -138,11 +138,38 @@ class FrontierCore:
         except ValueError:
             self.stats.invalid += 1
             return "invalid"
-        host = host_of(canon)
+        return self.offer_canonical(canon, priority, depth)
+
+    def offer_canonical(self, canon: str, priority: int = 0, depth: int = 0) -> str:
+        """offer() after validation+canonicalization. Exposed so the
+        (parallel, CPU-scaled) route stage can canonicalize and the
+        (serialized, per-shard) actor only does robots+seen+heap work —
+        canonicalization in the actor would cap offer throughput at the
+        shard count. canonicalize() is idempotent, so feeding already-
+        canonical URLs through either path is equivalent.
+
+        Host/path are sliced directly from the canonical form
+        (``scheme://host[/path]``, host already lowercased) — this is the
+        per-offer hot path of every shard actor and a full urlsplit here
+        measurably caps frontier throughput.
+        """
+        scheme_end = canon.find("://") + 3
+        path_start = canon.find("/", scheme_end)
+        if path_start == -1:
+            host, path = canon[scheme_end:], "/"
+        else:
+            host, path = canon[scheme_end:path_start], canon[path_start:]
+        at = host.rfind("@")
+        if at != -1:
+            host = host[at + 1 :]
+        colon = host.rfind(":")
+        if colon != -1:
+            host = host[:colon]
         rules = self.robots.get(host)
         if rules:
-            path = urlsplit(canon).path
-            if any(path.startswith(p) for p in rules[0] if p):
+            q = path.find("?")
+            path_only = path[:q] if q != -1 else path
+            if any(path_only.startswith(p) for p in rules[0] if p):
                 self.stats.robots_denied += 1
                 return "robots"
         if self._test_and_set_seen(canon):
