@@ -1,0 +1,85 @@
+"""Read-side doc queries + batch converter pipeline (SURVEY.md §3.2/3.3)."""
+
+import pyarrow as pa
+import pytest
+
+from webscraper_ray.oracle.cbor import loads as cbor_loads
+from webscraper_ray.oracle.xid import make_xid
+from webscraper_ray.pipelines.docs_api import (
+    OUTPUT_LEVELS,
+    convert_uploads,
+    latest_docs,
+    projection_columns,
+    search_by_urls,
+)
+
+
+def _docs_table():
+    rows = []
+    for url, versions in {
+        "https://a.x/1": [(100, "old title"), (200, "new title")],
+        "https://a.x/2": [(150, "only")],
+        "https://a.x/3": [(160, "")],  # untitled -> excluded by findLatest
+    }.items():
+        for ts, title in versions:
+            rows.append(
+                {
+                    "id": make_xid(ts, 0, url),
+                    "url": url,
+                    "src": url,
+                    "title": title,
+                    "meta": [],
+                    "content": b"",
+                }
+            )
+    return pa.Table.from_pylist(rows)
+
+
+def test_projection_levels():
+    assert projection_columns("basic") == ["id", "url", "src", "title", "meta"]
+    assert "page" in projection_columns("full")
+    assert projection_columns("bogus") == projection_columns("detail")
+    assert set(OUTPUT_LEVELS) == {"basic", "detail", "full"}
+
+
+def test_latest_docs_argmax(ray_session):
+    import ray.data
+
+    out = latest_docs(ray.data.from_arrow(_docs_table())).to_pandas()
+    by_url = dict(zip(out["url"], out["title"]))
+    assert by_url["https://a.x/1"] == "new title"  # byte-max id wins
+    assert by_url["https://a.x/2"] == "only"
+    assert "https://a.x/3" not in by_url  # no titled row
+
+
+def test_search_by_urls_semi_join(ray_session):
+    import ray.data
+
+    out = search_by_urls(
+        ray.data.from_arrow(_docs_table()), ["https://a.x/1", "https://missing.x/"]
+    ).to_pandas()
+    assert list(out["url"]) == ["https://a.x/1"]
+
+
+def test_convert_uploads_dispatch(ray_session):
+    import ray.data
+
+    uploads = ray.data.from_items(
+        [
+            {"upload_id": 1, "payload": b"<h1>HTML Doc</h1><p>body</p>", "mime": "text/html"},
+            {"upload_id": 2, "payload": b"# MD Doc\n\ntext\n", "mime": "text/markdown"},
+            {"upload_id": 3, "payload": b"line one\nline two", "mime": "text/plain"},
+            {"upload_id": 4, "payload": b"%PDF-1.4", "mime": "application/pdf"},
+            {"upload_id": 5, "payload": b"x", "mime": "image/png"},
+            {"upload_id": 6, "payload": b"y" * (1024 * 1024 + 1), "mime": "text/plain"},
+        ]
+    )
+    out = convert_uploads(uploads).to_pandas().set_index("upload_id").sort_index()
+    assert out.loc[1, "ok"] and out.loc[1, "title"] == "HTML Doc"
+    assert out.loc[2, "ok"] and out.loc[2, "title"] == "MD Doc"
+    assert out.loc[3, "ok"] and out.loc[3, "title"] == ""  # no headings
+    tree = cbor_loads(out.loc[3, "content"])
+    assert [n["type"] for n in tree["content"]] == ["paragraph", "paragraph"]
+    assert not out.loc[4, "ok"]  # pdf byte-decode stubbed
+    assert not out.loc[5, "ok"] and "not implemented" in out.loc[5, "err"]
+    assert not out.loc[6, "ok"] and "too large" in out.loc[6, "err"]

@@ -216,6 +216,7 @@ def run_crawl(
                     fn_kwargs={
                         "shards": frontier.shards,
                         "num_shards": cfg.num_shards,
+                        "wave": wave,
                     },
                     batch_format="pyarrow",
                     batch_size=cfg.batch_size,

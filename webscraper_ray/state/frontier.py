@@ -231,7 +231,18 @@ class ShardedFrontier:
         self.shards = []
 
 
-def route_outlinks_batch(batch: pa.Table, shards: list, num_shards: int) -> pa.Table:
+# Worker-local cross-batch offer cache: url -> smallest (priority, depth)
+# key already shipped this wave. Dropping an offer whose key is >= one
+# already sent is a no-op under the frontier's commutative min-key rule,
+# so this filter cannot change admissions — it only cuts shard-actor
+# traffic (dup rates of 5-10x are typical on dense link graphs, and the
+# actors are the serialized resource the route stage convoys on).
+_SENT_OFFERS: dict = {"wave": None, "keys": {}}
+
+
+def route_outlinks_batch(
+    batch: pa.Table, shards: list, num_shards: int, wave: int = 0
+) -> pa.Table:
     """map_batches TASK stage: ship each batch's outlinks to the frontier
     shards worker-side, then drop the outlinks column (docs don't store it).
 
@@ -239,6 +250,10 @@ def route_outlinks_batch(batch: pa.Table, shards: list, num_shards: int) -> pa.T
     double-counts offer stats — it cannot corrupt the frontier. Blocking on
     the offer acks applies backpressure to the pipeline.
     """
+    if _SENT_OFFERS["wave"] != wave:
+        _SENT_OFFERS["wave"] = wave
+        _SENT_OFFERS["keys"] = {}
+    sent: dict = _SENT_OFFERS["keys"]
     ok = batch.column("ok").to_pylist()
     urls = batch.column("url").to_pylist()
     errs = batch.column("err").to_pylist()
@@ -249,11 +264,8 @@ def route_outlinks_batch(batch: pa.Table, shards: list, num_shards: int) -> pa.T
         else [0] * len(ok)
     )
     depths = batch.column("depth").to_pylist()
-    # dedupe offers within the batch keeping the MIN (priority, depth) per
-    # url — same commutative min-key rule as the frontier core, so batch
-    # pre-dedup cannot change admissions, it only cuts actor traffic
-    best: dict[str, tuple[int, int]] = {}
     status: dict[int, list] = {}
+    best: dict[str, tuple[int, int]] = {}
     for url, row_ok, err, links, priority, depth in zip(
         urls, ok, errs, urls_lists, priorities, depths
     ):
@@ -264,12 +276,15 @@ def route_outlinks_batch(batch: pa.Table, shards: list, num_shards: int) -> pa.T
             key = (priority, depth + 1)
             prev = best.get(link)
             if prev is None or key < prev:
-                best[link] = key
+                prev_sent = sent.get(link)
+                if prev_sent is None or key < prev_sent:
+                    best[link] = key
     grouped: dict[int, list] = {}
-    for link, (priority, depth1) in best.items():
+    for link, key in best.items():
+        sent[link] = key if sent.get(link) is None or key < sent[link] else sent[link]
         grouped.setdefault(
             shard_of_url(link, num_shards), []
-        ).append((link, priority, depth1))
+        ).append((link, key[0], key[1]))
     # outlinks come canonicalized from the extract stage; one combined
     # (offers+status) message per shard applies backpressure via ray.get
     pending = [
