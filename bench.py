@@ -27,7 +27,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "100000"))
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "200000"))
 CORPUS_DIR = f"/tmp/webscraper_ray_bench/corpus_{BENCH_PAGES}"
 
 BENCH_QUERIES = [
@@ -99,7 +99,7 @@ def run_crawl_bench(store):
     # shard-count independent — parity tests)
     cfg = CrawlConfig(
         num_shards=max(2, NUM_CPUS // 2),
-        fetch_pool_size=max(2, NUM_CPUS),
+        fetch_pool_size=max(2, NUM_CPUS // 2),
         max_waves=200,
         mode="full",
         batch_size=128,

@@ -108,3 +108,20 @@ def test_golden_text_matches_simulated_extraction():
     res = simulate_crawl(pages, seeds, robots, max_waves=10)
     for d in res.docs:
         assert d["text"] == golden[d["url"]]  # byte-identical per url
+
+
+def test_jsonl_logger(tmp_path):
+    import json
+
+    from webscraper_ray.log import JsonlLogger
+
+    log = JsonlLogger(str(tmp_path / "x" / "run.log.jsonl"))
+    import time
+
+    t0 = time.time()
+    log.write("wave", start=t0, wave=1, admitted=10)
+    log.write("done", level="warn", note="n")
+    lines = [json.loads(l) for l in open(log.path)]
+    assert lines[0]["action"] == "wave" and lines[0]["admitted"] == 10
+    assert "elapsed" in lines[0] and lines[0]["elapsed"] >= 0
+    assert lines[1]["level"] == "warn"

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..state.frontier_core import FrontierCore, FrontierEntry, PolitenessConfig
+from ..state.frontier_core import FrontierCore, PolitenessConfig
 from .extract import extract
 from .xid import make_xid
 

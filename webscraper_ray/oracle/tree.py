@@ -36,7 +36,7 @@ from __future__ import annotations
 import hashlib
 from typing import Any, Callable, Optional
 
-from .dom import Document, Element, TextNode, parse_html
+from .dom import Element, TextNode, parse_html
 
 __all__ = [
     "UID_TYPES",

@@ -29,7 +29,7 @@ import time
 from dataclasses import asdict, dataclass
 
 import pyarrow as pa
-import pyarrow.compute as pc
+
 
 import ray
 import ray.data
@@ -149,6 +149,9 @@ def run_crawl(
     os.makedirs(out_dir, exist_ok=True)
     ckpt_dir = os.path.join(out_dir, "ckpt")
     docs_dir = os.path.join(out_dir, "docs")
+    from ..log import JsonlLogger
+
+    log = JsonlLogger(os.path.join(out_dir, "run.log.jsonl"))
 
     frontier = ShardedFrontier(cfg.num_shards, robots, cfg.politeness)
     # one fetch-cache pool for the whole run: bucket tables load once and
@@ -250,6 +253,11 @@ def run_crawl(
             manifest["waves"][str(wave)] = wave_info
             manifest["complete_waves"].append(wave)
             _write_manifest(out_dir, manifest)
+            log.write(
+                "wave", start=t0, wave=wave,
+                admitted=wave_info["admitted"], ok=wave_info["ok"],
+                failures=wave_info["failures"],
+            )
             wave += 1
 
         manifest["final_stats"] = frontier.stats()

@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Mean, Sum
 
 from .functions.ann import ann_bruteforce_topk, ann_lsh_topk
 from .functions.dedup import exact_dedup, minhash_near_dups, simhash_dups

@@ -1,28 +1,28 @@
-"""Fetch stage: bucketized page store + per-wave fetch join (SURVEY.md J4).
+"""Fetch layer: bucketized page store + sharded in-memory fetch cache
+(SURVEY.md J4).
 
 The reference fetches one URL from the network per request
 (``src/crawler.ts:17-110``). In this sandbox the network is replaced by a
-Parquet table of pages; "fetching" a wave of admitted URLs is a hash join
-of a SMALL side (the wave) against a HUGE side (the pages table).
+Parquet table of pages; "fetching" a wave of admitted URLs must touch
+ONLY those rows — anything that rescans the store per wave is
+O(corpus x waves) and was measurably the bottleneck of the first design.
 
-Scale design (100 TB pages, waves of 1e5-1e7 URLs):
+Architecture (100 TB pages, waves of 1e5-1e7 URLs):
 - The pages table is stored ONCE, hash-bucketized by canonical URL into
-  ``bucket=K/`` directories (``n_buckets`` chosen so one bucket ≈ a few
-  hundred MB). This pays one full pass at ingest.
-- Per wave we read ONLY the buckets containing admitted URLs
-  (``read_parquet`` on the explicit bucket dirs — partition pruning with
-  zero scan of untouched buckets) with column pruning to (url, html), and
-  semi-join via a BROADCAST of the admitted-URL hash set (``ray.put`` once
-  per wave, read per task) inside ``map_batches`` — no all-to-all shuffle
-  (the wave side is always the small side).
-- Fetch-misses (admitted URL absent from the store = transport error in
-  the reference, ``src/crawler.ts:87-96``) are computed driver-side as
+  ``bucket=K/`` dirs (one compacted file per bucket); this pays one
+  all-to-all pass at ingest, amortized over every run.
+- A pool of :class:`FetchCache` actors (bucket -> actor by
+  ``bucket % pool``) holds each bucket's (url, html) table in memory with
+  a url->row index and serves waves by Arrow ``take`` — point reads, no
+  scan. Pool memory = corpus/pool per actor, the budget a per-node page
+  cache would use; the pool scales with cluster size.
+- Fetch-misses (admitted URL absent = transport error in the reference,
+  ``src/crawler.ts:87-96``) are computed driver-side as
   ``wave_set − fetched_set`` and re-enqueued with retry+1.
 
-A real network fetcher is a drop-in: replace ``fetch_wave`` with a
-``map_batches(AsyncFetcher, concurrency=N)`` over the admitted-URL
-dataset; everything downstream (extract, route, write) is unchanged
-(SURVEY.md §7 hard part 6).
+A real network fetcher is a drop-in: same ``fetch(urls) -> Table``
+contract on an aiohttp actor pool; everything downstream (extract,
+route, write) is unchanged (SURVEY.md §7 hard part 6).
 """
 
 from __future__ import annotations
@@ -31,12 +31,12 @@ import hashlib
 import os
 
 import pyarrow as pa
-import pyarrow.compute as pc
+
 
 import ray
 import ray.data
 
-__all__ = ["bucket_of", "bucket_of_many", "PageStore", "fetch_wave"]
+__all__ = ["bucket_of", "bucket_of_many", "PageStore", "FetchCache", "SandboxFetcher", "fetch_wave"]
 
 
 def bucket_of(canon_url: str, n_buckets: int) -> int:
@@ -241,7 +241,6 @@ def fetch_wave(
     wave_entries: list,
     *,
     fetcher: SandboxFetcher | None = None,
-    batch_size: int = 64,
 ) -> "ray.data.Dataset | None":
     """Dataset of fetched pages (url, html, depth, priority) for a wave.
 

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import heapq
 from dataclasses import dataclass
-from urllib.parse import urlsplit
+
 
 from ..oracle.canon import canonicalize, host_of, is_valid_url
 from .cuckoo import CuckooFilter
