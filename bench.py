@@ -27,7 +27,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "200000"))
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "100000"))
 CORPUS_DIR = f"/tmp/webscraper_ray_bench/corpus_{BENCH_PAGES}"
 
 BENCH_QUERIES = [
@@ -54,10 +54,10 @@ def bench_gen_config():
     return GenConfig(
         n_pages=BENCH_PAGES,
         n_hosts=max(64, BENCH_PAGES // 50),
-        n_seeds=512,
+        n_seeds=4096,
         hot_hosts=8,
         hot_share=30,
-        extra_degree=5,
+        extra_degree=10,
         page_scale=10,  # ~30-80 KB pages: the realistic Common-Crawl
                         # size range; unit-scale pages make the bench measure
                         # Ray's fixed per-wave latency instead of extraction
@@ -103,6 +103,7 @@ def run_crawl_bench(store):
         max_waves=200,
         mode="full",
         batch_size=128,
+        max_wave_size=50_000,  # memory bound: ~10 GB of full docs per wave
         politeness=PolitenessConfig(window_ms=300_000, per_host_cap=4096),
     )
     seeds = load_seeds(os.path.join(CORPUS_DIR, "seeds.parquet"))

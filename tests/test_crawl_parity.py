@@ -157,3 +157,31 @@ def test_manifest_lineage_recorded(corpus, tmp_path):
     for w in on_disk["complete_waves"]:
         info = on_disk["waves"][str(w)]
         assert {"admitted", "fetched", "ok", "failures", "elapsed_s", "frontier"} <= set(info)
+
+
+def test_parity_with_wave_size_cap(corpus, tmp_path):
+    """The global max_wave_size cap (memory bound) must stay shard-count
+    independent and match the oracle applying the same rule."""
+    from webscraper_ray.gen import page_row, robots_table, seeds_table
+
+    pages = {}
+    for i in range(GEN.n_pages):
+        row = page_row(GEN, i)
+        pages[row["url"]] = row["html"]
+    seeds = [(r["url"], r["priority"]) for r in seeds_table(GEN).to_pylist()]
+    robots = {
+        r["host"]: (r["disallow_prefixes"], r["crawl_delay_ms"])
+        for r in robots_table(GEN).to_pylist()
+    }
+    capped_oracle = simulate_crawl(pages, seeds, robots, max_waves=60, max_wave_size=50)
+
+    store, pseeds, probots = corpus
+    out = str(tmp_path / "capped")
+    cfg = CrawlConfig(num_shards=3, max_waves=60, record_order=True, max_wave_size=50)
+    manifest = run_crawl(store, pseeds, probots, out, cfg)
+    assert all(
+        manifest["waves"][str(w)]["admitted"] <= 50
+        for w in manifest["complete_waves"]
+    )
+    assert _order_of(manifest) == capped_oracle.order
+    assert manifest["seen_count"] == len(capped_oracle.seen)

@@ -130,3 +130,38 @@ def test_admitted_url_not_min_updated_by_late_offer():
     [e] = fc.pop_wave()
     assert fc.offer("https://h.x/p", priority=0) == "duplicate"
     assert fc.pop_wave() == []  # nothing re-queued
+
+
+def test_freshness_ttl_recrawl():
+    # E16 analog: after ttl waves, a previously-admitted url may recrawl
+    cfg = PolitenessConfig(freshness_ttl_waves=3)
+    fc = FrontierCore(cfg=cfg)
+    fc.offer("https://h.x/p")
+    [e] = fc.pop_wave()                      # wave 0: admitted
+    assert fc.offer("https://h.x/p") == "duplicate"   # fresh -> dedup
+    assert fc.pop_wave() == []               # wave 1
+    assert fc.pop_wave() == []               # wave 2
+    assert fc.offer("https://h.x/p") == "queued"      # stale -> recrawl
+    [e2] = fc.pop_wave()                     # wave 3: admitted again
+    assert e2.canon_url == "https://h.x/p"
+    assert fc.offer("https://h.x/p") == "duplicate"   # fresh again
+
+
+def test_freshness_disabled_by_default():
+    fc = FrontierCore()
+    fc.offer("https://h.x/p")
+    fc.pop_wave()
+    for _ in range(10):
+        fc.pop_wave()
+    assert fc.offer("https://h.x/p") == "duplicate"
+
+
+def test_freshness_state_survives_checkpoint():
+    cfg = PolitenessConfig(freshness_ttl_waves=2)
+    fc = FrontierCore(cfg=cfg)
+    fc.offer("https://h.x/p")
+    fc.pop_wave()
+    fc2 = FrontierCore.from_state(pickle.loads(pickle.dumps(fc.state())))
+    assert fc2.offer("https://h.x/p") == "duplicate"
+    fc2.pop_wave(); fc2.pop_wave()
+    assert fc2.offer("https://h.x/p") == "queued"

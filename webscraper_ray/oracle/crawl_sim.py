@@ -42,6 +42,7 @@ def simulate_crawl(
     cfg: PolitenessConfig | None = None,
     max_waves: int = 50,
     max_depth: int = 64,
+    max_wave_size: int = 0,
 ) -> CrawlResult:
     """``pages``: canon_url -> html; ``seeds``: (raw_url, priority)."""
     frontier = FrontierCore(robots=robots or {}, cfg=cfg)
@@ -52,6 +53,10 @@ def simulate_crawl(
     wave = 0
     while wave < max_waves:
         admitted = frontier.pop_wave()
+        if max_wave_size and len(admitted) > max_wave_size:
+            # same global cap rule as ShardedFrontier.pop_wave
+            frontier.restore_pending(admitted[max_wave_size:])
+            admitted = admitted[:max_wave_size]
         if not admitted:
             break
         for entry in admitted:

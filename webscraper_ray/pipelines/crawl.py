@@ -24,6 +24,7 @@ in ``manifest.json``.
 from __future__ import annotations
 
 import json
+import shutil
 import os
 import time
 from dataclasses import asdict, dataclass
@@ -54,6 +55,9 @@ class CrawlConfig:
     fetch_pool_size: int = 8         # FetchCache shards (sandbox fetch layer)
     record_order: bool = False       # record per-wave admitted URL order in the
                                      # manifest (parity tests; off at scale)
+    max_wave_size: int = 0           # global per-wave admission cap (memory
+                                     # bound: wave x doc payload must fit the
+                                     # object store); 0 = politeness-only
     politeness: PolitenessConfig = None  # type: ignore[assignment]
 
     def __post_init__(self):
@@ -166,6 +170,15 @@ def run_crawl(
         last = manifest["complete_waves"][-1]
         frontier.restore(ckpt_dir, last)
         start_wave = last + 1
+        # a crash can leave a partially written docs dir for the wave
+        # after the last complete one (writes overlap the next wave's
+        # compute); rerunning that wave must start from an empty dir or
+        # the rewrite would append duplicates
+        for name in os.listdir(docs_dir) if os.path.isdir(docs_dir) else []:
+            if name.startswith("wave="):
+                w = int(name.split("=", 1)[1])
+                if w >= start_wave:
+                    shutil.rmtree(os.path.join(docs_dir, name), ignore_errors=True)
     else:
         manifest = {
             "complete_waves": [],
@@ -185,9 +198,10 @@ def run_crawl(
     # accounting and dead-lettering are unchanged). Driver-local state:
     # lost on resume, in which case retries simply take the slow path.
     known_missing: set[str] = set()
+
     try:
         while wave < cfg.max_waves:
-            admitted = frontier.pop_wave()
+            admitted = frontier.pop_wave(max_wave_size=cfg.max_wave_size)
             if not admitted:
                 break
             t0 = time.time()
@@ -205,10 +219,12 @@ def run_crawl(
                 else None
             )
             if ds is not None:
-                # ONE dataset execution per wave: write_parquet consumes
-                # the pipeline; the route stage pushes (url, ok, err) to
-                # the shard actors in passing, so the wave outcome needs
-                # no second execution / materialize / read-back
+                # ONE fused dataset execution per wave (fetch blocks ->
+                # extract -> route -> write, no intermediate materialize:
+                # a materialize barrier costs a full doc-payload round
+                # trip through the object store, measured slower than the
+                # write it would overlap); the route stage pushes
+                # (url, ok, err) to the shard actors in passing
                 ds.map_batches(
                     extract_pages_batch,
                     fn_kwargs={"mode": cfg.mode, "wave": wave},

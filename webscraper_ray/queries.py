@@ -296,20 +296,62 @@ def q_top_revenue_orders(sf_dir: str):
             batch_format="pyarrow",
         )
     )
-    building = customers.map_batches(
-        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")),
-        batch_format="pyarrow",
+    # The filtered dimension side (BUILDING customers, then their orders)
+    # is SMALL relative to lineitem: broadcast it (ray.put once, dict
+    # lookup per batch) instead of hash-join shuffles. When the build side
+    # outgrows worker memory, swap for Dataset.join(num_partitions=...) —
+    # the partitioned-hash-join API — at the cost of two all-to-alls.
+    import ray
+
+    building_keys = set(
+        customers.map_batches(
+            lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")),
+            batch_format="pyarrow",
+        )
+        .select_columns(["c_custkey"])
+        .to_pandas()["c_custkey"]
     )
-    joined = orders.join(
-        building, join_type="inner", num_partitions=8,
-        on=("o_custkey",), right_on=("c_custkey",),
+    keys_ref = ray.put(building_keys)
+
+    def filter_orders(t: pa.Table, ref=keys_ref) -> pa.Table:
+        import ray as _ray
+
+        keys = _ray.get(ref)
+        mask = [c in keys for c in t.column("o_custkey").to_pylist()]
+        return t.filter(pa.array(mask)).select(["o_orderkey", "o_orderdate"])
+
+    # distributed semi-join; only the (small) filtered result reaches the
+    # driver to become the next broadcast side
+    building_orders = orders.map_batches(filter_orders, batch_format="pyarrow").to_pandas()
+    dates_ref = ray.put(
+        dict(zip(building_orders["o_orderkey"], building_orders["o_orderdate"]))
     )
-    full = joined.join(
-        order_rev, join_type="inner", num_partitions=8,
-        on=("o_orderkey",), right_on=("l_orderkey",),
+
+    def attach(t: pa.Table, ref=dates_ref) -> pa.Table:
+        import ray as _ray
+
+        dates = _ray.get(ref)
+        keys = t.column("l_orderkey").to_pylist()
+        mask = [k in dates for k in keys]
+        kept = t.filter(pa.array(mask))
+        kept_keys = kept.column("l_orderkey").to_pylist()
+        return pa.table(
+            {
+                "o_orderkey": kept.column("l_orderkey"),
+                "o_orderdate": pa.array(
+                    [dates[k] for k in kept_keys], pa.timestamp("us")
+                ),
+                "revenue": kept.column("revenue"),
+            }
+        )
+
+    del keys_ref
+    joined = order_rev.map_batches(attach, batch_format="pyarrow")
+    return (
+        joined.sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .select_columns(["o_orderkey", "o_orderdate", "revenue"])
     )
-    top = full.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
-    return top.select_columns(["o_orderkey", "o_orderdate", "revenue"])
 
 
 SQL_TOP_REVENUE_ORDERS = """

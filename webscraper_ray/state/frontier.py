@@ -100,6 +100,9 @@ class FrontierShard:
     def pop_wave(self) -> list[FrontierEntry]:
         return self.core.pop_wave()
 
+    def restore_pending(self, entries: list[FrontierEntry]) -> None:
+        self.core.restore_pending(entries)
+
     def requeue_batch(self, failures: list[tuple[FrontierEntry, str]]) -> int:
         return sum(self.core.requeue_failure(e, reason) for e, reason in failures)
 
@@ -168,10 +171,30 @@ class ShardedFrontier:
                 total[k] += v
         return total
 
-    def pop_wave(self) -> list[FrontierEntry]:
+    def pop_wave(self, max_wave_size: int = 0) -> list[FrontierEntry]:
+        """Merged politeness-ordered admission across shards.
+
+        ``max_wave_size`` > 0 caps the wave at the K globally smallest
+        entries (memory bound: wave size x doc payload must fit the
+        object store); the truncated tail is restored to its shards and
+        competes again next wave. The cap is applied to the SORTED merged
+        list, so the admitted set is a pure function of the pending state
+        — shard-count independent, same rule as the oracle simulator.
+        """
         parts = ray.get([s.pop_wave.remote() for s in self.shards])
         merged = [e for part in parts for e in part]
         merged.sort(key=lambda e: e.sort_key)
+        if max_wave_size and len(merged) > max_wave_size:
+            overflow = merged[max_wave_size:]
+            merged = merged[:max_wave_size]
+            grouped: dict[int, list] = {}
+            for e in overflow:
+                grouped.setdefault(
+                    shard_of_url(e.canon_url, self.num_shards), []
+                ).append(e)
+            ray.get(
+                [self.shards[s].restore_pending.remote(b) for s, b in grouped.items()]
+            )
         return merged
 
     def requeue(self, failures: list[tuple[FrontierEntry, str]]) -> None:

@@ -52,6 +52,14 @@ class PolitenessConfig:
     per_host_cap: int = 64     # admission cap per host per wave (delay 0)
     seen_capacity: int = 1 << 16  # cuckoo capacity per shard (test scale)
     exact_check: bool = True   # keep exact set + assert agreement (test scale)
+    # E16 freshness window (src/db/model.ts:45-50: 3-day recrawl TTL): a
+    # URL admitted >= ttl waves ago may be offered and crawled again; its
+    # new doc row coexists with the old one and latest-per-url reads pick
+    # the newest id (A3), exactly the reference's multiple-rows-per-url
+    # model. 0 = never recrawl. At 1e10 scale the per-url admission wave
+    # is held as rotating-generation cuckoo filters (one filter per TTL
+    # epoch, retire the oldest); at test scale an exact dict.
+    freshness_ttl_waves: int = 0
 
     def host_budget(self, crawl_delay_ms: int) -> int:
         if crawl_delay_ms <= 0:
@@ -104,6 +112,10 @@ class FrontierCore:
         self.heap: list[tuple] = []  # (sort_key, canon_url)
         self.stats = OfferStats()
         self.dead_letters: list[tuple[str, str, int]] = []  # (canon_url, reason, retry)
+        self.current_wave = 0
+        # canon_url -> wave of last admission (freshness bookkeeping;
+        # only maintained when a TTL is configured)
+        self.admitted_wave: dict[str, int] = {}
 
     # --- seen filter ------------------------------------------------------
 
@@ -178,6 +190,20 @@ class FrontierCore:
             if key is not None and key[2] == 0 and (priority, depth) < key[:2]:
                 self.pending_keys[canon] = (priority, depth, 0)
                 heapq.heappush(self.heap, ((priority, depth, 0, canon), canon))
+                self.stats.duplicate += 1
+                return "duplicate"
+            # E16 freshness: a stale previously-admitted URL is re-queued
+            ttl = self.cfg.freshness_ttl_waves
+            if (
+                ttl > 0
+                and key is None
+                and self.current_wave - self.admitted_wave.get(canon, self.current_wave)
+                >= ttl
+            ):
+                self.pending_keys[canon] = (priority, depth, 0)
+                heapq.heappush(self.heap, ((priority, depth, 0, canon), canon))
+                self.stats.queued += 1
+                return "queued"
             self.stats.duplicate += 1
             return "duplicate"
         self.pending_keys[canon] = (priority, depth, 0)
@@ -219,13 +245,27 @@ class FrontierCore:
             if budget_left[host] > 0:
                 budget_left[host] -= 1
                 del self.pending_keys[canon]
+                if self.cfg.freshness_ttl_waves > 0:
+                    self.admitted_wave[canon] = self.current_wave
                 admitted.append(FrontierEntry(key[0], key[1], key[2], canon))
             else:
                 leftover.append((key, canon))
         for item in leftover:
             heapq.heappush(self.heap, item)
+        self.current_wave += 1
         admitted.sort(key=lambda e: e.sort_key)
         return admitted
+
+    def restore_pending(self, entries: list[FrontierEntry]) -> None:
+        """Put admitted-but-truncated entries back in the queue (global
+        wave-size cap support): they keep their keys and compete again
+        next wave. Deterministic — the caller truncates the SORTED merged
+        admission, so which entries come back is a pure function of the
+        pending set."""
+        for e in entries:
+            key = (e.priority, e.depth, e.retry)
+            self.pending_keys[e.canon_url] = key
+            heapq.heappush(self.heap, (key + (e.canon_url,), e.canon_url))
 
     def pending(self) -> int:
         return len(self.pending_keys)
@@ -241,6 +281,8 @@ class FrontierCore:
             "pending": dict(self.pending_keys),
             "stats": OfferStats(**vars(self.stats)),
             "dead": list(self.dead_letters),
+            "current_wave": self.current_wave,
+            "admitted_wave": dict(self.admitted_wave),
         }
 
     @classmethod
@@ -255,4 +297,6 @@ class FrontierCore:
         heapq.heapify(obj.heap)
         obj.stats = OfferStats(**vars(state["stats"]))
         obj.dead_letters = list(state["dead"])
+        obj.current_wave = state.get("current_wave", 0)
+        obj.admitted_wave = dict(state.get("admitted_wave", {}))
         return obj
