@@ -121,3 +121,28 @@ def test_deeply_nested_html_does_not_recurse_out():
     deep = "<html><body><h1>D</h1>" + "<div>" * 5000 + "text" + "</div>" * 5000
     r = extract(URL, deep + "</body></html>")
     assert r.ok and "text" in r.text
+
+
+def test_random_html_never_crashes():
+    # fuzz: arbitrary tag soup must produce ok=True/False, never raise
+    from hypothesis import given, settings, strategies as st
+
+    fragments = st.lists(
+        st.sampled_from(
+            ["<div>", "</div>", "<h1>", "</h1>", "<p>", "</p>", "<a href='x'>",
+             "</a>", "text ", "<script>js</script>", "< broken", "&amp;", "&bogus;",
+             "<img src=y>", "<!-- c -->", "<table><tr><td>", "</td></tr></table>",
+             "\x00", "é¿", "<meta property='og:title' content='t'>"]
+        ),
+        max_size=30,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(fragments)
+    def run(parts):
+        r = extract(URL, "".join(parts))
+        assert isinstance(r.ok, bool)
+        if r.ok:
+            assert r.text.startswith(r.title)
+
+    run()

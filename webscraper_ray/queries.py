@@ -433,6 +433,132 @@ GROUP BY r.r_name
 """
 
 
+def q_order_priority(sf_dir: str):
+    """Semi-join (EXISTS) + grouped count — TPC-H Q4 shape.
+
+    The existence set (orderkeys with a late lineitem) is built
+    distributed via per-batch DISTINCT partials, then broadcast for the
+    orders-side membership filter — the Bloom/semi-join pattern from the
+    ray_guide; no row-level shuffle of either big table.
+    """
+    import ray
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def partial_keys(t: pa.Table) -> pa.Table:
+        cutoff = pa.scalar(pd_ts("1995-06-15"))
+        late = t.filter(pc.greater(t.column("l_shipdate"), cutoff))
+        return pa.table({"l_orderkey": pc.unique(late.column("l_orderkey"))})
+
+    keys = set(
+        line.map_batches(partial_keys, batch_format="pyarrow")
+        .to_pandas()["l_orderkey"]
+    )
+    keys_ref = ray.put(keys)
+
+    def member(t: pa.Table, ref=keys_ref) -> pa.Table:
+        import ray as _ray
+
+        k = _ray.get(ref)
+        mask = [o in k for o in t.column("o_orderkey").to_pylist()]
+        return t.filter(pa.array(mask))
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        .map_batches(member, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+def pd_ts(s: str):
+    import pandas as pd
+
+    return pd.Timestamp(s)
+
+
+SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > TIMESTAMP '1995-06-15'
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_nation_customers(sf_dir: str):
+    """Broadcast dimension join (customer ⨝ nation) + grouped stats with
+    exact-cents account balances."""
+    import ray
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pylist()
+    name_by_key = {n["n_nationkey"]: n["n_name"] for n in nation}
+    ref = ray.put(name_by_key)
+
+    def partial(t: pa.Table, ref=ref) -> pa.Table:
+        import ray as _ray
+
+        names = _ray.get(ref)
+        nk = t.column("c_nationkey").to_pylist()
+        bal_c = _cents(t.column("c_acctbal"))
+        tt = pa.table(
+            {
+                "n_name": pa.array([names.get(k, "") for k in nk], pa.string()),
+                "bal_c": bal_c,
+            }
+        )
+        g = tt.group_by("n_name").aggregate([("bal_c", "sum"), ("bal_c", "count")])
+        return g.rename_columns(["n_name", "bal_c", "n"])
+
+    agg = (
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("bal_c", alias_name="bal_c"), Sum("n", alias_name="n_customers"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t.column("n_name"),
+                "n_customers": t.column("n_customers"),
+                "total_acctbal": pc.divide(t.column("bal_c").cast(pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_NATION_CUSTOMERS = """
+SELECT n.n_name, count(*) AS n_customers,
+       sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal actor-pool pipeline (decode stubbed deterministically;
+    rows-only check): media -> dims + features -> aspect resize."""
+    import ray.data
+
+    from .functions.multimodal import DecodeImage, ResizeImage, fake_media_table
+
+    ds = ray.data.from_arrow(fake_media_table(256))
+    return ds.map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).map_batches(
+        ResizeImage,
+        fn_constructor_kwargs={"max_side": 224},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+
+
 def q_mktsegment_counts(sf_dir: str):
     """O5/unique: distinct-value counting — groupby + count (shuffle of
     one tiny row per (segment, batch))."""
@@ -616,7 +742,10 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "regional_revenue": q_regional_revenue,
+    "order_priority": q_order_priority,
+    "nation_customers": q_nation_customers,
     "mktsegment_counts": q_mktsegment_counts,
+    "multimodal_decode": q_multimodal_decode,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -638,6 +767,8 @@ ORACLE_SQL = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "regional_revenue": SQL_REGIONAL_REVENUE,
+    "order_priority": SQL_ORDER_PRIORITY,
+    "nation_customers": SQL_NATION_CUSTOMERS,
     "mktsegment_counts": SQL_MKTSEGMENT_COUNTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_stats": SQL_TOKEN_STATS,
