@@ -146,8 +146,16 @@ class ShardedFrontier:
         cfg: PolitenessConfig | None = None,
     ):
         self.num_shards = num_shards
+        # robots rules are sharded BY HOST like everything else (north
+        # rule: robots cache keyed by host): each shard holds only its own
+        # hosts' rules, so robots state scales horizontally instead of
+        # being replicated num_shards times
+        robots_by_shard: list[dict] = [{} for _ in range(num_shards)]
+        for host, rules in robots.items():
+            robots_by_shard[shard_of_host(host, num_shards)][host] = rules
         self.shards = [
-            FrontierShard.remote(i, robots, cfg) for i in range(num_shards)
+            FrontierShard.remote(i, robots_by_shard[i], cfg)
+            for i in range(num_shards)
         ]
 
     def _group(self, offers: list[tuple[str, int, int]]) -> dict[int, list]:
