@@ -4,21 +4,22 @@ Re-architecture of the reference's per-request scrape loop (SURVEY.md
 §3.1) as a Ray Data pipeline:
 
     seeds -> frontier shards (offer)
-    wave k:  frontier.pop_wave()                 # politeness-ordered admission
-          -> fetch_wave (bucket-pruned read + broadcast semi-join)   # J4
-          -> map_batches(ExtractPages)           # E1-E15, zero-copy Arrow
-          -> map_batches(RouteOutlinks)          # offers -> shards, worker-side
+    wave k:  frontier.pop_wave(max_wave_size)    # politeness-ordered admission
+          -> fetch_wave (sharded page-cache point fetch)             # J4
+          -> map_batches(extract)                # E1-E15, zero-copy Arrow
+          -> map_batches(route)                  # offers+status -> shards
           -> write_parquet(docs/wave=k/)         # S3 analog, partitioned
-          -> read back (url, ok, err) only       # column-pruned
+          (one fused dataset execution; wave status arrives via the
+           shard actors, no second pass)
           -> requeue fetch-misses / dead-letter extraction failures
           -> checkpoint shards + manifest        # resume point
 
 Scale properties: the only all-to-all exchange is the ONE-TIME page-store
-bucketize; per wave everything is either broadcast (wave URL set), local
-batch transforms, or host-routed actor messages. Output is partitioned by
-wave (resumable: a rerun reads the manifest and continues from the last
-complete wave). Per-wave lineage (rows in/out, offer stats, paths) lives
-in ``manifest.json``.
+bucketize; per wave everything is either point fetches, local batch
+transforms, or host-routed actor messages. Output is partitioned by wave
+(resumable: a rerun reads the manifest, purges any partially-written wave
+dir, and continues from the last complete wave). Per-wave lineage (rows
+in/out, offer stats, paths) lives in ``manifest.json`` + ``run.log.jsonl``.
 """
 
 from __future__ import annotations
