@@ -199,6 +199,10 @@ def run_crawl(
     # accounting and dead-lettering are unchanged). Driver-local state:
     # lost on resume, in which case retries simply take the slow path.
     known_missing: set[str] = set()
+    # unique per run: scopes the workers' offer caches so two runs in one
+    # Ray session can never share (and corrupt) cache state; stable across
+    # task retries within the run
+    run_id = f"{out_dir}:{time.time_ns()}"
 
     try:
         while wave < cfg.max_waves:
@@ -237,6 +241,7 @@ def run_crawl(
                         "shards": frontier.shards,
                         "num_shards": cfg.num_shards,
                         "wave": wave,
+                        "run_id": run_id,
                     },
                     batch_format="pyarrow",
                     batch_size=cfg.batch_size,

@@ -268,11 +268,15 @@ class ShardedFrontier:
 # so this filter cannot change admissions — it only cuts shard-actor
 # traffic (dup rates of 5-10x are typical on dense link graphs, and the
 # actors are the serialized resource the route stage convoys on).
-_SENT_OFFERS: dict = {"wave": None, "keys": {}}
+# Scoped by (run_id, wave): Ray worker processes outlive a crawl run, and
+# a cache keyed by wave alone can collide with a PREVIOUS run's same-
+# numbered wave in the same session, silently suppressing offers (a real
+# flake observed across back-to-back test runs).
+_SENT_OFFERS: dict = {"scope": None, "keys": {}}
 
 
 def route_outlinks_batch(
-    batch: pa.Table, shards: list, num_shards: int, wave: int = 0
+    batch: pa.Table, shards: list, num_shards: int, wave: int = 0, run_id: str = ""
 ) -> pa.Table:
     """map_batches TASK stage: ship each batch's outlinks to the frontier
     shards worker-side, then drop the outlinks column (docs don't store it).
@@ -281,8 +285,9 @@ def route_outlinks_batch(
     double-counts offer stats — it cannot corrupt the frontier. Blocking on
     the offer acks applies backpressure to the pipeline.
     """
-    if _SENT_OFFERS["wave"] != wave:
-        _SENT_OFFERS["wave"] = wave
+    scope = (run_id, wave)
+    if _SENT_OFFERS["scope"] != scope:
+        _SENT_OFFERS["scope"] = scope
         _SENT_OFFERS["keys"] = {}
     sent: dict = _SENT_OFFERS["keys"]
     ok = batch.column("ok").to_pylist()
