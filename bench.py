@@ -12,7 +12,8 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "crawl": {...urls/sec detail...}}
 
---scaling: runs the same bench twice in FRESH processes at 8 and 32 CPUs
+--scaling: runs the same bench in FRESH processes at 4 and 16 CPUs (N vs 4N;
+best-of-2 per level against host noise)
 (the sandbox stand-in for N vs 4N nodes) and prints throughputs plus
 scaling efficiency; results recorded in BASELINE.md.
 """
@@ -102,7 +103,7 @@ def run_crawl_bench(store):
         fetch_pool_size=max(2, NUM_CPUS // 2),
         max_waves=200,
         mode="full",
-        batch_size=128,
+        batch_size=256,
         max_wave_size=50_000,  # memory bound: ~10 GB of full docs per wave
         politeness=PolitenessConfig(window_ms=300_000, per_host_cap=4096),
     )
