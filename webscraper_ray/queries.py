@@ -38,9 +38,27 @@ __all__ = ["QUERIES", "ORACLE_SQL", "run_query"]
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    )
+    """Pruned read (columns=) with a METADATA-FREE schema.
+
+    The driver's parquet files carry pandas metadata; Ray Data's shuffle
+    operators try to hash block schemas for deduplication and a metadata
+    dict makes that fail noisily in every reduce task. Passing an explicit
+    clean schema keeps shuffle/join logs quiet and schemas hashable.
+    """
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
+
+
+def _join_partitions() -> int:
+    """Hash-join partition count sized to the session (bounded driver-side
+    control overhead; on a real cluster this tracks node count)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(16, cpus // 2))
 
 
 # ---------------------------------------------------------------------------
@@ -264,16 +282,39 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_top_revenue_orders(sf_dir: str):
-    """Join + grouped agg + top-k (J1/J3 + O2 LIMIT pushdown).
+    """Join + grouped agg + top-k (J1/J3 + O2 LIMIT pushdown) — TPC-H Q3.
 
-    customer⨝orders: broadcast-style hash join via Dataset.join (both
-    sides partitioned on the key); lineitem revenue pre-aggregated per
-    batch to (orderkey, partial revenue) BEFORE joining, so the join
-    carries one row per order, not per lineitem.
+    Fully distributed plan, no driver-side materialization of anything
+    proportional to the fact tables:
+
+      1. customer filtered to BUILDING (vectorized pc mask) -> keys only
+      2. orders ⨝ building_custkeys: partitioned hash join
+         (``Dataset.join`` — both sides shuffle ONCE on the key)
+      3. lineitem revenue pre-aggregated per batch (exact cents) to
+         (orderkey, partial rev) so join input is ~1 row/order/batch,
+         then ⨝ the BUILDING orders on orderkey
+      4. groupby (orderkey, orderdate) sums partials; sort+limit 10
+
+    The only driver-visible data is the 10-row result.
     """
+    nparts = _join_partitions()
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    building = customers.map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    building_orders = orders.join(
+        building,
+        "inner",
+        num_partitions=nparts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "o_orderdate"])
 
     def partial_rev(t: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -285,72 +326,31 @@ def q_top_revenue_orders(sf_dir: str):
             ["l_orderkey", "rev_c4"]
         )
 
-    order_rev = (
-        line.map_batches(partial_rev, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
-        .map_batches(
-            lambda t: t.append_column(
-                "revenue", pc.divide(t.column("rev_c4").cast(pa.float64()), 10_000.0)
-            ).drop_columns(["rev_c4"]),
-            batch_format="pyarrow",
-        )
+    joined = line.map_batches(partial_rev, batch_format="pyarrow").join(
+        building_orders,
+        "inner",
+        num_partitions=nparts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
     )
-    # The filtered dimension side (BUILDING customers, then their orders)
-    # is SMALL relative to lineitem: broadcast it (ray.put once, dict
-    # lookup per batch) instead of hash-join shuffles. When the build side
-    # outgrows worker memory, swap for Dataset.join(num_partitions=...) —
-    # the partitioned-hash-join API — at the cost of two all-to-alls.
-    import ray
-
-    building_keys = set(
-        customers.map_batches(
-            lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")),
-            batch_format="pyarrow",
-        )
-        .select_columns(["c_custkey"])
-        .to_pandas()["c_custkey"]
+    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev_c4", alias_name="rev_c4")
     )
-    keys_ref = ray.put(building_keys)
-
-    def filter_orders(t: pa.Table, ref=keys_ref) -> pa.Table:
-        import ray as _ray
-
-        keys = _ray.get(ref)
-        mask = [c in keys for c in t.column("o_custkey").to_pylist()]
-        return t.filter(pa.array(mask)).select(["o_orderkey", "o_orderdate"])
-
-    # distributed semi-join; only the (small) filtered result reaches the
-    # driver to become the next broadcast side
-    building_orders = orders.map_batches(filter_orders, batch_format="pyarrow").to_pandas()
-    dates_ref = ray.put(
-        dict(zip(building_orders["o_orderkey"], building_orders["o_orderdate"]))
-    )
-
-    def attach(t: pa.Table, ref=dates_ref) -> pa.Table:
-        import ray as _ray
-
-        dates = _ray.get(ref)
-        keys = t.column("l_orderkey").to_pylist()
-        mask = [k in dates for k in keys]
-        kept = t.filter(pa.array(mask))
-        kept_keys = kept.column("l_orderkey").to_pylist()
-        return pa.table(
-            {
-                "o_orderkey": kept.column("l_orderkey"),
-                "o_orderdate": pa.array(
-                    [dates[k] for k in kept_keys], pa.timestamp("us")
-                ),
-                "revenue": kept.column("revenue"),
-            }
-        )
-
-    del keys_ref
-    joined = order_rev.map_batches(attach, batch_format="pyarrow")
     return (
-        joined.sort(["revenue", "o_orderkey"], descending=[True, False])
+        agg.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t.column("l_orderkey"),
+                    "o_orderdate": t.column("o_orderdate"),
+                    "revenue": pc.divide(
+                        t.column("rev_c4").cast(pa.float64()), 10_000.0
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
         .limit(10)
-        .select_columns(["o_orderkey", "o_orderdate", "revenue"])
     )
 
 
@@ -436,13 +436,14 @@ GROUP BY r.r_name
 def q_order_priority(sf_dir: str):
     """Semi-join (EXISTS) + grouped count — TPC-H Q4 shape.
 
-    The existence set (orderkeys with a late lineitem) is built
-    distributed via per-batch DISTINCT partials, then broadcast for the
-    orders-side membership filter — the Bloom/semi-join pattern from the
-    ray_guide; no row-level shuffle of either big table.
+    Distributed semi-join: per-batch DISTINCT of late orderkeys
+    (vectorized filter + pc.unique partials), a tiny groupby to global
+    distinct, then a partitioned hash join against orders. In TPC-H most
+    orders qualify, so the existence set is O(|orders|) — it never
+    touches the driver (the round-1 version collected it into a Python
+    set: the audited scale-killer).
     """
-    import ray
-
+    nparts = _join_partitions()
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
 
     def partial_keys(t: pa.Table) -> pa.Table:
@@ -450,22 +451,21 @@ def q_order_priority(sf_dir: str):
         late = t.filter(pc.greater(t.column("l_shipdate"), cutoff))
         return pa.table({"l_orderkey": pc.unique(late.column("l_orderkey"))})
 
-    keys = set(
+    late_keys = (
         line.map_batches(partial_keys, batch_format="pyarrow")
-        .to_pandas()["l_orderkey"]
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["l_orderkey"])
     )
-    keys_ref = ray.put(keys)
-
-    def member(t: pa.Table, ref=keys_ref) -> pa.Table:
-        import ray as _ray
-
-        k = _ray.get(ref)
-        mask = [o in k for o in t.column("o_orderkey").to_pylist()]
-        return t.filter(pa.array(mask))
-
     return (
         _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-        .map_batches(member, batch_format="pyarrow")
+        .join(
+            late_keys,
+            "inner",
+            num_partitions=nparts,
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        )
         .groupby("o_orderpriority")
         .aggregate(Count(alias_name="n_orders"))
     )
