@@ -54,3 +54,39 @@ def test_xid_string_roundtrip():
     s = xid_to_str(x)
     assert len(s) == 20 and set(s) <= set("0123456789abcdefghijklmnopqrstuv")
     assert xid_from_str(s) == x
+
+
+def test_lang_table_complete_158():
+    """E19: the full reference table (src/languages.json has 158 entries);
+    spot-check entries the round-1 table was missing."""
+    from webscraper_ray.oracle.lang import LANGUAGES
+
+    assert len(LANGUAGES) == 158
+    assert lang639_3("sw") == "swa"
+    assert lang639_3("yo") == "yor"
+    assert lang639_3("uz") == "uzb"
+    assert lang639_3("ab") == "abk"
+    assert lang639_3("Abkhazian") == "abk"
+    assert lang639_3("bo") == "bod"  # Tibetan
+    assert lang639_3("cu") == "chu"  # Church Slavonic
+
+
+def test_lang_fixture_independent_and_consistent():
+    """The DuckDB oracle derives from languages_fixture.json, not the
+    table under test; both must carry the same 158 public facts."""
+    import json
+    import os
+
+    import webscraper_ray.oracle as opkg
+    from webscraper_ray.oracle.lang import LANGUAGES
+
+    fixture = os.path.join(os.path.dirname(opkg.__file__), "languages_fixture.json")
+    with open(fixture, encoding="utf-8") as f:
+        rows = [tuple(r) for r in json.load(f)]
+    assert len(rows) == 158
+    assert rows == [tuple(r) for r in LANGUAGES]
+
+    from webscraper_ray.queries import _fixture_lang_sql_values
+
+    sql = _fixture_lang_sql_values()
+    assert "('swa', 'swa')" in sql and "('abkhazian', 'abk')" in sql

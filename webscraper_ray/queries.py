@@ -32,7 +32,7 @@ from .functions.textstats import (
     token_stats,
 )
 from .functions.windows import sessionize, tumbling_counts
-from .oracle.lang import lang_map_sql_values, RTL_CODES
+from .oracle.lang import RTL_CODES
 
 __all__ = ["QUERIES", "ORACLE_SQL", "run_query"]
 
@@ -136,10 +136,31 @@ def q_lang_normalize(sf_dir: str):
     )
 
 
+def _fixture_lang_sql_values() -> str:
+    """Oracle mapping VALUES derived from ``languages_fixture.json`` — an
+    independent copy of the public ISO-639 facts, NOT the
+    ``oracle.lang.LANGUAGES`` table under test (a table regression must be
+    able to fail the gate). First-match-wins on alias collisions, like the
+    reference's in-order scan (src/lang.ts:4-14)."""
+    import json
+
+    fixture = os.path.join(os.path.dirname(__file__), "oracle", "languages_fixture.json")
+    with open(fixture, encoding="utf-8") as f:
+        table = json.load(f)
+    rows, emitted = [], set()
+    for iso1, iso3, en, native in table:
+        for key in (iso1, iso3, en.lower(), native.lower()):
+            if key not in emitted:
+                emitted.add(key)
+                escaped = key.replace("'", "''")
+                rows.append(f"('{escaped}', '{iso3}')")
+    return ", ".join(rows)
+
+
 def _sql_lang_normalize() -> str:
     rtl = ", ".join(f"'{c}'" for c in sorted(RTL_CODES))
     return f"""
-WITH langmap(key, iso3) AS (VALUES {lang_map_sql_values()})
+WITH langmap(key, iso3) AS (VALUES {_fixture_lang_sql_values()})
 SELECT d.doc_id, d.lang,
        coalesce(m.iso3, '') AS lang3,
        coalesce(m.iso3, '') IN ({rtl}) AS rtl
