@@ -185,3 +185,26 @@ def test_parity_with_wave_size_cap(corpus, tmp_path):
     )
     assert _order_of(manifest) == capped_oracle.order
     assert manifest["seen_count"] == len(capped_oracle.seen)
+
+
+def test_parity_with_max_depth(corpus, tmp_path):
+    """cfg.max_depth threads into the route stage: pipeline ≡ oracle under
+    a small depth cutoff (regression: the knob used to be dead in the
+    distributed path, diverging from the oracle past the cutoff)."""
+    store, seeds, robots = corpus
+    pages = {}
+    for i in range(GEN.n_pages):
+        row = page_row(GEN, i)
+        pages[row["url"]] = row["html"]
+    oracle_seeds = [(r["url"], r["priority"]) for r in seeds_table(GEN).to_pylist()]
+    for depth in (0, 1):
+        want = simulate_crawl(
+            pages, oracle_seeds, robots, max_waves=MAX_WAVES, max_depth=depth
+        )
+        out = str(tmp_path / f"run_depth{depth}")
+        cfg = CrawlConfig(
+            num_shards=3, max_waves=MAX_WAVES, max_depth=depth, record_order=True
+        )
+        manifest = run_crawl(store, seeds, robots, out, cfg)
+        assert _order_of(manifest) == want.order, f"depth={depth}"
+        assert manifest["seen_count"] == len(want.seen), f"depth={depth}"

@@ -71,6 +71,7 @@ def test_admission_order_independent_of_offer_order():
 
 
 def test_requeue_retries_then_dead_letter():
+    # crawlee maxRequestRetries=3: initial attempt + 3 retries = 4 attempts
     fc = FrontierCore()
     fc.offer("https://h.x/gone")
     [entry] = fc.pop_wave()
@@ -79,8 +80,11 @@ def test_requeue_retries_then_dead_letter():
     assert e1.retry == 1
     assert fc.requeue_failure(e1, "fetch-miss")             # retry 2
     [e2] = fc.pop_wave()
-    assert not fc.requeue_failure(e2, "fetch-miss")         # 3rd -> dead
-    assert fc.dead_letters == [("https://h.x/gone", "fetch-miss", 2)]
+    assert fc.requeue_failure(e2, "fetch-miss")             # retry 3
+    [e3] = fc.pop_wave()
+    assert e3.retry == 3
+    assert not fc.requeue_failure(e3, "fetch-miss")         # 4th failure -> dead
+    assert fc.dead_letters == [("https://h.x/gone", "fetch-miss", 3)]
 
 
 def test_extraction_failure_dead_letters_immediately():

@@ -61,12 +61,13 @@ def test_simulate_crawl_runs_and_dedupes():
     pages, seeds, robots = _corpus()
     res = simulate_crawl(pages, seeds, robots, max_waves=20)
     assert len(res.docs) > 50
-    # crawl order repeats a url only for fetch-miss retries (max 3 attempts);
+    # crawl order repeats a url only for fetch-miss retries (initial
+    # attempt + 3 retries = 4 attempts, crawlee maxRequestRetries=3);
     # successfully fetched docs are fetched exactly once
     from collections import Counter
 
     attempts = Counter(res.order)
-    assert all(n <= 3 for n in attempts.values())
+    assert all(n <= 4 for n in attempts.values())
     doc_url_list = [d["url"] for d in res.docs]
     assert len(doc_url_list) == len(set(doc_url_list))
     assert all(attempts[u] == 1 for u in doc_url_list)

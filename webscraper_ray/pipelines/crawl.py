@@ -242,6 +242,7 @@ def run_crawl(
                         "num_shards": cfg.num_shards,
                         "wave": wave,
                         "run_id": run_id,
+                        "max_depth": cfg.max_depth,
                     },
                     batch_format="pyarrow",
                     batch_size=cfg.batch_size,

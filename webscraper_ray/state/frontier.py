@@ -276,7 +276,12 @@ _SENT_OFFERS: dict = {"scope": None, "keys": {}}
 
 
 def route_outlinks_batch(
-    batch: pa.Table, shards: list, num_shards: int, wave: int = 0, run_id: str = ""
+    batch: pa.Table,
+    shards: list,
+    num_shards: int,
+    wave: int = 0,
+    run_id: str = "",
+    max_depth: int = 64,
 ) -> pa.Table:
     """map_batches TASK stage: ship each batch's outlinks to the frontier
     shards worker-side, then drop the outlinks column (docs don't store it).
@@ -284,6 +289,10 @@ def route_outlinks_batch(
     Offers are idempotent (seen-filter dedup), so a Ray task retry at worst
     double-counts offer stats — it cannot corrupt the frontier. Blocking on
     the offer acks applies backpressure to the pipeline.
+
+    ``max_depth`` mirrors the oracle's cutoff (crawl_sim.py: offer only
+    when ``entry.depth < max_depth``): a page AT the depth limit reports
+    status but offers nothing.
     """
     scope = (run_id, wave)
     if _SENT_OFFERS["scope"] != scope:
@@ -306,7 +315,7 @@ def route_outlinks_batch(
         urls, ok, errs, urls_lists, priorities, depths
     ):
         status.setdefault(shard_of_url(url, num_shards), []).append((url, row_ok, err))
-        if not row_ok or not links:
+        if not row_ok or not links or depth >= max_depth:
             continue
         for link in links:
             key = (priority, depth + 1)
@@ -317,7 +326,6 @@ def route_outlinks_batch(
                     best[link] = key
     grouped: dict[int, list] = {}
     for link, key in best.items():
-        sent[link] = key if sent.get(link) is None or key < sent[link] else sent[link]
         grouped.setdefault(
             shard_of_url(link, num_shards), []
         ).append((link, key[0], key[1]))
@@ -329,5 +337,13 @@ def route_outlinks_batch(
     ]
     if pending:
         ray.get(pending)
+    # mark links as sent only AFTER the shard acks: if delivery fails and
+    # Ray retries this task on the same worker, the retry must re-ship the
+    # un-acked offers (offers are idempotent, so re-sending is safe; a
+    # pre-ack cache update would silently drop them instead)
+    for link, key in best.items():
+        prev_sent = sent.get(link)
+        if prev_sent is None or key < prev_sent:
+            sent[link] = key
     drop = [c for c in ("outlinks", "priority") if c in batch.column_names]
     return batch.drop_columns(drop)

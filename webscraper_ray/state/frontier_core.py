@@ -85,12 +85,15 @@ class OfferStats:
     duplicate: int = 0
     invalid: int = 0
     robots_denied: int = 0
+    # cuckoo add() failures (filter saturated; URL not recorded as seen)
+    filter_overflow: int = 0
 
     def merge(self, other: "OfferStats") -> None:
         self.queued += other.queued
         self.duplicate += other.duplicate
         self.invalid += other.invalid
         self.robots_denied += other.robots_denied
+        self.filter_overflow += other.filter_overflow
 
 
 class FrontierCore:
@@ -130,7 +133,13 @@ class FrontierCore:
                 hit = False
             self.seen_exact.add(canon_url)
         if not hit:
-            self.seen_filter.add(canon_url)
+            if not self.seen_filter.add(canon_url):
+                # over-capacity: the URL was NOT recorded, so dedup for it
+                # is broken until the operator resizes/reshards. Count it
+                # (visible in stats()/shard stats) instead of failing
+                # silently — a saturated filter would otherwise re-admit
+                # crawled URLs forever.
+                self.stats.filter_overflow += 1
         return hit
 
     # --- offers -----------------------------------------------------------
@@ -212,11 +221,12 @@ class FrontierCore:
         return "queued"
 
     def requeue_failure(self, entry: FrontierEntry, reason: str) -> bool:
-        """Fetch failure: retry with retry+1 up to MAX_RETRIES, else
-        dead-letter. Extraction failures dead-letter immediately (the
-        reference's requestHandler reject is final; only transport errors
-        retry — src/crawler.ts:87-96)."""
-        if reason == "not found" or entry.retry + 1 >= MAX_RETRIES:
+        """Fetch failure: retry with retry+1 up to MAX_RETRIES retries
+        (crawlee's maxRequestRetries=3 allows 3 retries after the initial
+        attempt = 4 attempts total), else dead-letter. Extraction failures
+        dead-letter immediately (the reference's requestHandler reject is
+        final; only transport errors retry — src/crawler.ts:87-96)."""
+        if reason == "not found" or entry.retry + 1 > MAX_RETRIES:
             self.dead_letters.append((entry.canon_url, reason, entry.retry))
             return False
         key = (entry.priority, entry.depth, entry.retry + 1)
