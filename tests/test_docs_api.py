@@ -83,3 +83,14 @@ def test_convert_uploads_dispatch(ray_session):
     assert not out.loc[4, "ok"]  # pdf byte-decode stubbed
     assert not out.loc[5, "ok"] and "not implemented" in out.loc[5, "err"]
     assert not out.loc[6, "ok"] and "too large" in out.loc[6, "err"]
+
+
+def test_latest_docs_shuffle_view_is_light(ray_session):
+    """The argmax shuffle payload is exactly (url, id) — heavy columns
+    (content/html/page) must not enter the groupby."""
+    import ray
+
+    from webscraper_ray.pipelines.docs_api import _titled_url_id_view
+
+    view = _titled_url_id_view(ray.data.from_arrow(_docs_table()))
+    assert view.schema().names == ["url", "id"]

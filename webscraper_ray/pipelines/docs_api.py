@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from typing import Iterable
 
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -55,18 +54,90 @@ def read_docs(docs_dir: str, output: str = "detail") -> "ray.data.Dataset":
     return ray.data.read_parquet(docs_dir, columns=projection_columns(output))
 
 
-def _argmax_id(group: pd.DataFrame) -> pd.DataFrame:
-    # filter rows with a title, then byte-max id = newest (A3)
-    titled = group[(group["title"].notna()) & (group["title"] != "")]
-    if titled.empty:
-        return titled
-    return titled.loc[[titled["id"].idxmax()]]
+def _argmax_id(group: pa.Table) -> pa.Table:
+    # byte-max id = newest (A3); rows are pre-filtered to titled ones.
+    # Pure-Arrow (sort desc + take 1) so the id column keeps its exact
+    # type (fixed_size_binary(12)) for the join back — a pandas roundtrip
+    # would widen it to plain binary and break the join key match.
+    return group.sort_by([("id", "descending")]).slice(0, 1)
+
+
+def _titled_url_id_view(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(url, id) of titled rows — the ONLY columns the argmax shuffles."""
+    import pyarrow.compute as pc
+
+    def project(batch: pa.Table) -> pa.Table:
+        titled = batch.filter(
+            pc.and_kleene(
+                pc.is_valid(batch.column("title")),
+                pc.not_equal(batch.column("title"), ""),
+            )
+        )
+        return titled.select(["url", "id"])
+
+    return docs.map_batches(project, batch_format="pyarrow")
 
 
 def latest_docs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Newest titled doc per url. groupby(url) is the single shuffle;
-    the group fn is an idxmax over the time-prefixed id."""
-    return docs.groupby("url").map_groups(_argmax_id, batch_format="pandas")
+    """Newest titled doc per url.
+
+    Heavy columns NEVER shuffle: the per-url argmax runs over a projected
+    (url, id) view of titled rows (the only all-to-all payload is those
+    two columns), and the winning ids then semi-join back against the
+    full-width dataset with a partitioned hash join on the unique doc id
+    (A5) to recover content/html/page. At ``output='full'`` the round-1
+    version shuffled MB-sized rows just to pick max(id)."""
+    winners = (
+        _titled_url_id_view(docs)
+        .groupby("url")
+        .map_groups(_argmax_id, batch_format="pyarrow")
+        .select_columns(["id"])
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    joined = _pack_meta(docs).join(
+        winners,
+        "inner",
+        num_partitions=max(2, min(16, cpus // 2)),
+        on=("id",),
+    )
+    return _unpack_meta(joined)
+
+
+def _pack_meta(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Serialize the map-typed ``meta`` column to binary for the join
+    (Arrow's hash join rejects map/nested non-key fields); the original
+    type is restored by :func:`_unpack_meta`."""
+    import pickle
+
+    def pack(batch: pa.Table) -> pa.Table:
+        if "meta" not in batch.column_names:
+            return batch
+        idx = batch.column_names.index("meta")
+        blob = pa.array(
+            [pickle.dumps(v) for v in batch.column("meta").to_pylist()],
+            pa.large_binary(),
+        )
+        return batch.set_column(idx, "meta", blob)
+
+    return docs.map_batches(pack, batch_format="pyarrow")
+
+
+def _unpack_meta(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    import pickle
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        if "meta" not in batch.column_names:
+            return batch
+        idx = batch.column_names.index("meta")
+        vals = [pickle.loads(v) for v in batch.column("meta").to_pylist()]
+        typ = pa.map_(pa.string(), pa.string())
+        col = pa.array(
+            [None if v is None else list(v.items()) if isinstance(v, dict) else v for v in vals],
+            typ,
+        )
+        return batch.set_column(idx, "meta", col)
+
+    return docs.map_batches(unpack, batch_format="pyarrow")
 
 
 def search_by_urls(docs: "ray.data.Dataset", urls: Iterable[str]) -> "ray.data.Dataset":
