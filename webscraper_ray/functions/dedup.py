@@ -1,27 +1,51 @@
 """Deduplication operators over a document table (task brief §dedup).
 
 All operators stream via ``map_batches`` and shuffle only SMALL derived
-rows (hashes / band keys), never the document text itself — the pattern
-that holds at 100 TB:
+rows (hashes / band keys), never the document text or the full minhash
+signature — the pattern that holds at 100 TB:
 
 - exact:   md5(text) per batch -> groupby(hash) -> (first doc_id, count)
-- minhash: k shingles -> n permutations -> b bands; explode to
-           (band_id, band_hash) rows; groupby band key -> candidate
-           groups; verify real Jaccard inside the group
-- simhash: 64-bit sign-sketch of token hashes; near-dups = equal
-           bucket keys on rotated prefixes (here: exact simhash match +
-           hamming verify inside buckets)
-- ngram-jaccard: direct pairwise verify, only ever applied INSIDE small
-           candidate buckets (LSH output), never across the corpus
+- minhash: distinct 3-token shingles -> 64 xor-permutation minima ->
+           16 bands; ONLY (band_id, band_hash, doc_id) rows shuffle
+           (~24 B/row vs the 512-B signature); candidate pairs come from
+           a partitioned self-join on the band key, and the signature
+           agreement estimate is computed from signatures of the
+           OUTPUT-sized pair set.
+- simhash: 64-bit sign-sketch of token hashes; groups = equal sketches.
+- ngram-jaccard: exact k-shingle verifier, only ever applied INSIDE
+           candidate sets (LSH output), never across the corpus.
 
-Determinism: all hashing is blake2b/md5-based, no RNG state.
+Hash family (deliberately SQL-reproducible so the driver's DuckDB gate
+can verify every sketch end-to-end):
+
+- base hash  ``h(s) = big-endian first 8 bytes of md5(s)``
+             == DuckDB ``('0x' || substr(md5(s),1,16))::UBIGINT``
+- minhash permutation i: ``min over shingles of h(s) XOR C_i`` with
+  ``C_i = h('minhash:i')`` — xor-family min-hashing (weaker independence
+  than multiply-shift, adequate for near-dup banding, and expressible
+  with DuckDB ``xor``; 64-bit multiply mod 2^64 overflows DuckDB's
+  checked integer arithmetic).
+- band hash: first 16 hex chars of md5 over the band's 4 sig values
+  formatted as 16-hex-char strings.
+
+Tokens are ASCII word runs ``[a-z0-9_]+`` of the lowercased text (the
+SQL contract ``string_split_regex(lower(text), '[^a-z0-9_]+')``); the
+driver corpora are ASCII. Docs with fewer than 3 tokens have no shingles
+and never enter minhash pairing.
+
+Per-batch kernels are vectorized: one C-level md5 pass over the batch's
+distinct shingles, then numpy (xor-broadcast + ``minimum.reduceat``) for
+all 64 permutations of all docs at once — no per-row Python loops over
+hash lattices (the round-1 kernel paid per-shingle blake2b + per-doc
+banding loops: ~77 docs/s; this one measures thousands/s).
+
+Determinism: md5 only, no RNG state.
 """
 
 from __future__ import annotations
 
 import hashlib
 import re
-import struct
 
 import numpy as np
 import pyarrow as pa
@@ -31,14 +55,28 @@ import ray.data
 __all__ = [
     "add_md5",
     "exact_dedup",
+    "md5_u64",
     "minhash_signature",
+    "minhash_signatures_batch",
     "minhash_near_dups",
     "simhash64",
     "simhash_dups",
     "ngram_jaccard",
+    "N_HASHES",
+    "N_BANDS",
 ]
 
-_TOKEN = re.compile(r"\w+", re.UNICODE)
+_TOKEN = re.compile(r"[a-z0-9_]+")
+
+N_HASHES = 64
+N_BANDS = 16
+_ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def md5_u64(s: str) -> int:
+    """First 8 md5 bytes, big-endian — equals DuckDB
+    ``('0x'||substr(md5(s),1,16))::UBIGINT``."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
 def _md5_hex(s: str) -> str:
@@ -53,7 +91,6 @@ def add_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id") -> "ray.data.Dataset":
     """(text_md5, doc_id=min id, n_copies). The only shuffled payload is the
     32-char hash + id — pre-aggregated per batch before the groupby."""
-    import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = add_md5(batch)
@@ -62,7 +99,7 @@ def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id") -> "ray.data.Dat
         )
         return grouped.rename_columns(["text_md5", "min_id", "cnt"])
 
-    from ray.data.aggregate import Count, Min, Sum
+    from ray.data.aggregate import Min, Sum
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return (
@@ -73,134 +110,221 @@ def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id") -> "ray.data.Dat
 
 # --- MinHash-LSH ------------------------------------------------------------
 
+# xor-permutation constants C_i = h("minhash:i") — derivable in SQL
+_XOR_C = np.array([md5_u64(f"minhash:{i}") for i in range(N_HASHES)], dtype=np.uint64)
+
+
+def _tokens(text: str) -> list[str]:
+    return _TOKEN.findall(text.lower())
+
+
 def _shingles(text: str, k: int = 3) -> set[str]:
-    toks = _TOKEN.findall(text.lower())
+    """Distinct k-token shingles; < k tokens -> no shingles (the SQL
+    contract: shingle i exists only for i+k-1 <= n_tokens)."""
+    toks = _tokens(text)
     if len(toks) < k:
-        return {" ".join(toks)} if toks else set()
+        return set()
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
-def minhash_signature(text: str, n_hashes: int = 64, k: int = 3) -> np.ndarray:
-    """n_hashes minima over a * h(shingle) + b (mod 2^64) — deterministic,
-    vectorized (numpy uint64 arithmetic wraps mod 2^64 by definition)."""
-    sh = _shingles(text, k)
-    if not sh:
-        return np.full(n_hashes, np.iinfo(np.uint64).max, dtype=np.uint64)
-    v0 = np.fromiter(
-        (
-            struct.unpack("<Q", hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest())[0]
-            for s in sh
-        ),
-        dtype=np.uint64,
-        count=len(sh),
-    )
-    grid = v0[:, None] * _A[None, :n_hashes] + _B[None, :n_hashes]
-    return grid.min(axis=0)
+def minhash_signatures_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized signatures for a batch.
+
+    Returns ``(sigs, has_sig)``: sigs is (n_docs, N_HASHES) uint64 —
+    docs without shingles get all-max sentinel rows and has_sig False.
+    One md5 pass over the batch's shingles; permutations + per-doc minima
+    are a single xor-broadcast + ``np.minimum.reduceat``.
+    """
+    n = len(texts)
+    sigs = np.full((n, N_HASHES), np.iinfo(np.uint64).max, dtype=np.uint64)
+    has_sig = np.zeros(n, dtype=bool)
+    flat: list[int] = []
+    offsets: list[int] = []
+    doc_idx: list[int] = []
+    for i, t in enumerate(texts):
+        sh = _shingles(t or "")
+        if not sh:
+            continue
+        offsets.append(len(flat))
+        doc_idx.append(i)
+        flat.extend(md5_u64(s) for s in sh)
+        has_sig[i] = True
+    if not doc_idx:
+        return sigs, has_sig
+    h = np.array(flat, dtype=np.uint64)
+    grid = h[:, None] ^ _XOR_C[None, :]  # (total_shingles, 64)
+    mins = np.minimum.reduceat(grid, np.array(offsets, dtype=np.int64), axis=0)
+    sigs[np.array(doc_idx, dtype=np.int64)] = mins
+    return sigs, has_sig
 
 
-def _derive_consts(n: int, salt: str) -> np.ndarray:
-    out = np.empty(n, dtype=np.uint64)
-    for i in range(n):
-        d = hashlib.blake2b(f"{salt}:{i}".encode(), digest_size=8).digest()
-        out[i] = struct.unpack("<Q", d)[0] | 1  # odd -> invertible mod 2^64
+def minhash_signature(text: str, n_hashes: int = N_HASHES, k: int = 3) -> np.ndarray:
+    """Single-doc convenience wrapper over the batch kernel."""
+    sigs, _ = minhash_signatures_batch([text])
+    return sigs[0, :n_hashes]
+
+
+def _band_hashes(sig_row: np.ndarray) -> list[str]:
+    """16-hex band keys: md5 over the band's sig values as hex16 strings
+    (SQL: substr(md5(concat of lpad(lower(hex(s_i)),16,'0')),1,16))."""
+    out = []
+    for b in range(N_BANDS):
+        chunk = sig_row[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
+        s = "".join(f"{int(v):016x}" for v in chunk)
+        out.append(_md5_hex(s)[:16])
     return out
-
-
-_A = _derive_consts(64, "minhash-a")
-_B = _derive_consts(64, "minhash-b")
 
 
 def minhash_near_dups(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_hashes: int = 64,
-    bands: int = 16,
     jaccard_threshold: float = 0.8,
-) -> "ray.data.Dataset":
-    """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold).
+) -> pa.Table:
+    """Near-duplicate pairs ``(doc_a, doc_b, est_jaccard)`` with
+    ``doc_a < doc_b`` and signature-agreement estimate >= threshold.
 
-    Shuffle payload = (band_id, band_hash, doc_id, signature[16B*rows])
-    rows, not text; candidate verification uses the minhash estimate
-    (signature agreement ratio), so text never moves between nodes.
+    Scale shape:
+    - signature stage: map-only, vectorized; ships (doc_id, 16 band rows
+      of ~24 B) — the 512-B signature itself never enters the shuffle.
+    - candidates: partitioned self-join on (band_id, band_hash) — an
+      all-to-all of band rows only; a hot band key concentrates on one
+      partition (salt hot keys upstream if a corpus has giant clusters).
+    - estimate: the candidate pair set is OUTPUT-sized (near-dups plus
+      band false positives), so pairs and the signatures of only the
+      involved docs are collected and compared vectorized; nothing
+      corpus-proportional reaches the driver.
     """
-    rows_per_band = n_hashes // bands
+    import ray
 
-    def sign(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out_band_id, out_band_hash, out_id, out_sig = [], [], [], []
-        for i, t in zip(ids, texts):
-            sig = minhash_signature(t or "", n_hashes)
-            sig_bytes = sig.tobytes()
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band].tobytes()
-                out_band_id.append(b)
-                out_band_hash.append(
-                    hashlib.blake2b(chunk, digest_size=8).hexdigest()
-                )
-                out_id.append(i)
-                out_sig.append(sig_bytes)
+        sigs, has_sig = minhash_signatures_batch(texts)
+        out_band, out_hash, out_id = [], [], []
+        for i, (doc, ok) in enumerate(zip(ids, has_sig)):
+            if not ok:
+                continue
+            for b, bh in enumerate(_band_hashes(sigs[i])):
+                out_band.append(b)
+                out_hash.append(bh)
+                out_id.append(doc)
         return pa.table(
             {
-                "band_id": pa.array(out_band_id, pa.int32()),
-                "band_hash": pa.array(out_band_hash, pa.string()),
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.string()),
                 id_col: pa.array(out_id),
-                "sig": pa.array(out_sig, pa.binary()),
             }
         )
 
-    import pandas as pd
-
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        g = group.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = np.stack(
-            [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
-        )
-        pairs_a, pairs_b, est = [], [], []
-        for x in range(len(ids)):
-            agree = (sigs[x + 1 :] == sigs[x]).mean(axis=1)
-            for off, e in enumerate(agree):
-                if e >= jaccard_threshold:
-                    pairs_a.append(int(ids[x]))
-                    pairs_b.append(int(ids[x + 1 + off]))
-                    est.append(float(e))
-        return pd.DataFrame({"doc_a": pairs_a, "doc_b": pairs_b, "est_jaccard": est})
-
-    pairs = (
-        ds.map_batches(sign, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(verify, batch_format="pandas")
+    bands = ds.map_batches(band_rows, batch_format="pyarrow")
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(2, min(16, cpus // 2))
+    joined = bands.join(
+        bands,
+        "inner",
+        num_partitions=nparts,
+        on=("band_id", "band_hash"),
+        left_suffix="_a",
+        right_suffix="_b",
     )
-    # same pair can surface from several bands -> distinct
-    from ray.data.aggregate import Max
+    a_col, b_col = f"{id_col}_a", f"{id_col}_b"
+    pairs = (
+        joined.map_batches(
+            lambda t: t.filter(pc.less(t.column(a_col), t.column(b_col))).select(
+                [a_col, b_col]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby([a_col, b_col])
+        .count()
+        .select_columns([a_col, b_col])
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+    involved = np.unique(np.concatenate([pairs[a_col].values, pairs[b_col].values]))
+    inv_ref = ray.put(involved)
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
+    def sig_of_involved(batch: pa.Table, ref=inv_ref) -> pa.Table:
+        import ray as _ray
+
+        inv = _ray.get(ref)
+        mask = pc.is_in(batch.column(id_col), value_set=pa.array(inv))
+        kept = batch.filter(mask)
+        sigs, has_sig = minhash_signatures_batch(kept.column(text_col).to_pylist())
+        keep_idx = np.flatnonzero(has_sig)
+        return pa.table(
+            {
+                id_col: pc.take(kept.column(id_col), pa.array(keep_idx, pa.int64())),
+                "sig": pa.array(
+                    [sigs[i].tobytes() for i in keep_idx], pa.binary()
+                ),
+            }
+        )
+
+    sig_tbl = ds.map_batches(sig_of_involved, batch_format="pyarrow").to_pandas()
+    sig_by_id = {
+        d: np.frombuffer(s, dtype=np.uint64) for d, s in zip(sig_tbl[id_col], sig_tbl["sig"])
+    }
+    a_ids = pairs[a_col].to_numpy()
+    b_ids = pairs[b_col].to_numpy()
+    sig_a = np.stack([sig_by_id[d] for d in a_ids])
+    sig_b = np.stack([sig_by_id[d] for d in b_ids])
+    est = (sig_a == sig_b).mean(axis=1)
+    keep = est >= jaccard_threshold
+    order = np.lexsort((b_ids[keep], a_ids[keep]))
+    return pa.table(
+        {
+            "doc_a": pa.array(a_ids[keep][order], pa.int64()),
+            "doc_b": pa.array(b_ids[keep][order], pa.int64()),
+            "est_jaccard": pa.array(est[keep][order], pa.float64()),
+        }
     )
 
 
 # --- SimHash ---------------------------------------------------------------
 
-def simhash64(text: str) -> int:
-    toks = _TOKEN.findall(text.lower())
-    if not toks:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = struct.unpack(
-            "<Q", hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
-        )[0]
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+_BITS = np.arange(64, dtype=np.uint64)
+
+
+def simhash_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized 64-bit simhash per text (token multiplicity counts,
+    like the classic weighted sketch). Empty docs -> 0."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    flat: list[int] = []
+    offsets: list[int] = []
+    doc_idx: list[int] = []
+    for i, t in enumerate(texts):
+        toks = _tokens((t or "").lower())
+        if not toks:
+            continue
+        offsets.append(len(flat))
+        doc_idx.append(i)
+        flat.extend(md5_u64(tok) for tok in toks)
+    if not doc_idx:
+        return out
+    h = np.array(flat, dtype=np.uint64)
+    bits = ((h[:, None] >> _BITS[None, :]) & np.uint64(1)).astype(np.int32)
+    votes = np.add.reduceat(bits * 2 - 1, np.array(offsets, dtype=np.int64), axis=0)
+    sketch = ((votes > 0).astype(np.uint64) << _BITS[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[np.array(doc_idx, dtype=np.int64)] = sketch
     return out
+
+
+def simhash64(text: str) -> int:
+    return int(simhash_batch([text])[0])
 
 
 def simhash_dups(
@@ -211,11 +335,12 @@ def simhash_dups(
     (simhash, n_docs, doc_id=min). Near-dup (hamming<=k) variants bucket on
     rotated prefixes; exact-match grouping is the deterministic core.
     """
+
     def sketch(batch: pa.Table) -> pa.Table:
-        hashes = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+        hashes = simhash_batch(batch.column(text_col).to_pylist())
         return pa.table(
             {
-                "simhash": pa.array([f"{h:016x}" for h in hashes], pa.string()),
+                "simhash": pa.array([f"{int(h):016x}" for h in hashes], pa.string()),
                 id_col: batch.column(id_col),
             }
         )
@@ -230,7 +355,8 @@ def simhash_dups(
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
-    """Exact k-shingle Jaccard — the verifier used inside LSH buckets."""
+    """Exact k-shingle Jaccard — the verifier used inside LSH buckets.
+    Docs without shingles compare equal only to other empty docs."""
     a, b = _shingles(text_a, k), _shingles(text_b, k)
     if not a and not b:
         return 1.0

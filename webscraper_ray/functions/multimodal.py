@@ -33,7 +33,16 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["MEDIA_SCHEMA", "DecodeImage", "FrameSample", "ResizeImage", "fake_media_table"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "DecodeImage",
+    "FrameSample",
+    "ResizeImage",
+    "fake_media_table",
+    "FAKE_IMG_MAGIC",
+    "synth_image_payload",
+    "parse_fake_image",
+]
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -69,6 +78,35 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     return 32 + h[0] % 224, 32 + h[1] % 224, 3
 
 
+# --- deterministic fake image format (documented, byte-parseable) ----------
+#
+# layout: 4-byte magic 'FIMG' | width:u16 big-endian | height:u16 big-endian
+# | filler bytes. The decode stage REALLY parses these bytes; only the
+# pixel payload is fake (no codecs in the container). Dims are a pure
+# function of the media id so a SQL oracle can gate the whole
+# synthesize -> decode -> resize pipeline end-to-end.
+
+FAKE_IMG_MAGIC = b"FIMG"
+
+
+def synth_image_payload(media_id: int) -> bytes:
+    """width = 16 + (id*37) % 1024, height = 16 + (id*91) % 768."""
+    w = 16 + (media_id * 37) % 1024
+    h = 16 + (media_id * 91) % 768
+    header = FAKE_IMG_MAGIC + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+    filler = (hashlib.blake2b(header, digest_size=8).digest() * 4)[: media_id % 29]
+    return header + filler
+
+
+def parse_fake_image(payload: bytes) -> tuple[int, int, int]:
+    """Parse the fake-image header -> (height, width, channels)."""
+    if len(payload) < 8 or payload[:4] != FAKE_IMG_MAGIC:
+        raise ValueError("not a FIMG payload")
+    w = int.from_bytes(payload[4:6], "big")
+    h = int.from_bytes(payload[6:8], "big")
+    return h, w, 3
+
+
 class DecodeImage:
     """Actor-pool stage: image payload -> dims + a 16-d feature vector.
 
@@ -77,7 +115,10 @@ class DecodeImage:
     """
 
     def __init__(self, decode_stub: str = "fake"):
-        if decode_stub not in ("fake", "raise"):
+        # 'fake'  : dims derived from a payload hash (pure stub)
+        # 'header': REAL byte parse of the documented FIMG fake format
+        # 'raise' : what a production build does until a codec is wired
+        if decode_stub not in ("fake", "header", "raise"):
             raise ValueError(decode_stub)
         self.decode_stub = decode_stub
         # real build: self.codec = PIL/cv2; self.model = load_model(...)
@@ -88,6 +129,8 @@ class DecodeImage:
                 "image decode needs an imaging library absent from this "
                 "container; wire PIL/cv2 here"
             )
+        if self.decode_stub == "header":
+            return parse_fake_image(payload)
         return _fake_dims(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -154,9 +197,15 @@ class ResizeImage:
         widths = batch.column("width").to_pylist()
         out_h, out_w = [], []
         for h, w in zip(heights, widths):
-            scale = min(1.0, self.max_side / max(h, w))
-            out_h.append(max(1, int(h * scale)))
-            out_w.append(max(1, int(w * scale)))
+            # pure integer floor math (deterministic and reproducible in
+            # the SQL oracle with //); no-op when already within bounds
+            m = max(h, w)
+            if m > self.max_side:
+                out_h.append(max(1, (h * self.max_side) // m))
+                out_w.append(max(1, (w * self.max_side) // m))
+            else:
+                out_h.append(h)
+                out_w.append(w)
         t = batch.drop_columns([c for c in ("height", "width") if c in batch.column_names])
         t = t.append_column("height", pa.array(out_h, pa.int32()))
         return t.append_column("width", pa.array(out_w, pa.int32()))

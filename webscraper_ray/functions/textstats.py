@@ -87,9 +87,11 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def lang_id_ngram(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Stopword-vote language ID (heuristic, not SQL-expressible — the
-    driver records a rows-only check): argmax over per-language stopword
-    hit counts; 'und' (undetermined) when no stopword matches."""
+    """Stopword-vote language ID: argmax over per-language stopword hit
+    counts (distinct-token intersection), 'und' (undetermined) when no
+    stopword matches; ties break in table order (eng, spa, deu, fra).
+    Deterministic and list-op-expressible, so the driver's DuckDB oracle
+    gates it exactly."""
     texts = [t or "" for t in batch.column(text_col).to_pylist()]
     langs = []
     for t in texts:
@@ -109,31 +111,44 @@ def lang_id_ngram(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def fingerprint_rolling(batch: pa.Table, text_col: str = "text", window: int = 8) -> pa.Table:
-    """Winnowing-style document fingerprint: min of rolling-window token
-    hashes (deterministic blake2b), as a 16-hex-char string."""
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03 shape).
+
+    Per doc: whitespace tokens of the lowercased text -> md5-u64 token
+    hashes -> sliding-window (w=8) minima -> the fingerprint SET is the
+    distinct window minima. Output: ``fingerprint`` = overall min hash as
+    16 hex chars, ``n_fingerprints`` = |distinct window minima| (0 for
+    empty docs). The hash is the big-endian first 8 md5 bytes == DuckDB
+    ``('0x'||substr(md5(tok),1,16))::UBIGINT`` so the driver's SQL oracle
+    reproduces both columns exactly; window minima are vectorized with
+    ``sliding_window_view``.
+    """
+    import numpy as np
+
     texts = [t or "" for t in batch.column(text_col).to_pylist()]
-    prints = []
+    prints, counts = [], []
     for t in texts:
         toks = t.lower().split()
         if not toks:
             prints.append("0" * 16)
+            counts.append(0)
             continue
-        hashes = [
-            int.from_bytes(
-                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little"
-            )
-            for tok in toks
-        ]
-        if len(hashes) <= window:
-            fp = min(hashes)
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                for tok in toks
+            ],
+            dtype=np.uint64,
+        )
+        if len(hs) <= window:
+            wmins = hs.min(keepdims=True)
         else:
-            fp = min(
-                min(hashes[i : i + window]) for i in range(len(hashes) - window + 1)
-            )
-        prints.append(f"{fp:016x}")
+            wmins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+        prints.append(f"{int(wmins.min()):016x}")
+        counts.append(int(np.unique(wmins).size))
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "fingerprint": pa.array(prints, pa.string()),
+            "n_fingerprints": pa.array(counts, pa.int64()),
         }
     )

@@ -4,8 +4,11 @@ Each entry pairs a Ray-Data-first implementation with the ANSI-SQL string
 the driver runs through DuckDB on the same tables; column names match
 exactly (the driver hashes values after sorting columns by name). Queries
 mirror reference operators (cited per query) plus the training-data ops
-(dedup / ANN / text stats / windows). Non-SQL-expressible ops omit the
-SQL and get the driver's rows-only check.
+(dedup / ANN / text stats / windows). EVERY query is oracle-gated: the
+sketch/LSH operators use deterministic md5 / hyperplane families chosen
+to be reproducible in DuckDB (hex-cast md5 prefixes, xor permutations,
+inlined plane constants), so even the "approximate" algorithms are
+checked exactly rather than rows-only.
 
 Scale discipline per query, in docstrings: what shuffles, what broadcasts,
 what pre-aggregates.
@@ -562,22 +565,70 @@ GROUP BY n.n_name
 
 
 def q_multimodal_decode(sf_dir: str):
-    """Multimodal actor-pool pipeline (decode stubbed deterministically;
-    rows-only check): media -> dims + features -> aspect resize."""
-    import ray.data
+    """Multimodal pipeline over a real driver table: synthesize one fake
+    image per ``documents`` row (documented FIMG byte format, dims a pure
+    function of doc_id), REALLY parse the header bytes in the DecodeImage
+    actor pool, and compute the aspect-preserving resize with integer
+    math — the DuckDB oracle reproduces dims + resize end-to-end, gating
+    the whole synthesize -> decode -> resize plumbing."""
+    from .functions.multimodal import DecodeImage, ResizeImage, synth_image_payload
 
-    from .functions.multimodal import DecodeImage, ResizeImage, fake_media_table
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "payload": pa.array(
+                    [synth_image_payload(i) for i in ids], pa.large_binary()
+                ),
+            }
+        )
 
-    ds = ray.data.from_arrow(fake_media_table(256))
-    return ds.map_batches(
-        DecodeImage, batch_format="pyarrow", batch_size=32, concurrency=2
-    ).map_batches(
-        ResizeImage,
-        fn_constructor_kwargs={"max_side": 224},
-        batch_format="pyarrow",
-        batch_size=32,
-        concurrency=2,
+    decoded = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(
+            DecodeImage,
+            fn_constructor_kwargs={"decode_stub": "header"},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+        )
     )
+
+    resize = ResizeImage(max_side=224)
+
+    def assemble(t: pa.Table) -> pa.Table:
+        out = resize(t.select(["media_id", "height", "width"]))
+        return pa.table(
+            {
+                "doc_id": t.column("media_id"),
+                "width": t.column("width").cast(pa.int64()),
+                "height": t.column("height").cast(pa.int64()),
+                "channels": t.column("channels").cast(pa.int64()),
+                "out_width": out.column("width").cast(pa.int64()),
+                "out_height": out.column("height").cast(pa.int64()),
+            }
+        )
+
+    return decoded.map_batches(assemble, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id, width, height, 3 AS channels,
+       CASE WHEN greatest(width, height) > 224
+            THEN greatest(1, (width * 224) // greatest(width, height))
+            ELSE width END AS out_width,
+       CASE WHEN greatest(width, height) > 224
+            THEN greatest(1, (height * 224) // greatest(width, height))
+            ELSE height END AS out_height
+FROM (
+  SELECT doc_id,
+         16 + (doc_id * 37) % 1024 AS width,
+         16 + (doc_id * 91) % 768 AS height
+  FROM documents
+)
+"""
 
 
 def q_mktsegment_counts(sf_dir: str):
@@ -615,13 +666,113 @@ FROM documents GROUP BY md5(text)
 
 
 def q_dedup_minhash(sf_dir: str):
-    """MinHash-LSH near-dup pairs; approximate -> rows-only check."""
+    """MinHash-LSH near-dup pairs. The md5/xor hash family is chosen to
+    be reproducible in DuckDB, so the 'approximate' sketch is still
+    EXACTLY gated: the oracle recomputes signatures, bands, candidate
+    pairs and the agreement estimate end-to-end in SQL."""
     return minhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _sql_dedup_minhash() -> str:
+    """Generated oracle: 64 xor-permutation minima, 16 band keys,
+    band-join candidates, signature-agreement estimate >= 0.8 — the same
+    contract as :func:`webscraper_ray.functions.dedup.minhash_near_dups`."""
+    from .functions.dedup import _XOR_C, N_BANDS, N_HASHES
+
+    rows_per_band = N_HASHES // N_BANDS
+    mins = ",\n         ".join(
+        f"min(xor(h, {int(c)}::UBIGINT)) AS s{i}" for i, c in enumerate(_XOR_C)
+    )
+
+    def hx(i: int) -> str:
+        return f"lpad(lower(hex(s{i})), 16, '0')"
+
+    band_selects = []
+    for b in range(N_BANDS):
+        concat = " || ".join(hx(b * rows_per_band + j) for j in range(rows_per_band))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, substr(md5({concat}), 1, 16) AS band_hash FROM sig"
+        )
+    bands = "\n  UNION ALL\n  ".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+  {bands}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.doc_a, p.doc_b, ({agree}) / 64.0 AS est_jaccard
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.8
+"""
+
+
 def q_dedup_simhash(sf_dir: str):
-    """SimHash sketch groups; not SQL-expressible -> rows-only check."""
+    """SimHash sketch groups — md5 token hashes, bit-vote sketch; gated
+    exactly by a generated DuckDB oracle."""
     return simhash_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _sql_dedup_simhash() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN ((h >> {j}) & (1::UBIGINT)) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    sketch = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
+        for j in range(64)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM th GROUP BY doc_id
+),
+sk AS (SELECT doc_id, {sketch} AS sh FROM votes),
+all_docs AS (
+  SELECT d.doc_id,
+         coalesce(lpad(lower(hex(sk.sh)), 16, '0'),
+                  '0000000000000000') AS simhash
+  FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id
+)
+SELECT simhash, min(doc_id) AS doc_id, count(*) AS n_docs
+FROM all_docs GROUP BY simhash
+"""
 
 
 def q_token_stats(sf_dir: str):
@@ -663,17 +814,82 @@ FROM documents
 
 
 def q_lang_id(sf_dir: str):
-    """Heuristic language ID — rows-only check."""
+    """Stopword-vote language ID — deterministic, gated by a DuckDB
+    list-op oracle (distinct-token ∩ stopword-list sizes, ties in table
+    order)."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         lang_id_ngram, batch_format="pyarrow"
     )
 
 
+def _sql_lang_id() -> str:
+    from .functions.textstats import _STOPWORDS
+
+    hits = []
+    for code in ("eng", "spa", "deu", "fra"):
+        words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[code]))
+        hits.append(
+            f"len(list_intersect(toks, [{words}])) AS h_{code}"
+        )
+    hit_cols = ",\n         ".join(hits)
+    return rf"""
+WITH tokenized AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '')) AS toks
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         {hit_cols}
+  FROM tokenized
+)
+SELECT doc_id,
+       CASE WHEN h_eng > 0 AND h_eng >= h_spa AND h_eng >= h_deu AND h_eng >= h_fra THEN 'eng'
+            WHEN h_spa > 0 AND h_spa >= h_deu AND h_spa >= h_fra THEN 'spa'
+            WHEN h_deu > 0 AND h_deu >= h_fra THEN 'deu'
+            WHEN h_fra > 0 THEN 'fra'
+            ELSE 'und' END AS pred_lang
+FROM hits
+"""
+
+
 def q_fingerprint(sf_dir: str):
-    """Rolling-hash winnowing fingerprint — rows-only check."""
+    """Winnowing fingerprint (min + distinct-window-min count) — md5
+    token hashes make it exactly reproducible by the DuckDB oracle."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fingerprint_rolling, batch_format="pyarrow"
     )
+
+
+SQL_FINGERPRINT = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id, i AS pos, len(t) AS n,
+         ('0x' || substr(md5(t[i]), 1, 16))::UBIGINT AS h
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+w AS (
+  SELECT doc_id, pos, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+  FROM th
+),
+fp AS (
+  SELECT doc_id,
+         count(DISTINCT wmin) AS n_fingerprints,
+         lpad(lower(hex(min(wmin))), 16, '0') AS fingerprint
+  FROM w WHERE pos <= greatest(1, n - 7) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(fp.fingerprint, '0000000000000000') AS fingerprint,
+       coalesce(fp.n_fingerprints, 0) AS n_fingerprints
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+"""
 
 
 def _query_vectors(sf_dir: str, n: int = 5):
@@ -711,12 +927,57 @@ FROM (
 
 
 def q_ann_lsh(sf_dir: str):
-    """LSH-bucketed ANN (approximate) — rows-only check; recall measured
-    against the brute-force baseline in tests."""
+    """LSH-bucketed ANN. The hyperplanes are deterministic, so the
+    'approximate' variant is still exactly gated: a generated DuckDB
+    oracle recomputes buckets (sign of list_dot_product against the same
+    plane constants) and the per-bucket cosine top-k. Recall vs
+    brute-force is additionally pinned in tests."""
     ids, mat = _query_vectors(sf_dir)
     return ann_lsh_topk(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), ids, mat, k=10
     )
+
+
+def _sql_ann_lsh(dim: int = 64, bits: int = 4, n_queries: int = 5, k: int = 10) -> str:
+    """Oracle with the SAME deterministic hyperplanes inlined as float
+    literals (repr round-trips exactly to the binary64 numpy uses)."""
+    from .functions.ann import _plane_matrix
+
+    planes = _plane_matrix(dim, bits)
+
+    def bucket_expr(col: str) -> str:
+        terms = []
+        for i in range(bits):
+            consts = ", ".join(repr(float(v)) for v in planes[:, i])
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, [{consts}]) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+),
+qb AS (SELECT query_id, qe, {bucket_expr('qe')} AS bucket FROM q),
+eb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         {bucket_expr('embedding::DOUBLE[]')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT qb.query_id, eb.vec_id,
+         round(list_cosine_similarity(eb.e, qb.qe), 6) AS cos_sim
+  FROM eb JOIN qb ON eb.bucket = qb.bucket
+)
+SELECT query_id, vec_id, cos_sim
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
 
 
 def q_tumbling_window(sf_dir: str):
@@ -795,10 +1056,17 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
+    "ann_lsh": _sql_ann_lsh(),
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "sessionize": SQL_SESSIONIZE,
-    # dedup_minhash / dedup_simhash / lang_id / fingerprint / ann_lsh:
-    # approximate or heuristic -> rows-only checks by design
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "dedup_minhash": _sql_dedup_minhash(),
+    "dedup_simhash": _sql_dedup_simhash(),
+    "lang_id": _sql_lang_id(),
+    "fingerprint": SQL_FINGERPRINT,
+    # every registered query is oracle-gated: the sketch/LSH operators use
+    # deterministic md5/hyperplane families chosen to be reproducible in
+    # DuckDB, so even the "approximate" algorithms are checked exactly.
 }
 
 
