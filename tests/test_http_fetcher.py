@@ -1,0 +1,100 @@
+"""Network fetcher (HttpFetcher) against a loopback HTTP server.
+
+Proves the drop-in claim for the fetch seam (SURVEY.md §7 hard part 6;
+reference fetch ``src/crawler.ts:17-110``): the same
+``fetch_wave_refs(entries) -> [ObjectRef[Table]]`` contract as the
+sandbox fetcher, with misses (404/timeouts) silently absent so the
+driver's wave_set − fetched_set requeue logic applies unchanged, and the
+downstream extract stage consumes the fetched blocks as-is.
+"""
+
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from webscraper_ray.state.frontier_core import FrontierEntry
+
+PAGES = {
+    "/page0.html": "<html><head><title>Zero</title></head><body>"
+    "<h1>Zero</h1><p>alpha beta</p><a href='/page1.html'>one</a></body></html>",
+    "/page1.html": "<html><head><title>One</title></head><body>"
+    "<h1>One</h1><p>gamma delta</p></body></html>",
+}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802 - stdlib API
+        body = PAGES.get(self.path)
+        if body is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        data = body.encode("utf-8")
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *args):  # quiet
+        pass
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _entries(base, paths):
+    return [FrontierEntry(0, 0, 0, f"{base}{p}") for p in paths]
+
+
+def test_http_fetcher_contract(ray_session, http_server):
+    import ray
+
+    from webscraper_ray.stages.fetch import HttpFetcher
+
+    fetcher = HttpFetcher(pool_size=2, max_threads=4, timeout_s=5.0)
+    try:
+        refs = fetcher.fetch_wave_refs(
+            _entries(http_server, ["/page0.html", "/page1.html", "/missing.html"])
+        )
+        tables = ray.get(refs)
+        rows = {r["url"]: r["html"] for t in tables for r in t.to_pylist()}
+        assert rows == {
+            f"{http_server}/page0.html": PAGES["/page0.html"],
+            f"{http_server}/page1.html": PAGES["/page1.html"],
+        }  # the 404 is absent -> requeued as fetch-miss by the driver
+        for t in tables:
+            assert set(t.column_names) == {"url", "html", "depth", "priority"}
+    finally:
+        fetcher.shutdown()
+
+
+def test_http_fetch_feeds_extract_stage(ray_session, http_server):
+    """fetch_wave(HttpFetcher) -> extract is the sandbox pipeline with
+    only the fetcher swapped; extracted text matches the single-process
+    oracle on the same HTML bytes."""
+    from webscraper_ray.oracle.extract import extract
+    from webscraper_ray.stages.extract import extract_pages_batch
+    from webscraper_ray.stages.fetch import HttpFetcher, fetch_wave
+
+    fetcher = HttpFetcher(pool_size=1, max_threads=2, timeout_s=5.0)
+    try:
+        ds = fetch_wave(None, _entries(http_server, sorted(PAGES)), fetcher=fetcher)
+        docs = ds.map_batches(
+            extract_pages_batch, fn_kwargs={"mode": "light", "wave": 0},
+            batch_format="pyarrow",
+        ).to_pandas()
+        assert len(docs) == len(PAGES)
+        for _, row in docs.iterrows():
+            path = "/" + row["url"].rsplit("/", 1)[1]
+            want = extract(row["url"], PAGES[path])
+            assert row["ok"] and row["text"] == want.text
+    finally:
+        fetcher.shutdown()

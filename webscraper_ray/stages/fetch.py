@@ -20,9 +20,11 @@ Architecture (100 TB pages, waves of 1e5-1e7 URLs):
   ``src/crawler.ts:87-96``) are computed driver-side as
   ``wave_set − fetched_set`` and re-enqueued with retry+1.
 
-A real network fetcher is a drop-in: same ``fetch(urls) -> Table``
-contract on an aiohttp actor pool; everything downstream (extract,
-route, write) is unchanged (SURVEY.md §7 hard part 6).
+A real network fetcher IS a drop-in: :class:`HttpFetcher` implements the
+same ``fetch_wave_refs(entries) -> refs`` contract on a pool of
+thread-pooled HTTP actors (loopback-server tested); everything
+downstream (extract, route, write) is unchanged (SURVEY.md §7 hard
+part 6).
 """
 
 from __future__ import annotations
@@ -36,7 +38,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-__all__ = ["bucket_of", "bucket_of_many", "PageStore", "FetchCache", "SandboxFetcher", "fetch_wave"]
+__all__ = ["bucket_of", "bucket_of_many", "PageStore", "FetchCache", "SandboxFetcher", "HttpFetcher", "HttpFetchWorker", "fetch_wave"]
 
 
 def bucket_of(canon_url: str, n_buckets: int) -> int:
@@ -236,11 +238,100 @@ class SandboxFetcher:
         self.pool = []
 
 
+@ray.remote(num_cpus=0)
+class HttpFetchWorker:
+    """One network-fetch actor: a thread pool of blocking HTTP gets.
+
+    The real-network analog of :class:`FetchCache` (reference fetch:
+    ``src/crawler.ts:17-110`` — one crawlee HTTP get per URL, non-2xx and
+    transport errors become retryable failures). Threads, not asyncio:
+    the stdlib has no aiohttp here, and a thread pool of blocking
+    ``urllib`` gets saturates a NIC just as well for crawl-sized pages.
+
+    Misses (timeouts, non-2xx, connection errors) are silently absent
+    from the returned table — the driver computes wave_set − fetched_set
+    and requeues with retry+1, the same contract as the sandbox fetcher.
+    """
+
+    def __init__(self, max_threads: int = 16, timeout_s: float = 10.0,
+                 user_agent: str = "webscraper-ray/2.0"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.pool = ThreadPoolExecutor(max_workers=max_threads)
+        self.timeout_s = timeout_s
+        self.user_agent = user_agent
+
+    def _get(self, url: str) -> str | None:
+        import urllib.request
+
+        try:
+            req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                if not (200 <= resp.status < 300):
+                    return None
+                return resp.read().decode("utf-8", "replace")
+        except Exception:  # noqa: BLE001 - any transport error is a miss
+            return None
+
+    def fetch(self, urls: list[str], depths: list[int], priorities: list[int]) -> pa.Table:
+        bodies = list(self.pool.map(self._get, urls))
+        keep = [i for i, b in enumerate(bodies) if b is not None]
+        return pa.table(
+            {
+                "url": pa.array([urls[i] for i in keep], pa.string()),
+                "html": pa.array([bodies[i] for i in keep], pa.large_string()),
+                "depth": pa.array([depths[i] for i in keep], pa.int32()),
+                "priority": pa.array([priorities[i] for i in keep], pa.int32()),
+            }
+        )
+
+
+class HttpFetcher:
+    """Drop-in network fetcher: same ``fetch_wave_refs(entries) -> refs``
+    contract as :class:`SandboxFetcher`, so ``run_crawl(...,
+    fetcher=HttpFetcher(...))`` crawls real HTTP endpoints with the
+    frontier, politeness, extract, route and write stages unchanged.
+
+    Entries are grouped BY HOST and hosts hash-assigned to workers, so a
+    host's requests share one worker's connection pool (politeness
+    budgets were already applied at admission)."""
+
+    def __init__(self, pool_size: int = 8, max_threads: int = 16,
+                 timeout_s: float = 10.0):
+        self.pool = [
+            HttpFetchWorker.remote(max_threads=max_threads, timeout_s=timeout_s)
+            for _ in range(pool_size)
+        ]
+
+    def fetch_wave_refs(self, wave_entries: list) -> list:
+        from ..oracle.canon import host_of
+
+        by_worker: dict[int, list] = {}
+        for e in wave_entries:
+            h = host_of(e.canon_url)
+            digest = hashlib.blake2b(h.encode(), digest_size=8).digest()
+            w = int.from_bytes(digest, "little") % len(self.pool)
+            by_worker.setdefault(w, []).append(e)
+        return [
+            self.pool[w].fetch.remote(
+                [e.canon_url for e in entries],
+                [e.depth for e in entries],
+                [e.priority for e in entries],
+            )
+            for w, entries in sorted(by_worker.items())
+        ]
+
+    def shutdown(self) -> None:
+        for a in self.pool:
+            ray.kill(a)
+        self.pool = []
+
+
 def fetch_wave(
     store: PageStore,
     wave_entries: list,
     *,
-    fetcher: SandboxFetcher | None = None,
+    fetcher: "SandboxFetcher | HttpFetcher | None" = None,
 ) -> "ray.data.Dataset | None":
     """Dataset of fetched pages (url, html, depth, priority) for a wave.
 
