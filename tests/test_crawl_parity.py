@@ -208,3 +208,45 @@ def test_parity_with_max_depth(corpus, tmp_path):
         manifest = run_crawl(store, seeds, robots, out, cfg)
         assert _order_of(manifest) == want.order, f"depth={depth}"
         assert manifest["seen_count"] == len(want.seen), f"depth={depth}"
+
+
+def test_staged_admission_large_wave_smoke(ray_session):
+    """1e6-entry wave through the driverless admission path: the driver
+    exchanges only counts/refs with the shards (never entries), the
+    K-th-key selection caps the wave exactly, and the admitted set is
+    shard-count independent."""
+    import ray
+
+    from webscraper_ray.state.frontier import ShardedFrontier
+    from webscraper_ray.state.frontier_core import PolitenessConfig
+
+    cfg = PolitenessConfig(
+        per_host_cap=64, seen_capacity=1 << 20, exact_check=False
+    )
+    n = 1_000_000
+    cap = 100_000
+
+    def admitted_urls(num_shards):
+        frontier = ShardedFrontier(num_shards, robots={}, cfg=cfg)
+        try:
+            offers = [
+                (f"https://h{i % 20000}.x/p{i}", 0, 0) for i in range(n)
+            ]
+            for lo in range(0, n, 50_000):
+                frontier.offer(offers[lo : lo + 50_000])
+            adm = frontier.stage_and_admit(max_wave_size=cap)
+            assert adm["count"] == cap
+            # the driver holds refs, not rows
+            assert all(isinstance(r, ray.ObjectRef) for r in adm["refs"])
+            tables = ray.get(adm["refs"])
+            urls = set()
+            for t in tables:
+                urls.update(t.column("url").to_pylist())
+            assert len(urls) == cap
+            return urls
+        finally:
+            frontier.shutdown()
+
+    a = admitted_urls(3)
+    b = admitted_urls(5)
+    assert a == b

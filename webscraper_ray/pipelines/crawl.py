@@ -40,7 +40,7 @@ from ..gen import GenConfig, PAGES_SCHEMA, page_row, robots_table, seeds_table
 from ..state.frontier import ShardedFrontier, route_outlinks_batch
 from ..state.frontier_core import PolitenessConfig
 from ..stages.extract import extract_pages_batch
-from ..stages.fetch import PageStore, SandboxFetcher, fetch_wave
+from ..stages.fetch import PageStore, SandboxFetcher
 
 __all__ = ["CrawlConfig", "run_crawl", "generate_corpus_ray", "load_robots", "load_seeds"]
 
@@ -59,6 +59,14 @@ class CrawlConfig:
     max_wave_size: int = 0           # global per-wave admission cap (memory
                                      # bound: wave x doc payload must fit the
                                      # object store); 0 = politeness-only
+    write_concurrency: int = 0       # parallel parquet-writer tasks for the
+                                     # docs sink; 0 = auto (min(8, cpus)).
+                                     # Unbounded writers collapse on one
+                                     # node's filesystem (measured 2-3x wave
+                                     # slowdown at 32 writers on tmpfs); 8
+                                     # models one node's disk channels — on a
+                                     # real cluster scale it with node count,
+                                     # each node writing its own shard.
     politeness: PolitenessConfig = None  # type: ignore[assignment]
 
     def __post_init__(self):
@@ -193,36 +201,41 @@ def run_crawl(
         frontier.offer(seeds)
 
     wave = start_wave
-    # URLs that already fetch-missed once: the page store is static, so a
-    # retry can never succeed — skip the pipeline for them and requeue
-    # directly (pure sandbox-fetch optimization; admission order, retry
-    # accounting and dead-lettering are unchanged). Driver-local state:
-    # lost on resume, in which case retries simply take the slow path.
-    known_missing: set[str] = set()
     # unique per run: scopes the workers' offer caches so two runs in one
     # Ray session can never share (and corrupt) cache state; stable across
     # task retries within the run
     run_id = f"{out_dir}:{time.time_ns()}"
+    write_conc = cfg.write_concurrency or min(
+        8, max(2, int(ray.cluster_resources().get("CPU", 8)))
+    )
 
     try:
         while wave < cfg.max_waves:
-            admitted = frontier.pop_wave(max_wave_size=cfg.max_wave_size)
-            if not admitted:
+            # Driverless admission (north_rule: driver never holds
+            # entries): shards stage + admit locally under the global cap
+            # (distributed K-th-key selection); fetchable URLs flow
+            # shard -> fetcher as Arrow refs; known-missing URLs (static
+            # page store: a retry can never succeed) are requeued
+            # shard-side without entering the pipeline. The driver sees
+            # O(shards) control messages per wave.
+            t_pop = time.time()
+            admission = frontier.stage_and_admit(
+                max_wave_size=cfg.max_wave_size, record_order=cfg.record_order
+            )
+            if admission["count"] == 0:
                 break
             t0 = time.time()
-            wave_info: dict = {"admitted": len(admitted)}
+            phases: dict[str, float] = {"pop": round(t0 - t_pop, 3)}
+            wave_info: dict = {"admitted": admission["count"]}
             if cfg.record_order:
-                wave_info["order"] = [e.canon_url for e in admitted]
-            to_fetch = [e for e in admitted if e.canon_url not in known_missing]
-            skipped_misses = [e for e in admitted if e.canon_url in known_missing]
+                wave_info["order"] = admission["order"]
 
-            status: dict[str, tuple[bool, str]] = {}
             wave_docs_dir = os.path.join(docs_dir, f"wave={wave}")
-            ds = (
-                fetch_wave(store, to_fetch, fetcher=fetcher)
-                if to_fetch
-                else None
-            )
+            t_f = time.time()
+            data_refs = fetcher.fetch_refs_from_tables(admission["refs"])
+            ds = ray.data.from_arrow_refs(data_refs) if data_refs else None
+            phases["fetch_refs"] = round(time.time() - t_f, 3)
+            t_p = time.time()
             if ds is not None:
                 # ONE fused dataset execution per wave (fetch blocks ->
                 # extract -> route -> write, no intermediate materialize:
@@ -246,28 +259,24 @@ def run_crawl(
                     },
                     batch_format="pyarrow",
                     batch_size=cfg.batch_size,
-                ).write_parquet(wave_docs_dir)
-                status = frontier.drain_status()
+                ).write_parquet(wave_docs_dir, concurrency=write_conc)
+            phases["pipeline"] = round(time.time() - t_p, 3)
 
-            failures: list = [(e, "fetch-miss") for e in skipped_misses]
-            fetched_urls = set(status)
-            ok_urls = {u for u, (ok, _) in status.items() if ok}
-            for entry in to_fetch:
-                url = entry.canon_url
-                if url not in fetched_urls:
-                    failures.append((entry, "fetch-miss"))
-                    known_missing.add(url)
-                elif url not in ok_urls:
-                    failures.append((entry, status[url][1] or "error"))
-            if failures:
-                frontier.requeue(failures)
+            # shards self-account their wave: compare admitted vs pushed
+            # status, requeue misses/errors locally, return counts only
+            t_r = time.time()
+            finish = frontier.finish_wave()
+            phases["requeue"] = round(time.time() - t_r, 3)
 
+            t_c = time.time()
             frontier.checkpoint(ckpt_dir, wave)
+            phases["checkpoint"] = round(time.time() - t_c, 3)
+            wave_info["phases"] = phases
             wave_info.update(
                 {
-                    "fetched": len(fetched_urls),
-                    "ok": len(ok_urls),
-                    "failures": len(failures),
+                    "fetched": finish["fetched"],
+                    "ok": finish["ok"],
+                    "failures": finish["failures"],
                     "docs_dir": wave_docs_dir if ds is not None else None,
                     "elapsed_s": round(time.time() - t0, 3),
                     "frontier": frontier.stats(),

@@ -187,6 +187,46 @@ class FetchCache:
         out = out.append_column("depth", pa.array(kept_depth, pa.int32()))
         return out.append_column("priority", pa.array(kept_prio, pa.int32()))
 
+    def fetch_from_tables(
+        self, root: str, n_buckets: int, pool_size: int, my_idx: int, *tables
+    ) -> pa.Table:
+        """Driverless wave fetch: consume the SHARDS' admitted-entry
+        tables straight from the object store (the driver only routed
+        refs), keep the rows owned by this cache shard
+        (``bucket % pool == my_idx``) and point-take them per bucket."""
+        out: list[pa.Table] = []
+        for t in tables:
+            urls = t.column("url").to_pylist()
+            depths = t.column("depth").to_pylist()
+            prios = t.column("priority").to_pylist()
+            mine: dict[int, list[int]] = {}
+            for i, u in enumerate(urls):
+                b = bucket_of(u, n_buckets)
+                if b % pool_size == my_idx:
+                    mine.setdefault(b, []).append(i)
+            for b, idxs in mine.items():
+                bucket_dir = os.path.join(root, f"bucket={b}")
+                if not os.path.isdir(bucket_dir):
+                    continue
+                out.append(
+                    self.fetch(
+                        bucket_dir,
+                        [urls[i] for i in idxs],
+                        [depths[i] for i in idxs],
+                        [prios[i] for i in idxs],
+                    )
+                )
+        if not out:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "html": pa.array([], pa.large_string()),
+                    "depth": pa.array([], pa.int32()),
+                    "priority": pa.array([], pa.int32()),
+                }
+            )
+        return pa.concat_tables(out, promote_options="permissive")
+
 
 class SandboxFetcher:
     """Pool of FetchCache actors; bucket -> actor by ``bucket % pool``."""
@@ -231,6 +271,28 @@ class SandboxFetcher:
                 )
             )
         return refs
+
+    def fetch_refs_from_tables(self, table_refs: list) -> list:
+        """Driverless wave flow: pass the frontier shards' admitted
+        tables (ObjectRefs) to every cache shard; each filters to its own
+        buckets. One call per (cache shard, frontier shard) pair so the
+        wave lands as pool x shards medium blocks — a single block per
+        cache shard would cap the downstream extract stage's task
+        parallelism at pool_size. Driver cost: O(pool x shards) refs,
+        zero entries."""
+        if not table_refs:
+            return []
+        return [
+            self.pool[i].fetch_from_tables.remote(
+                self.store.root,
+                self.store.n_buckets,
+                len(self.pool),
+                i,
+                ref,
+            )
+            for i in range(len(self.pool))
+            for ref in table_refs
+        ]
 
     def shutdown(self) -> None:
         for a in self.pool:
@@ -285,6 +347,28 @@ class HttpFetchWorker:
             }
         )
 
+    def fetch_from_tables(self, pool_size: int, my_idx: int, *tables) -> pa.Table:
+        """Driverless wave flow: fetch the rows whose host hashes to this
+        worker from the shards' admitted tables (same host->worker
+        assignment as HttpFetcher.fetch_wave_refs)."""
+        from ..oracle.canon import host_of
+
+        urls: list[str] = []
+        depths: list[int] = []
+        prios: list[int] = []
+        for t in tables:
+            for u, d, p in zip(
+                t.column("url").to_pylist(),
+                t.column("depth").to_pylist(),
+                t.column("priority").to_pylist(),
+            ):
+                digest = hashlib.blake2b(host_of(u).encode(), digest_size=8).digest()
+                if int.from_bytes(digest, "little") % pool_size == my_idx:
+                    urls.append(u)
+                    depths.append(d)
+                    prios.append(p)
+        return self.fetch(urls, depths, prios)
+
 
 class HttpFetcher:
     """Drop-in network fetcher: same ``fetch_wave_refs(entries) -> refs``
@@ -319,6 +403,15 @@ class HttpFetcher:
                 [e.priority for e in entries],
             )
             for w, entries in sorted(by_worker.items())
+        ]
+
+    def fetch_refs_from_tables(self, table_refs: list) -> list:
+        if not table_refs:
+            return []
+        return [
+            self.pool[w].fetch_from_tables.remote(len(self.pool), w, ref)
+            for w in range(len(self.pool))
+            for ref in table_refs
         ]
 
     def shutdown(self) -> None:

@@ -58,6 +58,10 @@ class FrontierShard:
         self.shard_id = shard_id
         self.core = FrontierCore(robots=robots, cfg=cfg)
         self._status: list[tuple[str, bool, str]] = []
+        # staged-wave bookkeeping (driverless flow)
+        self._wave_admitted: list[FrontierEntry] = []
+        self._wave_fetchable: dict[str, FrontierEntry] = {}
+        self._known_missing: set[str] = set()
 
     def offer_batch(self, offers: list[tuple[str, int, int]]) -> dict:
         """offers: [(raw_url, priority, depth)]; returns outcome counts."""
@@ -102,6 +106,88 @@ class FrontierShard:
 
     def restore_pending(self, entries: list[FrontierEntry]) -> None:
         self.core.restore_pending(entries)
+
+    # --- staged (driverless) wave flow -----------------------------------
+
+    def stage_wave(self) -> int:
+        return self.core.stage_wave()
+
+    def staged_key_at(self, rank: int) -> tuple:
+        return self.core.staged_key_at(rank)
+
+    def staged_count_le(self, key: tuple) -> int:
+        return self.core.staged_count_le(key)
+
+    def staged_keys_slice(self, lo: int, hi: int) -> list[tuple]:
+        return self.core.staged_keys_slice(lo, hi)
+
+    def admit_staged(
+        self, threshold_key: tuple | None, record_order: bool
+    ) -> dict:
+        """Admit this shard's staged entries and publish the fetchable
+        ones as ONE small Arrow table in the object store. The driver
+        receives only {count, ref, order?} — never entries. Known-missing
+        URLs (static page store: a retry can never succeed) skip the
+        fetch table and are requeued immediately."""
+        admitted = self.core.admit_staged(threshold_key)
+        self._wave_admitted = admitted
+        missing = getattr(self, "_known_missing", set())
+        fetchable = [e for e in admitted if e.canon_url not in missing]
+        self._wave_fetchable = {e.canon_url: e for e in fetchable}
+        for e in admitted:
+            if e.canon_url in missing:
+                self.core.requeue_failure(e, "fetch-miss")
+        ref = None
+        if fetchable:
+            table = pa.table(
+                {
+                    "url": pa.array([e.canon_url for e in fetchable], pa.string()),
+                    "depth": pa.array([e.depth for e in fetchable], pa.int32()),
+                    "priority": pa.array([e.priority for e in fetchable], pa.int32()),
+                }
+            )
+            ref = ray.put(table)
+        out = {
+            "count": len(admitted),
+            "skipped_missing": len(admitted) - len(fetchable),
+            "ref": ref,
+        }
+        if record_order:
+            out["order"] = [(e.sort_key, e.canon_url) for e in admitted]
+        return out
+
+    def finish_wave(self) -> dict:
+        """After the wave's pipeline: compare this shard's admitted
+        fetchables against the status rows the route stage pushed here,
+        requeue misses/errors locally, and return ONLY counts."""
+        status: dict[str, tuple[bool, str]] = {}
+        for url, ok, err in self._status:
+            status[url] = (ok, err)
+        self._status = []
+        fetchable = getattr(self, "_wave_fetchable", {})
+        missing = getattr(self, "_known_missing", None)
+        if missing is None:
+            missing = self._known_missing = set()
+        fetched = ok_count = failures = 0
+        skipped = getattr(self, "_wave_admitted", [])
+        failures += sum(1 for e in skipped if e.canon_url not in fetchable)
+        for url, entry in fetchable.items():
+            st = status.get(url)
+            if st is None:
+                failures += 1
+                missing.add(url)
+                self.core.requeue_failure(entry, "fetch-miss")
+            else:
+                fetched += 1
+                ok, err = st
+                if ok:
+                    ok_count += 1
+                else:
+                    failures += 1
+                    self.core.requeue_failure(entry, err or "error")
+        self._wave_admitted = []
+        self._wave_fetchable = {}
+        return {"fetched": fetched, "ok": ok_count, "failures": failures}
 
     def requeue_batch(self, failures: list[tuple[FrontierEntry, str]]) -> int:
         return sum(self.core.requeue_failure(e, reason) for e, reason in failures)
@@ -204,6 +290,90 @@ class ShardedFrontier:
                 [self.shards[s].restore_pending.remote(b) for s, b in grouped.items()]
             )
         return merged
+
+    # --- staged (driverless) wave flow -----------------------------------
+
+    def _select_threshold(self, counts: list[int], k: int) -> tuple:
+        """Exact global K-th smallest staged sort key across shards.
+
+        Distributed selection over the shards' locally-sorted staged
+        lists: every round moves O(shards) keys/counts to the driver
+        (never entries), narrowing per-shard candidate windows until the
+        remainder is small enough to gather (< 4 keys per shard). Keys
+        are unique (canon_url is part of the key), so the K-th key is
+        exact and admissions stay deterministic."""
+        n = len(self.shards)
+        lo = [0] * n
+        hi = list(counts)
+        for _ in range(256):
+            windows = [hi[i] - lo[i] for i in range(n)]
+            total = sum(windows)
+            if total <= 4 * n:
+                break
+            # pivot = mid key of the shard with the largest window
+            big = max(range(n), key=lambda i: windows[i])
+            pivot = ray.get(
+                self.shards[big].staged_key_at.remote((lo[big] + hi[big]) // 2)
+            )
+            below = ray.get(
+                [s.staged_count_le.remote(pivot) for s in self.shards]
+            )
+            c = sum(below)
+            if c >= k:
+                hi = [min(hi[i], below[i]) for i in range(n)]
+            else:
+                lo = [max(lo[i], below[i]) for i in range(n)]
+        # gather the small remainder and pick exactly
+        slices = ray.get(
+            [
+                s.staged_keys_slice.remote(lo[i], hi[i])
+                for i, s in enumerate(self.shards)
+            ]
+        )
+        rest = sorted(key for part in slices for key in part)
+        k_into_rest = k - sum(lo)
+        assert 1 <= k_into_rest <= len(rest), (k, sum(lo), len(rest))
+        return rest[k_into_rest - 1]
+
+    def stage_and_admit(
+        self, max_wave_size: int = 0, record_order: bool = False
+    ) -> dict:
+        """Driverless wave admission: stage per shard, cap via K-th-key
+        selection, admit per shard. Returns {count, refs, order} where
+        refs are per-shard Arrow tables of fetchable (url, depth,
+        priority) rows living in the object store — the driver holds
+        O(shards) control data only (plus the order list in
+        record_order parity/test mode)."""
+        counts = ray.get([s.stage_wave.remote() for s in self.shards])
+        total = sum(counts)
+        if total == 0:
+            return {"count": 0, "refs": [], "order": []}
+        threshold = None
+        if max_wave_size and total > max_wave_size:
+            threshold = self._select_threshold(counts, max_wave_size)
+        results = ray.get(
+            [
+                s.admit_staged.remote(threshold, record_order)
+                for s in self.shards
+            ]
+        )
+        out = {
+            "count": sum(r["count"] for r in results),
+            "skipped_missing": sum(r["skipped_missing"] for r in results),
+            "refs": [r["ref"] for r in results if r["ref"] is not None],
+        }
+        if record_order:
+            merged = sorted(
+                item for r in results for item in r.get("order", [])
+            )
+            out["order"] = [url for _key, url in merged]
+        return out
+
+    def finish_wave(self) -> dict:
+        parts = ray.get([s.finish_wave.remote() for s in self.shards])
+        return {
+            k: sum(p[k] for p in parts) for k in ("fetched", "ok", "failures")
+        }
 
     def requeue(self, failures: list[tuple[FrontierEntry, str]]) -> None:
         grouped: dict[int, list] = {}

@@ -266,6 +266,44 @@ class FrontierCore:
         admitted.sort(key=lambda e: e.sort_key)
         return admitted
 
+    # --- staged admission (driverless wave flow) --------------------------
+    #
+    # stage_wave/admit_staged split pop_wave so a GLOBAL wave-size cap can
+    # be applied without the driver ever holding entries: shards stage
+    # locally (sorted), the driver runs a distributed K-th-key selection
+    # over O(shards)-sized messages, and each shard admits its keys <=
+    # threshold (the same "globally smallest K" rule as the driver-side
+    # cap, so admissions stay a pure function of the pending state).
+
+    def stage_wave(self) -> int:
+        """Politeness-admit into a local staged buffer; returns count."""
+        self.staged: list[FrontierEntry] = self.pop_wave()
+        return len(self.staged)
+
+    def staged_key_at(self, rank: int) -> tuple:
+        return self.staged[rank].sort_key
+
+    def staged_count_le(self, key: tuple) -> int:
+        import bisect
+
+        return bisect.bisect_right([e.sort_key for e in self.staged], key)
+
+    def staged_keys_slice(self, lo: int, hi: int) -> list[tuple]:
+        return [e.sort_key for e in self.staged[lo:hi]]
+
+    def admit_staged(self, threshold_key: tuple | None = None) -> list[FrontierEntry]:
+        """Admit staged entries (all, or those with key <= threshold);
+        the truncated tail is restored and competes next wave."""
+        staged = getattr(self, "staged", [])
+        self.staged = []
+        if threshold_key is None:
+            return staged
+        import bisect
+
+        cut = bisect.bisect_right([e.sort_key for e in staged], threshold_key)
+        self.restore_pending(staged[cut:])
+        return staged[:cut]
+
     def restore_pending(self, entries: list[FrontierEntry]) -> None:
         """Put admitted-but-truncated entries back in the queue (global
         wave-size cap support): they keep their keys and compete again
