@@ -70,9 +70,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; approximate
-    / heuristic ops (minhash, simhash, lang-id, fingerprint, LSH-ANN) are
-    intentionally absent -> rows-only checks."""
+    """DuckDB-equivalent SQL for EVERY registered query — the sketch /
+    LSH operators use md5 / hyperplane hash families chosen to be
+    reproducible in SQL (hex-cast md5 prefixes, xor permutations, inlined
+    plane constants), so even the approximate algorithms are value-hash
+    gated rather than rows-only."""
     from webscraper_ray.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

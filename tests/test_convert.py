@@ -60,8 +60,10 @@ def test_convert_markdown_subset():
     assert link[0]["marks"][0]["attrs"]["rel"] == "noopener noreferrer"
 
 
-def test_pdf_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_pdf_malformed_rejected():
+    # C4 byte decode is real now (oracle/pdf.py); malformed input lands in
+    # the converter error channel as ValueError, the HTTP 400 analog
+    with pytest.raises(ValueError):
         convert_pdf(b"%PDF-1.4 ...")
 
 

@@ -94,3 +94,24 @@ def test_latest_docs_shuffle_view_is_light(ray_session):
 
     view = _titled_url_id_view(ray.data.from_arrow(_docs_table()))
     assert view.schema().names == ["url", "id"]
+
+
+def test_pagination_token_windows(ray_session):
+    """O3: id-ordered pages with resume tokens cover the table exactly
+    once, in order, honoring the reference's <=7-page loop bound."""
+    import ray.data
+
+    from webscraper_ray.pipelines.docs_api import iter_doc_pages, paginate_docs
+
+    rows = [{"id": make_xid(100 + i, 0, f"u{i}"), "url": f"https://a.x/{i}"} for i in range(25)]
+    docs = ray.data.from_items(rows)
+    pages = list(iter_doc_pages(docs, page_size=10))
+    assert [p.num_rows for p in pages] == [10, 10, 5]
+    seen = [i for p in pages for i in p.column("id").to_pylist()]
+    assert seen == sorted(r["id"] for r in rows)
+    # explicit resume from a mid-stream token
+    page1, tok = paginate_docs(docs, page_size=10)
+    page2, _ = paginate_docs(docs, page_size=10, page_token=tok)
+    assert page2.column("id").to_pylist() == seen[10:20]
+    # page budget stops the loop like the reference's i=7 counter
+    assert len(list(iter_doc_pages(docs, page_size=3, max_pages=2))) == 2

@@ -1,0 +1,156 @@
+"""From-scratch PDF text extraction (C4 byte decode) — hand-crafted PDFs.
+
+The extractor is original code against the public PDF spec; these
+fixtures are built byte-by-byte in-test (raw and Flate-compressed
+content streams, multi-page, object-stream variant, malformed input) and
+the converter output is checked through the same heading heuristic the
+reference applies to pdfjs items (src/converting.ts:43-145).
+"""
+
+import zlib
+
+import pytest
+
+from webscraper_ray.oracle.convert import convert_pdf, get_converter
+from webscraper_ray.oracle.pdf import PdfError, extract_pdf_items
+
+
+def _pdf(objects: dict[int, bytes], root: int) -> bytes:
+    """Assemble a classic PDF: header + numbered objects + trailer."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (max(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for num in sorted(objects):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max(objects) + 1, root, xref_at)
+    )
+    return bytes(out)
+
+
+def _content() -> bytes:
+    # one 24pt heading line, two 10pt body lines
+    return (
+        b"BT /F1 24 Tf 72 720 Td (Title Line) Tj ET\n"
+        b"BT /F1 10 Tf 72 680 Td (First body line.) Tj 0 -14 Td"
+        b" (Second body line.) Tj ET\n"
+    )
+
+
+def _one_page_pdf(compress: bool) -> bytes:
+    content = _content()
+    if compress:
+        data = zlib.compress(content)
+        stream = (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+            + data
+            + b"\nendstream"
+        )
+    else:
+        stream = b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    return _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+            4: stream,
+            5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        },
+        root=1,
+    )
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_extract_items_heights_and_eol(compress):
+    pages = extract_pdf_items(_one_page_pdf(compress))
+    assert len(pages) == 1
+    items = pages[0]
+    texts = [i["str"] for i in items]
+    assert texts == ["Title Line", "First body line.", "Second body line."]
+    assert items[0]["height"] == 24.0
+    assert items[1]["height"] == 10.0
+    # line-advance marks the previous item; last item closed by ET
+    assert [i["hasEOL"] for i in items] == [True, True, True]
+
+
+def test_convert_pdf_heading_structure():
+    doc = convert_pdf(_one_page_pdf(True), seed="t")
+    kinds = [(n["type"], n.get("attrs", {}).get("level")) for n in doc["content"]]
+    assert kinds[0] == ("heading", 1)
+    assert all(k[0] == "paragraph" for k in kinds[1:])
+    heading_text = doc["content"][0]["content"][0]["text"]
+    assert heading_text == "Title Line"
+
+
+def test_multi_page_and_tj_array():
+    content2 = b"BT /F1 12 Tf (A) Tj ET\nBT /F1 12 Tf [(B) -120 (C)] TJ ET\n"
+    pdf = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: b"<< /Length %d >>\nstream\n" % len(_content())
+            + _content()
+            + b"\nendstream",
+            5: b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+            6: b"<< /Length %d >>\nstream\n" % len(content2)
+            + content2
+            + b"\nendstream",
+        },
+        root=1,
+    )
+    pages = extract_pdf_items(pdf)
+    assert len(pages) == 2
+    assert [i["str"] for i in pages[1]] == ["A", "BC"]
+
+
+def test_object_stream_objects_are_found():
+    # catalog+pages+page dicts live inside a /ObjStm (PDF 1.5 style)
+    bodies = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    inner = b" ".join(b for _n, b in bodies)
+    offs, pos = [], 0
+    for _n, b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1
+    header = b"".join(
+        b"%d %d " % (n, off) for (n, _b), off in zip(bodies, offs)
+    )
+    payload = header + inner
+    data = zlib.compress(payload)
+    content = b"BT /F1 9 Tf (objstm text) Tj ET"
+    pdf = _pdf(
+        {
+            4: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+            7: b"<< /Type /ObjStm /N 3 /First %d /Length %d /Filter /FlateDecode >>\nstream\n"
+            % (len(header), len(data))
+            + data
+            + b"\nendstream",
+        },
+        root=1,
+    )
+    pages = extract_pdf_items(pdf)
+    assert [i["str"] for i in pages[0]] == ["objstm text"]
+
+
+def test_malformed_pdf_rejected():
+    with pytest.raises(ValueError):
+        extract_pdf_items(b"not a pdf at all")
+    with pytest.raises(ValueError):
+        extract_pdf_items(b"%PDF-1.4\ngarbage without catalog")
+
+
+def test_converter_registry_routes_pdf():
+    conv = get_converter("application/pdf")
+    doc = conv(_one_page_pdf(False), seed="reg")
+    assert doc["type"] == "doc" and doc["content"]

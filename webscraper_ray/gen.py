@@ -70,6 +70,12 @@ class GenConfig:
                                 # Common-Crawl pages are tens of KB, the
                                 # default unit page is ~3-5 KB (test speed)
     disallow_hosts_every: int = 5  # every k-th host gets a /private disallow
+    junk_links: bool = True     # emit malformed / non-https / dangling-relative
+                                # outlinks (canon-filter + retry-path coverage).
+                                # Bench corpora disable them: each dangling link
+                                # spawns a 4-attempt retry tail of pure fixed
+                                # per-wave cost, measuring the retry schedule
+                                # rather than engine throughput.
 
 
 def _h(seed: int, *parts: object) -> int:
@@ -118,13 +124,14 @@ def _outlink_hrefs(cfg: GenConfig, i: int) -> list[str]:
         elif variant == 2:
             url = url.replace("https://", "https://", 1).replace(".example/", ".EXAMPLE/", 1)
         hrefs.append(url)
-    junk = _h(cfg.seed, "junk", i) % 10
-    if junk == 0:
-        hrefs.append("http://insecure.example/x")     # non-https -> filtered
-    elif junk == 1:
-        hrefs.append("javascript:void(0)")            # malformed -> filtered
-    elif junk == 2:
-        hrefs.append("/relative/only")                # resolves against page url
+    if cfg.junk_links:
+        junk = _h(cfg.seed, "junk", i) % 10
+        if junk == 0:
+            hrefs.append("http://insecure.example/x")     # non-https -> filtered
+        elif junk == 1:
+            hrefs.append("javascript:void(0)")            # malformed -> filtered
+        elif junk == 2:
+            hrefs.append("/relative/only")                # resolves against page url
     return hrefs
 
 

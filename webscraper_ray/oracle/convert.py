@@ -273,15 +273,19 @@ def convert_pdf_items(pages: Iterable[Iterable[dict]], seed: str = "") -> dict:
 
 
 def convert_pdf(buf: bytes, seed: str = "") -> dict:
-    """STUB: raw-PDF text extraction needs pdfjs/pdfium, absent here.
+    """C4 byte decode: from-scratch PDF text extraction (no external
+    libs) feeding the heading-histogram heuristic.
 
-    The heading heuristic itself lives in :func:`convert_pdf_items` and is
-    fully tested; wire a real extractor to it when a PDF library exists.
-    """
-    raise NotImplementedError(
-        "PDF byte decoding requires a PDF library not present in this "
-        "environment; use convert_pdf_items() on extracted text items"
-    )
+    ``oracle.pdf.extract_pdf_items`` parses the documented PDF subset
+    (classic objects + object streams, Flate or raw content streams,
+    BT/ET text operators) into pdfjs-shaped items, which
+    :func:`convert_pdf_items` converts exactly like the reference's page
+    loop (src/converting.ts:43-145). Malformed or out-of-subset PDFs
+    raise ``ValueError`` -> the converter error channel (HTTP 400
+    analog)."""
+    from .pdf import extract_pdf_items
+
+    return convert_pdf_items(extract_pdf_items(buf), seed=seed)
 
 
 # ---------------------------------------------------------------------------

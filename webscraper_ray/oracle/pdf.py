@@ -1,0 +1,493 @@
+"""Minimal from-scratch PDF text-item extractor (C4 byte decode).
+
+The reference converts PDFs with pdfjs (``src/converting.ts:43-145``):
+``getTextContent()`` yields items ``{str, height, hasEOL, dir}`` per page,
+which the heading-histogram heuristic consumes. This module produces the
+same item stream for a DOCUMENTED SUBSET of PDF, written against the
+public PDF 1.7 spec (ISO 32000-1) with only the stdlib (``zlib``):
+
+Supported:
+- classic ``N G obj ... endobj`` bodies discovered by a full-file scan
+  (robust to broken xref tables), plus objects inside /ObjStm object
+  streams (PDF 1.5 compressed objects)
+- /Catalog -> /Pages -> /Kids page-tree walk; /Contents as a direct
+  stream, a reference, or an array of references
+- stream filters: none or /FlateDecode (zlib); /Length direct or ref
+- content text operators: BT/ET, Tf, Tm, Td, TD, T*, TL, Tj, ', ", TJ
+- literal ``( )`` strings with escapes + octal, hex ``< >`` strings;
+  bytes decoded latin-1 (no ToUnicode CMaps -> CID/Type0 subset fonts
+  come out as raw bytes; fine for the ASCII-range PDFs this sandbox sees)
+
+Not supported (raise ``ValueError`` -> converter error channel, the
+reference's HTTP 400 analog): encrypted files, predictors, filters other
+than Flate, xref-stream-only files whose objects are all in object
+streams we fail to locate.
+
+Item semantics vs pdfjs: ``height`` = font size scaled by the text
+matrix's vertical axis (``|| (c, d) ||`` of Tm), which equals pdfjs's
+item height for unrotated text; ``hasEOL`` is set on the last item of a
+line when a line-advance operator (Td/TD/T*/'/") or ET follows, matching
+how pdfjs marks line breaks for simple layouts; ``dir`` is always
+``ltr`` (no vertical writing modes in the subset).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["extract_pdf_items", "PdfError"]
+
+
+class PdfError(ValueError):
+    """Malformed or out-of-subset PDF."""
+
+
+# --- object model -----------------------------------------------------------
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"{self.num} {self.gen} R"
+
+
+class Name(str):
+    """PDF name (distinct from strings)."""
+
+
+class Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.dict = d
+        self.raw = raw
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Tokenizer for PDF object syntax (dicts, arrays, numbers, strings)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def parse_object(self):
+        self._skip_ws()
+        d = self.data
+        if self.pos >= len(d):
+            raise PdfError("unexpected end of data")
+        c = d[self.pos]
+        if d.startswith(b"<<", self.pos):
+            return self._parse_dict()
+        if c == 0x3C:  # '<' hex string
+            return self._parse_hex_string()
+        if c == 0x28:  # '('
+            return self._parse_literal_string()
+        if c == 0x2F:  # '/'
+            return self._parse_name()
+        if c == 0x5B:  # '['
+            return self._parse_array()
+        if d.startswith(b"true", self.pos):
+            self.pos += 4
+            return True
+        if d.startswith(b"false", self.pos):
+            self.pos += 5
+            return False
+        if d.startswith(b"null", self.pos):
+            self.pos += 4
+            return None
+        return self._parse_number_or_ref()
+
+    def _parse_dict(self) -> dict:
+        self.pos += 2
+        out: dict = {}
+        while True:
+            self._skip_ws()
+            if self.data.startswith(b">>", self.pos):
+                self.pos += 2
+                return out
+            key = self.parse_object()
+            if not isinstance(key, Name):
+                raise PdfError("dict key is not a name")
+            out[str(key)] = self.parse_object()
+
+    def _parse_array(self) -> list:
+        self.pos += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self.pos < len(self.data) and self.data[self.pos] == 0x5D:  # ']'
+                self.pos += 1
+                return out
+            out.append(self.parse_object())
+
+    def _parse_name(self) -> Name:
+        self.pos += 1
+        d, n = self.data, len(self.data)
+        start = self.pos
+        out = bytearray()
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS or c in _DELIM:
+                break
+            if c == 0x23 and self.pos + 2 < n:  # '#' hex escape
+                out += bytes([int(d[self.pos + 1 : self.pos + 3], 16)])
+                self.pos += 3
+            else:
+                out.append(c)
+                self.pos += 1
+        if not out and start == self.pos:
+            raise PdfError("empty name")
+        return Name(out.decode("latin-1"))
+
+    def _parse_literal_string(self) -> bytes:
+        self.pos += 1
+        d, n = self.data, len(self.data)
+        out = bytearray()
+        depth = 1
+        while self.pos < n:
+            c = d[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+                       0x28: 40, 0x29: 41, 0x5C: 92}
+                if e in esc:
+                    out.append(esc[e])
+                    self.pos += 1
+                elif 0x30 <= e <= 0x37:  # octal
+                    oct_digits = bytearray()
+                    while (
+                        self.pos < n and len(oct_digits) < 3
+                        and 0x30 <= d[self.pos] <= 0x37
+                    ):
+                        oct_digits.append(d[self.pos])
+                        self.pos += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    self.pos += 1
+                    if e == 0x0D and self.pos < n and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        raise PdfError("unterminated string")
+
+    def _parse_hex_string(self) -> bytes:
+        self.pos += 1
+        end = self.data.find(b">", self.pos)
+        if end == -1:
+            raise PdfError("unterminated hex string")
+        hexed = re.sub(rb"[^0-9A-Fa-f]", b"", self.data[self.pos : end])
+        self.pos = end + 1
+        if len(hexed) % 2:
+            hexed += b"0"
+        return bytes.fromhex(hexed.decode("ascii"))
+
+    _NUM = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+
+    def _parse_number_or_ref(self):
+        m = self._NUM.match(self.data, self.pos)
+        if not m:
+            raise PdfError(f"bad token at {self.pos}")
+        self.pos = m.end()
+        text = m.group()
+        if b"." in text:
+            return float(text)
+        value = int(text)
+        # lookahead for "G R" (indirect reference)
+        save = self.pos
+        self._skip_ws()
+        m2 = self._NUM.match(self.data, self.pos)
+        if m2 and b"." not in m2.group():
+            after = m2.end()
+            probe = _Lexer(self.data, after)
+            probe._skip_ws()
+            if probe.data.startswith(b"R", probe.pos) and (
+                probe.pos + 1 >= len(probe.data)
+                or probe.data[probe.pos + 1] in _WS + _DELIM
+            ):
+                self.pos = probe.pos + 1
+                return Ref(value, int(m2.group()))
+        self.pos = save
+        return value
+
+
+# --- document ---------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
+
+
+class _Pdf:
+    def __init__(self, buf: bytes):
+        if not buf.startswith(b"%PDF-"):
+            raise PdfError("missing %PDF header")
+        if b"/Encrypt" in buf:
+            raise PdfError("encrypted PDFs are out of subset")
+        self.buf = buf
+        self.objects: dict[int, object] = {}
+        self._scan_objects()
+        self._expand_object_streams()
+
+    # full-file scan: robust against broken/absent xref tables
+    def _scan_objects(self) -> None:
+        buf = self.buf
+        for m in _OBJ_RE.finditer(buf):
+            num = int(m.group(1))
+            body_start = m.end()
+            end = buf.find(b"endobj", body_start)
+            if end == -1:
+                continue
+            self.objects[num] = self._parse_body(buf[body_start:end])
+
+    def _parse_body(self, body: bytes):
+        lex = _Lexer(body)
+        obj = lex.parse_object()
+        if isinstance(obj, dict):
+            lex._skip_ws()
+            if body.startswith(b"stream", lex.pos):
+                p = lex.pos + len(b"stream")
+                if body.startswith(b"\r\n", p):
+                    p += 2
+                elif body.startswith(b"\n", p) or body.startswith(b"\r", p):
+                    p += 1
+                length = obj.get("Length")
+                if isinstance(length, Ref):
+                    raw = body[p:]
+                    e = raw.rfind(b"endstream")
+                    raw = raw[:e] if e != -1 else raw
+                else:
+                    raw = body[p : p + int(length)] if length is not None else b""
+                    if length is None:
+                        e = body.find(b"endstream", p)
+                        raw = body[p:e] if e != -1 else body[p:]
+                return Stream(obj, raw)
+        return obj
+
+    def _expand_object_streams(self) -> None:
+        for obj in list(self.objects.values()):
+            if isinstance(obj, Stream) and obj.dict.get("Type") == "ObjStm":
+                data = self.stream_data(obj)
+                n = int(self.resolve(obj.dict.get("N", 0)))
+                first = int(self.resolve(obj.dict.get("First", 0)))
+                header = data[:first].split()
+                for i in range(n):
+                    num = int(header[2 * i])
+                    off = int(header[2 * i + 1])
+                    if num in self.objects:
+                        continue
+                    lex = _Lexer(data, first + off)
+                    self.objects[num] = lex.parse_object()
+
+    def resolve(self, obj, depth: int = 0):
+        while isinstance(obj, Ref):
+            if depth > 32:
+                raise PdfError("reference loop")
+            obj = self.objects.get(obj.num)
+            depth += 1
+        return obj
+
+    def stream_data(self, s: Stream) -> bytes:
+        filt = self.resolve(s.dict.get("Filter"))
+        raw = s.raw
+        length = self.resolve(s.dict.get("Length"))
+        if isinstance(length, int) and length <= len(raw):
+            raw = raw[:length]
+        if filt is None:
+            return raw
+        filters = filt if isinstance(filt, list) else [filt]
+        for f in filters:
+            f = str(self.resolve(f))
+            if f == "FlateDecode":
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error as exc:
+                    raise PdfError(f"bad Flate stream: {exc}") from exc
+            else:
+                raise PdfError(f"unsupported stream filter /{f}")
+        return raw
+
+    def catalog(self) -> dict:
+        for obj in self.objects.values():
+            o = obj.dict if isinstance(obj, Stream) else obj
+            if isinstance(o, dict) and o.get("Type") == "Catalog":
+                return o
+        raise PdfError("no /Catalog found")
+
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.catalog().get("Pages"))
+        if not isinstance(root, dict):
+            raise PdfError("catalog has no /Pages")
+        out: list[dict] = []
+
+        def walk(node: dict, depth: int = 0) -> None:
+            if depth > 64:
+                raise PdfError("page tree too deep")
+            typ = node.get("Type")
+            if typ == "Page":
+                out.append(node)
+                return
+            for kid in self.resolve(node.get("Kids")) or []:
+                kid = self.resolve(kid)
+                if isinstance(kid, dict):
+                    walk(kid, depth + 1)
+
+        walk(root)
+        if not out:
+            raise PdfError("no pages")
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        if isinstance(contents, Stream):
+            return self.stream_data(contents)
+        if isinstance(contents, list):
+            parts = []
+            for c in contents:
+                c = self.resolve(c)
+                if isinstance(c, Stream):
+                    parts.append(self.stream_data(c))
+            return b"\n".join(parts)
+        raise PdfError("unsupported /Contents")
+
+
+# --- content-stream interpretation ------------------------------------------
+
+_OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+
+
+def _tokenize_content(data: bytes):
+    """Yield ('op', name) / ('operand', value) over a content stream."""
+    lex = _Lexer(data)
+    n = len(data)
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            return
+        c = data[lex.pos]
+        if c in b"(<[/" or c in b"+-." or 0x30 <= c <= 0x39:
+            # hex string vs dict: '<<' never appears as an operand in text
+            # streams we accept — treat '<<' as an inline dict (BDC etc.)
+            if data.startswith(b"<<", lex.pos):
+                yield ("operand", lex._parse_dict())
+            else:
+                yield ("operand", lex.parse_object())
+            continue
+        m = _OP_RE.match(data, lex.pos)
+        if not m:
+            lex.pos += 1  # skip unknown byte
+            continue
+        lex.pos = m.end()
+        yield ("op", m.group().decode("latin-1"))
+
+
+def _to_text(value) -> str:
+    if isinstance(value, bytes):
+        return value.decode("latin-1")
+    return str(value)
+
+
+def extract_pdf_items(buf: bytes) -> list[list[dict]]:
+    """pdfjs-shaped text items per page: ``[{str, height, hasEOL, dir}]``.
+
+    See module docstring for subset + semantics. Raises :class:`PdfError`
+    on malformed / out-of-subset input.
+    """
+    pdf = _Pdf(buf)
+    pages_out: list[list[dict]] = []
+    for page in pdf.pages():
+        content = pdf.page_content(page)
+        items: list[dict] = []
+        operands: list = []
+        size = 0.0
+        tm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        leading = 0.0
+
+        def mark_eol() -> None:
+            if items:
+                items[-1]["hasEOL"] = True
+
+        def emit(text: str) -> None:
+            height = size * (tm[2] ** 2 + tm[3] ** 2) ** 0.5
+            items.append(
+                {"str": text, "height": height, "hasEOL": False, "dir": "ltr"}
+            )
+
+        for kind, value in _tokenize_content(content):
+            if kind == "operand":
+                operands.append(value)
+                continue
+            op = value
+            if op == "Tf" and len(operands) >= 2:
+                size = float(operands[-1])
+            elif op == "Tm" and len(operands) >= 6:
+                tm = tuple(float(v) for v in operands[-6:])
+            elif op == "TL" and operands:
+                leading = float(operands[-1])
+            elif op in ("Td", "TD") and len(operands) >= 2:
+                if op == "TD":
+                    leading = -float(operands[-1])
+                if float(operands[-1]) != 0.0:
+                    mark_eol()
+            elif op == "T*":
+                mark_eol()
+            elif op == "Tj" and operands:
+                emit(_to_text(operands[-1]))
+            elif op == "'" and operands:
+                mark_eol()
+                emit(_to_text(operands[-1]))
+            elif op == '"' and operands:
+                mark_eol()
+                emit(_to_text(operands[-1]))
+            elif op == "TJ" and operands and isinstance(operands[-1], list):
+                text = "".join(
+                    _to_text(part)
+                    for part in operands[-1]
+                    if isinstance(part, bytes)
+                )
+                emit(text)
+            elif op == "ET":
+                mark_eol()
+            operands = []
+        if items:
+            items[-1]["hasEOL"] = True
+        pages_out.append(items)
+    return pages_out

@@ -56,6 +56,13 @@ class CrawlConfig:
     fetch_pool_size: int = 8         # FetchCache shards (sandbox fetch layer)
     record_order: bool = False       # record per-wave admitted URL order in the
                                      # manifest (parity tests; off at scale)
+    small_wave_rows: int = 1024      # waves with fewer fetchable URLs run as
+                                     # ONE fused remote task (same extract/
+                                     # route functions) instead of a Dataset
+                                     # pipeline: a streaming-executor launch
+                                     # costs ~1s regardless of size, and BFS
+                                     # tail waves of a few dozen URLs would
+                                     # otherwise pay it in full. 0 disables.
     max_wave_size: int = 0           # global per-wave admission cap (memory
                                      # bound: wave x doc payload must fit the
                                      # object store); 0 = politeness-only
@@ -120,6 +127,39 @@ def generate_corpus_ray(out_dir: str, cfg: GenConfig, n_buckets: int = 32) -> Pa
     store = PageStore(pages_root, n_buckets)
     store.compact()  # one file per bucket: wave reads open O(buckets) files
     return store
+
+
+@ray.remote
+def _small_wave_task(
+    wave_docs_dir: str,
+    mode: str,
+    wave: int,
+    shards: list,
+    num_shards: int,
+    run_id: str,
+    max_depth: int,
+    *tables,
+) -> int:
+    """BFS-tail fast path: fetch blocks -> extract -> route -> one parquet
+    file, all in one task. Exactly the Dataset pipeline's per-batch
+    functions, minus a streaming-executor launch a few-dozen-row wave
+    cannot amortize."""
+    import pyarrow.parquet as pq
+
+    from ..stages.extract import extract_pages_batch
+    from ..state.frontier import route_outlinks_batch
+
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return 0
+    batch = pa.concat_tables(live, promote_options="permissive")
+    docs = extract_pages_batch(batch, mode=mode, wave=wave)
+    docs = route_outlinks_batch(
+        docs, shards, num_shards, wave=wave, run_id=run_id, max_depth=max_depth
+    )
+    os.makedirs(wave_docs_dir, exist_ok=True)
+    pq.write_table(docs, os.path.join(wave_docs_dir, "part-small-0.parquet"))
+    return docs.num_rows
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -233,9 +273,32 @@ def run_crawl(
             wave_docs_dir = os.path.join(docs_dir, f"wave={wave}")
             t_f = time.time()
             data_refs = fetcher.fetch_refs_from_tables(admission["refs"])
-            ds = ray.data.from_arrow_refs(data_refs) if data_refs else None
+            fetchable = admission["count"] - admission.get("skipped_missing", 0)
+            small = (
+                cfg.small_wave_rows
+                and data_refs
+                and fetchable <= cfg.small_wave_rows
+            )
+            ds = (
+                ray.data.from_arrow_refs(data_refs)
+                if data_refs and not small
+                else None
+            )
             phases["fetch_refs"] = round(time.time() - t_f, 3)
             t_p = time.time()
+            if small:
+                ray.get(
+                    _small_wave_task.remote(
+                        wave_docs_dir,
+                        cfg.mode,
+                        wave,
+                        frontier.shards,
+                        cfg.num_shards,
+                        run_id,
+                        cfg.max_depth,
+                        *data_refs,
+                    )
+                )
             if ds is not None:
                 # ONE fused dataset execution per wave (fetch blocks ->
                 # extract -> route -> write, no intermediate materialize:
@@ -277,7 +340,7 @@ def run_crawl(
                     "fetched": finish["fetched"],
                     "ok": finish["ok"],
                     "failures": finish["failures"],
-                    "docs_dir": wave_docs_dir if ds is not None else None,
+                    "docs_dir": wave_docs_dir if (ds is not None or small) else None,
                     "elapsed_s": round(time.time() - t0, 3),
                     "frontier": frontier.stats(),
                 }

@@ -34,6 +34,8 @@ __all__ = [
     "read_docs",
     "latest_docs",
     "search_by_urls",
+    "paginate_docs",
+    "iter_doc_pages",
     "convert_uploads",
 ]
 
@@ -154,6 +156,53 @@ def search_by_urls(docs: "ray.data.Dataset", urls: Iterable[str]) -> "ray.data.D
         )
 
     return latest_docs(docs.map_batches(keep, batch_format="pyarrow"))
+
+
+def paginate_docs(
+    docs: "ray.data.Dataset",
+    page_size: int = 100,
+    page_token: bytes | None = None,
+) -> tuple[pa.Table, bytes | None]:
+    """O3 pagination window (reference loop: ``src/ssr.ts:713-744`` —
+    ``page_size`` rows per call, resume via ``next_page_token``).
+
+    Token = the last returned doc id; a page is the ``page_size`` id-
+    ordered rows AFTER it. The filter is pushed into a vectorized
+    ``map_batches`` BEFORE the sort, so each further page sorts a
+    strictly shrinking remainder — and at 100-TB scale the docs layout is
+    id-partitioned (wave dirs), letting the same predicate prune whole
+    files. Returns ``(page_table, next_page_token)``; token ``None`` when
+    exhausted.
+    """
+    import pyarrow.compute as pc
+
+    ds = docs
+    if page_token is not None:
+        ds = ds.map_batches(
+            lambda t, tok=page_token: t.filter(pc.greater(t.column("id"), tok)),
+            batch_format="pyarrow",
+        )
+    page = pa.Table.from_pandas(
+        ds.sort("id").limit(page_size).to_pandas(), preserve_index=False
+    )
+    if page.num_rows < page_size:
+        return page, None
+    last = page.column("id")[page.num_rows - 1].as_py()
+    return page, last
+
+
+def iter_doc_pages(
+    docs: "ray.data.Dataset", page_size: int = 100, max_pages: int = 7
+):
+    """The reference's bounded pagination loop (≤7 pages of 100): yields
+    page tables until exhaustion or the page budget."""
+    token: bytes | None = None
+    for _ in range(max_pages):
+        page, token = paginate_docs(docs, page_size=page_size, page_token=token)
+        if page.num_rows:
+            yield page
+        if token is None:
+            break
 
 
 class _ConvertBatch:
