@@ -90,3 +90,39 @@ def test_lang_fixture_independent_and_consistent():
 
     sql = _fixture_lang_sql_values()
     assert "('swa', 'swa')" in sql and "('abkhazian', 'abk')" in sql
+
+
+def test_response_codec_gzip_threshold():
+    """E18 (src/app.ts:120-154): CBOR/JSON encode + gzip only when the
+    encoded body exceeds GZIP_MIN_LENGTH and the client accepts it."""
+    import gzip as _gzip
+    import json as _json
+
+    from webscraper_ray.oracle.cbor import loads as cbor_loads
+    from webscraper_ray.oracle.codec import (
+        GZIP_MIN_LENGTH,
+        decode_response,
+        encode_response,
+    )
+
+    small = {"a": 1}
+    data, ctype, enc = encode_response(small)
+    assert ctype == "application/cbor" and enc is None
+    assert cbor_loads(data) == small
+
+    big = {"text": "x" * 300}
+    data, ctype, enc = encode_response(big)
+    assert enc == "gzip" and cbor_loads(decode_response(data, enc)) == big
+
+    data, ctype, enc = encode_response(big, accept_cbor=False)
+    assert ctype == "application/json" and enc == "gzip"
+    assert _json.loads(decode_response(data, enc)) == big
+
+    data, ctype, enc = encode_response(big, accept_gzip=False)
+    assert enc is None
+
+    s = "y" * (GZIP_MIN_LENGTH + 1)
+    data, ctype, enc = encode_response(s)
+    assert enc == "gzip" and decode_response(data, enc).decode() == s
+    # deterministic gzip (mtime pinned)
+    assert encode_response(big) == encode_response(big)

@@ -1,0 +1,57 @@
+"""E18 response codec: CBOR/JSON body encoding + conditional gzip.
+
+Mirrors the reference's response encoder (``src/app.ts:120-154``):
+objects encode to CBOR when the client accepts it, else UTF-8 JSON;
+encoded bodies longer than ``GZIP_MIN_LENGTH`` (128, ``src/app.ts:23``)
+are gzip-compressed when the client accepts gzip; strings gzip under the
+same rule without re-encoding. In the batch engine this is the output
+codec for serialized document payloads (e.g. an export sink).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from .cbor import dumps as cbor_dumps
+
+__all__ = ["GZIP_MIN_LENGTH", "encode_response", "decode_response"]
+
+GZIP_MIN_LENGTH = 128  # src/app.ts:23
+
+
+def encode_response(
+    body: object,
+    accept_cbor: bool = True,
+    accept_gzip: bool = True,
+) -> tuple[bytes, str, str | None]:
+    """Returns ``(payload, content_type, content_encoding)``.
+
+    ``content_encoding`` is ``'gzip'`` or ``None`` — exactly the
+    reference's conditions (object -> CBOR/JSON then maybe gzip; string
+    -> maybe gzip; gzip only when encoded length > 128 and accepted).
+    """
+    if isinstance(body, str):
+        data = body.encode("utf-8")
+        ctype = "text/plain; charset=utf-8"
+    elif accept_cbor:
+        data = cbor_dumps(body)
+        ctype = "application/cbor"
+    else:
+        data = json.dumps(body, ensure_ascii=False, separators=(",", ":")).encode(
+            "utf-8"
+        )
+        ctype = "application/json"
+    if accept_gzip and len(data) > GZIP_MIN_LENGTH:
+        # mtime=0: deterministic output (gzip headers embed a timestamp)
+        return gzip.compress(data, mtime=0), ctype, "gzip"
+    return data, ctype, None
+
+
+def decode_response(payload: bytes, content_encoding: str | None = None) -> bytes:
+    """Inverse transport step (client side): un-gzip when flagged."""
+    if content_encoding == "gzip":
+        return gzip.decompress(payload)
+    if content_encoding in (None, "", "identity"):
+        return payload
+    raise ValueError(f"unsupported content-encoding: {content_encoding}")
