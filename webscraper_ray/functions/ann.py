@@ -7,8 +7,11 @@
   the corpus. This is the scalable baseline.
 - :func:`ann_lsh_topk` — the scale path: random-hyperplane LSH buckets
   (deterministic planes); queries probe only their own bucket, trading
-  recall for touching ~1/2^bits of the corpus. Approximate -> rows-only
-  correctness check (no SQL oracle).
+  recall for touching ~1/2^bits of the corpus. The planes are inlined
+  into a generated DuckDB oracle, so even the approximate variant is
+  value-hash gated; recall vs brute force is pinned in tests.
+- :func:`embed_cosine_dups` — embedding-cosine near-dup pairs: bucket by
+  the same hyperplane family, pairwise cosine INSIDE buckets only.
 
 Float discipline: similarities are computed in float64 and rounded to 6
 decimals so the DuckDB oracle (list_cosine_similarity) hashes equal.
@@ -24,7 +27,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-__all__ = ["ann_bruteforce_topk", "ann_lsh_topk"]
+__all__ = ["ann_bruteforce_topk", "ann_lsh_topk", "embed_cosine_dups"]
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -99,9 +102,9 @@ def ann_bruteforce_topk(
     return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
 
 
-def _plane_matrix(dim: int, bits: int) -> np.ndarray:
+def _plane_matrix(dim: int, bits: int, salt: bytes = b"ann-lsh") -> np.ndarray:
     """Deterministic random hyperplanes: blake2b-seeded standard normals."""
-    seed = int.from_bytes(hashlib.blake2b(b"ann-lsh", digest_size=8).digest(), "little")
+    seed = int.from_bytes(hashlib.blake2b(salt, digest_size=8).digest(), "little")
     rng = np.random.default_rng(seed)
     return rng.standard_normal((dim, bits))
 
@@ -175,3 +178,67 @@ def ann_lsh_topk(
 
     partial = ds.map_batches(score_bucket, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+
+
+def embed_cosine_dups(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.4,
+    bits: int = 2,
+    dim: int = 64,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs (task brief §dedup).
+
+    Scale shape: every vector gets a deterministic hyperplane-LSH bucket
+    (salt 'embed-dedup'); the ONLY all-to-all routes (bucket, vec_id,
+    embedding) rows; pairwise cosine runs INSIDE buckets as one normalized
+    matmul per bucket — never corpus-wide all-pairs. Recall follows the
+    standard hyperplane collision bound ((1 - θ/π)^bits per pair); raise
+    ``bits`` as the corpus grows (the bucket count is the partition
+    count). Output: (vec_a, vec_b, cos_sim rounded to 6) with cos >=
+    threshold — exactly reproducible by the DuckDB oracle with the same
+    inlined planes.
+    """
+    planes = _plane_matrix(dim, bits, salt=b"embed-dedup")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": batch.column("embedding"),
+                }
+            )
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(mat, planes), pa.int64()),
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    import pandas as pd
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        mat = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]]))
+        sims = np.round(mat @ mat.T, 6)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ii[keep]],
+                "vec_b": ids[jj[keep]],
+                "cos_sim": sims[ii[keep], jj[keep]],
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )

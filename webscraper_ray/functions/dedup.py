@@ -62,6 +62,7 @@ __all__ = [
     "simhash64",
     "simhash_dups",
     "ngram_jaccard",
+    "ngram_near_dups",
     "N_HASHES",
     "N_BANDS",
 ]
@@ -175,26 +176,13 @@ def _band_hashes(sig_row: np.ndarray) -> list[str]:
     return out
 
 
-def minhash_near_dups(
-    ds: "ray.data.Dataset",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    jaccard_threshold: float = 0.8,
-) -> pa.Table:
-    """Near-duplicate pairs ``(doc_a, doc_b, est_jaccard)`` with
-    ``doc_a < doc_b`` and signature-agreement estimate >= threshold.
 
-    Scale shape:
-    - signature stage: map-only, vectorized; ships (doc_id, 16 band rows
-      of ~24 B) — the 512-B signature itself never enters the shuffle.
-    - candidates: partitioned self-join on (band_id, band_hash) — an
-      all-to-all of band rows only; a hot band key concentrates on one
-      partition (salt hot keys upstream if a corpus has giant clusters).
-    - estimate: the candidate pair set is OUTPUT-sized (near-dups plus
-      band false positives), so pairs and the signatures of only the
-      involved docs are collected and compared vectorized; nothing
-      corpus-proportional reaches the driver.
-    """
+def _band_candidates(
+    ds: "ray.data.Dataset", id_col: str, text_col: str
+) -> "tuple":
+    """Shared LSH candidate stage: band rows -> partitioned self-join on
+    the band key -> distinct (doc_a < doc_b) pairs. Only the OUTPUT-sized
+    pair set is collected; band rows are the sole shuffle payload."""
     import ray
 
     import pyarrow.compute as pc
@@ -221,11 +209,10 @@ def minhash_near_dups(
 
     bands = ds.map_batches(band_rows, batch_format="pyarrow")
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    nparts = max(2, min(16, cpus // 2))
     joined = bands.join(
         bands,
         "inner",
-        num_partitions=nparts,
+        num_partitions=max(2, min(16, cpus // 2)),
         on=("band_id", "band_hash"),
         left_suffix="_a",
         right_suffix="_b",
@@ -243,6 +230,34 @@ def minhash_near_dups(
         .select_columns([a_col, b_col])
         .to_pandas()
     )
+    return pairs, a_col, b_col
+
+
+def minhash_near_dups(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+) -> pa.Table:
+    """Near-duplicate pairs ``(doc_a, doc_b, est_jaccard)`` with
+    ``doc_a < doc_b`` and signature-agreement estimate >= threshold.
+
+    Scale shape:
+    - signature stage: map-only, vectorized; ships (doc_id, 16 band rows
+      of ~24 B) — the 512-B signature itself never enters the shuffle.
+    - candidates: partitioned self-join on (band_id, band_hash) — an
+      all-to-all of band rows only; a hot band key concentrates on one
+      partition (salt hot keys upstream if a corpus has giant clusters).
+    - estimate: the candidate pair set is OUTPUT-sized (near-dups plus
+      band false positives), so pairs and the signatures of only the
+      involved docs are collected and compared vectorized; nothing
+      corpus-proportional reaches the driver.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    pairs, a_col, b_col = _band_candidates(ds, id_col, text_col)
     if len(pairs) == 0:
         return pa.table(
             {
@@ -361,3 +376,83 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     if not a and not b:
         return 1.0
     return len(a & b) / max(1, len(a | b))
+
+
+def ngram_near_dups(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+) -> pa.Table:
+    """Exact-Jaccard near-dup pairs ``(doc_a, doc_b, jaccard)``.
+
+    Same scale shape as :func:`minhash_near_dups` — LSH band candidates,
+    never all-pairs — but the verify step computes the TRUE distinct-
+    3-shingle Jaccard of each candidate pair (vectorized
+    ``np.intersect1d`` over per-doc sorted shingle-hash arrays) instead
+    of the signature estimate. Only the output-sized candidate set's
+    shingle arrays are gathered.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    pairs, a_col, b_col = _band_candidates(ds, id_col, text_col)
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if len(pairs) == 0:
+        return empty
+    involved = np.unique(np.concatenate([pairs[a_col].values, pairs[b_col].values]))
+    inv_ref = ray.put(involved)
+
+    def shingle_arrays(batch: pa.Table, ref=inv_ref) -> pa.Table:
+        import ray as _ray
+
+        inv = _ray.get(ref)
+        kept = batch.filter(pc.is_in(batch.column(id_col), value_set=pa.array(inv)))
+        ids, arrays = [], []
+        for doc, text in zip(
+            kept.column(id_col).to_pylist(), kept.column(text_col).to_pylist()
+        ):
+            sh = _shingles(text or "")
+            if not sh:
+                continue
+            ids.append(doc)
+            arrays.append(
+                np.sort(np.fromiter((md5_u64(s) for s in sh), dtype=np.uint64))
+            )
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "hashes": pa.array([a.tobytes() for a in arrays], pa.binary()),
+            }
+        )
+
+    tbl = ds.map_batches(shingle_arrays, batch_format="pyarrow").to_pandas()
+    by_id = {
+        d: np.frombuffer(h, dtype=np.uint64) for d, h in zip(tbl[id_col], tbl["hashes"])
+    }
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(pairs[a_col], pairs[b_col]):
+        ha, hb = by_id.get(a), by_id.get(b)
+        if ha is None or hb is None:
+            continue
+        inter = np.intersect1d(ha, hb, assume_unique=True).size
+        jac = inter / (ha.size + hb.size - inter)
+        if jac >= jaccard_threshold:
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_j.append(jac)
+    order = np.lexsort((out_b, out_a))
+    return pa.table(
+        {
+            "doc_a": pa.array(np.array(out_a)[order] if out_a else [], pa.int64()),
+            "doc_b": pa.array(np.array(out_b)[order] if out_b else [], pa.int64()),
+            "jaccard": pa.array(np.array(out_j)[order] if out_j else [], pa.float64()),
+        }
+    )

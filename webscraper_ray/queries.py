@@ -673,10 +673,11 @@ def q_dedup_minhash(sf_dir: str):
     return minhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
-def _sql_dedup_minhash() -> str:
-    """Generated oracle: 64 xor-permutation minima, 16 band keys,
-    band-join candidates, signature-agreement estimate >= 0.8 — the same
-    contract as :func:`webscraper_ray.functions.dedup.minhash_near_dups`."""
+def _sql_band_ctes() -> str:
+    """Shared generated CTE chain toks->sh->h->sig->bands->pairs: the
+    LSH candidate stage of :func:`~webscraper_ray.functions.dedup`
+    reproduced in SQL (64 xor-permutation minima, 16 band keys,
+    band-join candidate pairs)."""
     from .functions.dedup import _XOR_C, N_BANDS, N_HASHES
 
     rows_per_band = N_HASHES // N_BANDS
@@ -694,11 +695,7 @@ def _sql_dedup_minhash() -> str:
             f"SELECT doc_id, {b} AS band_id, substr(md5({concat}), 1, 16) AS band_hash FROM sig"
         )
     bands = "\n  UNION ALL\n  ".join(band_selects)
-    agree = " + ".join(
-        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
-    )
-    return rf"""
-WITH toks AS (
+    return rf"""toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                      x -> x <> '') AS t
@@ -723,7 +720,20 @@ pairs AS (
   FROM bands a
   JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
               AND a.doc_id < b.doc_id
-),
+)"""
+
+
+def _sql_dedup_minhash() -> str:
+    """Generated oracle: band candidates + signature-agreement estimate
+    >= 0.8 — the contract of
+    :func:`webscraper_ray.functions.dedup.minhash_near_dups`."""
+    from .functions.dedup import N_HASHES
+
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    return rf"""
+WITH {_sql_band_ctes()},
 est AS (
   SELECT p.doc_a, p.doc_b, ({agree}) / 64.0 AS est_jaccard
   FROM pairs p
@@ -731,6 +741,67 @@ est AS (
   JOIN sig sb ON sb.doc_id = p.doc_b
 )
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.8
+"""
+
+
+def q_dedup_ngram(sf_dir: str):
+    """Exact n-gram-Jaccard near-dup pairs — LSH band candidates, TRUE
+    distinct-3-shingle Jaccard verify (the brief's ngram-Jaccard dedup as
+    a first-class query; never corpus-wide all-pairs)."""
+    from .functions.dedup import ngram_near_dups
+
+    return ngram_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _sql_dedup_ngram() -> str:
+    return rf"""
+WITH {_sql_band_ctes()},
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT x.doc_a, x.doc_b,
+       x.i * 1.0 / (ca.n + cb.n - x.i) AS jaccard
+FROM inter x
+JOIN counts ca ON ca.doc_id = x.doc_a
+JOIN counts cb ON cb.doc_id = x.doc_b
+WHERE x.i * 1.0 / (ca.n + cb.n - x.i) >= 0.8
+"""
+
+
+def q_dedup_embed(sf_dir: str):
+    """Embedding-cosine near-dup pairs: hyperplane-LSH buckets + in-bucket
+    pairwise cosine (threshold 0.4, 2 bits at this scale)."""
+    from .functions.ann import embed_cosine_dups
+
+    return embed_cosine_dups(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
+def _sql_dedup_embed(threshold: float = 0.4, bits: int = 2, dim: int = 64) -> str:
+    from .functions.ann import _plane_matrix
+
+    planes = _plane_matrix(dim, bits, salt=b"embed-dedup")
+    terms = []
+    for i in range(bits):
+        consts = ", ".join(repr(float(v)) for v in planes[:, i])
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{consts}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH eb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {threshold}
 """
 
 
@@ -1031,6 +1102,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_embed": q_dedup_embed,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -1062,6 +1135,8 @@ ORACLE_SQL = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "dedup_minhash": _sql_dedup_minhash(),
     "dedup_simhash": _sql_dedup_simhash(),
+    "dedup_ngram": _sql_dedup_ngram(),
+    "dedup_embed": _sql_dedup_embed(),
     "lang_id": _sql_lang_id(),
     "fingerprint": SQL_FINGERPRINT,
     # every registered query is oracle-gated: the sketch/LSH operators use
