@@ -101,3 +101,42 @@ def test_quality_scores_rounding_matches_sql_semantics():
     assert out["mean_token_len"] == [2.6667]
     assert out["punct_ratio"] == [round(2 / 10, 4)]
     assert out["upper_ratio"] == [round(3 / 10, 4)]
+
+
+def test_embed_cosine_dups_finds_planted_neighbors(ray_session):
+    import ray.data
+
+    from webscraper_ray.functions.ann import embed_cosine_dups
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(64)
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": (base + 0.05 * rng.standard_normal(64)).tolist()},
+    ]
+    rows += [
+        {"vec_id": 10 + i, "embedding": rng.standard_normal(64).tolist()}
+        for i in range(30)
+    ]
+    ds = ray.data.from_items(rows)
+    out = embed_cosine_dups(ds, threshold=0.9, bits=2, dim=64).to_pandas()
+    assert ((out.vec_a == 0) & (out.vec_b == 1)).any()
+    assert (out.cos_sim >= 0.9).all()
+
+
+def test_ngram_near_dups_exact_jaccard(ray_session):
+    import ray.data
+
+    from webscraper_ray.functions.dedup import ngram_jaccard, ngram_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank "
+    rows = [{"doc_id": 0, "text": base * 6}, {"doc_id": 1, "text": base * 6 + "extra"}]
+    rows += [
+        {"doc_id": 10 + i, "text": " ".join(f"tok{i}_{j}" for j in range(40))}
+        for i in range(10)
+    ]
+    out = ngram_near_dups(ray.data.from_items(rows)).to_pandas()
+    assert len(out) == 1 and out.doc_a[0] == 0 and out.doc_b[0] == 1
+    # the reported jaccard IS the exact shingle jaccard
+    want = ngram_jaccard(rows[0]["text"], rows[1]["text"])
+    assert abs(out.jaccard[0] - want) < 1e-12
