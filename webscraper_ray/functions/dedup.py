@@ -212,7 +212,7 @@ def _band_candidates(
     joined = bands.join(
         bands,
         "inner",
-        num_partitions=max(2, min(16, cpus // 2)),
+        num_partitions=max(2, min(8, cpus // 2)),
         on=("band_id", "band_hash"),
         left_suffix="_a",
         right_suffix="_b",

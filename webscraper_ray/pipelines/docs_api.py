@@ -99,7 +99,7 @@ def latest_docs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     joined = _pack_meta(docs).join(
         winners,
         "inner",
-        num_partitions=max(2, min(16, cpus // 2)),
+        num_partitions=max(2, min(8, cpus // 2)),
         on=("id",),
     )
     return _unpack_meta(joined)

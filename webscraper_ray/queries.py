@@ -61,7 +61,7 @@ def _join_partitions() -> int:
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2, min(16, cpus // 2))
+    return max(2, min(8, cpus // 2))
 
 
 # ---------------------------------------------------------------------------
