@@ -82,3 +82,14 @@ def test_entry_contract(ray_session):
     q, o = __ray_entry__.queries(), __ray_entry__.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 15
+
+
+def test_regional_revenue_join_plan_matches_broadcast_plan(ray_session, duck):
+    """The size-based planner's two physical plans (broadcast dict vs
+    partitioned Dataset.join) must produce identical results; the join
+    path is forced by setting the broadcast threshold to zero."""
+    from webscraper_ray.queries import ORACLE_SQL, q_regional_revenue
+
+    joined = _normalize(q_regional_revenue(SF, broadcast_max_rows=0).to_pandas())
+    want = _normalize(duck.execute(ORACLE_SQL["regional_revenue"]).df())
+    pd.testing.assert_frame_equal(joined, want, check_dtype=False, atol=1e-9)

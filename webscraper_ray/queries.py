@@ -392,56 +392,126 @@ LIMIT 10
 """
 
 
-def q_regional_revenue(sf_dir: str):
-    """Multi-join with BROADCAST dimension tables (J3; ray_guide joins):
-    region⨝nation⨝supplier are tiny -> composed driver-side into a
-    suppkey->region dict, broadcast into the lineitem scan; only ONE
-    groupby('region') over small partials shuffles."""
+# broadcast-vs-join planning threshold: a build side under this many rows
+# is broadcast (ray.put once, vectorized lookup per batch); anything larger
+# takes the partitioned Dataset.join path. Row counts come from parquet
+# metadata — a size-based decision, not a guess.
+BROADCAST_MAX_ROWS = 1_000_000
+
+
+def q_regional_revenue(sf_dir: str, broadcast_max_rows: int | None = None):
+    """Multi-join pushing aggregation below every join (J3):
+
+    1. lineitem revenue pre-aggregated per batch BY SUPPKEY (exact
+       cents), then a groupby(suppkey) — the shuffle carries one row per
+       (suppkey, batch), never lineitem rows
+    2. ⨝ supplier on suppkey: SIZE-BASED plan. supplier is
+       fact-proportional (1% of lineitem), so a driver-side broadcast
+       dict (the round-1 version) dies at 100-TB scale — but at small
+       scale a partitioned join pays ~3 s of all-to-all floor for
+       nothing. The planner reads supplier's row count from parquet
+       metadata: under ``BROADCAST_MAX_ROWS`` it broadcasts the
+       (suppkey -> region) map; over it, it runs the partitioned
+       ``Dataset.join``. Both paths are tested for identical results.
+    3. nation⨝region ARE genuinely tiny (25 + 5 rows): composed into a
+       nationkey->region dict and broadcast either way
+    4. tiny groupby(region) over |supplier|-bounded partial rows
+    """
     import ray
 
+    nparts = _join_partitions()
+    limit = BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
     region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pylist()
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pylist()
-    supplier = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
-    ).to_pylist()
     region_by_key = {r["r_regionkey"]: r["r_name"] for r in region}
     region_by_nation = {n["n_nationkey"]: region_by_key[n["n_regionkey"]] for n in nation}
-    region_by_supp = {
-        s["s_suppkey"]: region_by_nation[s["s_nationkey"]] for s in supplier
-    }
-    supp_ref = ray.put(region_by_supp)
+    nation_ref = ray.put(region_by_nation)
 
-    def partial(t: pa.Table, ref=supp_ref) -> pa.Table:
-        import ray as _ray
-
-        lookup = _ray.get(ref)
-        supp = t.column("l_suppkey").to_pylist()
-        regions = [lookup.get(s, "") for s in supp]
+    def partial(t: pa.Table) -> pa.Table:
         rev = pc.multiply(
             _cents(t.column("l_extendedprice")),
             pc.subtract(pa.scalar(100, pa.int64()), _cents(t.column("l_discount"))),
         )
-        tt = pa.table({"r_name": pa.array(regions, pa.string()), "rev_c4": rev})
-        return tt.group_by("r_name").aggregate([("rev_c4", "sum")]).rename_columns(
-            ["r_name", "rev_c4"]
+        tt = pa.table({"l_suppkey": t.column("l_suppkey"), "rev_c4": rev})
+        return tt.group_by("l_suppkey").aggregate([("rev_c4", "sum")]).rename_columns(
+            ["l_suppkey", "rev_c4"]
         )
 
-    return (
-        _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("r_name")
-        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "r_name": t.column("r_name"),
-                    "revenue": pc.divide(
-                        t.column("rev_c4").cast(pa.float64()), 10_000.0
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
+    line = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    supp_path = os.path.join(sf_dir, "supplier.parquet")
+    n_suppliers = pq.read_metadata(supp_path).num_rows
+
+    if n_suppliers <= limit:
+        # broadcast plan: suppkey -> region dict, applied inside the
+        # per-batch partial aggregation; ONE tiny groupby(region) shuffles
+        supplier = pq.read_table(
+            supp_path, columns=["s_suppkey", "s_nationkey"]
+        ).to_pylist()
+        region_by_supp = {
+            s["s_suppkey"]: region_by_nation[s["s_nationkey"]] for s in supplier
+        }
+        supp_ref = ray.put(region_by_supp)
+
+        def partial_bcast(t: pa.Table, ref=supp_ref) -> pa.Table:
+            import ray as _ray
+
+            lookup = _ray.get(ref)
+            regions = [lookup.get(s, "") for s in t.column("l_suppkey").to_pylist()]
+            rev = pc.multiply(
+                _cents(t.column("l_extendedprice")),
+                pc.subtract(pa.scalar(100, pa.int64()), _cents(t.column("l_discount"))),
+            )
+            tt = pa.table({"r_name": pa.array(regions, pa.string()), "rev_c4": rev})
+            return tt.group_by("r_name").aggregate([("rev_c4", "sum")]).rename_columns(
+                ["r_name", "rev_c4"]
+            )
+
+        agg = (
+            line.map_batches(partial_bcast, batch_format="pyarrow")
+            .groupby("r_name")
+            .aggregate(Sum("rev_c4", alias_name="rev_c4"))
         )
+    else:
+        # join plan: partial agg by suppkey, partitioned join, tiny-dim map
+        supp_rev = (
+            line.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_suppkey")
+            .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+            .join(
+                _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+                "inner",
+                num_partitions=nparts,
+                on=("l_suppkey",),
+                right_on=("s_suppkey",),
+            )
+        )
+
+        def to_region(t: pa.Table, ref=nation_ref) -> pa.Table:
+            import ray as _ray
+
+            lookup = _ray.get(ref)
+            regions = [lookup.get(k, "") for k in t.column("s_nationkey").to_pylist()]
+            tt = pa.table(
+                {"r_name": pa.array(regions, pa.string()), "rev_c4": t.column("rev_c4")}
+            )
+            return tt.group_by("r_name").aggregate([("rev_c4", "sum")]).rename_columns(
+                ["r_name", "rev_c4"]
+            )
+
+        agg = (
+            supp_rev.map_batches(to_region, batch_format="pyarrow")
+            .groupby("r_name")
+            .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+        )
+
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "r_name": t.column("r_name"),
+                "revenue": pc.divide(t.column("rev_c4").cast(pa.float64()), 10_000.0),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
