@@ -527,17 +527,22 @@ GROUP BY r.r_name
 """
 
 
-def q_order_priority(sf_dir: str):
+def q_order_priority(sf_dir: str, broadcast_max_rows: int | None = None):
     """Semi-join (EXISTS) + grouped count — TPC-H Q4 shape.
 
-    Distributed semi-join: per-batch DISTINCT of late orderkeys
-    (vectorized filter + pc.unique partials), a tiny groupby to global
-    distinct, then a partitioned hash join against orders. In TPC-H most
-    orders qualify, so the existence set is O(|orders|) — it never
-    touches the driver (the round-1 version collected it into a Python
-    set: the audited scale-killer).
+    The existence set (orderkeys with a late lineitem) is O(|orders|) in
+    TPC-H, so the physical plan is SIZE-BASED like regional_revenue:
+    under ``BROADCAST_MAX_ROWS`` orders (parquet metadata), the distinct
+    late keys are collected once as a numpy array, broadcast, and applied
+    with a vectorized ``pc.is_in`` mask (driver memory bounded by the
+    threshold constant, not the input); above it, the distinct keys stay
+    distributed and semi-join orders through a partitioned
+    ``Dataset.join``. Both plans are pinned to identical results in
+    tests. (Round 1 collected the set into a Python dict with per-row
+    ``in`` loops UNCONDITIONALLY — the audited scale-killer.)
     """
     nparts = _join_partitions()
+    limit = BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
 
     def partial_keys(t: pa.Table) -> pa.Table:
@@ -545,15 +550,37 @@ def q_order_priority(sf_dir: str):
         late = t.filter(pc.greater(t.column("l_shipdate"), cutoff))
         return pa.table({"l_orderkey": pc.unique(late.column("l_orderkey"))})
 
+    partials = line.map_batches(partial_keys, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+
+    if n_orders <= limit:
+        import ray
+
+        keys = np.unique(partials.to_pandas()["l_orderkey"].to_numpy())
+        keys_ref = ray.put(keys)
+
+        def member(t: pa.Table, ref=keys_ref) -> pa.Table:
+            import ray as _ray
+
+            k = _ray.get(ref)
+            return t.filter(
+                pc.is_in(t.column("o_orderkey"), value_set=pa.array(k))
+            )
+
+        return (
+            orders.map_batches(member, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n_orders"))
+        )
+
     late_keys = (
-        line.map_batches(partial_keys, batch_format="pyarrow")
-        .groupby("l_orderkey")
+        partials.groupby("l_orderkey")
         .aggregate(Count(alias_name="_n"))
         .select_columns(["l_orderkey"])
     )
     return (
-        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-        .join(
+        orders.join(
             late_keys,
             "inner",
             num_partitions=nparts,
