@@ -20,6 +20,7 @@ so pipeline and oracle agree by construction. Validity mirrors
 
 from __future__ import annotations
 
+from functools import lru_cache
 from urllib.parse import urlsplit, parse_qsl, quote, urlencode
 
 __all__ = ["is_valid_url", "canonicalize", "host_of"]
@@ -46,8 +47,13 @@ def is_valid_url(url: object) -> bool:
     return bool(parts.netloc)
 
 
+@lru_cache(maxsize=65536)
 def canonicalize(url: str) -> str:
     """crawlee-style uniqueKey normalization of ``url``.
+
+    Memoized (pure function of the string): dense link graphs repeat the
+    same outlink across many pages of a batch, and canonicalization is a
+    measured hot path of both the extract stage and the route stage.
 
     Steps (documented contract; both pipeline and oracle use this single
     implementation):
