@@ -140,3 +140,19 @@ def test_ngram_near_dups_exact_jaccard(ray_session):
     # the reported jaccard IS the exact shingle jaccard
     want = ngram_jaccard(rows[0]["text"], rows[1]["text"])
     assert abs(out.jaccard[0] - want) < 1e-12
+
+
+def test_simhash_near_dups_finds_close_sketches(ray_session):
+    import ray.data
+
+    from webscraper_ray.functions.dedup import simhash_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": base + "tail word"}]
+    rows += [
+        {"doc_id": 10 + i, "text": " ".join(f"w{i}_{j}" for j in range(60))}
+        for i in range(15)
+    ]
+    out = simhash_near_dups(ray.data.from_items(rows)).to_pandas()
+    assert ((out.doc_a == 0) & (out.doc_b == 1)).any()
+    assert (out.hamming <= 3).all()

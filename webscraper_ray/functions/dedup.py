@@ -369,6 +369,97 @@ def simhash_dups(
     )
 
 
+def simhash_near_dups(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+) -> "ray.data.Dataset":
+    """Near-dup pairs by simhash hamming distance <= ``max_hamming``.
+
+    The classic rotated-prefix LSH for hamming space: ``n_tables`` views
+    of the 64-bit sketch, each rotated by 16 bits, bucketed on the
+    leading 16 bits — a pair within hamming k collides in some table
+    unless its differing bits straddle every rotation window. Candidates
+    come from a partitioned self-join on (table, prefix); the hamming
+    verify is a vectorized xor + popcount over the candidate batch. The
+    shuffle payload is (table_id, 4-hex prefix, doc_id, 16-hex sketch) —
+    constant-size rows. Output: (doc_a, doc_b, hamming), distinct.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    def sketch_rows(batch: pa.Table) -> pa.Table:
+        hashes = simhash_batch(batch.column(text_col).to_pylist())
+        ids = batch.column(id_col).to_pylist()
+        t_ids, prefixes, out_ids, sketches = [], [], [], []
+        for doc, h in zip(ids, hashes):
+            hx = f"{int(h):016x}"
+            rolled = hx + hx
+            for t in range(n_tables):
+                t_ids.append(t)
+                prefixes.append(rolled[4 * t : 4 * t + 4])
+                out_ids.append(doc)
+                sketches.append(hx)
+        return pa.table(
+            {
+                "table_id": pa.array(t_ids, pa.int32()),
+                "prefix": pa.array(prefixes, pa.string()),
+                id_col: pa.array(out_ids),
+                "simhash": pa.array(sketches, pa.string()),
+            }
+        )
+
+    rows = ds.map_batches(sketch_rows, batch_format="pyarrow")
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    joined = rows.join(
+        rows,
+        "inner",
+        num_partitions=max(2, min(8, cpus // 2)),
+        on=("table_id", "prefix"),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+    a_col, b_col = f"{id_col}_a", f"{id_col}_b"
+
+    def verify(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column(a_col), t.column(b_col)))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        a = np.array(
+            [int(h, 16) for h in t.column("simhash_a").to_pylist()], dtype=np.uint64
+        )
+        b = np.array(
+            [int(h, 16) for h in t.column("simhash_b").to_pylist()], dtype=np.uint64
+        )
+        diff = np.bitwise_xor(a, b)
+        ham = np.unpackbits(diff.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pc.take(t.column(a_col), pa.array(np.flatnonzero(keep), pa.int64())),
+                "doc_b": pc.take(t.column(b_col), pa.array(np.flatnonzero(keep), pa.int64())),
+                "hamming": pa.array(ham[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    return (
+        joined.map_batches(verify, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     """Exact k-shingle Jaccard — the verifier used inside LSH buckets.
     Docs without shingles compare equal only to other empty docs."""

@@ -908,7 +908,9 @@ def q_dedup_simhash(sf_dir: str):
     return simhash_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
-def _sql_dedup_simhash() -> str:
+def _sql_simhash_ctes() -> str:
+    """Shared CTE chain toks->tok->th->votes->sk->all_docs computing the
+    64-bit simhash hex per document."""
     votes = ",\n         ".join(
         f"sum(CASE WHEN ((h >> {j}) & (1::UBIGINT)) = 1 THEN 1 ELSE -1 END) AS v{j}"
         for j in range(64)
@@ -917,8 +919,7 @@ def _sql_dedup_simhash() -> str:
         f"(CASE WHEN v{j} > 0 THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
         for j in range(64)
     )
-    return rf"""
-WITH toks AS (
+    return rf"""toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                      x -> x <> '') AS t
@@ -937,9 +938,45 @@ all_docs AS (
          coalesce(lpad(lower(hex(sk.sh)), 16, '0'),
                   '0000000000000000') AS simhash
   FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id
-)
+)"""
+
+
+def _sql_dedup_simhash() -> str:
+    return rf"""
+WITH {_sql_simhash_ctes()}
 SELECT simhash, min(doc_id) AS doc_id, count(*) AS n_docs
 FROM all_docs GROUP BY simhash
+"""
+
+
+def q_dedup_simhash_near(sf_dir: str):
+    """Simhash near-dup pairs (hamming <= 3) via rotated-prefix LSH —
+    the hamming-space bucketing the sketch exists for, gated exactly by
+    a generated oracle (hex-string rotations + bit_count)."""
+    from .functions.dedup import simhash_near_dups
+
+    return simhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _sql_dedup_simhash_near(max_hamming: int = 3, n_tables: int = 4) -> str:
+    tables = ", ".join(f"({t})" for t in range(n_tables))
+    return rf"""
+WITH {_sql_simhash_ctes()},
+rot AS (
+  SELECT doc_id, simhash, t.table_id,
+         substr(simhash || simhash, 1 + 4 * t.table_id, 4) AS prefix
+  FROM all_docs, (VALUES {tables}) t(table_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(('0x' || a.simhash)::UBIGINT,
+                       ('0x' || b.simhash)::UBIGINT)) AS hamming
+  FROM rot a
+  JOIN rot b ON a.table_id = b.table_id AND a.prefix = b.prefix
+            AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= {max_hamming}
 """
 
 
@@ -1201,6 +1238,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
     "dedup_embed": q_dedup_embed,
+    "dedup_simhash_near": q_dedup_simhash_near,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -1234,6 +1272,7 @@ ORACLE_SQL = {
     "dedup_simhash": _sql_dedup_simhash(),
     "dedup_ngram": _sql_dedup_ngram(),
     "dedup_embed": _sql_dedup_embed(),
+    "dedup_simhash_near": _sql_dedup_simhash_near(),
     "lang_id": _sql_lang_id(),
     "fingerprint": SQL_FINGERPRINT,
     # every registered query is oracle-gated: the sketch/LSH operators use
