@@ -14,7 +14,7 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["tumbling_counts", "sessionize"]
+__all__ = ["tumbling_counts", "hopping_counts", "sessionize"]
 
 
 def tumbling_counts(ds: "ray.data.Dataset", hours: int = 1) -> "ray.data.Dataset":
@@ -67,6 +67,73 @@ def tumbling_counts(ds: "ray.data.Dataset", hours: int = 1) -> "ray.data.Dataset
                 "sum_value": pc.divide(
                     t.column("value_c").cast(pa.float64()), 100.0
                 ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_c", alias_name="value_c"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def hopping_counts(
+    ds: "ray.data.Dataset", size_minutes: int = 60, hop_minutes: int = 30
+) -> "ray.data.Dataset":
+    """Overlapping (hopping) windows: each event lands in
+    ``size/hop`` windows whose starts are the hop-aligned times in
+    ``(ts - size, ts]``. Same partial-aggregation discipline as the
+    tumbling window — events fan out to (type, window, partial) rows
+    per batch and only those shuffle.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    size_us = size_minutes * 60_000_000
+    hop_us = hop_minutes * 60_000_000
+    fanout = size_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        value_c = (
+            pc.round(pc.multiply(batch.column("value"), pa.scalar(100.0)))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        types = batch.column("event_type")
+        # latest hop-aligned start <= ts, then the fanout-1 earlier hops
+        base = (ts // hop_us) * hop_us
+        starts = base[:, None] - np.arange(fanout, dtype=np.int64)[None, :] * hop_us
+        n = len(ts)
+        t = pa.table(
+            {
+                "event_type": pc.take(
+                    types, pa.array(np.repeat(np.arange(n), fanout), pa.int64())
+                ),
+                "window_start": pa.array(starts.reshape(-1), pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "value_c": pa.array(np.repeat(value_c, fanout), pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("value_c", "count"), ("value_c", "sum")]
+        )
+        return g.rename_columns(["event_type", "window_start", "n_events", "value_c"])
+
+    from ray.data.aggregate import Sum
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start": t.column("window_start").cast(pa.timestamp("us")),
+                "n_events": t.column("n_events"),
+                "sum_value": pc.divide(t.column("value_c").cast(pa.float64()), 100.0),
             }
         )
 

@@ -1199,6 +1199,36 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_hopping_window(sf_dir: str):
+    """Overlapping (hopping) windows — size 60 min, hop 30 min: each
+    event fans out to 2 windows; partials pre-aggregate per batch."""
+    from .functions.windows import hopping_counts
+
+    return hopping_counts(
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+    )
+
+
+def _sql_hopping_window(size_min: int = 60, hop_min: int = 30) -> str:
+    hop_us = hop_min * 60_000_000
+    fanout = size_min // hop_min
+    offs = ", ".join(f"({k})" for k in range(fanout))
+    return f"""
+WITH offs(k) AS (VALUES {offs}),
+ev AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+)
+SELECT event_type,
+       make_timestamp((us // {hop_us}) * {hop_us} - k * {hop_us}) AS window_start,
+       count(*) AS n_events,
+       sum(vc) / 100.0 AS sum_value
+FROM ev, offs
+GROUP BY 1, 2
+"""
+
+
 def q_sessionize(sf_dir: str):
     return sessionize(_read(sf_dir, "events", ["user_id", "ts"]))
 
@@ -1246,6 +1276,7 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "tumbling_window": q_tumbling_window,
+    "hopping_window": q_hopping_window,
     "sessionize": q_sessionize,
 }
 
@@ -1266,6 +1297,7 @@ ORACLE_SQL = {
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_lsh": _sql_ann_lsh(),
     "tumbling_window": SQL_TUMBLING_WINDOW,
+    "hopping_window": _sql_hopping_window(),
     "sessionize": SQL_SESSIONIZE,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "dedup_minhash": _sql_dedup_minhash(),
