@@ -15,7 +15,9 @@ import ray.data
 
 __all__ = [
     "token_stats",
+    "bpe_token_stats",
     "quality_scores",
+    "quality_keep",
     "lang_id_ngram",
     "fingerprint_rolling",
 ]
@@ -54,6 +56,29 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+# GPT2-style pre-tokenizer, ASCII subset (the SQL contract runs the same
+# pattern through DuckDB's RE2): contractions, space-prefixed letter runs,
+# digit runs, punctuation runs.
+_BPE_ISH = re.compile(r"'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+")
+
+
+def bpe_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, n_tokens, n_bpe_tokens): whitespace count plus a BPE-ish
+    pre-tokenizer count (task brief: token counting 'whitespace + a
+    BPE-ish regex') — the second is what an LLM-ingest budget actually
+    tracks; ratio of the two is a compressibility signal."""
+    texts = [t or "" for t in batch.column(text_col).to_pylist()]
+    ws = [len(t.split()) for t in texts]
+    bpe = [len(_BPE_ISH.findall(t)) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(ws, pa.int64()),
+            "n_bpe_tokens": pa.array(bpe, pa.int64()),
+        }
+    )
+
+
 def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Deterministic quality components per doc:
 
@@ -84,6 +109,37 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "upper_ratio": pa.array(upper, pa.float64()),
         }
     )
+
+
+# composite keep-policy thresholds (the downstream filter the quality
+# components exist for; Gopher-rule-style shape on the available signals)
+KEEP_MIN_TOKENS = 20
+KEEP_MEAN_TOKEN_LEN = (2.0, 12.0)
+KEEP_MAX_PUNCT = 0.10
+KEEP_MAX_UPPER = 0.30
+
+
+def quality_keep(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, keep): the composite quality filter — keep iff the doc
+    has enough tokens, a sane mean token length, and is not punctuation-
+    or caps-dominated. Vectorized over the quality components."""
+    import pyarrow.compute as pc
+
+    s = quality_scores(batch, text_col)
+    keep = pc.and_(
+        pc.and_(
+            pc.greater_equal(s.column("n_tokens"), KEEP_MIN_TOKENS),
+            pc.and_(
+                pc.greater_equal(s.column("mean_token_len"), KEEP_MEAN_TOKEN_LEN[0]),
+                pc.less_equal(s.column("mean_token_len"), KEEP_MEAN_TOKEN_LEN[1]),
+            ),
+        ),
+        pc.and_(
+            pc.less_equal(s.column("punct_ratio"), KEEP_MAX_PUNCT),
+            pc.less_equal(s.column("upper_ratio"), KEEP_MAX_UPPER),
+        ),
+    )
+    return pa.table({"doc_id": s.column("doc_id"), "keep": keep})
 
 
 def lang_id_ngram(batch: pa.Table, text_col: str = "text") -> pa.Table:

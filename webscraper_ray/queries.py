@@ -1018,6 +1018,56 @@ FROM documents
 """
 
 
+def q_bpe_token_stats(sf_dir: str):
+    """Token counting, whitespace + BPE-ish pre-tokenizer (task brief):
+    the same ASCII GPT2-style pattern runs through DuckDB's RE2."""
+    from .functions.textstats import bpe_token_stats
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        bpe_token_stats, batch_format="pyarrow"
+    )
+
+
+SQL_BPE_TOKEN_STATS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       len(regexp_extract_all(text,
+           '''[sdmt]|''ll|''ve|''re| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+           AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_quality_keep(sf_dir: str):
+    """Composite quality keep-policy over the score components."""
+    from .functions.textstats import quality_keep
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_keep, batch_format="pyarrow"
+    )
+
+
+def _sql_quality_keep() -> str:
+    from .functions.textstats import (
+        KEEP_MAX_PUNCT,
+        KEEP_MAX_UPPER,
+        KEEP_MEAN_TOKEN_LEN,
+        KEEP_MIN_TOKENS,
+    )
+
+    return f"""
+WITH s AS ({SQL_QUALITY_SCORES})
+SELECT doc_id,
+       (n_tokens >= {KEEP_MIN_TOKENS}
+        AND mean_token_len >= {KEEP_MEAN_TOKEN_LEN[0]}
+        AND mean_token_len <= {KEEP_MEAN_TOKEN_LEN[1]}
+        AND punct_ratio <= {KEEP_MAX_PUNCT}
+        AND upper_ratio <= {KEEP_MAX_UPPER}) AS keep
+FROM s
+"""
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-vote language ID — deterministic, gated by a DuckDB
     list-op oracle (distinct-token ∩ stopword-list sizes, ties in table
@@ -1270,7 +1320,9 @@ QUERIES = {
     "dedup_embed": q_dedup_embed,
     "dedup_simhash_near": q_dedup_simhash_near,
     "token_stats": q_token_stats,
+    "bpe_token_stats": q_bpe_token_stats,
     "quality_scores": q_quality_scores,
+    "quality_keep": q_quality_keep,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ann_bruteforce": q_ann_bruteforce,
@@ -1293,7 +1345,9 @@ ORACLE_SQL = {
     "mktsegment_counts": SQL_MKTSEGMENT_COUNTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_stats": SQL_TOKEN_STATS,
+    "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
+    "quality_keep": _sql_quality_keep(),
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_lsh": _sql_ann_lsh(),
     "tumbling_window": SQL_TUMBLING_WINDOW,
