@@ -82,7 +82,8 @@ def test_lang_fixture_independent_and_consistent():
 
     fixture = os.path.join(os.path.dirname(opkg.__file__), "languages_fixture.json")
     with open(fixture, encoding="utf-8") as f:
-        rows = [tuple(r) for r in json.load(f)]
+        obj = json.load(f)
+    rows = [(iso1, v[0], v[1], v[2]) for iso1, v in obj.items()]
     assert len(rows) == 158
     assert rows == [tuple(r) for r in LANGUAGES]
 

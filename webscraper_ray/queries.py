@@ -149,9 +149,9 @@ def _fixture_lang_sql_values() -> str:
 
     fixture = os.path.join(os.path.dirname(__file__), "oracle", "languages_fixture.json")
     with open(fixture, encoding="utf-8") as f:
-        table = json.load(f)
+        table = json.load(f)  # {iso1: [iso3, english, native]}, insertion-ordered
     rows, emitted = [], set()
-    for iso1, iso3, en, native in table:
+    for iso1, (iso3, en, native) in table.items():
         for key in (iso1, iso3, en.lower(), native.lower()):
             if key not in emitted:
                 emitted.add(key)
