@@ -211,14 +211,21 @@ class FrontierShard:
     def checkpoint(self, path: str) -> str:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
+        state = self.core.state()
+        # shard-level (non-core) state: known-missing URLs skip the fetch
+        # pipeline on retries; persisting them keeps resumed runs on the
+        # fast path instead of re-missing once per URL
+        state["known_missing"] = set(self._known_missing)
         with open(tmp, "wb") as f:
-            pickle.dump(self.core.state(), f)
+            pickle.dump(state, f)
         os.replace(tmp, path)  # atomic publish
         return path
 
     def restore(self, path: str) -> int:
         with open(path, "rb") as f:
-            self.core = FrontierCore.from_state(pickle.load(f))
+            state = pickle.load(f)
+        self._known_missing = set(state.pop("known_missing", ()))
+        self.core = FrontierCore.from_state(state)
         return self.core.pending()
 
 
