@@ -98,3 +98,31 @@ def test_http_fetch_feeds_extract_stage(ray_session, http_server):
             assert row["ok"] and row["text"] == want.text
     finally:
         fetcher.shutdown()
+
+
+def test_http_fetcher_driverless_table_path(ray_session, http_server):
+    """fetch_refs_from_tables (the driverless wave flow): shard tables in
+    the object store -> per-worker host-filtered fetches."""
+    import pyarrow as pa
+    import ray
+
+    from webscraper_ray.stages.fetch import HttpFetcher
+
+    urls = [f"{http_server}{p}" for p in sorted(PAGES)] + [f"{http_server}/missing.html"]
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "depth": pa.array([0] * len(urls), pa.int32()),
+            "priority": pa.array([0] * len(urls), pa.int32()),
+        }
+    )
+    fetcher = HttpFetcher(pool_size=3, max_threads=2, timeout_s=5.0)
+    try:
+        refs = fetcher.fetch_refs_from_tables([ray.put(table)])
+        rows = {r["url"]: r["html"] for t in ray.get(refs) for r in t.to_pylist()}
+        assert rows == {
+            f"{http_server}/page0.html": PAGES["/page0.html"],
+            f"{http_server}/page1.html": PAGES["/page1.html"],
+        }
+    finally:
+        fetcher.shutdown()
