@@ -101,3 +101,11 @@ def test_order_priority_join_plan_matches_broadcast_plan(ray_session, duck):
     joined = _normalize(q_order_priority(SF, broadcast_max_rows=0).to_pandas())
     want = _normalize(duck.execute(ORACLE_SQL["order_priority"]).df())
     pd.testing.assert_frame_equal(joined, want, check_dtype=False, atol=1e-9)
+
+
+def test_top_revenue_join_plan_matches_broadcast_plan(ray_session, duck):
+    from webscraper_ray.queries import ORACLE_SQL, q_top_revenue_orders
+
+    joined = _normalize(q_top_revenue_orders(SF, broadcast_max_rows=0).to_pandas())
+    want = _normalize(duck.execute(ORACLE_SQL["top_revenue_orders"]).df())
+    pd.testing.assert_frame_equal(joined, want, check_dtype=False, atol=1e-9)

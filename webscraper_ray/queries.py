@@ -305,26 +305,34 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q_top_revenue_orders(sf_dir: str):
+def q_top_revenue_orders(sf_dir: str, broadcast_max_rows: int | None = None):
     """Join + grouped agg + top-k (J1/J3 + O2 LIMIT pushdown) — TPC-H Q3.
 
-    Fully distributed plan, no driver-side materialization of anything
-    proportional to the fact tables:
+    SIZE-BASED physical plan (same planner as regional_revenue /
+    order_priority; both paths pinned identical in tests):
 
-      1. customer filtered to BUILDING (vectorized pc mask) -> keys only
-      2. orders ⨝ building_custkeys: partitioned hash join
-         (``Dataset.join`` — both sides shuffle ONCE on the key)
-      3. lineitem revenue pre-aggregated per batch (exact cents) to
-         (orderkey, partial rev) so join input is ~1 row/order/batch,
-         then ⨝ the BUILDING orders on orderkey
-      4. groupby (orderkey, orderdate) sums partials; sort+limit 10
+    - orders under ``BROADCAST_MAX_ROWS`` (parquet metadata): the
+      BUILDING custkeys and their (orderkey, orderdate) pairs are
+      gathered once from distributed filters — driver memory bounded by
+      the threshold constant — broadcast, and applied with vectorized
+      ``pc.is_in`` masks + ``np.searchsorted`` date attach. (Round 1 did
+      this UNCONDITIONALLY with Python ``in set`` row loops: the audited
+      scale-killer. The loops are gone in both plans.)
+    - above the threshold: fully distributed — customer filter ⨝ orders
+      ⨝ per-batch pre-aggregated lineitem revenue via partitioned
+      ``Dataset.join``, nothing fact-proportional on the driver.
 
-    The only driver-visible data is the 10-row result.
+    Either way lineitem revenue is pre-aggregated per batch in exact
+    cents before any join, and the result is sort + limit 10.
     """
+    import ray
+
     nparts = _join_partitions()
+    limit = BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
 
     building = customers.map_batches(
         lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")).select(
@@ -332,13 +340,6 @@ def q_top_revenue_orders(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    building_orders = orders.join(
-        building,
-        "inner",
-        num_partitions=nparts,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    ).select_columns(["o_orderkey", "o_orderdate"])
 
     def partial_rev(t: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -350,13 +351,60 @@ def q_top_revenue_orders(sf_dir: str):
             ["l_orderkey", "rev_c4"]
         )
 
-    joined = line.map_batches(partial_rev, batch_format="pyarrow").join(
-        building_orders,
-        "inner",
-        num_partitions=nparts,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
+    partials = line.map_batches(partial_rev, batch_format="pyarrow")
+
+    if n_orders <= limit:
+        keys = np.unique(building.to_pandas()["c_custkey"].to_numpy())
+        keys_ref = ray.put(keys)
+
+        def filter_orders(t: pa.Table, ref=keys_ref) -> pa.Table:
+            import ray as _ray
+
+            k = _ray.get(ref)
+            kept = t.filter(pc.is_in(t.column("o_custkey"), value_set=pa.array(k)))
+            return kept.select(["o_orderkey", "o_orderdate"])
+
+        bo = orders.map_batches(filter_orders, batch_format="pyarrow").to_pandas()
+        order_keys = bo["o_orderkey"].to_numpy()
+        sort_idx = np.argsort(order_keys)
+        bo_ref = ray.put(
+            (order_keys[sort_idx], bo["o_orderdate"].to_numpy()[sort_idx])
+        )
+
+        def attach(t: pa.Table, ref=bo_ref) -> pa.Table:
+            import ray as _ray
+
+            okeys, odates = _ray.get(ref)
+            kept = t.filter(
+                pc.is_in(t.column("l_orderkey"), value_set=pa.array(okeys))
+            )
+            lk = kept.column("l_orderkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(okeys, lk)
+            return pa.table(
+                {
+                    "l_orderkey": kept.column("l_orderkey"),
+                    "o_orderdate": pa.array(odates[pos]).cast(pa.timestamp("us")),
+                    "rev_c4": kept.column("rev_c4"),
+                }
+            )
+
+        joined = partials.map_batches(attach, batch_format="pyarrow")
+    else:
+        building_orders = orders.join(
+            building,
+            "inner",
+            num_partitions=nparts,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).select_columns(["o_orderkey", "o_orderdate"])
+        joined = partials.join(
+            building_orders,
+            "inner",
+            num_partitions=nparts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
     agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
         Sum("rev_c4", alias_name="rev_c4")
     )
