@@ -154,3 +154,38 @@ def test_converter_registry_routes_pdf():
     conv = get_converter("application/pdf")
     doc = conv(_one_page_pdf(False), seed="reg")
     assert doc["type"] == "doc" and doc["content"]
+
+
+def test_pdf_fuzz_never_raises_unexpected():
+    """Any byte garbage must either parse or raise PdfError (a ValueError
+    the converter maps to its error channel) — never another exception."""
+    import random
+
+    rng = random.Random(1234)
+    seeds = [
+        b"",
+        b"%PDF-",
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n",
+        _one_page_pdf(False),
+        _one_page_pdf(True),
+    ]
+    for trial in range(200):
+        base = bytearray(seeds[trial % len(seeds)])
+        for _ in range(rng.randint(0, 12)):
+            if base:
+                pos = rng.randrange(len(base))
+                op = rng.random()
+                if op < 0.4:
+                    base[pos] = rng.randrange(256)
+                elif op < 0.7:
+                    del base[pos]
+                else:
+                    base.insert(pos, rng.randrange(256))
+            else:
+                base.extend(b"%PDF-")
+        try:
+            extract_pdf_items(bytes(base))
+        except PdfError:
+            pass
+        except RecursionError as exc:  # would be a real bug
+            raise AssertionError("recursion blowup") from exc
