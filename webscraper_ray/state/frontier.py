@@ -61,6 +61,7 @@ class FrontierShard:
         # staged-wave bookkeeping (driverless flow)
         self._wave_admitted: list[FrontierEntry] = []
         self._wave_fetchable: dict[str, FrontierEntry] = {}
+        self._wave_missing: list[FrontierEntry] = []
         self._known_missing: set[str] = set()
 
     def offer_batch(self, offers: list[tuple[str, int, int]]) -> dict:
@@ -121,22 +122,19 @@ class FrontierShard:
     def staged_keys_slice(self, lo: int, hi: int) -> list[tuple]:
         return self.core.staged_keys_slice(lo, hi)
 
-    def admit_staged(
-        self, threshold_key: tuple | None, record_order: bool
-    ) -> dict:
-        """Admit this shard's staged entries and publish the fetchable
-        ones as ONE small Arrow table in the object store. The driver
-        receives only {count, ref, order?} — never entries. Known-missing
-        URLs (static page store: a retry can never succeed) skip the
-        fetch table and are requeued immediately."""
-        admitted = self.core.admit_staged(threshold_key)
-        self._wave_admitted = admitted
-        missing = getattr(self, "_known_missing", set())
+    def _publish_wave(self, record_order: bool) -> dict:
+        """Split this shard's admitted wave into fetchable vs known-
+        missing and publish the fetchable (url, depth, priority) rows as
+        ONE small Arrow table in the object store; the driver only ever
+        sees {count, ref, order?}. Known-missing URLs (static page
+        store: a retry can never succeed) are requeued in finish_wave —
+        deferring the retry bump keeps optimistic admission truncatable
+        without touching retry counts."""
+        admitted = self._wave_admitted
+        missing = self._known_missing
         fetchable = [e for e in admitted if e.canon_url not in missing]
         self._wave_fetchable = {e.canon_url: e for e in fetchable}
-        for e in admitted:
-            if e.canon_url in missing:
-                self.core.requeue_failure(e, "fetch-miss")
+        self._wave_missing = [e for e in admitted if e.canon_url in missing]
         ref = None
         if fetchable:
             table = pa.table(
@@ -156,21 +154,65 @@ class FrontierShard:
             out["order"] = [(e.sort_key, e.canon_url) for e in admitted]
         return out
 
+    def stage_and_admit_all(self, record_order: bool) -> dict:
+        """ONE-round optimistic admission: stage + admit everything and
+        publish. When the global wave cap is exceeded the driver follows
+        up with K-th-key selection over the (sorted) admitted lists and
+        ``truncate_admitted`` — the extra rounds are paid ONLY by capped
+        waves."""
+        self.core.stage_wave()
+        self._wave_admitted = self.core.admit_staged(None)
+        return self._publish_wave(record_order)
+
+    def admit_staged(
+        self, threshold_key: tuple | None, record_order: bool
+    ) -> dict:
+        """Two-round admission (staging already done via stage_wave)."""
+        self._wave_admitted = self.core.admit_staged(threshold_key)
+        return self._publish_wave(record_order)
+
+    def admitted_key_at(self, rank: int) -> tuple:
+        return self._wave_admitted[rank].sort_key
+
+    def admitted_count_le(self, key: tuple) -> int:
+        import bisect
+
+        return bisect.bisect_right(
+            [e.sort_key for e in self._wave_admitted], key
+        )
+
+    def admitted_keys_slice(self, lo: int, hi: int) -> list[tuple]:
+        return [e.sort_key for e in self._wave_admitted[lo:hi]]
+
+    def truncate_admitted(self, threshold_key: tuple, record_order: bool) -> dict:
+        """Global-cap clawback for the optimistic path: entries with key
+        > threshold go back to pending (retry counts untouched — the
+        known-missing requeue is deferred to finish_wave) and the
+        fetchable table is republished."""
+        import bisect
+
+        keep = bisect.bisect_right(
+            [e.sort_key for e in self._wave_admitted], threshold_key
+        )
+        self.core.restore_pending(self._wave_admitted[keep:])
+        self._wave_admitted = self._wave_admitted[:keep]
+        return self._publish_wave(record_order)
+
     def finish_wave(self) -> dict:
-        """After the wave's pipeline: compare this shard's admitted
-        fetchables against the status rows the route stage pushed here,
-        requeue misses/errors locally, and return ONLY counts."""
+        """After the wave's pipeline: requeue this wave's known-missing
+        entries, compare admitted fetchables against the status rows the
+        route stage pushed here, requeue misses/errors locally, and
+        return ONLY counts."""
         status: dict[str, tuple[bool, str]] = {}
         for url, ok, err in self._status:
             status[url] = (ok, err)
         self._status = []
-        fetchable = getattr(self, "_wave_fetchable", {})
-        missing = getattr(self, "_known_missing", None)
-        if missing is None:
-            missing = self._known_missing = set()
+        fetchable = self._wave_fetchable
+        missing = self._known_missing
         fetched = ok_count = failures = 0
-        skipped = getattr(self, "_wave_admitted", [])
-        failures += sum(1 for e in skipped if e.canon_url not in fetchable)
+        for e in getattr(self, "_wave_missing", []):
+            failures += 1
+            self.core.requeue_failure(e, "fetch-miss")
         for url, entry in fetchable.items():
             st = status.get(url)
             if st is None:
@@ -187,6 +229,7 @@ class FrontierShard:
                     self.core.requeue_failure(entry, err or "error")
         self._wave_admitted = []
         self._wave_fetchable = {}
+        self._wave_missing = []
         return {"fetched": fetched, "ok": ok_count, "failures": failures}
 
     def requeue_batch(self, failures: list[tuple[FrontierEntry, str]]) -> int:
@@ -301,9 +344,9 @@ class ShardedFrontier:
     # --- staged (driverless) wave flow -----------------------------------
 
     def _select_threshold(self, counts: list[int], k: int) -> tuple:
-        """Exact global K-th smallest staged sort key across shards.
+        """Exact global K-th smallest admitted sort key across shards.
 
-        Distributed selection over the shards' locally-sorted staged
+        Distributed selection over the shards' locally-sorted admitted
         lists: every round moves O(shards) keys/counts to the driver
         (never entries), narrowing per-shard candidate windows until the
         remainder is small enough to gather (< 4 keys per shard). Keys
@@ -320,10 +363,10 @@ class ShardedFrontier:
             # pivot = mid key of the shard with the largest window
             big = max(range(n), key=lambda i: windows[i])
             pivot = ray.get(
-                self.shards[big].staged_key_at.remote((lo[big] + hi[big]) // 2)
+                self.shards[big].admitted_key_at.remote((lo[big] + hi[big]) // 2)
             )
             below = ray.get(
-                [s.staged_count_le.remote(pivot) for s in self.shards]
+                [s.admitted_count_le.remote(pivot) for s in self.shards]
             )
             c = sum(below)
             if c >= k:
@@ -333,7 +376,7 @@ class ShardedFrontier:
         # gather the small remainder and pick exactly
         slices = ray.get(
             [
-                s.staged_keys_slice.remote(lo[i], hi[i])
+                s.admitted_keys_slice.remote(lo[i], hi[i])
                 for i, s in enumerate(self.shards)
             ]
         )
@@ -345,25 +388,30 @@ class ShardedFrontier:
     def stage_and_admit(
         self, max_wave_size: int = 0, record_order: bool = False
     ) -> dict:
-        """Driverless wave admission: stage per shard, cap via K-th-key
-        selection, admit per shard. Returns {count, refs, order} where
-        refs are per-shard Arrow tables of fetchable (url, depth,
-        priority) rows living in the object store — the driver holds
-        O(shards) control data only (plus the order list in
+        """Driverless wave admission, ONE control round in the common
+        case: shards stage + admit optimistically and publish refs; only
+        when the cap is exceeded does the driver run the K-th-key
+        selection and a truncate sweep (the clawback restores over-cap
+        entries with retry counts untouched). Returns {count, refs,
+        order} where refs are per-shard Arrow tables of fetchable (url,
+        depth, priority) rows living in the object store — the driver
+        holds O(shards) control data only (plus the order list in
         record_order parity/test mode)."""
-        counts = ray.get([s.stage_wave.remote() for s in self.shards])
+        results = ray.get(
+            [s.stage_and_admit_all.remote(record_order) for s in self.shards]
+        )
+        counts = [r["count"] for r in results]
         total = sum(counts)
         if total == 0:
             return {"count": 0, "refs": [], "order": []}
-        threshold = None
         if max_wave_size and total > max_wave_size:
             threshold = self._select_threshold(counts, max_wave_size)
-        results = ray.get(
-            [
-                s.admit_staged.remote(threshold, record_order)
-                for s in self.shards
-            ]
-        )
+            results = ray.get(
+                [
+                    s.truncate_admitted.remote(threshold, record_order)
+                    for s in self.shards
+                ]
+            )
         out = {
             "count": sum(r["count"] for r in results),
             "skipped_missing": sum(r["skipped_missing"] for r in results),
