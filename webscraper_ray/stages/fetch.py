@@ -147,7 +147,6 @@ class FetchCache:
 
     def __init__(self) -> None:
         self._tables: dict[str, pa.Table] = {}
-        self._index: dict[str, dict[str, int]] = {}
 
     def _load(self, bucket_dir: str) -> None:
         import pyarrow.parquet as pq
@@ -158,10 +157,7 @@ class FetchCache:
             if f.endswith(".parquet")
         )
         table = pa.concat_tables(pq.read_table(f, columns=["url", "html"]) for f in files)
-        self._tables[bucket_dir] = table
-        self._index[bucket_dir] = {
-            u: i for i, u in enumerate(table.column("url").to_pylist())
-        }
+        self._tables[bucket_dir] = table.combine_chunks()
 
     def preload(self, bucket_dirs: list[str]) -> int:
         for d in bucket_dirs:
@@ -172,20 +168,29 @@ class FetchCache:
     def fetch(
         self, bucket_dir: str, urls: list[str], depths: list[int], priorities: list[int]
     ) -> pa.Table:
-        """Rows for the requested urls (misses silently absent)."""
+        """Rows for the requested urls (misses silently absent).
+
+        Lookup is a vectorized ``pc.index_in`` against the cached url
+        column (C++ hash join, no Python dict — a dict url->row index
+        duplicated the whole url column in actor memory)."""
+        import pyarrow.compute as pc
+
         if bucket_dir not in self._tables:
             self._load(bucket_dir)
-        index = self._index[bucket_dir]
-        rows, kept_depth, kept_prio = [], [], []
-        for u, d, p in zip(urls, depths, priorities):
-            i = index.get(u)
-            if i is not None:
-                rows.append(i)
-                kept_depth.append(d)
-                kept_prio.append(p)
-        out = self._tables[bucket_dir].take(pa.array(rows, pa.int64()))
-        out = out.append_column("depth", pa.array(kept_depth, pa.int32()))
-        return out.append_column("priority", pa.array(kept_prio, pa.int32()))
+        table = self._tables[bucket_dir]
+        wanted = pa.array(urls, pa.string())
+        pos = pc.index_in(wanted, value_set=table.column("url").chunk(0))
+        hit = pc.is_valid(pos)
+        rows = pc.filter(pos, hit)
+        out = table.take(rows)
+        keep = pa.table(
+            {
+                "depth": pa.array(depths, pa.int32()),
+                "priority": pa.array(priorities, pa.int32()),
+            }
+        ).filter(hit)
+        out = out.append_column("depth", keep.column("depth"))
+        return out.append_column("priority", keep.column("priority"))
 
     def fetch_from_tables(
         self, root: str, n_buckets: int, pool_size: int, my_idx: int, *tables
