@@ -183,11 +183,11 @@ def main() -> None:
 
     ensure_corpus()  # untimed: also warms the page cache
     store = ensure_corpus()
-    # best-of-2 for the headline: this shared host shows up to 4x
+    # best-of-3 for the headline: this shared host shows up to 4x
     # run-to-run wall-time spread from neighbor steal (identical runs of
     # the same binary measured 22-90 s at 32 cpus across one hour); the
-    # min is the least-stolen observation, and both trials are recorded
-    crawl_trials = [run_crawl_bench(store), run_crawl_bench(store)]
+    # min is the least-stolen observation, and all trials are recorded
+    crawl_trials = [run_crawl_bench(store) for _ in range(3)]
     crawl = min(crawl_trials, key=lambda c: c["elapsed_sec"])
     queries = run_query_bench()
     total_query_sec = round(sum(queries.values()), 3)
