@@ -11,8 +11,6 @@ import re
 
 import pyarrow as pa
 
-import ray.data
-
 __all__ = [
     "token_stats",
     "bpe_token_stats",

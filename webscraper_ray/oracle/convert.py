@@ -11,12 +11,11 @@ MIME-dispatched parsers producing amended document trees:
   (``src/converting.ts:36-41``; the reference uses ``marked.parse``, we
   implement the common-markdown subset below deterministically).
 - C4 :func:`convert_pdf_items` — the reference's pdfjs heading heuristic
-  (``src/converting.ts:43-145``) over pre-extracted text-item streams.
-  Real PDF byte decoding needs a PDF library that is not in this
-  container: :func:`convert_pdf` is a clearly-marked stub that raises
-  ``NotImplementedError``; the histogram/heading/merge logic — the actual
-  semantics — is fully implemented and tested on synthetic item streams
-  (FIXTURES.md F5).
+  (``src/converting.ts:43-145``) over text-item streams; :func:`convert_pdf`
+  feeds it REAL byte decoding via the from-scratch extractor in
+  ``oracle/pdf.py`` (documented PDF subset; no external libraries).
+  Malformed / out-of-subset PDFs raise ``ValueError`` into the converter
+  error channel.
 - C5 :func:`convert_text` — split on CR/LF/CRLF, trim, drop empties, one
   paragraph per line (``src/converting.ts:147-170``).
 
@@ -31,7 +30,7 @@ from __future__ import annotations
 import re
 from typing import Callable, Iterable
 
-from .tree import Amender, DeterministicIds, html_to_tree, parse_and_amend
+from .tree import Amender, DeterministicIds, parse_and_amend
 
 __all__ = [
     "get_converter",
