@@ -127,3 +127,14 @@ def test_response_codec_gzip_threshold():
     assert enc == "gzip" and decode_response(data, enc).decode() == s
     # deterministic gzip (mtime pinned)
     assert encode_response(big) == encode_response(big)
+
+    # string threshold counts UTF-16 CODE UNITS like the reference's JS
+    # body.length (src/app.ts), not encoded bytes: 100 CJK chars = 300
+    # UTF-8 bytes but only 100 units -> NOT gzipped (ADVICE r2)
+    cjk = "中" * 100
+    data, ctype, enc = encode_response(cjk)
+    assert enc is None and data.decode() == cjk
+    # astral chars are surrogate PAIRS in JS: 65 of them = 130 units > 128
+    astral = "\U0001f600" * 65
+    data, ctype, enc = encode_response(astral)
+    assert enc == "gzip" and decode_response(data, enc).decode() == astral

@@ -189,3 +189,79 @@ def test_pdf_fuzz_never_raises_unexpected():
             pass
         except RecursionError as exc:  # would be a real bug
             raise AssertionError("recursion blowup") from exc
+
+
+def test_stream_with_endobj_bytes_and_direct_length():
+    """A stream body containing the literal bytes 'endobj' must not be
+    truncated when the dict carries a direct /Length (ADVICE r2: the
+    object-end scan false-matched inside stream data)."""
+    content = (
+        b"BT /F1 10 Tf 72 720 Td (before endobj after) Tj ET\n"
+    )
+    assert b"endobj" in content
+    stream = b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    pdf = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>",
+            4: stream,
+        },
+        root=1,
+    )
+    pages = extract_pdf_items(pdf)
+    assert [i["str"] for i in pages[0]] == ["before endobj after"]
+
+
+def test_flate_stream_with_endobj_bytes():
+    """Same guarantee for compressed streams: craft Flate output that
+    contains the literal 'endobj' via an uncompressed deflate block."""
+    content = b"BT /F1 10 Tf 72 720 Td (hello world) Tj ET\n"
+    co = zlib.compressobj(0)  # level 0: stored blocks, bytes pass through
+    data = co.compress(content + b"% endobj padding\n") + co.flush()
+    assert b"endobj" in data
+    stream = (
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+        + data
+        + b"\nendstream"
+    )
+    pdf = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>",
+            4: stream,
+        },
+        root=1,
+    )
+    pages = extract_pdf_items(pdf)
+    assert [i["str"] for i in pages[0]] == ["hello world"]
+
+
+def test_encrypt_in_string_content_not_rejected():
+    """'/Encrypt' appearing in page TEXT must not trip the encryption
+    check (ADVICE r2: it is now restricted to the trailer / XRef dict)."""
+    content = b"BT /F1 10 Tf 72 720 Td (see /Encrypt docs) Tj ET\n"
+    stream = b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    pdf = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>",
+            4: stream,
+        },
+        root=1,
+    )
+    pages = extract_pdf_items(pdf)
+    assert [i["str"] for i in pages[0]] == ["see /Encrypt docs"]
+
+
+def test_encrypted_trailer_rejected():
+    pdf = _one_page_pdf(False).replace(
+        b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size"
+    )
+    with pytest.raises(PdfError):
+        extract_pdf_items(pdf)

@@ -34,7 +34,15 @@ def encode_response(
     if isinstance(body, str):
         data = body.encode("utf-8")
         ctype = "text/plain; charset=utf-8"
-    elif accept_cbor:
+        # the reference tests body.length on the JS STRING (UTF-16 code
+        # units, src/app.ts) — not the encoded byte count. Compare in
+        # code units (surrogate pairs count 2) so non-ASCII strings near
+        # the 128 boundary pick the same branch as the reference.
+        code_units = len(body) + sum(1 for ch in body if ord(ch) > 0xFFFF)
+        if accept_gzip and code_units > GZIP_MIN_LENGTH:
+            return gzip.compress(data, mtime=0), ctype, "gzip"
+        return data, ctype, None
+    if accept_cbor:
         data = cbor_dumps(body)
         ctype = "application/cbor"
     else:

@@ -258,47 +258,90 @@ class _Pdf:
     def __init__(self, buf: bytes):
         if not buf.startswith(b"%PDF-"):
             raise PdfError("missing %PDF header")
-        if b"/Encrypt" in buf:
-            raise PdfError("encrypted PDFs are out of subset")
         self.buf = buf
         self.objects: dict[int, object] = {}
         self._scan_objects()
+        self._check_encrypted()
         self._expand_object_streams()
 
     # full-file scan: robust against broken/absent xref tables
     def _scan_objects(self) -> None:
         buf = self.buf
+        skip_until = 0
         for m in _OBJ_RE.finditer(buf):
-            num = int(m.group(1))
-            body_start = m.end()
-            end = buf.find(b"endobj", body_start)
-            if end == -1:
+            if m.start() < skip_until:
+                # header-shaped bytes INSIDE a previous object's measured
+                # stream body (compressed data can contain 'N 0 obj')
                 continue
-            self.objects[num] = self._parse_body(buf[body_start:end])
+            num = int(m.group(1))
+            parsed = self._parse_body_at(m.end())
+            if parsed is None:
+                continue
+            obj, end = parsed
+            self.objects[num] = obj
+            if end is not None:
+                skip_until = end
 
-    def _parse_body(self, body: bytes):
-        lex = _Lexer(body)
-        obj = lex.parse_object()
+    def _parse_body_at(self, start: int):
+        """Parse one object starting at ``start``; returns (obj, end)
+        where ``end`` is the position just past 'endobj' (None if it
+        could not be determined).
+
+        A stream with a DIRECT /Length is measured by that length — never
+        by scanning for 'endobj'/'endstream', whose literal bytes can
+        legitimately occur inside Flate-compressed data."""
+        buf = self.buf
+        lex = _Lexer(buf, start)
+        try:
+            obj = lex.parse_object()
+        except PdfError:
+            return None
         if isinstance(obj, dict):
             lex._skip_ws()
-            if body.startswith(b"stream", lex.pos):
+            if buf.startswith(b"stream", lex.pos):
                 p = lex.pos + len(b"stream")
-                if body.startswith(b"\r\n", p):
+                if buf.startswith(b"\r\n", p):
                     p += 2
-                elif body.startswith(b"\n", p) or body.startswith(b"\r", p):
+                elif buf.startswith(b"\n", p) or buf.startswith(b"\r", p):
                     p += 1
                 length = obj.get("Length")
+                if isinstance(length, (int, float)) and not isinstance(length, bool):
+                    body_end = p + int(length)
+                    e = buf.find(b"endobj", body_end)
+                    return Stream(obj, buf[p:body_end]), (
+                        e + len(b"endobj") if e != -1 else body_end
+                    )
+                # indirect or absent /Length: fall back to token scans
+                e_obj = buf.find(b"endobj", p)
                 if isinstance(length, Ref):
-                    raw = body[p:]
+                    raw = buf[p : e_obj if e_obj != -1 else len(buf)]
                     e = raw.rfind(b"endstream")
                     raw = raw[:e] if e != -1 else raw
                 else:
-                    raw = body[p : p + int(length)] if length is not None else b""
-                    if length is None:
-                        e = body.find(b"endstream", p)
-                        raw = body[p:e] if e != -1 else body[p:]
-                return Stream(obj, raw)
-        return obj
+                    e = buf.find(b"endstream", p)
+                    raw = buf[p : e if e != -1 else (e_obj if e_obj != -1 else len(buf))]
+                return Stream(obj, raw), (
+                    e_obj + len(b"endobj") if e_obj != -1 else None
+                )
+        e_obj = buf.find(b"endobj", lex.pos)
+        return obj, (e_obj + len(b"endobj") if e_obj != -1 else None)
+
+    def _check_encrypted(self) -> None:
+        """Reject encrypted files by the TRAILER'S /Encrypt entry (or an
+        XRef stream dict's) — not a whole-buffer byte scan, which
+        false-positives on '/Encrypt' inside string/stream content."""
+        for m in re.finditer(rb"trailer", self.buf):
+            lex = _Lexer(self.buf, m.end())
+            try:
+                d = lex.parse_object()
+            except PdfError:
+                continue
+            if isinstance(d, dict) and "Encrypt" in d:
+                raise PdfError("encrypted PDFs are out of subset")
+        for obj in self.objects.values():
+            d = obj.dict if isinstance(obj, Stream) else obj
+            if isinstance(d, dict) and d.get("Type") == "XRef" and "Encrypt" in d:
+                raise PdfError("encrypted PDFs are out of subset")
 
     def _expand_object_streams(self) -> None:
         for obj in list(self.objects.values()):

@@ -206,13 +206,23 @@ def run_crawl(
 
     log = JsonlLogger(os.path.join(out_dir, "run.log.jsonl"))
 
-    frontier = ShardedFrontier(cfg.num_shards, robots, cfg.politeness)
     # one fetch-cache pool for the whole run: bucket tables load once and
     # serve point fetches for every subsequent wave (callers may pass a
     # pre-warmed pool they own)
     owns_fetcher = fetcher is None
     if owns_fetcher:
         fetcher = SandboxFetcher(store, pool_size=cfg.fetch_pool_size)
+    # static page store => a fetch-miss can never succeed on retry, so
+    # shards may remember misses and skip the pipeline; a network fetcher
+    # (HttpFetcher) has transient misses and MUST re-fetch on retry
+    static_store = isinstance(fetcher, SandboxFetcher)
+    frontier = ShardedFrontier(
+        cfg.num_shards,
+        robots,
+        cfg.politeness,
+        static_store=static_store,
+        fetch_buckets=store.n_buckets if static_store else 0,
+    )
     manifest = _read_manifest(out_dir) if resume else None
     start_wave = 0
     if manifest and manifest.get("complete_waves"):
@@ -286,8 +296,9 @@ def run_crawl(
             )
             phases["fetch_refs"] = round(time.time() - t_f, 3)
             t_p = time.time()
+            small_rows = 0
             if small:
-                ray.get(
+                small_rows = ray.get(
                     _small_wave_task.remote(
                         wave_docs_dir,
                         cfg.mode,
@@ -340,7 +351,12 @@ def run_crawl(
                     "fetched": finish["fetched"],
                     "ok": finish["ok"],
                     "failures": finish["failures"],
-                    "docs_dir": wave_docs_dir if (ds is not None or small) else None,
+                    # small-wave path: the fused task creates the dir only
+                    # when it wrote rows — never record a dir that was
+                    # never written (manifest consumers resolve it)
+                    "docs_dir": wave_docs_dir
+                    if (ds is not None or (small and small_rows > 0))
+                    else None,
                     "elapsed_s": round(time.time() - t0, 3),
                     "frontier": frontier.stats(),
                 }
@@ -357,7 +373,7 @@ def run_crawl(
 
         manifest["final_stats"] = frontier.stats()
         manifest["dead_letters"] = frontier.dead_letters()
-        manifest["seen_count"] = len(frontier.seen_urls())
+        manifest["seen_count"] = frontier.seen_count()
         _write_manifest(out_dir, manifest)
         return manifest
     finally:

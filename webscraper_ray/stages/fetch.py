@@ -156,8 +156,27 @@ class FetchCache:
             for f in os.listdir(bucket_dir)
             if f.endswith(".parquet")
         )
-        table = pa.concat_tables(pq.read_table(f, columns=["url", "html"]) for f in files)
-        self._tables[bucket_dir] = table.combine_chunks()
+        table = pa.concat_tables(
+            pq.read_table(f, columns=["url", "html"]) for f in files
+        ).combine_chunks()
+        if table.num_rows:
+            import numpy as np
+            import pyarrow.compute as pc
+
+            urls = table.column("url")
+            if pc.count_distinct(urls).as_py() != table.num_rows:
+                # duplicate url rows (re-crawled page appended to the
+                # bucket): keep the LAST occurrence — the dict index this
+                # class replaced kept last-write-wins, and index_in would
+                # silently resolve to the first. Reverse + keep first
+                # occurrence per url == last in file order.
+                n = table.num_rows
+                table = table.take(pa.array(np.arange(n - 1, -1, -1))).combine_chunks()
+                u = table.column("url")
+                first = pc.index_in(u, value_set=u)
+                keep = pc.equal(first.cast(pa.int64()), pa.array(np.arange(n)))
+                table = table.filter(keep).combine_chunks()
+        self._tables[bucket_dir] = table
 
     def preload(self, bucket_dirs: list[str]) -> int:
         for d in bucket_dirs:
@@ -178,8 +197,14 @@ class FetchCache:
         if bucket_dir not in self._tables:
             self._load(bucket_dir)
         table = self._tables[bucket_dir]
+        if table.num_rows == 0:
+            return table.append_column(
+                "depth", pa.array([], pa.int32())
+            ).append_column("priority", pa.array([], pa.int32()))
+        # value_set is the ChunkedArray itself (a 0-chunk combine_chunks
+        # result has no .chunk(0); index_in accepts chunked input)
         wanted = pa.array(urls, pa.string())
-        pos = pc.index_in(wanted, value_set=table.column("url").chunk(0))
+        pos = pc.index_in(wanted, value_set=table.column("url"))
         hit = pc.is_valid(pos)
         rows = pc.filter(pos, hit)
         out = table.take(rows)
@@ -199,8 +224,35 @@ class FetchCache:
         tables straight from the object store (the driver only routed
         refs), keep the rows owned by this cache shard
         (``bucket % pool == my_idx``) and point-take them per bucket."""
+        import numpy as np
+
         out: list[pa.Table] = []
         for t in tables:
+            if "bucket" in t.column_names:
+                # frontier shards shipped each URL's store bucket with the
+                # admitted table — filter vectorized instead of re-hashing
+                # every URL in every one of the pool_size cache shards
+                buckets = t.column("bucket").combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                mine_rows = np.nonzero(buckets % pool_size == my_idx)[0]
+                if not len(mine_rows):
+                    continue
+                mine_buckets = buckets[mine_rows]
+                for b in np.unique(mine_buckets):
+                    bucket_dir = os.path.join(root, f"bucket={int(b)}")
+                    if not os.path.isdir(bucket_dir):
+                        continue
+                    sub = t.take(pa.array(mine_rows[mine_buckets == b]))
+                    out.append(
+                        self.fetch(
+                            bucket_dir,
+                            sub.column("url").to_pylist(),
+                            sub.column("depth").to_pylist(),
+                            sub.column("priority").to_pylist(),
+                        )
+                    )
+                continue
             urls = t.column("url").to_pylist()
             depths = t.column("depth").to_pylist()
             prios = t.column("priority").to_pylist()

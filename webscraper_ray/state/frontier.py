@@ -54,7 +54,15 @@ class FrontierShard:
     # stages' task/actor slots (the scheduler deadlock we hit otherwise).
     """One frontier shard. All methods take/return plain picklables."""
 
-    def __init__(self, shard_id: int, robots: dict, cfg: PolitenessConfig | None = None):
+    def __init__(
+        self,
+        shard_id: int,
+        robots: dict,
+        cfg: PolitenessConfig | None = None,
+        *,
+        static_store: bool = True,
+        fetch_buckets: int = 0,
+    ):
         self.shard_id = shard_id
         self.core = FrontierCore(robots=robots, cfg=cfg)
         self._status: list[tuple[str, bool, str]] = []
@@ -62,7 +70,18 @@ class FrontierShard:
         self._wave_admitted: list[FrontierEntry] = []
         self._wave_fetchable: dict[str, FrontierEntry] = {}
         self._wave_missing: list[FrontierEntry] = []
+        # Fetch-miss fast path: against a STATIC page store a retry of a
+        # missing URL can never succeed, so misses are remembered and
+        # skip the fetch pipeline. Against a real network fetcher a miss
+        # may be transient (timeout, 5xx) — the documented retry contract
+        # requires re-contacting the server, so the fast path is gated on
+        # static_store (run_crawl sets it from the fetcher type).
+        self._static_store = static_store
         self._known_missing: set[str] = set()
+        # page-store bucket count: >0 makes _publish_wave attach each
+        # fetchable URL's store bucket so the fetch-cache shards filter
+        # vectorized instead of re-hashing every URL pool_size times
+        self._fetch_buckets = fetch_buckets
 
     def offer_batch(self, offers: list[tuple[str, int, int]]) -> dict:
         """offers: [(raw_url, priority, depth)]; returns outcome counts."""
@@ -137,14 +156,21 @@ class FrontierShard:
         self._wave_missing = [e for e in admitted if e.canon_url in missing]
         ref = None
         if fetchable:
-            table = pa.table(
-                {
-                    "url": pa.array([e.canon_url for e in fetchable], pa.string()),
-                    "depth": pa.array([e.depth for e in fetchable], pa.int32()),
-                    "priority": pa.array([e.priority for e in fetchable], pa.int32()),
-                }
-            )
-            ref = ray.put(table)
+            cols = {
+                "url": pa.array([e.canon_url for e in fetchable], pa.string()),
+                "depth": pa.array([e.depth for e in fetchable], pa.int32()),
+                "priority": pa.array([e.priority for e in fetchable], pa.int32()),
+            }
+            if self._fetch_buckets:
+                # computed ONCE here (per URL per wave) instead of once
+                # per fetch-cache shard downstream
+                from ..stages.fetch import bucket_of
+
+                cols["bucket"] = pa.array(
+                    [bucket_of(e.canon_url, self._fetch_buckets) for e in fetchable],
+                    pa.int32(),
+                )
+            ref = ray.put(pa.table(cols))
         out = {
             "count": len(admitted),
             "skipped_missing": len(admitted) - len(fetchable),
@@ -217,7 +243,8 @@ class FrontierShard:
             st = status.get(url)
             if st is None:
                 failures += 1
-                missing.add(url)
+                if self._static_store:
+                    missing.add(url)
                 self.core.requeue_failure(entry, "fetch-miss")
             else:
                 fetched += 1
@@ -251,6 +278,9 @@ class FrontierShard:
         """Exact seen set — test scale only (exact_check mode)."""
         return set(self.core.seen_exact or ())
 
+    def seen_count(self) -> int:
+        return self.core.seen_count
+
     def checkpoint(self, path: str) -> str:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
@@ -280,6 +310,9 @@ class ShardedFrontier:
         num_shards: int,
         robots: dict[str, tuple[list[str], int]],
         cfg: PolitenessConfig | None = None,
+        *,
+        static_store: bool = True,
+        fetch_buckets: int = 0,
     ):
         self.num_shards = num_shards
         # robots rules are sharded BY HOST like everything else (north
@@ -290,7 +323,13 @@ class ShardedFrontier:
         for host, rules in robots.items():
             robots_by_shard[shard_of_host(host, num_shards)][host] = rules
         self.shards = [
-            FrontierShard.remote(i, robots_by_shard[i], cfg)
+            FrontierShard.remote(
+                i,
+                robots_by_shard[i],
+                cfg,
+                static_store=static_store,
+                fetch_buckets=fetch_buckets,
+            )
             for i in range(num_shards)
         ]
 
@@ -462,6 +501,12 @@ class ShardedFrontier:
     def seen_urls(self) -> set[str]:
         parts = ray.get([s.seen_urls.remote() for s in self.shards])
         return set().union(*parts) if parts else set()
+
+    def seen_count(self) -> int:
+        """Exact distinct-seen count — O(shards) integers, works in both
+        cuckoo and exact modes (unlike seen_urls, which gathers the set
+        and exists for test-scale parity only)."""
+        return sum(ray.get([s.seen_count.remote() for s in self.shards]))
 
     def checkpoint(self, ckpt_dir: str, wave: int) -> list[str]:
         paths = [

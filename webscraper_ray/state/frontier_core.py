@@ -114,6 +114,10 @@ class FrontierCore:
         self.pending_keys: dict[str, tuple[int, int, int]] = {}
         self.heap: list[tuple] = []  # (sort_key, canon_url)
         self.stats = OfferStats()
+        # exact count of distinct URLs recorded as seen — a counter, not a
+        # gathered set, so it is cheap to report at any scale (the exact
+        # set itself exists only in exact_check test mode)
+        self.seen_count = 0
         self.dead_letters: list[tuple[str, str, int]] = []  # (canon_url, reason, retry)
         self.current_wave = 0
         # canon_url -> wave of last admission (freshness bookkeeping;
@@ -133,6 +137,7 @@ class FrontierCore:
                 hit = False
             self.seen_exact.add(canon_url)
         if not hit:
+            self.seen_count += 1
             if not self.seen_filter.add(canon_url):
                 # over-capacity: the URL was NOT recorded, so dedup for it
                 # is broken until the operator resizes/reshards. Count it
@@ -328,6 +333,7 @@ class FrontierCore:
             "exact": set(self.seen_exact) if self.seen_exact is not None else None,
             "pending": dict(self.pending_keys),
             "stats": OfferStats(**vars(self.stats)),
+            "seen_count": self.seen_count,
             "dead": list(self.dead_letters),
             "current_wave": self.current_wave,
             "admitted_wave": dict(self.admitted_wave),
@@ -344,6 +350,7 @@ class FrontierCore:
         obj.heap = [(key + (canon,), canon) for canon, key in obj.pending_keys.items()]
         heapq.heapify(obj.heap)
         obj.stats = OfferStats(**vars(state["stats"]))
+        obj.seen_count = state.get("seen_count", 0)
         obj.dead_letters = list(state["dead"])
         obj.current_wave = state.get("current_wave", 0)
         obj.admitted_wave = dict(state.get("admitted_wave", {}))
