@@ -156,7 +156,10 @@ def test_manifest_lineage_recorded(corpus, tmp_path):
     assert on_disk["complete_waves"] == manifest["complete_waves"]
     for w in on_disk["complete_waves"]:
         info = on_disk["waves"][str(w)]
-        assert {"admitted", "fetched", "ok", "failures", "elapsed_s", "frontier"} <= set(info)
+        assert {"admitted", "fetched", "ok", "failures", "elapsed_s"} <= set(info)
+    # per-wave frontier.stats() was dropped (it was a driver barrier per
+    # wave); the run-level rollup remains
+    assert "final_stats" in on_disk
 
 
 def test_parity_with_wave_size_cap(corpus, tmp_path):

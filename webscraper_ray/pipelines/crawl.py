@@ -74,6 +74,16 @@ class CrawlConfig:
                                      # models one node's disk channels — on a
                                      # real cluster scale it with node count,
                                      # each node writing its own shard.
+    pool_cpu_fraction: float = 0.0   # fraction of the session's CPUs booked
+                                     # by the frontier + fetch-cache pools
+                                     # (split evenly per actor). On a real
+                                     # cluster these actors run ON the data
+                                     # nodes and share their CPUs; booking
+                                     # the share keeps their work inside the
+                                     # measured budget at every parallelism
+                                     # level instead of riding free on host
+                                     # cores Ray was told not to use. 0 =
+                                     # unbooked (test default).
     politeness: PolitenessConfig = None  # type: ignore[assignment]
 
     def __post_init__(self):
@@ -209,9 +219,16 @@ def run_crawl(
     # one fetch-cache pool for the whole run: bucket tables load once and
     # serve point fetches for every subsequent wave (callers may pass a
     # pre-warmed pool they own)
+    cpu_share = 0.0
+    if cfg.pool_cpu_fraction:
+        total_cpu = ray.cluster_resources().get("CPU", 0)
+        n_pool_actors = cfg.num_shards + cfg.fetch_pool_size
+        cpu_share = cfg.pool_cpu_fraction * total_cpu / max(1, n_pool_actors)
     owns_fetcher = fetcher is None
     if owns_fetcher:
-        fetcher = SandboxFetcher(store, pool_size=cfg.fetch_pool_size)
+        fetcher = SandboxFetcher(
+            store, pool_size=cfg.fetch_pool_size, cpu_share=cpu_share
+        )
     # static page store => a fetch-miss can never succeed on retry, so
     # shards may remember misses and skip the pipeline; a network fetcher
     # (HttpFetcher) has transient misses and MUST re-fetch on retry
@@ -222,6 +239,7 @@ def run_crawl(
         cfg.politeness,
         static_store=static_store,
         fetch_buckets=store.n_buckets if static_store else 0,
+        cpu_share=cpu_share,
     )
     manifest = _read_manifest(out_dir) if resume else None
     start_wave = 0
@@ -260,35 +278,43 @@ def run_crawl(
     )
 
     try:
-        while wave < cfg.max_waves:
-            # Driverless admission (north_rule: driver never holds
-            # entries): shards stage + admit locally under the global cap
-            # (distributed K-th-key selection); fetchable URLs flow
-            # shard -> fetcher as Arrow refs; known-missing URLs (static
-            # page store: a retry can never succeed) are requeued
-            # shard-side without entering the pipeline. The driver sees
-            # O(shards) control messages per wave.
-            t_pop = time.time()
-            admission = frontier.stage_and_admit(
-                max_wave_size=cfg.max_wave_size, record_order=cfg.record_order
-            )
-            if admission["count"] == 0:
-                break
+        # Driverless admission (north_rule: driver never holds entries):
+        # shards stage + admit locally under the global cap (distributed
+        # K-th-key selection); fetchable URLs flow shard -> fetcher as
+        # Arrow refs; known-missing URLs (static page store: a retry can
+        # never succeed) are requeued shard-side without entering the
+        # pipeline. The driver sees O(shards) control messages per wave:
+        # wave 0 pays a standalone admission barrier, every later wave's
+        # admission rides the fused finish_checkpoint_stage turnaround.
+        t_pop = time.time()
+        admission = frontier.stage_and_admit(
+            max_wave_size=cfg.max_wave_size, record_order=cfg.record_order
+        )
+        pop_s = time.time() - t_pop
+        while wave < cfg.max_waves and admission["count"] > 0:
             t0 = time.time()
-            phases: dict[str, float] = {"pop": round(t0 - t_pop, 3)}
+            phases: dict[str, float] = {"pop": round(pop_s, 3)}
             wave_info: dict = {"admitted": admission["count"]}
             if cfg.record_order:
                 wave_info["order"] = admission["order"]
 
             wave_docs_dir = os.path.join(docs_dir, f"wave={wave}")
             t_f = time.time()
-            data_refs = fetcher.fetch_refs_from_tables(admission["refs"])
             fetchable = admission["count"] - admission.get("skipped_missing", 0)
             small = (
                 cfg.small_wave_rows
-                and data_refs
+                and admission["refs"]
                 and fetchable <= cfg.small_wave_rows
             )
+            # BFS-tail waves use the low-fanout fetch (one block per cache
+            # shard): a few-dozen-row wave pays every extra actor message
+            # as pure fixed cost
+            data_refs = (
+                fetcher.fetch_refs_small(admission["refs"])
+                if small
+                else fetcher.fetch_refs_from_tables(admission["refs"])
+            )
+            small = small and bool(data_refs)
             ds = (
                 ray.data.from_arrow_refs(data_refs)
                 if data_refs and not small
@@ -336,15 +362,18 @@ def run_crawl(
                 ).write_parquet(wave_docs_dir, concurrency=write_conc)
             phases["pipeline"] = round(time.time() - t_p, 3)
 
-            # shards self-account their wave: compare admitted vs pushed
-            # status, requeue misses/errors locally, return counts only
+            # fused inter-wave turnaround, ONE barrier: shards self-
+            # account the wave (admitted vs pushed status, local requeue),
+            # checkpoint post-finish state, and stage+admit the next wave
             t_r = time.time()
-            finish = frontier.finish_wave()
-            phases["requeue"] = round(time.time() - t_r, 3)
-
-            t_c = time.time()
-            frontier.checkpoint(ckpt_dir, wave)
-            phases["checkpoint"] = round(time.time() - t_c, 3)
+            finish, admission = frontier.finish_checkpoint_stage(
+                ckpt_dir,
+                wave,
+                max_wave_size=cfg.max_wave_size,
+                record_order=cfg.record_order,
+            )
+            pop_s = 0.0  # admission cost is inside the fused turnaround
+            phases["turnaround"] = round(time.time() - t_r, 3)
             wave_info["phases"] = phases
             wave_info.update(
                 {
@@ -358,7 +387,6 @@ def run_crawl(
                     if (ds is not None or (small and small_rows > 0))
                     else None,
                     "elapsed_s": round(time.time() - t0, 3),
-                    "frontier": frontier.stats(),
                 }
             )
             manifest["waves"][str(wave)] = wave_info
@@ -371,6 +399,11 @@ def run_crawl(
             )
             wave += 1
 
+        if admission["count"] > 0:
+            # hit max_waves with one more wave already staged by the fused
+            # turnaround: return its entries to pending so final stats (and
+            # a later resume from the last checkpoint) see them as pending
+            frontier.unstage_wave()
         manifest["final_stats"] = frontier.stats()
         manifest["dead_letters"] = frontier.dead_letters()
         manifest["seen_count"] = frontier.seen_count()

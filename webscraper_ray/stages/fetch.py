@@ -288,9 +288,15 @@ class FetchCache:
 class SandboxFetcher:
     """Pool of FetchCache actors; bucket -> actor by ``bucket % pool``."""
 
-    def __init__(self, store: PageStore, pool_size: int = 8):
+    def __init__(self, store: PageStore, pool_size: int = 8, cpu_share: float = 0.0):
+        # cpu_share > 0 books the cache shards' point-take work inside
+        # the session CPU budget (a real cluster's page-cache actors run
+        # on the same nodes as the data stages); 0 keeps the test default
         self.store = store
-        self.pool = [FetchCache.remote() for _ in range(pool_size)]
+        self.pool = [
+            FetchCache.options(num_cpus=cpu_share).remote()
+            for _ in range(pool_size)
+        ]
 
     def prefetch(self) -> int:
         """Load every existing bucket into its cache shard, in parallel.
@@ -349,6 +355,24 @@ class SandboxFetcher:
             )
             for i in range(len(self.pool))
             for ref in table_refs
+        ]
+
+    def fetch_refs_small(self, table_refs: list) -> list:
+        """BFS-tail variant: ONE call per cache shard with ALL the
+        shards' tables (pool blocks instead of pool x shards). A
+        few-dozen-row wave gains nothing from 64-way block fan-out and
+        pays every extra actor message as pure fixed cost."""
+        if not table_refs:
+            return []
+        return [
+            self.pool[i].fetch_from_tables.remote(
+                self.store.root,
+                self.store.n_buckets,
+                len(self.pool),
+                i,
+                *table_refs,
+            )
+            for i in range(len(self.pool))
         ]
 
     def shutdown(self) -> None:
@@ -469,6 +493,16 @@ class HttpFetcher:
             self.pool[w].fetch_from_tables.remote(len(self.pool), w, ref)
             for w in range(len(self.pool))
             for ref in table_refs
+        ]
+
+    def fetch_refs_small(self, table_refs: list) -> list:
+        """BFS-tail variant (same contract as SandboxFetcher): one call
+        per worker with all the shards' tables."""
+        if not table_refs:
+            return []
+        return [
+            self.pool[w].fetch_from_tables.remote(len(self.pool), w, *table_refs)
+            for w in range(len(self.pool))
         ]
 
     def shutdown(self) -> None:

@@ -224,6 +224,16 @@ class FrontierShard:
         self._wave_admitted = self._wave_admitted[:keep]
         return self._publish_wave(record_order)
 
+    def unstage_wave(self) -> int:
+        """Return a staged-but-never-run wave's entries to pending (the
+        run hit max_waves after the fused turnaround staged one more)."""
+        n = len(self._wave_admitted)
+        self.core.restore_pending(self._wave_admitted)
+        self._wave_admitted = []
+        self._wave_fetchable = {}
+        self._wave_missing = []
+        return n
+
     def finish_wave(self) -> dict:
         """After the wave's pipeline: requeue this wave's known-missing
         entries, compare admitted fetchables against the status rows the
@@ -258,6 +268,21 @@ class FrontierShard:
         self._wave_fetchable = {}
         self._wave_missing = []
         return {"fetched": fetched, "ok": ok_count, "failures": failures}
+
+    def finish_checkpoint_stage(
+        self, ckpt_path: str | None, record_order: bool
+    ) -> dict:
+        """ONE control message for the whole inter-wave turnaround:
+        finish wave k (requeue misses), checkpoint post-finish state
+        (before staging pops entries off the pending heap — restore
+        must re-admit wave k+1 from scratch), then stage + admit wave
+        k+1 optimistically. Replaces three driver->shards barriers with
+        one; the global-cap clawback round (truncate_admitted) still
+        follows only on capped waves."""
+        finish = self.finish_wave()
+        if ckpt_path:
+            self.checkpoint(ckpt_path)
+        return {"finish": finish, "stage": self.stage_and_admit_all(record_order)}
 
     def requeue_batch(self, failures: list[tuple[FrontierEntry, str]]) -> int:
         return sum(self.core.requeue_failure(e, reason) for e, reason in failures)
@@ -313,6 +338,7 @@ class ShardedFrontier:
         *,
         static_store: bool = True,
         fetch_buckets: int = 0,
+        cpu_share: float = 0.0,
     ):
         self.num_shards = num_shards
         # robots rules are sharded BY HOST like everything else (north
@@ -322,8 +348,12 @@ class ShardedFrontier:
         robots_by_shard: list[dict] = [{} for _ in range(num_shards)]
         for host, rules in robots.items():
             robots_by_shard[shard_of_host(host, num_shards)][host] = rules
+        # cpu_share > 0 books each shard's work INSIDE the session's CPU
+        # budget (on a real cluster the frontier runs on the same nodes
+        # as the data stages); num_cpus=0 keeps the test default of
+        # lightweight state holders that never block task scheduling
         self.shards = [
-            FrontierShard.remote(
+            FrontierShard.options(num_cpus=cpu_share).remote(
                 i,
                 robots_by_shard[i],
                 cfg,
@@ -439,6 +469,13 @@ class ShardedFrontier:
         results = ray.get(
             [s.stage_and_admit_all.remote(record_order) for s in self.shards]
         )
+        return self._finalize_admission(results, max_wave_size, record_order)
+
+    def _finalize_admission(
+        self, results: list[dict], max_wave_size: int, record_order: bool
+    ) -> dict:
+        """Aggregate the shards' optimistic admissions; run the K-th-key
+        cap clawback only when the global cap is exceeded."""
         counts = [r["count"] for r in results]
         total = sum(counts)
         if total == 0:
@@ -463,11 +500,49 @@ class ShardedFrontier:
             out["order"] = [url for _key, url in merged]
         return out
 
+    def finish_checkpoint_stage(
+        self,
+        ckpt_dir: str | None,
+        wave: int,
+        max_wave_size: int = 0,
+        record_order: bool = False,
+    ) -> tuple[dict, dict]:
+        """Fused inter-wave turnaround: finish wave ``wave``, checkpoint
+        it, and stage+admit the next wave in ONE barrier (each shard
+        pipelines its own finish->checkpoint->stage sequence; the driver
+        waits once instead of three times). Returns (finish_totals,
+        next_admission)."""
+        paths = (
+            [
+                os.path.join(ckpt_dir, f"wave_{wave}", f"shard_{i}.pkl")
+                for i in range(self.num_shards)
+            ]
+            if ckpt_dir
+            else [None] * self.num_shards
+        )
+        results = ray.get(
+            [
+                s.finish_checkpoint_stage.remote(p, record_order)
+                for s, p in zip(self.shards, paths)
+            ]
+        )
+        finish = {
+            k: sum(r["finish"][k] for r in results)
+            for k in ("fetched", "ok", "failures")
+        }
+        admission = self._finalize_admission(
+            [r["stage"] for r in results], max_wave_size, record_order
+        )
+        return finish, admission
+
     def finish_wave(self) -> dict:
         parts = ray.get([s.finish_wave.remote() for s in self.shards])
         return {
             k: sum(p[k] for p in parts) for k in ("fetched", "ok", "failures")
         }
+
+    def unstage_wave(self) -> int:
+        return sum(ray.get([s.unstage_wave.remote() for s in self.shards]))
 
     def requeue(self, failures: list[tuple[FrontierEntry, str]]) -> None:
         grouped: dict[int, list] = {}
