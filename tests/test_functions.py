@@ -1,5 +1,7 @@
 """Unit checks for the training-data operators (dedup / ANN / textstats)."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -85,6 +87,62 @@ def test_ann_lsh_recall_vs_bruteforce(ray_session):
         & set(map(tuple, approx[["query_id", "vec_id"]].values))
     )
     assert inter >= 2  # at minimum the self-hits
+
+
+def test_ann_index_probe_prunes_files(ray_session, tmp_path, monkeypatch):
+    """The bucket-partitioned index probe must (a) return exactly the
+    full-scan LSH result and (b) READ only the bucket=K dirs its queries
+    hash to — file-level pruning, not a corpus scan."""
+    import ray.data
+
+    import webscraper_ray.functions.ann as ann_mod
+    from webscraper_ray.functions.ann import (
+        _bucket_of,
+        _plane_matrix,
+        ann_lsh_topk,
+        ann_lsh_topk_indexed,
+        build_ann_index,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, bits = 400, 16, 3
+    mat = rng.standard_normal((n, dim)).astype(np.float64)
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(n)]
+    idx = str(tmp_path / "ann_index")
+    build_ann_index(ray.data.from_items(rows), idx, bits=bits)
+
+    planes = _plane_matrix(dim, bits)
+    all_buckets = set(_bucket_of(mat, planes).tolist())
+    on_disk = {d for d in os.listdir(idx) if d.startswith("bucket=")}
+    assert on_disk == {f"bucket={b}" for b in all_buckets} and len(on_disk) > 1
+
+    qids, qmat = [0, 1, 2], mat[:3]
+    q_buckets = set(_bucket_of(qmat, planes).tolist())
+
+    read_paths: list[list[str]] = []
+    real_read = ray.data.read_parquet
+
+    def spy_read(paths, **kw):
+        read_paths.append(list(paths) if isinstance(paths, list) else [paths])
+        return real_read(paths, **kw)
+
+    monkeypatch.setattr(ann_mod.ray.data, "read_parquet", spy_read)
+    got = ann_lsh_topk_indexed(idx, qids, qmat, k=5, bits=bits).to_pandas()
+    want = ann_lsh_topk(
+        ray.data.from_items(rows), qids, qmat, k=5, bits=bits
+    ).to_pandas()
+
+    key = ["query_id", "vec_id"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert got_s[key + ["cos_sim"]].equals(want_s[key + ["cos_sim"]])
+
+    # the probe read ONLY files under the query buckets' dirs — a strict
+    # subset of the corpus partitions
+    assert len(read_paths) == 1
+    probed = {os.path.basename(os.path.dirname(p)) for p in read_paths[0]}
+    assert probed == {f"bucket={b}" for b in q_buckets}
+    assert probed < on_disk
 
 
 def test_token_stats_empty_and_unicode():

@@ -10,6 +10,13 @@
   recall for touching ~1/2^bits of the corpus. The planes are inlined
   into a generated DuckDB oracle, so even the approximate variant is
   value-hash gated; recall vs brute force is pinned in tests.
+- :func:`build_ann_index` / :func:`ann_lsh_topk_indexed` — the storage
+  half of the scale path: a one-time write of the corpus partitioned by
+  LSH bucket (``bucket=K/`` dirs, mirroring the crawl PageStore layout),
+  after which a probe READS only its query buckets' files instead of
+  scanning every embedding block. At 1e9+ vectors this turns the probe's
+  I/O from corpus-proportional to ~n_query_buckets/2^bits of the corpus.
+  On a real cluster the index dir lives on shared storage.
 - :func:`embed_cosine_dups` — embedding-cosine near-dup pairs: bucket by
   the same hyperplane family, pairwise cosine INSIDE buckets only.
 
@@ -20,6 +27,7 @@ decimals so the DuckDB oracle (list_cosine_similarity) hashes equal.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -27,7 +35,13 @@ import pyarrow as pa
 import ray
 import ray.data
 
-__all__ = ["ann_bruteforce_topk", "ann_lsh_topk", "embed_cosine_dups"]
+__all__ = [
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "build_ann_index",
+    "ann_lsh_topk_indexed",
+    "embed_cosine_dups",
+]
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -114,6 +128,19 @@ def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (signs * (1 << np.arange(planes.shape[1]))).sum(axis=1).astype(np.int64)
 
 
+def _queries_by_bucket(
+    query_ids: list[int], query_matrix: np.ndarray, planes: np.ndarray
+) -> dict[int, "ray.ObjectRef"]:
+    """Group the query matrix by LSH bucket; one broadcast ref per bucket."""
+    q_mat = np.asarray(query_matrix, dtype=np.float64)
+    q_buckets = _bucket_of(q_mat, planes)
+    by_bucket: dict[int, tuple[list[int], list[np.ndarray]]] = {}
+    for qid, qb, qv in zip(query_ids, q_buckets, q_mat):
+        by_bucket.setdefault(int(qb), ([], []))[0].append(int(qid))
+        by_bucket[int(qb)][1].append(qv)
+    return {b: ray.put((ids, np.stack(vecs))) for b, (ids, vecs) in by_bucket.items()}
+
+
 def ann_lsh_topk(
     ds: "ray.data.Dataset",
     query_ids: list[int],
@@ -123,23 +150,22 @@ def ann_lsh_topk(
 ) -> "ray.data.Dataset":
     """Approximate top-k: only vectors in a query's LSH bucket are scored.
 
-    At 1e9+ vectors this is the shape that scales (bucket = partition key,
-    queries routed to their bucket); recall measured against the
-    brute-force baseline in tests.
+    Compute is bucket-limited; I/O is not — every input block is still
+    read and masked. For the storage-pruned variant build a one-time
+    bucket-partitioned index (:func:`build_ann_index`) and probe it with
+    :func:`ann_lsh_topk_indexed`; recall measured against the brute-force
+    baseline in tests.
     """
     dim = np.asarray(query_matrix).shape[1]
     planes = _plane_matrix(dim, bits)
-    q_mat = np.asarray(query_matrix, dtype=np.float64)
-    q_buckets = _bucket_of(q_mat, planes)
+    refs = _queries_by_bucket(query_ids, query_matrix, planes)
+    partial = ds.map_batches(_bucket_scorer(planes, refs, k), batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
 
-    by_bucket: dict[int, tuple[list[int], list[np.ndarray]]] = {}
-    for qid, qb, qv in zip(query_ids, q_buckets, q_mat):
-        by_bucket.setdefault(int(qb), ([], []))[0].append(int(qid))
-        by_bucket[int(qb)][1].append(qv)
 
-    refs = {
-        b: ray.put((ids, np.stack(vecs))) for b, (ids, vecs) in by_bucket.items()
-    }
+def _bucket_scorer(planes: np.ndarray, refs: dict, k: int):
+    """Per-batch kernel: bucket each row, score it only against the
+    queries of its own bucket (refs: bucket -> broadcast query ref)."""
 
     def score_bucket(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
@@ -176,7 +202,79 @@ def ann_lsh_topk(
             )
         return pa.concat_tables(out)
 
-    partial = ds.map_batches(score_bucket, batch_format="pyarrow")
+    return score_bucket
+
+
+def build_ann_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    bits: int = 4,
+    salt: bytes = b"ann-lsh",
+) -> str:
+    """One-time bucket-partitioned embedding store (``bucket=K/`` dirs).
+
+    Mirrors the crawl PageStore layout: the LSH bucket IS the storage
+    partition, so a probe opens only the files of its query buckets (no
+    analog in the reference — task-brief similarity-search op). The write
+    streams (map_batches -> partitioned write_parquet); nothing gathers.
+    Planes are derived from the embedding dim of the first block.
+    """
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if mat.size == 0:
+            buckets = pa.array([], pa.int64())
+        else:
+            planes = _plane_matrix(mat.shape[1], bits, salt=salt)
+            buckets = pa.array(_bucket_of(mat, planes), pa.int64())
+        return pa.table(
+            {
+                "bucket": buckets,
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    ds.map_batches(bucketize, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"]
+    )
+    return index_dir
+
+
+def ann_lsh_topk_indexed(
+    index_dir: str,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k: int = 10,
+    bits: int = 4,
+) -> "ray.data.Dataset":
+    """LSH top-k over a :func:`build_ann_index` store — identical output
+    to :func:`ann_lsh_topk` on the same corpus, but the probe READS only
+    the ``bucket=K/`` directories its queries hash to (file-level
+    pruning), not the whole corpus."""
+    dim = np.asarray(query_matrix).shape[1]
+    planes = _plane_matrix(dim, bits)
+    refs = _queries_by_bucket(query_ids, query_matrix, planes)
+    paths: list[str] = []  # explicit read_parquet path lists must be files
+    for b in sorted(refs):
+        d = os.path.join(index_dir, f"bucket={b}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        }
+    )
+    if not paths:
+        return ray.data.from_arrow(empty)
+    ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    partial = ds.map_batches(_bucket_scorer(planes, refs, k), batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
 
 
