@@ -61,6 +61,57 @@ def test_minhash_lsh_finds_planted_dups(ray_session):
     assert not ((pairs.doc_a >= 10) | (pairs.doc_b >= 10)).any()
 
 
+def test_minhash_hot_band_star_bounds_giant_cluster(ray_session):
+    """A planted giant duplicate cluster must produce a BOUNDED pair set
+    (star to the min id, m-1 pairs) instead of m^2/2, while staying fully
+    connected through the representative; docs outside the cluster are
+    untouched."""
+    import ray.data
+
+    from webscraper_ray.functions.dedup import _band_candidates, minhash_near_dups
+
+    base = "all work and no play makes jack a dull boy " * 8
+    m = 120
+    rows = [{"doc_id": i, "text": base} for i in range(m)]
+    rows += [
+        {
+            "doc_id": 1000 + i,
+            "text": f"singleton {i} " + " ".join(f"w{i}_{j}" for j in range(40)),
+        }
+        for i in range(10)
+    ]
+    ds = ray.data.from_items(rows)
+    pairs, a_col, b_col = _band_candidates(ds, "doc_id", "text", hot_band_cap=50)
+    got = pairs.to_pandas()
+    # identical docs collide in EVERY band; the star caps each band's
+    # bucket at m-1 pairs, and every band emits the same star -> m-1
+    # distinct pairs total, all anchored at the min id
+    assert len(got) == m - 1
+    assert (got[a_col] == 0).all()
+    assert set(got[b_col]) == set(range(1, m))
+    # end-to-end: the verified output preserves the star (est=1.0)
+    out = minhash_near_dups(
+        ray.data.from_items(rows), hot_band_cap=50
+    ).to_pandas()
+    cluster = out[(out.doc_a < 1000) & (out.doc_b < 1000)]
+    assert len(cluster) == m - 1  # star pairs only, far below m^2/2 = 7140
+    assert (cluster.est_jaccard == 1.0).all()
+    # connectivity: every cluster member reachable from doc 0
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in zip(cluster.doc_a, cluster.doc_b):
+        adj[a].add(b)
+        adj[b].add(a)
+    seen, stack = {0}, [0]
+    while stack:
+        for nxt in adj[stack.pop()]:
+            if nxt not in seen:
+                seen.add(nxt)
+                stack.append(nxt)
+    assert seen == set(range(m))
+
+
 def test_ann_lsh_recall_vs_bruteforce(ray_session):
     import ray.data
 

@@ -8,9 +8,11 @@ signature — the pattern that holds at 100 TB:
 - minhash: distinct 3-token shingles -> 64 xor-permutation minima ->
            16 bands; ONLY (band_id, band_hash, doc_id) rows shuffle
            (~24 B/row vs the 512-B signature); candidate pairs come from
-           a partitioned self-join on the band key, and the signature
-           agreement estimate is computed from signatures of the
-           OUTPUT-sized pair set.
+           a groupby on the band key (hot buckets emit a connectivity-
+           preserving star, bounding giant clusters), and the signature
+           agreement verify is a distributed join of the OUTPUT-sized
+           pair set against the involved docs' signatures — no pair set
+           is ever gathered to the driver.
 - simhash: 64-bit sign-sketch of token hashes; groups = equal sketches.
 - ngram-jaccard: exact k-shingle verifier, only ever applied INSIDE
            candidate sets (LSH output), never across the corpus.
@@ -177,15 +179,30 @@ def _band_hashes(sig_row: np.ndarray) -> list[str]:
 
 
 
-def _band_candidates(
-    ds: "ray.data.Dataset", id_col: str, text_col: str
-) -> "tuple":
-    """Shared LSH candidate stage: band rows -> partitioned self-join on
-    the band key -> distinct (doc_a < doc_b) pairs. Only the OUTPUT-sized
-    pair set is collected; band rows are the sole shuffle payload."""
-    import ray
+HOT_BAND_CAP = 256
 
-    import pyarrow.compute as pc
+
+def _band_candidates(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    hot_band_cap: int = HOT_BAND_CAP,
+) -> "tuple":
+    """Shared LSH candidate stage: band rows -> groupby the band key ->
+    per-bucket pair emission -> distinct (doc_a < doc_b) pairs as a
+    MATERIALIZED output-sized Dataset (the pair set never reaches the
+    driver). Band rows (~24 B) are the sole corpus-proportional shuffle
+    payload.
+
+    Hot-band guard: a giant duplicate cluster puts m docs under ONE band
+    key; all-pairs there is O(m^2) rows out of a single partition. Buckets
+    over ``hot_band_cap`` emit a STAR to the bucket's min doc id (m-1
+    pairs) instead — connectivity-preserving for duplicate clustering
+    (every member still pairs with the cluster representative), bounded
+    output. Buckets at or under the cap are exhaustive, so corpora without
+    giant clusters (the oracle gate's corpora) are byte-identical to the
+    all-pairs contract.
+    """
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -207,30 +224,59 @@ def _band_candidates(
             }
         )
 
-    bands = ds.map_batches(band_rows, batch_format="pyarrow")
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    joined = bands.join(
-        bands,
-        "inner",
-        num_partitions=max(2, min(8, cpus // 2)),
-        on=("band_id", "band_hash"),
-        left_suffix="_a",
-        right_suffix="_b",
-    )
     a_col, b_col = f"{id_col}_a", f"{id_col}_b"
-    pairs = (
-        joined.map_batches(
-            lambda t: t.filter(pc.less(t.column(a_col), t.column(b_col))).select(
-                [a_col, b_col]
-            ),
-            batch_format="pyarrow",
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(np.asarray(group.column(id_col).to_pylist(), dtype=np.int64))
+        m = len(ids)
+        if m < 2:
+            a = b = np.array([], dtype=np.int64)
+        elif m <= hot_band_cap:
+            ii, jj = np.triu_indices(m, k=1)
+            a, b = ids[ii], ids[jj]
+        else:  # hot band: star to the min id, m-1 pairs instead of m^2/2
+            a, b = np.full(m - 1, ids[0]), ids[1:]
+        return pa.table(
+            {a_col: pa.array(a, pa.int64()), b_col: pa.array(b, pa.int64())}
         )
+
+    bands = ds.map_batches(band_rows, batch_format="pyarrow")
+    pairs = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(emit_pairs, batch_format="pyarrow")
         .groupby([a_col, b_col])
         .count()
         .select_columns([a_col, b_col])
-        .to_pandas()
+        .materialize()  # output-sized; reused by the verify joins
     )
     return pairs, a_col, b_col
+
+
+def _involved_ids_ref(pairs: "ray.data.Dataset", a_col: str, b_col: str):
+    """Broadcast ref of the distinct doc ids appearing in any candidate
+    pair — ids ONLY (8 B each, output-sized), used to filter the
+    signature/shingle recompute map-side. The pair set itself stays
+    distributed."""
+    import ray
+
+    def both(t: pa.Table) -> pa.Table:
+        merged = pa.concat_arrays(
+            [
+                t.column(a_col).cast(pa.int64()).combine_chunks(),
+                t.column(b_col).cast(pa.int64()).combine_chunks(),
+            ]
+        )
+        return pa.table({"doc_id": merged})
+
+    ids = (
+        pairs.map_batches(both, batch_format="pyarrow")
+        .groupby("doc_id")
+        .count()
+        .select_columns(["doc_id"])
+        .take_all()
+    )
+    involved = np.array(sorted(r["doc_id"] for r in ids), dtype=np.int64)
+    return ray.put(involved)
 
 
 def minhash_near_dups(
@@ -238,36 +284,39 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.8,
-) -> pa.Table:
+    hot_band_cap: int = HOT_BAND_CAP,
+) -> "ray.data.Dataset":
     """Near-duplicate pairs ``(doc_a, doc_b, est_jaccard)`` with
     ``doc_a < doc_b`` and signature-agreement estimate >= threshold.
 
     Scale shape:
     - signature stage: map-only, vectorized; ships (doc_id, 16 band rows
       of ~24 B) — the 512-B signature itself never enters the shuffle.
-    - candidates: partitioned self-join on (band_id, band_hash) — an
-      all-to-all of band rows only; a hot band key concentrates on one
-      partition (salt hot keys upstream if a corpus has giant clusters).
-    - estimate: the candidate pair set is OUTPUT-sized (near-dups plus
-      band false positives), so pairs and the signatures of only the
-      involved docs are collected and compared vectorized; nothing
-      corpus-proportional reaches the driver.
+    - candidates: groupby the band key with a hot-band star cap (see
+      :func:`_band_candidates`) — an all-to-all of band rows only,
+      bounded pair output even under giant duplicate clusters.
+    - estimate: fully distributed. The only driver artifact is the
+      involved-doc ID LIST (8 B/doc, output-sized) broadcast to filter
+      the signature recompute map-side; pairs join the signature table
+      twice (both sides output-sized) and the agreement estimate is a
+      vectorized per-batch kernel. No pair set is ever gathered.
     """
-    import ray
+    import ray  # noqa: F401  (ray.data used via ds)
 
     import pyarrow.compute as pc
 
-    pairs, a_col, b_col = _band_candidates(ds, id_col, text_col)
-    if len(pairs) == 0:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "est_jaccard": pa.array([], pa.float64()),
-            }
-        )
-    involved = np.unique(np.concatenate([pairs[a_col].values, pairs[b_col].values]))
-    inv_ref = ray.put(involved)
+    pairs, a_col, b_col = _band_candidates(ds, id_col, text_col, hot_band_cap)
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(empty)
+    inv_ref = _involved_ids_ref(pairs, a_col, b_col)
 
     def sig_of_involved(batch: pa.Table, ref=inv_ref) -> pa.Table:
         import ray as _ray
@@ -286,24 +335,54 @@ def minhash_near_dups(
             }
         )
 
-    sig_tbl = ds.map_batches(sig_of_involved, batch_format="pyarrow").to_pandas()
-    sig_by_id = {
-        d: np.frombuffer(s, dtype=np.uint64) for d, s in zip(sig_tbl[id_col], sig_tbl["sig"])
-    }
-    a_ids = pairs[a_col].to_numpy()
-    b_ids = pairs[b_col].to_numpy()
-    sig_a = np.stack([sig_by_id[d] for d in a_ids])
-    sig_b = np.stack([sig_by_id[d] for d in b_ids])
-    est = (sig_a == sig_b).mean(axis=1)
-    keep = est >= jaccard_threshold
-    order = np.lexsort((b_ids[keep], a_ids[keep]))
-    return pa.table(
-        {
-            "doc_a": pa.array(a_ids[keep][order], pa.int64()),
-            "doc_b": pa.array(b_ids[keep][order], pa.int64()),
-            "est_jaccard": pa.array(est[keep][order], pa.float64()),
-        }
-    )
+    sig_ds = ds.map_batches(sig_of_involved, batch_format="pyarrow").materialize()
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        sig_a = np.frombuffer(
+            b"".join(t.column("sig_a").to_pylist()), dtype=np.uint64
+        ).reshape(-1, N_HASHES)
+        sig_b = np.frombuffer(
+            b"".join(t.column("sig_b").to_pylist()), dtype=np.uint64
+        ).reshape(-1, N_HASHES)
+        est = (sig_a == sig_b).mean(axis=1)
+        keep = pa.array(est >= jaccard_threshold)
+        return pa.table(
+            {
+                "doc_a": t.column(a_col).filter(keep),
+                "doc_b": t.column(b_col).filter(keep),
+                "est_jaccard": pa.array(est[np.asarray(keep)], pa.float64()),
+            }
+        )
+
+    return _join_pair_sides(pairs, sig_ds, id_col, a_col, b_col, "sig", n_pairs).map_batches(
+        verify, batch_format="pyarrow"
+    ).sort(["doc_a", "doc_b"])
+
+
+def _join_pair_sides(
+    pairs: "ray.data.Dataset",
+    side_ds: "ray.data.Dataset",
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    payload: str,
+    n_pairs: int,
+) -> "ray.data.Dataset":
+    """Distributed join of the candidate pair set against a per-doc
+    payload table (signatures / shingle hashes), once per side. Both
+    inputs are output-sized; partitions scale with the pair count.
+
+    Partition count floors at 1 for small sets: Ray 2.49's hash join
+    crashes on a partition with rows on only one side (pyarrow FieldRef
+    'no match' on the synthesized empty table), so partitions are added
+    only when each is statistically guaranteed thousands of rows."""
+    side_a = side_ds.rename_columns({id_col: a_col, payload: f"{payload}_a"})
+    side_b = side_ds.rename_columns({id_col: b_col, payload: f"{payload}_b"})
+    n_parts = max(1, min(16, n_pairs // 4096))
+    joined = pairs.join(side_a, "inner", num_partitions=n_parts, on=(a_col,))
+    return joined.join(side_b, "inner", num_partitions=n_parts, on=(b_col,))
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -474,21 +553,23 @@ def ngram_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.8,
-) -> pa.Table:
+    hot_band_cap: int = HOT_BAND_CAP,
+) -> "ray.data.Dataset":
     """Exact-Jaccard near-dup pairs ``(doc_a, doc_b, jaccard)``.
 
-    Same scale shape as :func:`minhash_near_dups` — LSH band candidates,
-    never all-pairs — but the verify step computes the TRUE distinct-
-    3-shingle Jaccard of each candidate pair (vectorized
-    ``np.intersect1d`` over per-doc sorted shingle-hash arrays) instead
-    of the signature estimate. Only the output-sized candidate set's
-    shingle arrays are gathered.
+    Same scale shape as :func:`minhash_near_dups` — LSH band candidates
+    with the hot-band star cap, never all-pairs — but the verify step
+    computes the TRUE distinct-3-shingle Jaccard of each candidate pair
+    (``np.intersect1d`` over per-doc sorted shingle-hash arrays) instead
+    of the signature estimate. Verify is a distributed join of the pair
+    set against the involved docs' shingle arrays; only the involved-doc
+    ID LIST is broadcast, no pair set reaches the driver.
     """
-    import ray
+    import ray  # noqa: F401
 
     import pyarrow.compute as pc
 
-    pairs, a_col, b_col = _band_candidates(ds, id_col, text_col)
+    pairs, a_col, b_col = _band_candidates(ds, id_col, text_col, hot_band_cap)
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -496,10 +577,10 @@ def ngram_near_dups(
             "jaccard": pa.array([], pa.float64()),
         }
     )
-    if len(pairs) == 0:
-        return empty
-    involved = np.unique(np.concatenate([pairs[a_col].values, pairs[b_col].values]))
-    inv_ref = ray.put(involved)
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(empty)
+    inv_ref = _involved_ids_ref(pairs, a_col, b_col)
 
     def shingle_arrays(batch: pa.Table, ref=inv_ref) -> pa.Table:
         import ray as _ray
@@ -519,31 +600,38 @@ def ngram_near_dups(
             )
         return pa.table(
             {
-                id_col: pa.array(ids),
+                id_col: pa.array(ids, pa.int64()),
                 "hashes": pa.array([a.tobytes() for a in arrays], pa.binary()),
             }
         )
 
-    tbl = ds.map_batches(shingle_arrays, batch_format="pyarrow").to_pandas()
-    by_id = {
-        d: np.frombuffer(h, dtype=np.uint64) for d, h in zip(tbl[id_col], tbl["hashes"])
-    }
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(pairs[a_col], pairs[b_col]):
-        ha, hb = by_id.get(a), by_id.get(b)
-        if ha is None or hb is None:
-            continue
-        inter = np.intersect1d(ha, hb, assume_unique=True).size
-        jac = inter / (ha.size + hb.size - inter)
-        if jac >= jaccard_threshold:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_j.append(jac)
-    order = np.lexsort((out_b, out_a))
-    return pa.table(
-        {
-            "doc_a": pa.array(np.array(out_a)[order] if out_a else [], pa.int64()),
-            "doc_b": pa.array(np.array(out_b)[order] if out_b else [], pa.int64()),
-            "jaccard": pa.array(np.array(out_j)[order] if out_j else [], pa.float64()),
-        }
-    )
+    hash_ds = ds.map_batches(shingle_arrays, batch_format="pyarrow").materialize()
+
+    def verify(t: pa.Table) -> pa.Table:
+        # per-pair loop is fine here: the candidate set is output-sized
+        out_a, out_b, out_j = [], [], []
+        for a, b, ha, hb in zip(
+            t.column(a_col).to_pylist(),
+            t.column(b_col).to_pylist(),
+            t.column("hashes_a").to_pylist(),
+            t.column("hashes_b").to_pylist(),
+        ):
+            va = np.frombuffer(ha, dtype=np.uint64)
+            vb = np.frombuffer(hb, dtype=np.uint64)
+            inter = np.intersect1d(va, vb, assume_unique=True).size
+            jac = inter / (va.size + vb.size - inter)
+            if jac >= jaccard_threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(jac)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return _join_pair_sides(pairs, hash_ds, id_col, a_col, b_col, "hashes", n_pairs).map_batches(
+        verify, batch_format="pyarrow"
+    ).sort(["doc_a", "doc_b"])
