@@ -115,3 +115,53 @@ def test_pagination_token_windows(ray_session):
     assert page2.column("id").to_pylist() == seen[10:20]
     # page budget stops the loop like the reference's i=7 counter
     assert len(list(iter_doc_pages(docs, page_size=3, max_pages=2))) == 2
+
+
+def test_paginate_docs_dir_prunes_files(tmp_path, monkeypatch):
+    """The on-disk paginator must open only the files whose id window
+    crosses the page: pages 2..n never re-open page-1 files (the round-2
+    complaint was 7 full sorts for 7 pages)."""
+    import pyarrow.parquet as pq
+
+    from webscraper_ray.pipelines.docs_api import paginate_docs_dir
+
+    # 3 id-ordered "wave" files of 10 rows each, like the crawl layout
+    rows = [
+        {
+            "id": make_xid(100 + i, 0, f"u{i}"),
+            "url": f"https://a.x/{i}",
+            "src": f"https://a.x/{i}",
+            "title": f"t{i}",
+            "meta": [],
+            "content": b"",
+        }
+        for i in range(30)
+    ]
+    rows.sort(key=lambda r: r["id"])
+    for w in range(3):
+        d = tmp_path / f"wave={w}"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows[w * 10 : (w + 1) * 10]), d / "part.parquet")
+
+    opened: list[str] = []
+    real = pq.read_table
+
+    def spy(path, *a, **kw):
+        opened.append(str(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "read_table", spy)  # function-level imports resolve here
+
+    all_ids = [r["id"] for r in rows]
+    page1, tok1 = paginate_docs_dir(str(tmp_path), page_size=10)
+    assert page1.column("id").to_pylist() == all_ids[:10]
+    opened.clear()
+    page2, tok2 = paginate_docs_dir(str(tmp_path), page_size=10, page_token=tok1)
+    assert page2.column("id").to_pylist() == all_ids[10:20]
+    assert all("wave=0" not in p for p in opened), opened  # page-1 file untouched
+    opened.clear()
+    page3, tok3 = paginate_docs_dir(str(tmp_path), page_size=10, page_token=tok2)
+    assert page3.column("id").to_pylist() == all_ids[20:30]
+    assert all("wave=0" not in p and "wave=1" not in p for p in opened), opened
+    page4, tok4 = paginate_docs_dir(str(tmp_path), page_size=10, page_token=tok3)
+    assert page4.num_rows == 0 and tok4 is None

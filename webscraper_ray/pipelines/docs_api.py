@@ -35,6 +35,7 @@ __all__ = [
     "latest_docs",
     "search_by_urls",
     "paginate_docs",
+    "paginate_docs_dir",
     "iter_doc_pages",
     "convert_uploads",
 ]
@@ -167,28 +168,122 @@ def paginate_docs(
     ``page_size`` rows per call, resume via ``next_page_token``).
 
     Token = the last returned doc id; a page is the ``page_size`` id-
-    ordered rows AFTER it. The filter is pushed into a vectorized
-    ``map_batches`` BEFORE the sort, so each further page sorts a
-    strictly shrinking remainder — and at 100-TB scale the docs layout is
-    id-partitioned (wave dirs), letting the same predicate prune whole
-    files. Returns ``(page_table, next_page_token)``; token ``None`` when
-    exhausted.
+    ordered rows AFTER it. The token filter AND a per-block partial
+    top-k run inside ``map_batches`` first, so the only all-to-all sort
+    is over ``page_size × n_blocks`` survivor rows — never the dataset.
+    For docs stored on disk prefer :func:`paginate_docs_dir`, which
+    prunes whole FILES by their id-range footer stats. Returns
+    ``(page_table, next_page_token)``; token ``None`` when exhausted.
     """
     import pyarrow.compute as pc
 
-    ds = docs
-    if page_token is not None:
-        ds = ds.map_batches(
-            lambda t, tok=page_token: t.filter(pc.greater(t.column("id"), tok)),
-            batch_format="pyarrow",
-        )
+    def block_topk(t: pa.Table, tok=page_token, k=page_size) -> pa.Table:
+        if tok is not None:
+            t = t.filter(pc.greater(t.column("id"), tok))
+        return t.sort_by("id").slice(0, k)
+
+    reduced = docs.map_batches(block_topk, batch_format="pyarrow")
     page = pa.Table.from_pandas(
-        ds.sort("id").limit(page_size).to_pandas(), preserve_index=False
+        reduced.sort("id").limit(page_size).to_pandas(), preserve_index=False
     )
     if page.num_rows < page_size:
         return page, None
     last = page.column("id")[page.num_rows - 1].as_py()
     return page, last
+
+
+_PAGE_INDEX_CACHE: dict[tuple, list] = {}
+
+
+def _docs_file_index(docs_dir: str, cols_key: tuple) -> list[tuple]:
+    """One-time per-directory index of ``(min_id, max_id, n_rows, path)``
+    per parquet file, sorted by min_id — built from footer statistics
+    (falling back to a one-column id read when a writer omitted stats)
+    and cached on the file set, so page fetches never re-open files
+    outside their id window."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    files = []
+    for root, _dirs, names in os.walk(docs_dir):
+        files.extend(
+            os.path.join(root, n) for n in names if n.endswith(".parquet")
+        )
+    key = (docs_dir, cols_key, tuple(sorted(files)))
+    if key in _PAGE_INDEX_CACHE:
+        return _PAGE_INDEX_CACHE[key]
+    entries = []
+    for path in sorted(files):
+        pf = pq.ParquetFile(path)
+        idx = pf.schema_arrow.get_field_index("id")
+        mins, maxs = [], []
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                mins.clear()
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            mn, mx = min(mins), max(maxs)
+        else:  # stats absent: one-time single-column scan at index build
+            ids = pq.read_table(path, columns=["id"]).column("id")
+            mm = pc.min_max(ids).as_py()
+            mn, mx = mm["min"], mm["max"]
+        entries.append((mn, mx, pf.metadata.num_rows, path))
+    entries.sort()
+    _PAGE_INDEX_CACHE[key] = entries
+    return entries
+
+
+def paginate_docs_dir(
+    docs_dir: str,
+    page_size: int = 100,
+    page_token: bytes | None = None,
+    output: str = "detail",
+) -> tuple[pa.Table, bytes | None]:
+    """File-pruned pagination over an on-disk docs layout.
+
+    The crawl writes id-ordered wave dirs, so a page is contained in the
+    few files whose ``[min_id, max_id]`` window crosses the token. Files
+    with ``max_id <= token`` are never opened again (the complaint with
+    sort-per-page), and files are added in min_id order only until every
+    unread candidate's ``min_id`` exceeds the page's last id — minimal
+    reads, correct even when file id-ranges overlap within a wave.
+    Reads are column-pruned to the output level. Same return contract as
+    :func:`paginate_docs`.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    cols = projection_columns(output)
+    entries = _docs_file_index(docs_dir, tuple(cols))
+    cands = [
+        e for e in entries if page_token is None or e[1] > page_token
+    ]
+    read_tables: list[pa.Table] = []
+    filtered = None
+    i = 0
+    while True:
+        kth = None
+        if filtered is not None and filtered.num_rows >= page_size:
+            kth = filtered.column("id")[page_size - 1].as_py()
+        if i >= len(cands) or (kth is not None and cands[i][0] > kth):
+            break
+        read_tables.append(pq.read_table(cands[i][3], columns=cols))
+        i += 1
+        merged = pa.concat_tables(read_tables)
+        if page_token is not None:
+            merged = merged.filter(pc.greater(merged.column("id"), page_token))
+        filtered = merged.sort_by("id")
+    if filtered is None:
+        filtered = pa.table({c: [] for c in cols})
+    page = filtered.slice(0, page_size)
+    if page.num_rows < page_size:
+        return page, None
+    return page, page.column("id")[page.num_rows - 1].as_py()
 
 
 def iter_doc_pages(
