@@ -265,3 +265,93 @@ def test_encrypted_trailer_rejected():
     )
     with pytest.raises(PdfError):
         extract_pdf_items(pdf)
+
+
+def _cid_pdf(with_tounicode: bool = True) -> bytes:
+    """Type0 / Identity-H font whose 2-byte CIDs map through a ToUnicode
+    CMap (bfchar + both bfrange forms), like pdfjs handles subset fonts
+    (reference path: src/converting.ts:43-145)."""
+    # CIDs: 1->H 2->e(acute) 3..5 -> l,m,n (incrementing bfrange),
+    # 6..7 -> "ff","fi" ligature strings (array bfrange)
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n"
+        b"<0001> <0048>\n"          # H
+        b"<0002> <00E9>\n"          # e-acute
+        b"endbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0003> <0005> <006C>\n"   # l, m, n
+        b"<0006> <0007> [<00660066> <00660069>]\n"  # ff, fi
+        b"endbfrange\n"
+        b"endcmap\nend\n"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td <000100020003000400050006 0007> Tj ET\n"
+    return _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+            4: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+            5: (
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+                b"/Encoding /Identity-H"
+                + (b" /ToUnicode 6 0 R" if with_tounicode else b"")
+                + b" >>"
+            ),
+            6: b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream",
+        },
+        root=1,
+    )
+
+
+def test_cid_font_tounicode_text():
+    pages = extract_pdf_items(_cid_pdf())
+    assert [i["str"] for i in pages[0]] == ["Hélmnfffi"]
+
+
+def test_cid_font_without_tounicode_falls_back_to_codepoints():
+    pages = extract_pdf_items(_cid_pdf(with_tounicode=False))
+    # 2-byte Identity codes decode as chr(code) - raw but lossless
+    assert [i["str"] for i in pages[0]] == [
+        "\x01\x02\x03\x04\x05\x06\x07"
+    ]
+
+
+def test_simple_font_tounicode_overrides_latin1():
+    """A 1-byte simple font's ToUnicode remaps individual byte codes."""
+    cmap = (
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<41> <039B>\nendbfchar\n"  # 'A' -> Greek Lambda
+    )
+    content = b"BT /F1 10 Tf 72 720 Td (ABC) Tj ET\n"
+    pdf = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>",
+            4: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+            5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/ToUnicode 6 0 R >>",
+            6: b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream",
+        },
+        root=1,
+    )
+    pages = extract_pdf_items(pdf)
+    assert [i["str"] for i in pages[0]] == ["ΛBC"]
+
+
+def test_cid_font_through_converter():
+    """End-to-end: the CID fixture converts to a tree whose text is the
+    mapped unicode (C4 through the C1 registry)."""
+    doc = convert_pdf(_cid_pdf(), seed="cid")
+    texts = [
+        span["text"]
+        for node in doc["content"]
+        for span in node.get("content", [])
+        if span.get("type") == "text"
+    ]
+    assert "".join(texts) == "Hélmnfffi"

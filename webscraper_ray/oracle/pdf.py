@@ -14,14 +14,18 @@ Supported:
   stream, a reference, or an array of references
 - stream filters: none or /FlateDecode (zlib); /Length direct or ref
 - content text operators: BT/ET, Tf, Tm, Td, TD, T*, TL, Tj, ', ", TJ
-- literal ``( )`` strings with escapes + octal, hex ``< >`` strings;
-  bytes decoded latin-1 (no ToUnicode CMaps -> CID/Type0 subset fonts
-  come out as raw bytes; fine for the ASCII-range PDFs this sandbox sees)
+- literal ``( )`` strings with escapes + octal, hex ``< >`` strings
+- per-font text decode via /ToUnicode CMaps (bfchar + bfrange, scalar
+  and array forms, codespacerange-derived code width): Type0/Identity-H
+  2-byte codes and simple-font 1-byte codes both map through the CMap
+  like pdfjs does. Fonts WITHOUT a ToUnicode map fall back to latin-1
+  (1-byte) or ``chr(code)`` (2-byte Identity) — embedded-CMap CID->GID
+  resolution (the full pdfjs path) stays out of subset.
 
 Not supported (raise ``ValueError`` -> converter error channel, the
 reference's HTTP 400 analog): encrypted files, predictors, filters other
 than Flate, xref-stream-only files whose objects are all in object
-streams we fail to locate.
+streams we fail to locate, vertical writing modes.
 
 Item semantics vs pdfjs: ``height`` = font size scaled by the text
 matrix's vertical axis (``|| (c, d) ||`` of Tm), which equals pdfjs's
@@ -432,6 +436,107 @@ class _Pdf:
         raise PdfError("unsupported /Contents")
 
 
+# --- fonts / ToUnicode CMaps --------------------------------------------------
+
+
+def _cmap_objects(body: bytes):
+    """Parse the PDF objects (hex strings / arrays) inside a CMap section."""
+    lex = _Lexer(body)
+    out = []
+    while True:
+        lex._skip_ws()
+        if lex.pos >= len(body):
+            return out
+        try:
+            out.append(lex.parse_object())
+        except PdfError:
+            return out
+
+
+def _utf16(dst: bytes) -> str:
+    return dst.decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
+    """(code -> unicode string, code width in bytes) from a ToUnicode
+    CMap (PDF 32000-1 §9.10.3). Width comes from codespacerange when
+    present, else from the first bfchar/bfrange source code."""
+    cmap: dict[int, str] = {}
+    width = 0
+    for sec in re.finditer(rb"begincodespacerange(.*?)endcodespacerange", data, re.S):
+        for obj in _cmap_objects(sec.group(1)):
+            if isinstance(obj, bytes) and obj:
+                width = max(width, len(obj))
+    for sec in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        objs = _cmap_objects(sec.group(1))
+        for i in range(0, len(objs) - 1, 2):
+            src, dst = objs[i], objs[i + 1]
+            if isinstance(src, bytes) and isinstance(dst, bytes):
+                cmap[int.from_bytes(src, "big")] = _utf16(dst)
+                width = width or len(src)
+    for sec in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        objs = _cmap_objects(sec.group(1))
+        for i in range(0, len(objs) - 2, 3):
+            lo, hi, dst = objs[i], objs[i + 1], objs[i + 2]
+            if not (isinstance(lo, bytes) and isinstance(hi, bytes)):
+                continue
+            lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+            if hi_i - lo_i > 0x10000:  # malformed-range guard
+                continue
+            width = width or len(lo)
+            if isinstance(dst, list):  # one dst hex string per code
+                for off, d in enumerate(dst[: hi_i - lo_i + 1]):
+                    if isinstance(d, bytes):
+                        cmap[lo_i + off] = _utf16(d)
+            elif isinstance(dst, bytes) and dst:
+                # incrementing range: only the LAST 16-bit unit increments
+                prefix, last = dst[:-2], int.from_bytes(dst[-2:], "big")
+                for off in range(hi_i - lo_i + 1):
+                    cmap[lo_i + off] = _utf16(
+                        prefix + ((last + off) & 0xFFFF).to_bytes(2, "big")
+                    )
+    return cmap, width
+
+
+class _Font:
+    """Per-font text decoder: ToUnicode CMap when present, identity
+    fallback otherwise (latin-1 for 1-byte codes, chr(code) for 2-byte)."""
+
+    def __init__(self, pdf: "_Pdf", font_dict: dict):
+        sub = pdf.resolve(font_dict.get("Subtype"))
+        enc = pdf.resolve(font_dict.get("Encoding"))
+        self.code_bytes = (
+            2 if str(sub) == "Type0" or str(enc) in ("Identity-H", "Identity-V") else 1
+        )
+        self.cmap: dict[int, str] | None = None
+        tu = pdf.resolve(font_dict.get("ToUnicode"))
+        if isinstance(tu, Stream):
+            cmap, width = _parse_tounicode(pdf.stream_data(tu))
+            if cmap:
+                self.cmap = cmap
+                if width:
+                    self.code_bytes = width
+
+    def decode(self, bs: bytes) -> str:
+        if self.cmap is None and self.code_bytes == 1:
+            return bs.decode("latin-1")
+        step = self.code_bytes
+        out = []
+        for i in range(0, len(bs) - step + 1, step):
+            code = int.from_bytes(bs[i : i + step], "big")
+            mapped = self.cmap.get(code) if self.cmap is not None else None
+            out.append(mapped if mapped is not None else chr(code))
+        rem = len(bs) % step
+        if rem:  # trailing short code: keep the raw bytes visible
+            out.append(bs[-rem:].decode("latin-1"))
+        return "".join(out)
+
+
+_DEFAULT_FONT = _Font.__new__(_Font)
+_DEFAULT_FONT.code_bytes = 1
+_DEFAULT_FONT.cmap = None
+
+
 # --- content-stream interpretation ------------------------------------------
 
 _OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
@@ -462,10 +567,14 @@ def _tokenize_content(data: bytes):
         yield ("op", m.group().decode("latin-1"))
 
 
-def _to_text(value) -> str:
-    if isinstance(value, bytes):
-        return value.decode("latin-1")
-    return str(value)
+def _page_fonts(pdf: "_Pdf", page: dict) -> dict:
+    """Resource-name -> font dict for a page (page-level Resources;
+    inherited resources stay out of subset)."""
+    res = pdf.resolve(page.get("Resources"))
+    if not isinstance(res, dict):
+        return {}
+    fonts = pdf.resolve(res.get("Font"))
+    return fonts if isinstance(fonts, dict) else {}
 
 
 def extract_pdf_items(buf: bytes) -> list[list[dict]]:
@@ -478,6 +587,9 @@ def extract_pdf_items(buf: bytes) -> list[list[dict]]:
     pages_out: list[list[dict]] = []
     for page in pdf.pages():
         content = pdf.page_content(page)
+        font_dicts = _page_fonts(pdf, page)
+        font_cache: dict[str, _Font] = {}
+        font = _DEFAULT_FONT
         items: list[dict] = []
         operands: list = []
         size = 0.0
@@ -494,6 +606,20 @@ def extract_pdf_items(buf: bytes) -> list[list[dict]]:
                 {"str": text, "height": height, "hasEOL": False, "dir": "ltr"}
             )
 
+        def _to_text(value) -> str:
+            if isinstance(value, bytes):
+                return font.decode(value)
+            return str(value)
+
+        def _select_font(name) -> "_Font":
+            key = str(name)
+            if key not in font_cache:
+                fd = pdf.resolve(font_dicts.get(key))
+                font_cache[key] = (
+                    _Font(pdf, fd) if isinstance(fd, dict) else _DEFAULT_FONT
+                )
+            return font_cache[key]
+
         for kind, value in _tokenize_content(content):
             if kind == "operand":
                 operands.append(value)
@@ -501,6 +627,8 @@ def extract_pdf_items(buf: bytes) -> list[list[dict]]:
             op = value
             if op == "Tf" and len(operands) >= 2:
                 size = float(operands[-1])
+                if isinstance(operands[-2], Name):
+                    font = _select_font(operands[-2])
             elif op == "Tm" and len(operands) >= 6:
                 tm = tuple(float(v) for v in operands[-6:])
             elif op == "TL" and operands:
