@@ -236,3 +236,93 @@ def test_cbor_encoding_deterministic_insertion_order():
 def test_tree_json_cbor_equiv():
     tree = parse_and_amend("<p>hello</p>", seed="x")
     assert json.loads(json.dumps(tree)) == loads(dumps(tree))
+
+
+def _strip_ids(node):
+    """Id-insensitive structural view: drop attrs['id'] recursively."""
+    out = {k: v for k, v in node.items() if k != "attrs"}
+    attrs = {k: v for k, v in (node.get("attrs") or {}).items() if k != "id"}
+    if attrs or node.get("attrs") is not None:
+        out["attrs"] = attrs
+    if node.get("content") is not None:
+        out["content"] = [_strip_ids(c) for c in node["content"]]
+    return out
+
+
+def test_task_list_roundtrip():
+    src = (
+        '<ul data-type="taskList">'
+        '<li data-type="taskItem" data-checked="true">done thing</li>'
+        '<li data-type="taskItem" data-checked="false">todo thing</li>'
+        "</ul>"
+    )
+    tree = parse_and_amend(src, seed="s")
+    assert types_of(tree)[:3] == ["doc", "taskList", "taskItem"]
+    items = tree["content"][0]["content"]
+    assert [i["attrs"]["checked"] for i in items] == [True, False]
+    html = tree_to_html(tree)
+    assert 'data-checked="true"' in html and 'checked="checked"' in html
+    # id-insensitive structural round-trip through our own serializer
+    again = parse_and_amend(html, seed="other")
+    assert _strip_ids(again) == _strip_ids(tree)
+    assert tree_text(again) == "done thing todo thing"
+
+
+def test_details_roundtrip():
+    src = (
+        "<details open><summary>More <b>info</b></summary>"
+        "<p>hidden body</p></details>"
+    )
+    tree = parse_and_amend(src, seed="s")
+    det = tree["content"][0]
+    assert det["type"] == "details" and det["attrs"]["open"] is True
+    assert [c["type"] for c in det["content"]] == [
+        "detailsSummary",
+        "detailsContent",
+    ]
+    html = tree_to_html(tree)
+    assert html.startswith("<details open><summary data-id=")
+    assert '<div data-type="detailsContent"' in html
+    again = parse_and_amend(html, seed="other")
+    assert _strip_ids(again) == _strip_ids(tree)
+    assert tree_text(again) == "More info hidden body"
+    # closed details round-trips the flag
+    closed = parse_and_amend(src.replace("<details open", "<details"), seed="s")
+    assert closed["content"][0]["attrs"]["open"] is False
+
+
+def test_emoji_and_mention_inline_roundtrip():
+    src = (
+        '<p>hi <span data-type="emoji" data-name="smile"></span> and '
+        '<span data-type="mention" data-id="u1" data-label="ann"></span>!</p>'
+    )
+    tree = parse_and_amend(src, seed="s")
+    para = tree["content"][0]["content"]
+    kinds = [n["type"] for n in para]
+    assert kinds == ["text", "emoji", "text", "mention", "text"]
+    assert para[1]["attrs"] == {"name": "smile"}
+    assert para[3]["attrs"] == {"id": "u1", "label": "ann"}
+    again = parse_and_amend(tree_to_html(tree), seed="other")
+    assert _strip_ids(again) == _strip_ids(tree)
+
+
+def test_youtube_embed_roundtrip():
+    src = (
+        '<div data-youtube-video><iframe src="https://www.youtube.com/embed/x1">'
+        "</iframe></div>"
+    )
+    tree = parse_and_amend(src, seed="s")
+    assert tree["content"][0] == {
+        "type": "youtube",
+        "attrs": {"src": "https://www.youtube.com/embed/x1"},
+    }
+    again = parse_and_amend(tree_to_html(tree), seed="other")
+    assert _strip_ids(again) == _strip_ids(tree)
+
+
+def test_math_stays_text():
+    """The reference's Mathematics extension is a katex decoration over
+    text — $latex$ must survive as a plain text node, not a node type."""
+    tree = parse_and_amend("<p>Euler: $e^{i\\pi}+1=0$</p>", seed="s")
+    assert types_of(tree) == ["doc", "paragraph", "text"]
+    assert tree_text(tree) == "Euler: $e^{i\\pi}+1=0$"

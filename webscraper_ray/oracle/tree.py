@@ -22,8 +22,14 @@ Reimplements the documented subset of the reference's tiptap chain
 Node grammar (subset of the reference's ~30 tiptap extension types,
 ``src/tiptap.ts:46-102``): doc, heading(1-6), paragraph, text, hardBreak,
 blockquote, codeBlock, bulletList, orderedList, listItem, table, tableRow,
-tableHeader, tableCell, image, horizontalRule; marks bold, italic, strike,
-underline, code, subscript, superscript, link. Unknown elements are
+tableHeader, tableCell, image, horizontalRule, taskList/taskItem
+(``ul/li[data-type]`` + ``data-checked``, like tiptap extension-task-*),
+details/detailsSummary/detailsContent (``<details><summary>`` + persisted
+``open``), emoji and mention inline spans (``span[data-type]``), youtube
+embeds (``div[data-youtube-video] > iframe``); marks bold, italic, strike,
+underline, code, subscript, superscript, link. The reference's Mathematics
+extension is a katex DECORATION over plain text ($...$ stays a text node),
+so it needs no node type here. Unknown elements are
 transparent containers; stray inline content at block level is wrapped
 into paragraphs (ProseMirror DOMParser behavior — visible in the fixture
 where ``<dt>``/``<dd>`` text becomes paragraphs). Whitespace: runs collapse
@@ -266,6 +272,21 @@ def _dispatch(node: TextNode | Element, builder: _FragmentBuilder, marks: list[d
                 "content": ([{"type": "text", "text": raw}] if raw else []),
             }
         )
+    elif tag == "ul" and node.attrs.get("data-type") == "taskList":
+        items = []
+        for child in node.children:
+            if isinstance(child, Element) and child.tag == "li":
+                items.append(
+                    {
+                        "type": "taskItem",
+                        "attrs": {
+                            "id": None,
+                            "checked": child.attrs.get("data-checked") == "true",
+                        },
+                        "content": _cell_content(child),
+                    }
+                )
+        builder.add_block({"type": "taskList", "content": items})
     elif tag in _LIST_TAGS:
         items: list[dict] = []
         for child in node.children:
@@ -278,6 +299,55 @@ def _dispatch(node: TextNode | Element, builder: _FragmentBuilder, marks: list[d
         if tag == "ol":
             block["attrs"] = {"start": _int_attr(node, "start", 1)}
         builder.add_block(block)
+    elif tag == "details":
+        content = []
+        rest = _FragmentBuilder()
+        for child in node.children:
+            if isinstance(child, Element) and child.tag == "summary":
+                inner = _FragmentBuilder()
+                _walk_inline(child, inner, [])
+                inner.flush()
+                spans: list[dict] = []
+                for blk in inner.blocks:  # summary is inline-only
+                    spans.extend(blk.get("content") or [])
+                content.append(
+                    {"type": "detailsSummary", "attrs": {"id": None}, "content": spans}
+                )
+            else:
+                _dispatch(child, rest, [])
+        content.append(
+            {"type": "detailsContent", "attrs": {"id": None}, "content": rest.finish()}
+        )
+        builder.add_block(
+            {
+                "type": "details",
+                "attrs": {"open": "open" in node.attrs},
+                "content": content,
+            }
+        )
+    elif tag == "span" and node.attrs.get("data-type") == "emoji":
+        name = node.attrs.get("data-name")
+        if name:
+            builder.add_inline({"type": "emoji", "attrs": {"name": name}})
+    elif tag == "span" and node.attrs.get("data-type") == "mention":
+        builder.add_inline(
+            {
+                "type": "mention",
+                "attrs": {
+                    "id": node.attrs.get("data-id"),
+                    "label": node.attrs.get("data-label"),
+                },
+            }
+        )
+    elif tag == "div" and "data-youtube-video" in node.attrs:
+        for child in node.children:
+            if isinstance(child, Element) and child.tag == "iframe":
+                src = child.attrs.get("src")
+                if src:
+                    builder.add_block({"type": "youtube", "attrs": {"src": src}})
+                break
+    elif tag == "input":
+        return  # taskItem checkbox state lives on the li's data-checked
     elif tag == "table":
         rows: list[dict] = []
         for tr in node.select("tr"):
@@ -506,6 +576,39 @@ def _render(node: dict) -> str:
             if attrs.get(key) is not None:
                 pieces.append(f' {key}="{_esc_attr(str(attrs[key]))}"')
         return f"<img{''.join(pieces)}>"
+    if ntype == "taskList":
+        return f'<ul data-type="taskList">{content}</ul>'
+    if ntype == "taskItem":
+        checked = "true" if attrs.get("checked") else "false"
+        box = "<label><input type=\"checkbox\"{}><span></span></label>".format(
+            ' checked="checked"' if attrs.get("checked") else ""
+        )
+        return (
+            f'<li data-type="taskItem" data-checked="{checked}"{_data_id(node)}>'
+            f"{box}<div>{content}</div></li>"
+        )
+    if ntype == "details":
+        open_attr = " open" if attrs.get("open") else ""
+        return f"<details{open_attr}>{content}</details>"
+    if ntype == "detailsSummary":
+        return f"<summary{_data_id(node)}>{content}</summary>"
+    if ntype == "detailsContent":
+        return f'<div data-type="detailsContent"{_data_id(node)}>{content}</div>'
+    if ntype == "emoji":
+        name = attrs.get("name")
+        return f'<span data-type="emoji" data-name="{_esc_attr(str(name))}"></span>'
+    if ntype == "mention":
+        pieces = []
+        for key, html_attr in (("id", "data-id"), ("label", "data-label")):
+            if attrs.get(key) is not None:
+                pieces.append(f' {html_attr}="{_esc_attr(str(attrs[key]))}"')
+        return f'<span data-type="mention"{"".join(pieces)}></span>'
+    if ntype == "youtube":
+        src = attrs.get("src")
+        return (
+            f'<div data-youtube-video><iframe src="{_esc_attr(str(src))}">'
+            "</iframe></div>"
+        )
     return content  # unknown node type: render children only
 
 
