@@ -134,3 +134,48 @@ def test_convert_pdf_items_full_heuristic():
 def test_convert_pdf_items_deterministic():
     page = [{"str": "a", "height": 10.0, "hasEOL": True, "dir": "ltr"}]
     assert convert_pdf_items([page], seed="s") == convert_pdf_items([page], seed="s")
+
+
+def test_convert_markdown_gfm_extensions():
+    """Round-3 C3 breadth: setext headings, images, underscore emphasis,
+    strikethrough, hard breaks, fenced-language, GFM tables + task lists
+    (the shapes marked.parse handles with GFM defaults)."""
+    md = (
+        b"Setext Title\n====\n\nSub\n---\n\n"
+        b"line one  \nline two with __strong__ and _em_ and ~~gone~~.\n\n"
+        b"![logo](https://x.com/l.png)\n\n"
+        b"| name | n |\n|---|---|\n| a | 1 |\n| b | 2 |\n\n"
+        b"- [x] done\n- [ ] todo\n\n"
+        b"```python\nprint('hi')\n```\n"
+    )
+    tree = convert_markdown(md)
+    kinds = [n["type"] for n in tree["content"]]
+    assert kinds == [
+        "heading", "heading", "paragraph", "image", "table",
+        "taskList", "codeBlock",
+    ]
+    h1, h2 = tree["content"][0], tree["content"][1]
+    assert (h1["attrs"]["level"], h2["attrs"]["level"]) == (1, 2)
+    assert find_title(tree, 1) == "Setext Title"
+    para = tree["content"][2]["content"]
+    assert any(n["type"] == "hardBreak" for n in para)
+    marks = [n["marks"][0]["type"] for n in para if n.get("marks")]
+    assert marks == ["bold", "italic", "strike"]
+    assert tree["content"][3]["attrs"]["src"] == "https://x.com/l.png"
+    table = tree["content"][4]
+    first_row = table["content"][0]["content"]
+    assert [c["type"] for c in first_row] == ["tableHeader", "tableHeader"]
+    assert tree_text(table) == "name n a 1 b 2"
+    tasks = tree["content"][5]["content"]
+    assert [t["attrs"]["checked"] for t in tasks] == [True, False]
+    code = tree["content"][6]
+    assert code["attrs"]["language"] == "python"
+    assert code["content"][0]["text"] == "print('hi')"
+
+
+def test_markdown_underscore_in_identifiers_not_emphasis():
+    tree = convert_markdown(b"use snake_case_name here\n")
+    assert tree_text(tree) == "use snake_case_name here"
+    assert not any(
+        n.get("marks") for n in tree["content"][0]["content"]
+    )

@@ -65,3 +65,43 @@ def test_render_doc_pages_stage(ray_session):
     assert all('<html lang="fra">' in p for p in out.page_html)
     out = out.sort_values("url").reset_index(drop=True)  # row order is not part of the contract
     assert all(f"<title>T{i}</title>" in p for i, p in enumerate(out.page_html))
+
+
+def test_list_docs_page_bounded_walk(tmp_path):
+    """S9 list endpoint: <=7 token-walk pages of 100 over the on-disk
+    layout (src/ssr.ts:703-744), rendered as the renderList li shape."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webscraper_ray.oracle.xid import make_xid
+    from webscraper_ray.pipelines.ssr import list_docs_page, render_list_page
+
+    rows = [
+        {
+            "id": make_xid(100 + i, 0, f"u{i}"),
+            "url": f"https://a.x/{i}",
+            "src": f"https://a.x/{i}",
+            "title": f"Doc {i}",
+            "meta": [("description", f"summary {i}"), ("og:locale", "en")],
+        }
+        for i in range(250)
+    ]
+    rows.sort(key=lambda r: r["id"])
+    for w in range(5):
+        d = tmp_path / f"wave={w}"
+        d.mkdir()
+        pq.write_table(
+            pa.Table.from_pylist(rows[w * 50 : (w + 1) * 50]), d / "part.parquet"
+        )
+    html = list_docs_page(str(tmp_path), title="Pubs", page_size=100, max_pages=2)
+    # page budget: 2 pages of 100 out of 250 rows
+    assert html.count("<li ") == 200
+    assert '<p title="summary">summary' in html
+    assert '<h1 id="title">Pubs</h1>' in html
+    assert 'lang="en"' in html
+    # unbounded walk collects everything
+    full = list_docs_page(str(tmp_path), page_size=100, max_pages=7)
+    assert full.count("<li ") == 250
+    # escaping in the renderList shape
+    page = render_list_page("T", [{"id": "x", "url": "u", "title": 'a"<b>'}])
+    assert "a&quot;&lt;b&gt;" in page

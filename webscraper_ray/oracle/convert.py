@@ -19,10 +19,16 @@ MIME-dispatched parsers producing amended document trees:
 - C5 :func:`convert_text` — split on CR/LF/CRLF, trim, drop empties, one
   paragraph per line (``src/converting.ts:147-170``).
 
-Markdown subset (documented contract): ATX headings ``#``-``######``,
-paragraphs, ``-``/``*`` bullet lists, ``1.`` ordered lists, fenced code
-blocks, ``>`` blockquotes, ``---`` rules, inline ``**bold**``, ``*italic*``,
-`` `code` ``, ``[text](url)`` links.
+Markdown subset (documented contract, tracking what ``marked.parse``
+with GFM defaults handles): ATX ``#``-``######`` and setext (``===`` /
+``---`` underline) headings, paragraphs with hard breaks (trailing two
+spaces), ``-``/``*`` bullet lists, ``1.`` ordered lists, GFM task lists
+(``- [ ]`` / ``- [x]``), GFM pipe tables, fenced code blocks with a
+language info string, ``>`` blockquotes, ``---`` rules, inline
+``**bold**``/``__bold__``, ``*italic*``/``_italic_``, ``~~strike~~``,
+`` `code` ``, ``[text](url)`` links, ``![alt](src)`` images. Not
+covered (documented out of subset): nested lists, reference-style
+links, HTML passthrough, footnotes.
 """
 
 from __future__ import annotations
@@ -75,19 +81,36 @@ def convert_html(buf: bytes, seed: str = "") -> dict:
 # C3 — Markdown
 # ---------------------------------------------------------------------------
 
+_BR_SENTINEL = "\x00br\x00"
+
 _MD_INLINE_PATTERNS = [
     (re.compile(r"`([^`]+)`"), lambda m: f"<code>{m.group(1)}</code>"),
+    # image BEFORE link: '![alt](src)' must not parse as '!' + link
+    (
+        re.compile(r"!\[([^\]]*)\]\(([^)\s]+)\)"),
+        lambda m: f'<img src="{m.group(2)}" alt="{m.group(1)}">',
+    ),
     (re.compile(r"\*\*([^*]+)\*\*"), lambda m: f"<strong>{m.group(1)}</strong>"),
+    (re.compile(r"__([^_]+)__"), lambda m: f"<strong>{m.group(1)}</strong>"),
     (re.compile(r"\*([^*]+)\*"), lambda m: f"<em>{m.group(1)}</em>"),
+    (re.compile(r"\b_([^_]+)_\b"), lambda m: f"<em>{m.group(1)}</em>"),
+    (re.compile(r"~~([^~]+)~~"), lambda m: f"<s>{m.group(1)}</s>"),
     (re.compile(r"\[([^\]]+)\]\(([^)\s]+)\)"), lambda m: f'<a href="{m.group(2)}">{m.group(1)}</a>'),
 ]
+
+_TABLE_SEP = re.compile(r"^\|?\s*:?-{2,}:?\s*(\|\s*:?-{2,}:?\s*)*\|?$")
+_TASK_ITEM = re.compile(r"^\[( |x|X)\]\s+(.*)$")
 
 
 def _md_inline(text: str) -> str:
     text = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     for pattern, repl in _MD_INLINE_PATTERNS:
         text = pattern.sub(repl, text)
-    return text
+    return text.replace(_BR_SENTINEL, "<br>")
+
+
+def _md_cells(line: str) -> list[str]:
+    return [c.strip() for c in line.strip().strip("|").split("|")]
 
 
 def markdown_to_html(md: str) -> str:
@@ -108,8 +131,16 @@ def markdown_to_html(md: str) -> str:
         if not stripped:
             flush_paragraph()
             i += 1
+        elif paragraph and re.match(r"^(=+|-{2,})$", stripped):
+            # setext heading: '===' under a paragraph line -> h1, '---' -> h2
+            level = 1 if stripped.startswith("=") else 2
+            text = _md_inline(" ".join(paragraph))
+            paragraph.clear()
+            html.append(f"<h{level}>{text}</h{level}>")
+            i += 1
         elif stripped.startswith("```"):
             flush_paragraph()
+            lang = stripped[3:].strip().split()[0] if stripped[3:].strip() else ""
             i += 1
             code: list[str] = []
             while i < len(lines) and not lines[i].strip().startswith("```"):
@@ -117,7 +148,8 @@ def markdown_to_html(md: str) -> str:
                 i += 1
             i += 1  # closing fence
             escaped = "\n".join(code).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-            html.append(f"<pre><code>{escaped}</code></pre>")
+            cls = f' class="language-{lang}"' if lang else ""
+            html.append(f"<pre><code{cls}>{escaped}</code></pre>")
         elif re.match(r"^#{1,6}\s", stripped):
             flush_paragraph()
             hashes, _, rest = stripped.partition(" ")
@@ -127,6 +159,26 @@ def markdown_to_html(md: str) -> str:
             flush_paragraph()
             html.append("<hr>")
             i += 1
+        elif (
+            "|" in stripped
+            and i + 1 < len(lines)
+            and "|" in lines[i + 1]
+            and _TABLE_SEP.match(lines[i + 1].strip())
+        ):
+            # GFM pipe table: header | separator | rows
+            flush_paragraph()
+            header = _md_cells(stripped)
+            i += 2
+            rows: list[list[str]] = []
+            while i < len(lines) and "|" in lines[i] and lines[i].strip():
+                rows.append(_md_cells(lines[i]))
+                i += 1
+            head = "".join(f"<th>{_md_inline(c)}</th>" for c in header)
+            body = "".join(
+                "<tr>" + "".join(f"<td>{_md_inline(c)}</td>" for c in row) + "</tr>"
+                for row in rows
+            )
+            html.append(f"<table><tr>{head}</tr>{body}</table>")
         elif stripped.startswith(("- ", "* ")) or re.match(r"^\d+\.\s", stripped):
             flush_paragraph()
             ordered = bool(re.match(r"^\d+\.\s", stripped))
@@ -140,9 +192,21 @@ def markdown_to_html(md: str) -> str:
                 else:
                     break
                 i += 1
-            tag = "ol" if ordered else "ul"
-            body = "".join(f"<li>{_md_inline(item)}</li>" for item in items)
-            html.append(f"<{tag}>{body}</{tag}>")
+            tasks = [_TASK_ITEM.match(item) for item in items]
+            if not ordered and items and all(tasks):
+                # GFM task list -> the tiptap taskList/taskItem shape
+                body = "".join(
+                    '<li data-type="taskItem" data-checked="{}">{}</li>'.format(
+                        "true" if m.group(1).lower() == "x" else "false",
+                        _md_inline(m.group(2)),
+                    )
+                    for m in tasks
+                )
+                html.append(f'<ul data-type="taskList">{body}</ul>')
+            else:
+                tag = "ol" if ordered else "ul"
+                body = "".join(f"<li>{_md_inline(item)}</li>" for item in items)
+                html.append(f"<{tag}>{body}</{tag}>")
         elif stripped.startswith(">"):
             flush_paragraph()
             quoted: list[str] = []
@@ -151,7 +215,11 @@ def markdown_to_html(md: str) -> str:
                 i += 1
             html.append(f"<blockquote><p>{_md_inline(' '.join(quoted))}</p></blockquote>")
         else:
-            paragraph.append(stripped)
+            # trailing two spaces = GFM hard break
+            if line.rstrip("\r").endswith("  "):
+                paragraph.append(stripped + _BR_SENTINEL)
+            else:
+                paragraph.append(stripped)
             i += 1
     flush_paragraph()
     return "".join(html)

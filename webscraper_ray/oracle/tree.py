@@ -265,10 +265,18 @@ def _dispatch(node: TextNode | Element, builder: _FragmentBuilder, marks: list[d
         raw = node.text()
         if raw.startswith("\n"):
             raw = raw[1:]
+        language = None  # tiptap CodeBlock: language from code.language-*
+        for child in node.children:
+            if isinstance(child, Element) and child.tag == "code":
+                for cls in (child.attrs.get("class") or "").split():
+                    if cls.startswith("language-"):
+                        language = cls[len("language-"):]
+                        break
+                break
         builder.add_block(
             {
                 "type": "codeBlock",
-                "attrs": {"id": None, "language": None},
+                "attrs": {"id": None, "language": language},
                 "content": ([{"type": "text", "text": raw}] if raw else []),
             }
         )
@@ -552,7 +560,9 @@ def _render(node: dict) -> str:
     if ntype == "blockquote":
         return f"<blockquote{_data_id(node)}>{content}</blockquote>"
     if ntype == "codeBlock":
-        return f"<pre{_data_id(node)}><code>{content}</code></pre>"
+        lang = attrs.get("language")
+        cls = f' class="language-{_esc_attr(str(lang))}"' if lang else ""
+        return f"<pre{_data_id(node)}><code{cls}>{content}</code></pre>"
     if ntype == "bulletList":
         return f"<ul>{content}</ul>"
     if ntype == "orderedList":

@@ -21,7 +21,7 @@ from ..oracle.cbor import loads as cbor_loads
 from ..oracle.lang import is_rtl, lang639_3
 from ..oracle.tree import tree_to_html
 
-__all__ = ["render_page", "render_doc_pages"]
+__all__ = ["render_page", "render_doc_pages", "render_list_page", "list_docs_page"]
 
 _TEMPLATE = """<!DOCTYPE html>
 <html lang="{lang}"{dir_attr}>
@@ -117,3 +117,83 @@ def render_doc_pages(docs: "object") -> "object":
         )
 
     return docs.map_batches(render_batch, batch_format="pyarrow")
+
+
+# --- list pages (src/ssr.ts:313-460 renderList + :703-744 page loop) ---------
+
+_LIST_TEMPLATE = """<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<title>{title}</title>
+</head>
+<body>
+<h1 id="title">{title}</h1>
+<ul id="{ul_id}">{items}</ul>
+</body>
+</html>"""
+
+
+def render_list_page(title: str, items: list[dict], ul_id: str = "publications") -> str:
+    """The reference's ``renderList`` shape (``src/ssr.ts:400-460``): one
+    ``<li lang id>`` per item with a titled anchor and an optional
+    ``<p title="summary">``."""
+    parts = []
+    for item in items:
+        esc_title = _html.escape(item.get("title") or "", quote=True)
+        li = (
+            f'<li lang="{_html.escape(item.get("language") or "", quote=True)}"'
+            f' id="{_html.escape(str(item.get("id") or ""), quote=True)}">'
+            f'<a href="{_html.escape(item.get("url") or "", quote=True)}"'
+            f' title="{esc_title}">{esc_title}</a>'
+        )
+        summary = item.get("summary")
+        if summary:
+            li += f'<p title="summary">{_html.escape(summary)}</p>'
+        parts.append(li + "</li>")
+    return _LIST_TEMPLATE.format(
+        title=_html.escape(title or "", quote=True),
+        ul_id=_html.escape(ul_id, quote=True),
+        items="".join(parts),
+    )
+
+
+def list_docs_page(
+    docs_dir: str,
+    title: str = "Publications",
+    page_size: int = 100,
+    max_pages: int = 7,
+) -> str:
+    """The reference's list endpoint loop (``src/ssr.ts:703-744``:
+    ``page_size`` 100, ``let i = 7`` bounded token walk) over the on-disk
+    docs layout, then one rendered list page.
+
+    Uses the file-pruned paginator, so each of the <=7 fetches opens only
+    the parquet files its id window crosses — the whole endpoint touches
+    at most ``max_pages * page_size`` rows regardless of corpus size.
+    """
+    from .docs_api import paginate_docs_dir
+
+    items: list[dict] = []
+    token = None
+    for _ in range(max_pages):
+        page, token = paginate_docs_dir(
+            docs_dir, page_size=page_size, page_token=token, output="basic"
+        )
+        for row in page.to_pylist():
+            meta = dict(row.get("meta") or [])
+            rid = row.get("id")
+            items.append(
+                {
+                    "id": rid.hex() if isinstance(rid, bytes) else str(rid),
+                    "url": row.get("url"),
+                    "title": row.get("title"),
+                    "language": meta.get("og:locale", ""),
+                    "summary": meta.get("description")
+                    or meta.get("og:description")
+                    or "",
+                }
+            )
+        if token is None:
+            break
+    return render_list_page(title, items)
