@@ -119,13 +119,28 @@ def run_crawl_bench(store):
         mode="full",
         batch_size=256,
         max_wave_size=50_000,  # memory bound: ~10 GB of full docs per wave
+        # frontier + fetch-cache actors book this share of the session's
+        # CPUs so their work is INSIDE the measured budget at every
+        # parallelism level (on a real cluster they run on the data
+        # nodes); without it the pools ride free on unbooked host cores
+        # and flatter the lo level, depressing measured scaling
+        pool_cpu_fraction=float(os.environ.get("GRAFT_POOL_CPU_FRACTION", "0.25")),
         politeness=PolitenessConfig(window_ms=300_000, per_host_cap=4096),
     )
     seeds = load_seeds(os.path.join(CORPUS_DIR, "seeds.parquet"))
     robots = load_robots(os.path.join(CORPUS_DIR, "robots.parquet"))
     from webscraper_ray.stages.fetch import SandboxFetcher
 
-    fetcher = SandboxFetcher(store, pool_size=cfg.fetch_pool_size)
+    import ray as _ray
+
+    pool_share = (
+        cfg.pool_cpu_fraction
+        * _ray.cluster_resources().get("CPU", NUM_CPUS)
+        / max(1, cfg.num_shards + cfg.fetch_pool_size)
+    )
+    fetcher = SandboxFetcher(
+        store, pool_size=cfg.fetch_pool_size, cpu_share=pool_share
+    )
     fetcher.prefetch()  # untimed one-time corpus load (standing fetch infra)
     # untimed worker-pool warmup: the first dataset execution in a fresh
     # session pays worker spawn (~seconds, proportional to the level),

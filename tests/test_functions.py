@@ -112,6 +112,25 @@ def test_minhash_hot_band_star_bounds_giant_cluster(ray_session):
     assert seen == set(range(m))
 
 
+def test_simhash_hot_prefix_star_bounds_giant_cluster(ray_session):
+    """Identical sketches in a giant cluster collide in every rotation
+    table; over the cap each (table, prefix) bucket verifies only the
+    star -> m-1 distinct pairs (hamming 0), not m^2/2."""
+    import ray.data
+
+    from webscraper_ray.functions.dedup import simhash_near_dups
+
+    base = "tell me and i forget teach me and i remember involve me and i learn "
+    m = 80
+    rows = [{"doc_id": i, "text": base * 4} for i in range(m)]
+    out = simhash_near_dups(
+        ray.data.from_items(rows), hot_prefix_cap=30
+    ).to_pandas()
+    assert len(out) == m - 1
+    assert (out.doc_a == 0).all() and (out.hamming == 0).all()
+    assert set(out.doc_b) == set(range(1, m))
+
+
 def test_ann_lsh_recall_vs_bruteforce(ray_session):
     import ray.data
 

@@ -454,6 +454,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     n_tables: int = 4,
+    hot_prefix_cap: int = HOT_BAND_CAP,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by simhash hamming distance <= ``max_hamming``.
 
@@ -461,14 +462,14 @@ def simhash_near_dups(
     of the 64-bit sketch, each rotated by 16 bits, bucketed on the
     leading 16 bits — a pair within hamming k collides in some table
     unless its differing bits straddle every rotation window. Candidates
-    come from a partitioned self-join on (table, prefix); the hamming
-    verify is a vectorized xor + popcount over the candidate batch. The
-    shuffle payload is (table_id, 4-hex prefix, doc_id, 16-hex sketch) —
-    constant-size rows. Output: (doc_a, doc_b, hamming), distinct.
+    AND the xor+popcount verify happen inside a (table, prefix) groupby:
+    the sketch travels with its group row (24 B constant), so no join and
+    nothing corpus-proportional beyond the band rows shuffles. Buckets
+    over ``hot_prefix_cap`` verify only the star against the min id
+    (m-1 checks, connectivity-preserving for hamming clusters) instead of
+    m^2/2 — the same giant-duplicate-cluster guard as
+    :func:`_band_candidates`. Output: (doc_a, doc_b, hamming), distinct.
     """
-    import ray
-
-    import pyarrow.compute as pc
 
     def sketch_rows(batch: pa.Table) -> pa.Table:
         hashes = simhash_batch(batch.column(text_col).to_pylist())
@@ -491,41 +492,38 @@ def simhash_near_dups(
             }
         )
 
-    rows = ds.map_batches(sketch_rows, batch_format="pyarrow")
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    joined = rows.join(
-        rows,
-        "inner",
-        num_partitions=max(2, min(8, cpus // 2)),
-        on=("table_id", "prefix"),
-        left_suffix="_a",
-        right_suffix="_b",
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
     )
-    a_col, b_col = f"{id_col}_a", f"{id_col}_b"
 
-    def verify(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less(t.column(a_col), t.column(b_col)))
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "hamming": pa.array([], pa.int64()),
-                }
-            )
-        a = np.array(
-            [int(h, 16) for h in t.column("simhash_a").to_pylist()], dtype=np.uint64
+    def emit_verified(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2:
+            return empty
+        order = np.argsort(
+            np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
         )
-        b = np.array(
-            [int(h, 16) for h in t.column("simhash_b").to_pylist()], dtype=np.uint64
-        )
-        diff = np.bitwise_xor(a, b)
+        ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)[order]
+        sk = np.array(
+            [int(h, 16) for h in group.column("simhash").to_pylist()],
+            dtype=np.uint64,
+        )[order]
+        if m <= hot_prefix_cap:
+            ii, jj = np.triu_indices(m, k=1)
+        else:  # hot prefix: star to the min id
+            ii = np.zeros(m - 1, dtype=np.int64)
+            jj = np.arange(1, m, dtype=np.int64)
+        diff = np.bitwise_xor(sk[ii], sk[jj])
         ham = np.unpackbits(diff.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
         keep = ham <= max_hamming
         return pa.table(
             {
-                "doc_a": pc.take(t.column(a_col), pa.array(np.flatnonzero(keep), pa.int64())),
-                "doc_b": pc.take(t.column(b_col), pa.array(np.flatnonzero(keep), pa.int64())),
+                "doc_a": pa.array(ids[ii[keep]], pa.int64()),
+                "doc_b": pa.array(ids[jj[keep]], pa.int64()),
                 "hamming": pa.array(ham[keep].astype(np.int64), pa.int64()),
             }
         )
@@ -533,7 +531,9 @@ def simhash_near_dups(
     from ray.data.aggregate import Min
 
     return (
-        joined.map_batches(verify, batch_format="pyarrow")
+        ds.map_batches(sketch_rows, batch_format="pyarrow")
+        .groupby(["table_id", "prefix"])
+        .map_groups(emit_verified, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )

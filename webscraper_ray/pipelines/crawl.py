@@ -66,14 +66,21 @@ class CrawlConfig:
     max_wave_size: int = 0           # global per-wave admission cap (memory
                                      # bound: wave x doc payload must fit the
                                      # object store); 0 = politeness-only
-    write_concurrency: int = 0       # parallel parquet-writer tasks for the
-                                     # docs sink; 0 = auto (min(8, cpus)).
-                                     # Unbounded writers collapse on one
-                                     # node's filesystem (measured 2-3x wave
-                                     # slowdown at 32 writers on tmpfs); 8
-                                     # models one node's disk channels — on a
-                                     # real cluster scale it with node count,
-                                     # each node writing its own shard.
+    write_concurrency: int = 0       # cap on the fused extract->route->
+                                     # write stage; 0 = auto: min(16, task
+                                     # CPUs after pool booking). The cap
+                                     # exists because unbounded writers
+                                     # collapse on one node's filesystem
+                                     # (measured 2-3x wave slowdown at 32
+                                     # writers on tmpfs; 16 is fine) — but
+                                     # it must SCALE with the CPU level up
+                                     # to that disk bound: Ray fuses the
+                                     # write into the map stage, so a flat
+                                     # cap of 8 throttled the whole pipeline
+                                     # to 8 tasks at every level and broke
+                                     # lo->hi scaling (8/3 != 4x). On a real
+                                     # cluster the bound scales with node
+                                     # count, each node writing its shard.
     pool_cpu_fraction: float = 0.0   # fraction of the session's CPUs booked
                                      # by the frontier + fetch-cache pools
                                      # (split evenly per actor). On a real
@@ -273,9 +280,9 @@ def run_crawl(
     # Ray session can never share (and corrupt) cache state; stable across
     # task retries within the run
     run_id = f"{out_dir}:{time.time_ns()}"
-    write_conc = cfg.write_concurrency or min(
-        8, max(2, int(ray.cluster_resources().get("CPU", 8)))
-    )
+    total_cpu = ray.cluster_resources().get("CPU", 8)
+    task_cpus = total_cpu - cfg.pool_cpu_fraction * total_cpu
+    write_conc = cfg.write_concurrency or min(16, max(2, int(task_cpus)))
 
     try:
         # Driverless admission (north_rule: driver never holds entries):

@@ -284,6 +284,34 @@ class FetchCache:
             )
         return pa.concat_tables(out, promote_options="permissive")
 
+    def fetch_from_tables_split(
+        self,
+        n_splits: int,
+        root: str,
+        n_buckets: int,
+        pool_size: int,
+        my_idx: int,
+        *tables,
+    ):
+        """:meth:`fetch_from_tables` sliced into ``n_splits`` EQUAL-ROW
+        blocks (call with ``.options(num_returns=n_splits)``).
+
+        Hash-determined per-(cache,shard) block sizes vary ~2.5x, and the
+        biggest block sets the wave's straggler tail — which amortizes at
+        low parallelism but directly extends the wave when slots outnumber
+        remaining tasks. Equal slices + more blocks per slot shrink that
+        tail; pyarrow pickles a slice's rows only, so the split ships no
+        extra bytes."""
+        full = self.fetch_from_tables(root, n_buckets, pool_size, my_idx, *tables)
+        if n_splits <= 1:
+            return full
+        n = full.num_rows
+        bounds = [n * i // n_splits for i in range(n_splits + 1)]
+        return tuple(
+            full.slice(bounds[i], bounds[i + 1] - bounds[i])
+            for i in range(n_splits)
+        )
+
 
 class SandboxFetcher:
     """Pool of FetchCache actors; bucket -> actor by ``bucket % pool``."""
@@ -341,21 +369,44 @@ class SandboxFetcher:
         buckets. One call per (cache shard, frontier shard) pair so the
         wave lands as pool x shards medium blocks — a single block per
         cache shard would cap the downstream extract stage's task
-        parallelism at pool_size. Driver cost: O(pool x shards) refs,
+        parallelism at pool_size. With more than ~8 task CPUs each call
+        additionally returns EQUAL slices (num_returns) so block sizes
+        are uniform and the wave's straggler tail stays a small fraction
+        of a slot round. Driver cost: O(pool x shards x splits) refs,
         zero entries."""
         if not table_refs:
             return []
-        return [
-            self.pool[i].fetch_from_tables.remote(
-                self.store.root,
-                self.store.n_buckets,
-                len(self.pool),
-                i,
-                ref,
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_splits = max(1, round(cpus / 8))
+        if n_splits == 1:
+            return [
+                self.pool[i].fetch_from_tables.remote(
+                    self.store.root,
+                    self.store.n_buckets,
+                    len(self.pool),
+                    i,
+                    ref,
+                )
+                for i in range(len(self.pool))
+                for ref in table_refs
+            ]
+        refs = []
+        for i in range(len(self.pool)):
+            method = self.pool[i].fetch_from_tables_split.options(
+                num_returns=n_splits
             )
-            for i in range(len(self.pool))
-            for ref in table_refs
-        ]
+            for ref in table_refs:
+                refs.extend(
+                    method.remote(
+                        n_splits,
+                        self.store.root,
+                        self.store.n_buckets,
+                        len(self.pool),
+                        i,
+                        ref,
+                    )
+                )
+        return refs
 
     def fetch_refs_small(self, table_refs: list) -> list:
         """BFS-tail variant: ONE call per cache shard with ALL the
