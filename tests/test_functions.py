@@ -252,6 +252,26 @@ def test_embed_cosine_dups_finds_planted_neighbors(ray_session):
     assert (out.cos_sim >= 0.9).all()
 
 
+def test_embed_cosine_hot_bucket_star_bounds_giant_cluster(ray_session):
+    """A planted giant cluster of identical vectors lands in one LSH
+    bucket; over the cap the bucket emits only the star against the min
+    id (m-1 pairs, cos 1.0), not the m^2/2 matmul pairs."""
+    import ray.data
+
+    from webscraper_ray.functions.ann import embed_cosine_dups
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal(64)
+    m = 60
+    rows = [{"vec_id": i, "embedding": base.tolist()} for i in range(m)]
+    out = embed_cosine_dups(
+        ray.data.from_items(rows), threshold=0.9, bits=2, dim=64, hot_bucket_cap=30
+    ).to_pandas()
+    assert len(out) == m - 1
+    assert (out.vec_a == 0).all() and (out.cos_sim == 1.0).all()
+    assert set(out.vec_b) == set(range(1, m))
+
+
 def test_ngram_near_dups_exact_jaccard(ray_session):
     import ray.data
 

@@ -283,6 +283,7 @@ def embed_cosine_dups(
     threshold: float = 0.4,
     bits: int = 2,
     dim: int = 64,
+    hot_bucket_cap: int = 4096,
 ) -> "ray.data.Dataset":
     """Embedding-cosine near-duplicate pairs (task brief §dedup).
 
@@ -292,9 +293,12 @@ def embed_cosine_dups(
     matmul per bucket — never corpus-wide all-pairs. Recall follows the
     standard hyperplane collision bound ((1 - θ/π)^bits per pair); raise
     ``bits`` as the corpus grows (the bucket count is the partition
-    count). Output: (vec_a, vec_b, cos_sim rounded to 6) with cos >=
-    threshold — exactly reproducible by the DuckDB oracle with the same
-    inlined planes.
+    count). Buckets over ``hot_bucket_cap`` compare only the star against
+    the bucket's min id (m-1 cosines, connectivity-preserving — the same
+    giant-duplicate-cluster guard as the minhash bands) instead of the
+    m^2/2 matmul. Output: (vec_a, vec_b, cos_sim rounded to 6) with cos
+    >= threshold — exactly reproducible by the DuckDB oracle with the
+    same inlined planes (oracle corpora stay under the cap).
     """
     planes = _plane_matrix(dim, bits, salt=b"embed-dedup")
 
@@ -324,6 +328,18 @@ def embed_cosine_dups(
         g = g.sort_values("vec_id")
         ids = g["vec_id"].to_numpy()
         mat = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]]))
+        if len(ids) > hot_bucket_cap:
+            # Giant-cluster guard: m-1 star cosines against the min id
+            # instead of the m^2/2 matmul (see docstring).
+            sims = np.round(mat[1:] @ mat[0], 6)
+            keep = sims >= threshold
+            return pd.DataFrame(
+                {
+                    "vec_a": np.full(int(keep.sum()), ids[0], dtype=ids.dtype),
+                    "vec_b": ids[1:][keep],
+                    "cos_sim": sims[keep],
+                }
+            )
         sims = np.round(mat @ mat.T, 6)
         ii, jj = np.triu_indices(len(ids), k=1)
         keep = sims[ii, jj] >= threshold
