@@ -105,3 +105,90 @@ def test_list_docs_page_bounded_walk(tmp_path):
     # escaping in the renderList shape
     page = render_list_page("T", [{"id": "x", "url": "u", "title": 'a"<b>'}])
     assert "a&quot;&lt;b&gt;" in page
+
+
+def test_render_collection_page_shape():
+    """Collection endpoint render (src/ssr.ts:175-261): og metas, RTL
+    dir, author/keyword spans, #group backlink, children renderList."""
+    from webscraper_ray.pipelines.ssr import render_collection_page
+
+    html = render_collection_page(
+        {
+            "title": "My Collection",
+            "summary": 'sum "x"',
+            "authors": ["A One", "B Two"],
+            "keywords": ["k1"],
+            "cover": "https://img.x/c.png",
+            "updated_at": "Mon, 01 Jan 2024 00:00:00 GMT",
+            "language": "ara",
+            "url": "https://site.x/group/g1?cid=c1",
+            "group_url": "https://site.x/group/g1",
+        },
+        children=[
+            {"id": "g1-d1", "url": "https://site.x/pub/d1", "title": "Child 1",
+             "language": "eng", "summary": "s1"},
+        ],
+    )
+    assert '<html lang="ara" dir="rtl">' in html
+    assert '<meta property="og:title" content="My Collection">' in html
+    assert '<meta property="og:description" content="sum &quot;x&quot;">' in html
+    assert '<meta property="og:image" content="https://img.x/c.png">' in html
+    assert html.count("<span>") == 3  # 2 authors + 1 keyword
+    assert '<a id="group" href="https://site.x/group/g1">' in html
+    assert 'id="updated_time">Updated: Mon, 01 Jan 2024' in html
+    assert '<ul id="children"><li lang="eng" id="g1-d1">' in html
+    assert '<p title="summary">s1</p>' in html
+
+
+def test_render_group_page_shape():
+    """Group endpoint render (src/ssr.ts:263-313): group metas + the
+    collections and publications renderList uls."""
+    from webscraper_ray.pipelines.ssr import render_group_page
+
+    html = render_group_page(
+        {"name": "G", "slogan": "s", "logo": "https://img.x/l.png",
+         "url": "https://site.x/group/g1"},
+        collections=[{"id": "c1", "url": "u1", "title": "C1", "language": ""}],
+        publications=[
+            {"id": "p1", "url": "u2", "title": "P1", "language": "eng"},
+            {"id": "p2", "url": "u3", "title": "P2", "language": "eng"},
+        ],
+    )
+    assert '<h1 id="group_name">G</h1>' in html
+    assert '<p id="group_slogan">s</p>' in html
+    assert '<meta property="og:image" content="https://img.x/l.png">' in html
+    assert html.count('<ul id="collections"><li') == 1
+    assert html.count("<li ") == 3
+
+
+def test_group_docs_page_over_layout(ray_session, tmp_path):
+    """group_docs_page: host-filtered publications + path-segment
+    collections over the on-disk docs layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webscraper_ray.oracle.xid import make_xid
+    from webscraper_ray.pipelines.ssr import group_docs_page
+
+    rows = [
+        {
+            "id": make_xid(100 + i, 0, f"u{i}"),
+            "url": f"https://{'a.x' if i % 2 == 0 else 'b.x'}/sec{i % 3}/p{i}",
+            "src": f"https://a.x/{i}",
+            "title": f"Doc {i}",
+            "meta": [("description", f"s{i}")],
+        }
+        for i in range(30)
+    ]
+    rows.sort(key=lambda r: r["id"])
+    d = tmp_path / "wave=0"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), d / "part.parquet")
+    html = group_docs_page(str(tmp_path), "a.x", page_size=100)
+    assert '<h1 id="group_name">a.x</h1>' in html
+    # 15 docs on host a.x; their sections are sec0/sec1/sec2
+    pubs = html.split('<ul id="publications">', 1)[1]
+    assert pubs.count("<li ") == 15
+    colls = html.split('<ul id="collections">', 1)[1].split("</ul>", 1)[0]
+    assert colls.count("<li ") == 3
+    assert 'href="https://a.x/sec0"' in colls

@@ -21,7 +21,15 @@ from ..oracle.cbor import loads as cbor_loads
 from ..oracle.lang import is_rtl, lang639_3
 from ..oracle.tree import tree_to_html
 
-__all__ = ["render_page", "render_doc_pages", "render_list_page", "list_docs_page"]
+__all__ = [
+    "render_page",
+    "render_doc_pages",
+    "render_list_page",
+    "list_docs_page",
+    "render_collection_page",
+    "render_group_page",
+    "group_docs_page",
+]
 
 _TEMPLATE = """<!DOCTYPE html>
 <html lang="{lang}"{dir_attr}>
@@ -138,6 +146,41 @@ def render_list_page(title: str, items: list[dict], ul_id: str = "publications")
     """The reference's ``renderList`` shape (``src/ssr.ts:400-460``): one
     ``<li lang id>`` per item with a titled anchor and an optional
     ``<p title="summary">``."""
+    return _LIST_TEMPLATE.format(
+        title=_html.escape(title or "", quote=True),
+        ul_id=_html.escape(ul_id, quote=True),
+        items=_list_items(items),
+    )
+
+
+_COLLECTION_TEMPLATE = """<!DOCTYPE html>
+<html lang="{lang}"{dir_attr}>
+<head>
+<meta charset="utf-8">
+<title>{title}</title>
+<meta property="og:url" content="{url}">
+<meta property="og:title" content="{og_title}">
+{extra_meta}</head>
+<body>
+<h1 id="title">{og_title}</h1>
+{summary_p}<div id="authors">{authors}</div>
+<div id="keywords">{keywords}</div>
+<p><a id="group" href="{group_url}">Group: {group_url}</a></p>
+<p id="updated_time">Updated: {updated}</p>
+<ul id="children">{children}</ul>
+</body>
+</html>"""
+
+
+def _spans(values: list[str] | None) -> str:
+    return "".join(
+        f"<span>{_html.escape(v, quote=True)}</span>" for v in (values or [])
+    )
+
+
+def _list_items(items: list[dict]) -> str:
+    """The reference's ``renderList`` li shape (``src/ssr.ts:403-460``):
+    ``<li lang id>`` with a titled anchor and an optional summary ``<p>``."""
     parts = []
     for item in items:
         esc_title = _html.escape(item.get("title") or "", quote=True)
@@ -151,10 +194,156 @@ def render_list_page(title: str, items: list[dict], ul_id: str = "publications")
         if summary:
             li += f'<p title="summary">{_html.escape(summary)}</p>'
         parts.append(li + "</li>")
-    return _LIST_TEMPLATE.format(
-        title=_html.escape(title or "", quote=True),
-        ul_id=_html.escape(ul_id, quote=True),
-        items="".join(parts),
+    return "".join(parts)
+
+
+def render_collection_page(
+    info: dict, children: list[dict] | None = None, lang: str = ""
+) -> str:
+    """The reference's collection endpoint render
+    (``src/ssr.ts:175-261``): og url/title/description/image metas, lang
+    + RTL dir, author/keyword spans, the ``#group`` backlink, the
+    ``#updated_time`` line, and the children as ``renderList`` items in
+    ``<ul id="children">`` (``src/ssr.ts:366-401`` — collection-kind
+    children are skipped by the CALLER there; pass pre-filtered items).
+
+    ``info``: title, summary?, authors?, keywords?, cover?, updated_at?,
+    language?, url (the collection permalink), group_url.
+    """
+    lang3 = lang639_3(info.get("language") or lang or "")
+    dir_attr = ' dir="rtl"' if is_rtl(lang3) else ""
+    extra = []
+    summary = info.get("summary") or ""
+    if summary:
+        e = _html.escape(summary, quote=True)
+        extra.append(f'<meta property="og:description" content="{e}">\n')
+        extra.append(f'<meta name="description" content="{e}">\n')
+    cover = info.get("cover")
+    if cover:
+        extra.append(
+            f'<meta property="og:image" content="{_html.escape(cover, quote=True)}">\n'
+        )
+    title = info.get("title") or ""
+    group_url = info.get("group_url") or ""
+    return _COLLECTION_TEMPLATE.format(
+        lang=_html.escape(lang3 or lang, quote=True),
+        dir_attr=dir_attr,
+        title=_html.escape(title, quote=True),
+        og_title=_html.escape(title, quote=True),
+        url=_html.escape(info.get("url") or "", quote=True),
+        extra_meta="".join(extra),
+        summary_p=(
+            f'<p id="summary">{_html.escape(summary)}</p>\n' if summary else ""
+        ),
+        authors=_spans(info.get("authors")),
+        keywords=_spans(info.get("keywords")),
+        group_url=_html.escape(group_url, quote=True),
+        updated=_html.escape(str(info.get("updated_at") or ""), quote=True),
+        children=_list_items(children or []),
+    )
+
+
+_GROUP_TEMPLATE = """<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<title>{name}</title>
+<meta property="og:url" content="{url}">
+<meta property="og:title" content="{name}">
+<meta property="og:description" content="{slogan}">
+{extra_meta}</head>
+<body>
+<h1 id="group_name">{name}</h1>
+<p id="group_slogan">{slogan}</p>
+<ul id="collections">{collections}</ul>
+<ul id="publications">{publications}</ul>
+</body>
+</html>"""
+
+
+def render_group_page(
+    group: dict,
+    collections: list[dict] | None = None,
+    publications: list[dict] | None = None,
+) -> str:
+    """The reference's group endpoint render (``src/ssr.ts:263-313``):
+    og url/title/description/image from the group record, then the
+    group's collections and publications as two ``renderList`` uls
+    (``src/ssr.ts:314-364``).
+
+    ``group``: name, slogan?, logo?, url.
+    """
+    extra = []
+    logo = group.get("logo")
+    if logo:
+        extra.append(
+            f'<meta property="og:image" content="{_html.escape(logo, quote=True)}">\n'
+        )
+    return _GROUP_TEMPLATE.format(
+        name=_html.escape(group.get("name") or "", quote=True),
+        slogan=_html.escape(group.get("slogan") or "", quote=True),
+        url=_html.escape(group.get("url") or "", quote=True),
+        extra_meta="".join(extra),
+        collections=_list_items(collections or []),
+        publications=_list_items(publications or []),
+    )
+
+
+def group_docs_page(
+    docs_dir: str,
+    host: str,
+    page_size: int = 100,
+) -> str:
+    """Group endpoint over the engine's docs layout: a "group" is a host
+    (the engine analog of the reference's DB-backed group record), its
+    "collections" are the host's first URL path segments, and its
+    "publications" are the host's first ``page_size`` docs by id.
+
+    Reads the basic projection only (id/url/title/meta) and keeps the
+    driver result bounded by ``page_size`` + distinct-segment count.
+    """
+    from urllib.parse import urlsplit
+
+    from .docs_api import paginate_docs, read_docs
+
+    docs = read_docs(docs_dir, output="basic")
+
+    def of_host(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hosts = [urlsplit(u).netloc for u in batch.column("url").to_pylist()]
+        return batch.filter(pc.equal(pa.array(hosts, pa.string()), host))
+
+    mine = docs.map_batches(of_host, batch_format="pyarrow")
+    page, _token = paginate_docs(mine, page_size=page_size)
+    pubs, segments = [], {}
+    for row in page.to_pylist():
+        meta = dict(row.get("meta") or [])
+        rid = row.get("id")
+        url = row.get("url") or ""
+        path = urlsplit(url).path
+        seg = path.split("/", 2)[1] if path.count("/") >= 1 else ""
+        if seg:
+            segments.setdefault(seg, f"https://{host}/{seg}")
+        pubs.append(
+            {
+                "id": rid.hex() if isinstance(rid, bytes) else str(rid),
+                "url": url,
+                "title": row.get("title"),
+                "language": meta.get("og:locale", ""),
+                "summary": meta.get("description")
+                or meta.get("og:description")
+                or "",
+            }
+        )
+    collections = [
+        {"id": seg, "url": url, "title": seg, "language": ""}
+        for seg, url in sorted(segments.items())
+    ]
+    return render_group_page(
+        {"name": host, "slogan": "", "url": f"https://{host}/"},
+        collections=collections,
+        publications=pubs,
     )
 
 
