@@ -125,3 +125,80 @@ def test_known_missing_gated_on_static_store(ray_session, static_store):
         table = ray.get(res2["ref"])
         assert table.column("url").to_pylist() == ["https://example.com/a"]
     ray.kill(shard)
+
+
+def test_wave_dataset_streams_refs_without_barrier(ray_session):
+    """wave_dataset builds a Dataset over IN-FLIGHT refs: construction
+    must not block on slow producers (no from_arrow_refs metadata
+    barrier), and consuming it yields exactly the refs' rows."""
+    import time
+
+    from webscraper_ray.stages.fetch import wave_dataset
+
+    @ray.remote
+    def slow_block(i: int, delay: float) -> pa.Table:
+        time.sleep(delay)
+        return pa.table({"url": [f"u{i}"], "n": [i]})
+
+    refs = [slow_block.remote(i, 5.0 if i == 0 else 0.0) for i in range(4)]
+    t0 = time.time()
+    ds = wave_dataset(refs)
+    construct_s = time.time() - t0
+    # construction must return while block 0 still sleeps (read planning
+    # has ~1 s cold-start overhead in a fresh session, but never a
+    # barrier on the refs the way from_arrow_refs' metadata ray.get is)
+    assert construct_s < 2.5
+    out = ds.take_all()
+    assert sorted(r["n"] for r in out) == [0, 1, 2, 3]
+
+
+def test_fetch_refs_interleaved_across_actors(ray_session, tmp_path):
+    """fetch_refs_from_tables returns refs round-robin across the cache
+    pool so the streaming read's first tasks hit distinct actors."""
+    from webscraper_ray.stages.fetch import PageStore, SandboxFetcher
+
+    n_buckets = 4
+    urls = [f"https://h{i}.test/p{i}" for i in range(32)]
+    root = str(tmp_path / "pages")
+    for b in range(n_buckets):
+        os.makedirs(os.path.join(root, f"bucket={b}"), exist_ok=True)
+    rows = {b: [] for b in range(n_buckets)}
+    for u in urls:
+        rows[bucket_of(u, n_buckets)].append(u)
+    for b, us in rows.items():
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(us, pa.string()),
+                    "html": pa.array(["<html></html>"] * len(us), pa.large_string()),
+                }
+            ),
+            os.path.join(root, f"bucket={b}", "part-0.parquet"),
+        )
+    store = PageStore(root, n_buckets)
+    fetcher = SandboxFetcher(store, pool_size=2)
+    admitted = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "depth": pa.array([0] * len(urls), pa.int32()),
+            "priority": pa.array([0] * len(urls), pa.int32()),
+        }
+    )
+    refs = fetcher.fetch_refs_from_tables([ray.put(admitted)])
+    tables = ray.get(refs)
+    got = sorted(
+        u for t in tables if t.num_rows for u in t.column("url").to_pylist()
+    )
+    assert got == sorted(urls)
+    # interleave property: with a 2-actor pool, consecutive refs come
+    # from different actors, so consecutive non-empty blocks alternate
+    # bucket parity (bucket % pool == actor index)
+    parities = [
+        bucket_of(t.column("url")[0].as_py(), n_buckets) % 2
+        for t in tables
+        if t.num_rows
+    ]
+    assert 0 in parities and 1 in parities
+    first_two = parities[:2]
+    assert first_two[0] != first_two[1]
+    fetcher.shutdown()

@@ -40,7 +40,7 @@ from ..gen import GenConfig, PAGES_SCHEMA, page_row, robots_table, seeds_table
 from ..state.frontier import ShardedFrontier, route_outlinks_batch
 from ..state.frontier_core import PolitenessConfig
 from ..stages.extract import extract_pages_batch
-from ..stages.fetch import PageStore, SandboxFetcher
+from ..stages.fetch import PageStore, SandboxFetcher, wave_dataset
 
 __all__ = ["CrawlConfig", "run_crawl", "generate_corpus_ray", "load_robots", "load_seeds"]
 
@@ -155,27 +155,29 @@ def _small_wave_task(
     num_shards: int,
     run_id: str,
     max_depth: int,
-    *tables,
+    part: int,
+    table,
 ) -> int:
-    """BFS-tail fast path: fetch blocks -> extract -> route -> one parquet
+    """BFS-tail fast path: fetch block -> extract -> route -> one parquet
     file, all in one task. Exactly the Dataset pipeline's per-batch
     functions, minus a streaming-executor launch a few-dozen-row wave
-    cannot amortize."""
+    cannot amortize. One task per cache-shard block (not one task for
+    the whole wave): a 120-URL wave serialized through a single task
+    costs ~1 s of flat extract time per tail wave; fanning out to the
+    pool's blocks keeps it at one slot round."""
     import pyarrow.parquet as pq
 
     from ..stages.extract import extract_pages_batch
     from ..state.frontier import route_outlinks_batch
 
-    live = [t for t in tables if t.num_rows]
-    if not live:
+    if not table.num_rows:
         return 0
-    batch = pa.concat_tables(live, promote_options="permissive")
-    docs = extract_pages_batch(batch, mode=mode, wave=wave)
+    docs = extract_pages_batch(table, mode=mode, wave=wave)
     docs = route_outlinks_batch(
         docs, shards, num_shards, wave=wave, run_id=run_id, max_depth=max_depth
     )
     os.makedirs(wave_docs_dir, exist_ok=True)
-    pq.write_table(docs, os.path.join(wave_docs_dir, "part-small-0.parquet"))
+    pq.write_table(docs, os.path.join(wave_docs_dir, f"part-small-{part}.parquet"))
     return docs.num_rows
 
 
@@ -322,25 +324,30 @@ def run_crawl(
                 else fetcher.fetch_refs_from_tables(admission["refs"])
             )
             small = small and bool(data_refs)
-            ds = (
-                ray.data.from_arrow_refs(data_refs)
-                if data_refs and not small
-                else None
-            )
+            # streaming wave: one ReadTask per in-flight cache-shard ref
+            # (no from_arrow_refs metadata barrier — extract overlaps the
+            # cache shards still producing late blocks)
+            ds = wave_dataset(data_refs) if data_refs and not small else None
             phases["fetch_refs"] = round(time.time() - t_f, 3)
             t_p = time.time()
             small_rows = 0
             if small:
-                small_rows = ray.get(
-                    _small_wave_task.remote(
-                        wave_docs_dir,
-                        cfg.mode,
-                        wave,
-                        frontier.shards,
-                        cfg.num_shards,
-                        run_id,
-                        cfg.max_depth,
-                        *data_refs,
+                small_rows = sum(
+                    ray.get(
+                        [
+                            _small_wave_task.remote(
+                                wave_docs_dir,
+                                cfg.mode,
+                                wave,
+                                frontier.shards,
+                                cfg.num_shards,
+                                run_id,
+                                cfg.max_depth,
+                                part,
+                                ref,
+                            )
+                            for part, ref in enumerate(data_refs)
+                        ]
                     )
                 )
             if ds is not None:

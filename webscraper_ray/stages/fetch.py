@@ -373,30 +373,39 @@ class SandboxFetcher:
         additionally returns EQUAL slices (num_returns) so block sizes
         are uniform and the wave's straggler tail stays a small fraction
         of a slot round. Driver cost: O(pool x shards x splits) refs,
-        zero entries."""
+        zero entries.
+
+        The returned list is INTERLEAVED round-robin across the cache
+        actors: the streaming read launches tasks in list order and each
+        actor drains its call queue sequentially, so actor-major order
+        would park the first wave of read tasks on actor 0's queue while
+        the other actors sit idle."""
         if not table_refs:
             return []
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         n_splits = max(1, round(cpus / 8))
-        if n_splits == 1:
-            return [
-                self.pool[i].fetch_from_tables.remote(
-                    self.store.root,
-                    self.store.n_buckets,
-                    len(self.pool),
-                    i,
-                    ref,
-                )
-                for i in range(len(self.pool))
-                for ref in table_refs
-            ]
-        refs = []
+        per_actor: list[list] = []
         for i in range(len(self.pool)):
+            if n_splits == 1:
+                per_actor.append(
+                    [
+                        self.pool[i].fetch_from_tables.remote(
+                            self.store.root,
+                            self.store.n_buckets,
+                            len(self.pool),
+                            i,
+                            ref,
+                        )
+                        for ref in table_refs
+                    ]
+                )
+                continue
             method = self.pool[i].fetch_from_tables_split.options(
                 num_returns=n_splits
             )
+            mine: list = []
             for ref in table_refs:
-                refs.extend(
+                mine.extend(
                     method.remote(
                         n_splits,
                         self.store.root,
@@ -406,6 +415,12 @@ class SandboxFetcher:
                         ref,
                     )
                 )
+            per_actor.append(mine)
+        refs = []
+        for j in range(max(len(m) for m in per_actor)):
+            for mine in per_actor:
+                if j < len(mine):
+                    refs.append(mine[j])
         return refs
 
     def fetch_refs_small(self, table_refs: list) -> list:
@@ -430,6 +445,53 @@ class SandboxFetcher:
         for a in self.pool:
             ray.kill(a)
         self.pool = []
+
+
+class WaveBlockDatasource(ray.data.Datasource):
+    """Streams a wave's fetched blocks into a Dataset WITHOUT a driver
+    barrier.
+
+    ``ray.data.from_arrow_refs`` launches one metadata task per block ref
+    and ``ray.get``s all of them before the Dataset even exists — the
+    whole extract stage waits for the SLOWEST cache-shard slice, and the
+    driver pays pool x shards x splits task round-trips per wave (a
+    measured flat ~1-3 s/wave that does not shrink with CPUs). Here each
+    in-flight actor-call ref becomes one ReadTask that ``ray.get``s only
+    ITS block, so extraction of early blocks overlaps the cache shards
+    still producing late ones and the driver launches the wave in O(1).
+    Metadata is unknown up front (num_rows=None); the streaming executor
+    fills it in as blocks land.
+    """
+
+    def __init__(self, refs: list):
+        self._refs = list(refs)
+
+    def estimate_inmemory_data_size(self):
+        return None
+
+    def get_read_tasks(self, parallelism: int) -> list:
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+
+        def make(ref):
+            return ReadTask(
+                lambda ref=ref: [ray.get(ref)],
+                BlockMetadata(
+                    num_rows=None,
+                    size_bytes=None,
+                    exec_stats=None,
+                    input_files=None,
+                ),
+            )
+
+        return [make(r) for r in self._refs]
+
+
+def wave_dataset(data_refs: list) -> "ray.data.Dataset":
+    """Dataset over a wave's in-flight fetch refs (one block per ref)."""
+    return ray.data.read_datasource(
+        WaveBlockDatasource(data_refs), override_num_blocks=len(data_refs)
+    )
 
 
 @ray.remote(num_cpus=0)
