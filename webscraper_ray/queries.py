@@ -133,6 +133,34 @@ SELECT doc_id, lang, source, n_chars FROM documents WHERE n_chars > 200
 """
 
 
+def q_paginate_documents(sf_dir: str):
+    """O3 pagination loop (the SSR list endpoints' token walk,
+    ``src/ssr.ts:713-744``): <=7 id-ordered pages of 100 via
+    ``next_page_token``, each page a per-block partial top-k so the only
+    all-to-all sort is over the survivor rows — never the table."""
+    from .pipelines.docs_api import paginate_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]).rename_columns(
+        {"doc_id": "id"}
+    )
+    pages, token = [], None
+    for _ in range(7):
+        page, token = paginate_docs(ds, page_size=100, page_token=token)
+        if page.num_rows:
+            pages.append(page)
+        if token is None:
+            break
+    out = pa.concat_tables(pages, promote_options="permissive")
+    return out.rename_columns(
+        ["doc_id" if c == "id" else c for c in out.column_names]
+    )
+
+
+SQL_PAGINATE_DOCUMENTS = """
+SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id LIMIT 700
+"""
+
+
 def q_lang_normalize(sf_dir: str):
     """E19+E20 (src/lang.ts): normalize lang designators to ISO-639-3 and
     flag RTL. The mapping table is a module constant broadcast with the
@@ -1410,6 +1438,7 @@ FROM gaps GROUP BY user_id
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
+    "paginate_documents": q_paginate_documents,
     "lang_normalize": q_lang_normalize,
     "paragraph_counts": q_paragraph_counts,
     "pricing_summary": q_pricing_summary,
@@ -1441,6 +1470,7 @@ QUERIES = {
 ORACLE_SQL = {
     "latest_event_per_user": SQL_LATEST_EVENT,
     "doc_projection": SQL_DOC_PROJECTION,
+    "paginate_documents": SQL_PAGINATE_DOCUMENTS,
     "lang_normalize": _sql_lang_normalize(),
     "paragraph_counts": SQL_PARAGRAPH_COUNTS,
     "pricing_summary": SQL_PRICING_SUMMARY,
