@@ -326,3 +326,69 @@ def test_math_stays_text():
     tree = parse_and_amend("<p>Euler: $e^{i\\pi}+1=0$</p>", seed="s")
     assert types_of(tree) == ["doc", "paragraph", "text"]
     assert tree_text(tree) == "Euler: $e^{i\\pi}+1=0$"
+
+
+def test_text_align_roundtrip():
+    """TextAlign attr (src/tiptap.ts:81-89): style parsed on blocks,
+    re-rendered only when non-default, dropped for the default 'left'."""
+    src = (
+        '<h2 style="text-align: center">Centered</h2>'
+        '<p style="text-align:right">Right</p>'
+        '<p style="text-align: left">Default</p>'
+        '<blockquote style="text-align: justify"><p>Quote</p></blockquote>'
+        '<table><tr><td style="text-align: center">cell</td></tr></table>'
+    )
+    tree = parse_and_amend(src, seed="s")
+    h2, p_right, p_left, bq, table = tree["content"]
+    assert h2["attrs"]["textAlign"] == "center"
+    assert p_right["attrs"]["textAlign"] == "right"
+    assert "textAlign" not in p_left["attrs"]  # default omitted
+    assert bq["attrs"]["textAlign"] == "justify"
+    cell = table["content"][0]["content"][0]
+    assert cell["attrs"]["textAlign"] == "center"
+    html = tree_to_html(tree)
+    assert 'style="text-align: center"' in html
+    assert 'style="text-align: right"' in html
+    assert html.count("text-align") == 4  # h2, p, blockquote, td; left omitted
+    again = parse_and_amend(html, seed="other")
+    assert _strip_ids(again) == _strip_ids(tree)
+
+
+def test_text_align_justify_on_blockquote_rendered():
+    tree = parse_and_amend(
+        '<blockquote style="text-align: justify"><p>q</p></blockquote>', seed="s"
+    )
+    html = tree_to_html(tree)
+    assert html.startswith("<blockquote data-id=")
+    assert 'style="text-align: justify"' in html
+
+
+def test_text_style_color_mark_roundtrip():
+    """Color extension over TextStyle: span[style*=color] becomes a
+    textStyle mark; nested colored spans override (innermost wins)."""
+    src = (
+        '<p>plain <span style="color: #958DF1">violet '
+        '<span style="color:red">red</span></span> tail</p>'
+    )
+    tree = parse_and_amend(src, seed="s")
+    inline = tree["content"][0]["content"]
+    assert [n.get("marks") for n in inline] == [
+        None,
+        [{"type": "textStyle", "attrs": {"color": "#958DF1"}}],
+        [{"type": "textStyle", "attrs": {"color": "red"}}],
+        None,
+    ]
+    html = tree_to_html(tree)
+    assert '<span style="color: #958DF1">violet</span>' in html
+    assert '<span style="color: red">red</span>' in html
+    again = parse_and_amend(html, seed="other")
+    assert _strip_ids(again) == _strip_ids(tree)
+
+
+def test_text_style_composes_with_other_marks():
+    src = '<p><b><span style="color: blue">bold blue</span></b></p>'
+    tree = parse_and_amend(src, seed="s")
+    node = tree["content"][0]["content"][0]
+    assert {m["type"] for m in node["marks"]} == {"bold", "textStyle"}
+    again = parse_and_amend(tree_to_html(tree), seed="other")
+    assert _strip_ids(again) == _strip_ids(tree)

@@ -27,7 +27,11 @@ tableHeader, tableCell, image, horizontalRule, taskList/taskItem
 details/detailsSummary/detailsContent (``<details><summary>`` + persisted
 ``open``), emoji and mention inline spans (``span[data-type]``), youtube
 embeds (``div[data-youtube-video] > iframe``); marks bold, italic, strike,
-underline, code, subscript, superscript, link. The reference's Mathematics
+underline, code, subscript, superscript, link, textStyle (color — the
+reference's Color extension over TextStyle renders ``span[style*=color]``);
+block attr textAlign (TextAlign extension, ``style="text-align: X"`` on
+heading/paragraph/codeBlock/blockquote/tableCell, default ``left`` omitted,
+matching tiptap's renderHTML contract). The reference's Mathematics
 extension is a katex DECORATION over plain text ($...$ stays a text node),
 so it needs no node type here. Unknown elements are
 transparent containers; stray inline content at block level is wrapped
@@ -190,6 +194,31 @@ def _merge_text_runs(inline: list[dict]) -> list[dict]:
     return [n for n in out if not (n["type"] == "text" and n["text"] == "")]
 
 
+def _style_prop(el: Element, prop: str) -> Optional[str]:
+    """Value of one CSS property from an inline ``style`` attribute."""
+    style = el.attrs.get("style")
+    if not style:
+        return None
+    for decl in style.split(";"):
+        key, sep, value = decl.partition(":")
+        if sep and key.strip().lower() == prop:
+            return value.strip() or None
+    return None
+
+
+# TextAlign is configured for these types in the reference
+# (src/tiptap.ts:81-89); tiptap omits the style when the value is the
+# default 'left'.
+_TEXT_ALIGN_VALUES = frozenset(("left", "right", "center", "justify"))
+
+
+def _text_align(el: Element) -> Optional[str]:
+    value = _style_prop(el, "text-align")
+    if value and value.lower() in _TEXT_ALIGN_VALUES and value.lower() != "left":
+        return value.lower()
+    return None
+
+
 def _int_attr(el: Element, name: str, default: int) -> int:
     raw = el.attrs.get(name)
     if raw is None:
@@ -225,21 +254,25 @@ def _dispatch(node: TextNode | Element, builder: _FragmentBuilder, marks: list[d
         content: list[dict] = []
         for blk in inner.blocks:  # nested blocks inside a heading: inline only
             content.extend(blk.get("content") or [])
-        builder.add_block(
-            {"type": "heading", "attrs": {"id": None, "level": _HEADINGS[tag]}, "content": content}
-        )
+        head_attrs: dict[str, Any] = {"id": None, "level": _HEADINGS[tag]}
+        align = _text_align(node)
+        if align:
+            head_attrs["textAlign"] = align
+        builder.add_block({"type": "heading", "attrs": head_attrs, "content": content})
     elif tag == "p":
         inner = _FragmentBuilder()
         _walk_inline(node, inner, marks)
         inner.flush()
+        align = _text_align(node)
         first = True
         for blk in inner.blocks:
-            # a <p> containing block children contributes them as siblings
+            # a <p> containing block children contributes them as siblings;
+            # the <p>'s own text-align applies to its first paragraph only
             if first and blk["type"] == "paragraph":
-                builder.add_block(blk)
+                if align:
+                    blk["attrs"]["textAlign"] = align
                 first = False
-            else:
-                builder.add_block(blk)
+            builder.add_block(blk)
     elif tag == "br":
         builder.add_inline({"type": "hardBreak"})
     elif tag == "img":
@@ -258,8 +291,12 @@ def _dispatch(node: TextNode | Element, builder: _FragmentBuilder, marks: list[d
     elif tag == "blockquote":
         inner = _FragmentBuilder()
         _walk_inline(node, inner, [])
+        bq_attrs: dict[str, Any] = {"id": None}
+        align = _text_align(node)
+        if align:
+            bq_attrs["textAlign"] = align
         builder.add_block(
-            {"type": "blockquote", "attrs": {"id": None}, "content": inner.finish()}
+            {"type": "blockquote", "attrs": bq_attrs, "content": inner.finish()}
         )
     elif tag == "pre":
         raw = node.text()
@@ -273,10 +310,14 @@ def _dispatch(node: TextNode | Element, builder: _FragmentBuilder, marks: list[d
                         language = cls[len("language-"):]
                         break
                 break
+        code_attrs: dict[str, Any] = {"id": None, "language": language}
+        align = _text_align(node)
+        if align:
+            code_attrs["textAlign"] = align
         builder.add_block(
             {
                 "type": "codeBlock",
-                "attrs": {"id": None, "language": language},
+                "attrs": code_attrs,
                 "content": ([{"type": "text", "text": raw}] if raw else []),
             }
         )
@@ -347,6 +388,12 @@ def _dispatch(node: TextNode | Element, builder: _FragmentBuilder, marks: list[d
                 },
             }
         )
+    elif tag == "span" and _style_prop(node, "color"):
+        # textStyle mark carrying the Color extension's value; a nested
+        # colored span overrides the outer color (tiptap mark semantics).
+        color = _style_prop(node, "color")
+        kept = [m for m in marks if m["type"] != "textStyle"]
+        _walk_inline(node, builder, kept + [{"type": "textStyle", "attrs": {"color": color}}])
     elif tag == "div" and "data-youtube-video" in node.attrs:
         for child in node.children:
             if isinstance(child, Element) and child.tag == "iframe":
@@ -362,14 +409,18 @@ def _dispatch(node: TextNode | Element, builder: _FragmentBuilder, marks: list[d
             cells: list[dict] = []
             for child in tr.children:
                 if isinstance(child, Element) and child.tag in ("td", "th"):
+                    cell_attrs: dict[str, Any] = {
+                        "colspan": _int_attr(child, "colspan", 1),
+                        "rowspan": _int_attr(child, "rowspan", 1),
+                        "colwidth": None,
+                    }
+                    align = _text_align(child)
+                    if align:
+                        cell_attrs["textAlign"] = align
                     cells.append(
                         {
                             "type": "tableHeader" if child.tag == "th" else "tableCell",
-                            "attrs": {
-                                "colspan": _int_attr(child, "colspan", 1),
-                                "rowspan": _int_attr(child, "rowspan", 1),
-                                "colwidth": None,
-                            },
+                            "attrs": cell_attrs,
                             "content": _cell_content(child),
                         }
                     )
@@ -523,6 +574,14 @@ def _data_id(node: dict) -> str:
     return ""
 
 
+def _align_style(attrs: dict) -> str:
+    """TextAlign renderHTML: style only when the value isn't the default."""
+    align = attrs.get("textAlign")
+    if align and align != "left":
+        return f' style="text-align: {_esc_attr(str(align))}"'
+    return ""
+
+
 def _render_text(node: dict) -> str:
     out = _esc(node.get("text") or "")
     for mark in reversed(node.get("marks") or []):
@@ -534,6 +593,10 @@ def _render_text(node: dict) -> str:
                 if attrs.get(key) is not None:
                     pieces.append(f' {key}="{_esc_attr(str(attrs[key]))}"')
             out = f"<a{''.join(pieces)}>{out}</a>"
+        elif mtype == "textStyle":
+            color = (mark.get("attrs") or {}).get("color")
+            if color:
+                out = f'<span style="color: {_esc_attr(str(color))}">{out}</span>'
         elif mtype in _MARK_RENDER:
             tag = _MARK_RENDER[mtype]
             out = f"<{tag}>{out}</{tag}>"
@@ -554,15 +617,15 @@ def _render(node: dict) -> str:
         return "<hr>"
     if ntype == "heading":
         level = int(attrs.get("level") or 1)
-        return f"<h{level}{_data_id(node)}>{content}</h{level}>"
+        return f"<h{level}{_data_id(node)}{_align_style(attrs)}>{content}</h{level}>"
     if ntype == "paragraph":
-        return f"<p{_data_id(node)}>{content}</p>"
+        return f"<p{_data_id(node)}{_align_style(attrs)}>{content}</p>"
     if ntype == "blockquote":
-        return f"<blockquote{_data_id(node)}>{content}</blockquote>"
+        return f"<blockquote{_data_id(node)}{_align_style(attrs)}>{content}</blockquote>"
     if ntype == "codeBlock":
         lang = attrs.get("language")
         cls = f' class="language-{_esc_attr(str(lang))}"' if lang else ""
-        return f"<pre{_data_id(node)}><code{cls}>{content}</code></pre>"
+        return f"<pre{_data_id(node)}{_align_style(attrs)}><code{cls}>{content}</code></pre>"
     if ntype == "bulletList":
         return f"<ul>{content}</ul>"
     if ntype == "orderedList":
@@ -579,7 +642,10 @@ def _render(node: dict) -> str:
         tag = "th" if ntype == "tableHeader" else "td"
         colspan = attrs.get("colspan") or 1
         rowspan = attrs.get("rowspan") or 1
-        return f'<{tag} colspan="{colspan}" rowspan="{rowspan}">{content}</{tag}>'
+        return (
+            f'<{tag} colspan="{colspan}" rowspan="{rowspan}"'
+            f"{_align_style(attrs)}>{content}</{tag}>"
+        )
     if ntype == "image":
         pieces = []
         for key in ("src", "alt", "title"):
