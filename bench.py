@@ -125,8 +125,12 @@ def run_crawl_bench(store):
         # CPUs so their work is INSIDE the measured budget at every
         # parallelism level (on a real cluster they run on the data
         # nodes); without it the pools ride free on unbooked host cores
-        # and flatter the lo level, depressing measured scaling
-        pool_cpu_fraction=float(os.environ.get("GRAFT_POOL_CPU_FRACTION", "0.25")),
+        # and flatter the lo level, depressing measured scaling.
+        # 0.125 (4 of 32 cpus) measured ~30% faster than 0.25 in three
+        # interleaved fresh-process pairs at 32 cpus (46.1/33.3/28.9 s vs
+        # 67.9/49.3/43.5 s): the pools' real work is ~2-3 s/run, so the
+        # larger booking just starves extract task slots.
+        pool_cpu_fraction=float(os.environ.get("GRAFT_POOL_CPU_FRACTION", "0.125")),
         politeness=PolitenessConfig(window_ms=300_000, per_host_cap=4096),
     )
     seeds = load_seeds(os.path.join(CORPUS_DIR, "seeds.parquet"))
