@@ -336,7 +336,9 @@ def test_text_align_roundtrip():
         '<p style="text-align:right">Right</p>'
         '<p style="text-align: left">Default</p>'
         '<blockquote style="text-align: justify"><p>Quote</p></blockquote>'
-        '<table><tr><td style="text-align: center">cell</td></tr></table>'
+        '<table style="text-align: center"><tr>'
+        '<th style="text-align: right">h</th>'
+        '<td style="text-align: center">cell</td></tr></table>'
     )
     tree = parse_and_amend(src, seed="s")
     h2, p_right, p_left, bq, table = tree["content"]
@@ -344,12 +346,14 @@ def test_text_align_roundtrip():
     assert p_right["attrs"]["textAlign"] == "right"
     assert "textAlign" not in p_left["attrs"]  # default omitted
     assert bq["attrs"]["textAlign"] == "justify"
-    cell = table["content"][0]["content"][0]
+    assert table["attrs"]["textAlign"] == "center"  # 'table' is in the list
+    th, cell = table["content"][0]["content"]
+    assert "textAlign" not in th["attrs"]  # tableHeader is NOT in the list
     assert cell["attrs"]["textAlign"] == "center"
     html = tree_to_html(tree)
     assert 'style="text-align: center"' in html
     assert 'style="text-align: right"' in html
-    assert html.count("text-align") == 4  # h2, p, blockquote, td; left omitted
+    assert html.count("text-align") == 5  # h2, p, blockquote, table, td
     again = parse_and_amend(html, seed="other")
     assert _strip_ids(again) == _strip_ids(tree)
 

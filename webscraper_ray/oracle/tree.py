@@ -29,11 +29,14 @@ details/detailsSummary/detailsContent (``<details><summary>`` + persisted
 embeds (``div[data-youtube-video] > iframe``); marks bold, italic, strike,
 underline, code, subscript, superscript, link, textStyle (color — the
 reference's Color extension over TextStyle renders ``span[style*=color]``);
-block attr textAlign (TextAlign extension, ``style="text-align: X"`` on
-heading/paragraph/codeBlock/blockquote/tableCell, default ``left`` omitted,
-matching tiptap's renderHTML contract). The reference's Mathematics
-extension is a katex DECORATION over plain text ($...$ stays a text node),
-so it needs no node type here. Unknown elements are
+block attr textAlign (TextAlign extension configured for exactly
+heading/paragraph/codeBlock/blockquote/table/tableCell —
+``src/tiptap.ts:80-89``, note tableHeader is NOT in the list; default
+``left`` omitted, matching tiptap's renderHTML contract). The reference's
+Mathematics extension is a katex DECORATION over plain text ($...$ stays
+a text node) and Typography is editor input rules only (smart quotes on
+typing — inert through generateJSON/generateHTML), so neither needs a
+node type here. Unknown elements are
 transparent containers; stray inline content at block level is wrapped
 into paragraphs (ProseMirror DOMParser behavior — visible in the fixture
 where ``<dt>``/``<dd>`` text becomes paragraphs). Whitespace: runs collapse
@@ -414,9 +417,11 @@ def _dispatch(node: TextNode | Element, builder: _FragmentBuilder, marks: list[d
                         "rowspan": _int_attr(child, "rowspan", 1),
                         "colwidth": None,
                     }
-                    align = _text_align(child)
-                    if align:
-                        cell_attrs["textAlign"] = align
+                    # TextAlign covers tableCell but not tableHeader
+                    if child.tag == "td":
+                        align = _text_align(child)
+                        if align:
+                            cell_attrs["textAlign"] = align
                     cells.append(
                         {
                             "type": "tableHeader" if child.tag == "th" else "tableCell",
@@ -427,7 +432,11 @@ def _dispatch(node: TextNode | Element, builder: _FragmentBuilder, marks: list[d
             if cells:
                 rows.append({"type": "tableRow", "content": cells})
         if rows:
-            builder.add_block({"type": "table", "content": rows})
+            block = {"type": "table", "content": rows}
+            align = _text_align(node)
+            if align:
+                block["attrs"] = {"textAlign": align}
+            builder.add_block(block)
     elif tag == "a":
         href = node.attrs.get("href")
         if href:
@@ -635,7 +644,7 @@ def _render(node: dict) -> str:
     if ntype == "listItem":
         return f"<li{_data_id(node)}>{content}</li>"
     if ntype == "table":
-        return f"<table><tbody>{content}</tbody></table>"
+        return f"<table{_align_style(attrs)}><tbody>{content}</tbody></table>"
     if ntype == "tableRow":
         return f"<tr>{content}</tr>"
     if ntype in ("tableCell", "tableHeader"):
