@@ -304,3 +304,147 @@ def test_simhash_near_dups_finds_close_sketches(ray_session):
     out = simhash_near_dups(ray.data.from_items(rows)).to_pandas()
     assert ((out.doc_a == 0) & (out.doc_b == 1)).any()
     assert (out.hamming <= 3).all()
+
+
+# --- temporal joins (functions/joins.py) ------------------------------------
+
+
+def _mk_ds(rows, schema):
+    import pyarrow as pa
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(rows, schema=schema))
+
+
+def test_asof_join_tie_breaks_to_max_tiebreak(ray_session):
+    import pyarrow as pa
+
+    from webscraper_ray.functions.joins import asof_join
+
+    us = pa.timestamp("us")
+    left = _mk_ds(
+        {"eid": [1, 2], "k": [7, 7], "ts": [1_000_000, 50]},
+        pa.schema([("eid", pa.int64()), ("k", pa.int64()), ("ts", us)]),
+    )
+    # two right rows at the SAME (key, ts): the greater tie_break wins
+    right = _mk_ds(
+        {"k": [7, 7, 7], "rts": [500, 500, 2_000_000], "oid": [10, 11, 12]},
+        pa.schema([("k", pa.int64()), ("rts", us), ("oid", pa.int64())]),
+    )
+    out = (
+        asof_join(
+            left,
+            right,
+            left_key="k",
+            left_ts="ts",
+            right_key="k",
+            right_ts="rts",
+            right_payload=["oid"],
+        )
+        .to_pandas()
+        .sort_values("eid")
+    )
+    # eid=1 (ts=1s): latest <= is ts=500 pair -> max oid = 11
+    # eid=2 (ts=50us): no right row at or before -> dropped (inner)
+    assert out["eid"].tolist() == [1]
+    assert out["oid"].tolist() == [11]
+
+
+def test_asof_join_keys_never_cross(ray_session):
+    import pyarrow as pa
+
+    from webscraper_ray.functions.joins import asof_join
+
+    us = pa.timestamp("us")
+    left = _mk_ds(
+        {"eid": [1], "k": [1], "ts": [100]},
+        pa.schema([("eid", pa.int64()), ("k", pa.int64()), ("ts", us)]),
+    )
+    right = _mk_ds(
+        {"k": [2], "rts": [50], "oid": [99]},
+        pa.schema([("k", pa.int64()), ("rts", us), ("oid", pa.int64())]),
+    )
+    out = asof_join(
+        left,
+        right,
+        left_key="k",
+        left_ts="ts",
+        right_key="k",
+        right_ts="rts",
+        right_payload=["oid"],
+    ).to_pandas()
+    assert len(out) == 0  # key 2's row must not match key 1
+
+
+def test_range_count_join_window_edges(ray_session):
+    import pyarrow as pa
+
+    from webscraper_ray.functions.joins import range_count_join
+
+    us = pa.timestamp("us")
+    left = _mk_ds(
+        {"eid": [1], "k": [5], "ts": [1_000]},
+        pa.schema([("eid", pa.int64()), ("k", pa.int64()), ("ts", us)]),
+    )
+    # window [ts-100, ts): 900 included (left edge inclusive), 1000
+    # excluded (right edge exclusive), 899 out, other key out
+    right = _mk_ds(
+        {"k": [5, 5, 5, 6], "rts": [900, 1_000, 899, 950]},
+        pa.schema([("k", pa.int64()), ("rts", us)]),
+    )
+    out = range_count_join(
+        left,
+        right,
+        left_key="k",
+        left_ts="ts",
+        right_key="k",
+        right_ts="rts",
+        lo_offset_us=-100,
+        hi_offset_us=0,
+        count_as="n",
+    ).to_pandas()
+    assert out["n"].tolist() == [1]
+
+
+def test_range_count_join_keeps_zero_count_rows(ray_session):
+    import pyarrow as pa
+
+    from webscraper_ray.functions.joins import range_count_join
+
+    us = pa.timestamp("us")
+    left = _mk_ds(
+        {"eid": [1, 2], "k": [5, 8], "ts": [1_000, 1_000]},
+        pa.schema([("eid", pa.int64()), ("k", pa.int64()), ("ts", us)]),
+    )
+    right = _mk_ds(
+        {"k": [5], "rts": [999]},
+        pa.schema([("k", pa.int64()), ("rts", us)]),
+    )
+    out = (
+        range_count_join(
+            left,
+            right,
+            left_key="k",
+            left_ts="ts",
+            right_key="k",
+            right_ts="rts",
+            lo_offset_us=-100,
+            hi_offset_us=0,
+            count_as="n",
+        )
+        .to_pandas()
+        .sort_values("eid")
+    )
+    assert out["eid"].tolist() == [1, 2]  # left semantics: key 8 kept
+    assert out["n"].tolist() == [1, 0]
+
+
+def test_join_composite_overflow_guard():
+    import numpy as np
+
+    from webscraper_ray.functions.joins import _check_no_overflow
+    import pytest
+
+    with pytest.raises(OverflowError):
+        _check_no_overflow(np.array([2**62]), 4)
+    _check_no_overflow(np.array([1000]), 4)  # small keys pass

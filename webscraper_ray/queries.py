@@ -1431,6 +1431,82 @@ FROM gaps GROUP BY user_id
 """
 
 
+def q_asof_latest_order(sf_dir: str):
+    """As-of join (task-brief custom operator): for every event, the
+    customer's latest order at or before the event timestamp. One
+    hash-partition shuffle; vectorized multi-key merge per partition
+    (functions/joins.py)."""
+    from .functions.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    return asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="o_custkey",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+
+
+SQL_ASOF_LATEST_ORDER = """
+SELECT event_id, user_id, ts, o_orderkey, o_totalprice FROM (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
+def q_attribution_window(sf_dir: str):
+    """Range (band) join: for every purchase event, the count of 'view'
+    events by the same user in the preceding 24 hours — the classic
+    attribution-window feature. Counts come from two searchsorted probes
+    per partition, never a pair expansion."""
+    from .functions.joins import range_count_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def only(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), kind)).drop_columns(
+                ["event_type"]
+            )
+
+        return f
+
+    purchases = ev.map_batches(only("purchase"), batch_format="pyarrow")
+    views = ev.map_batches(only("view"), batch_format="pyarrow")
+    return range_count_join(
+        purchases,
+        views,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="user_id",
+        right_ts="ts",
+        lo_offset_us=-24 * 3_600_000_000,
+        hi_offset_us=0,
+        count_as="n_views",
+    )
+
+
+SQL_ATTRIBUTION_WINDOW = """
+SELECT p.event_id, p.user_id, p.ts, count(v.event_id) AS n_views
+FROM events p LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1465,6 +1541,8 @@ QUERIES = {
     "tumbling_window": q_tumbling_window,
     "hopping_window": q_hopping_window,
     "sessionize": q_sessionize,
+    "asof_latest_order": q_asof_latest_order,
+    "attribution_window": q_attribution_window,
 }
 
 ORACLE_SQL = {
@@ -1497,6 +1575,8 @@ ORACLE_SQL = {
     "dedup_simhash_near": _sql_dedup_simhash_near(),
     "lang_id": _sql_lang_id(),
     "fingerprint": SQL_FINGERPRINT,
+    "asof_latest_order": SQL_ASOF_LATEST_ORDER,
+    "attribution_window": SQL_ATTRIBUTION_WINDOW,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
