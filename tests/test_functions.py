@@ -448,3 +448,94 @@ def test_join_composite_overflow_guard():
     with pytest.raises(OverflowError):
         _check_no_overflow(np.array([2**62]), 4)
     _check_no_overflow(np.array([1000]), 4)  # small keys pass
+
+
+# --- ranking / sampling / quantiles ------------------------------------------
+
+
+def test_topk_kernel_orders_desc_ties_asc():
+    import pyarrow as pa
+
+    from webscraper_ray.functions.ranking import _topk_kernel
+
+    t = pa.table(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "v": [5.0, 9.0, 9.0, 3.0, 4.0],
+            "tid": [30, 20, 10, 1, 2],
+        }
+    )
+    out = _topk_kernel(t, "k", "v", "tid", 2).to_pandas()
+    got = sorted(zip(out["k"], out["tid"]))
+    # key 1: two v=9 rows win, tie ascends -> tid 10 then 20; key 2: both
+    assert got == [(1, 10), (1, 20), (2, 1), (2, 2)]
+
+
+def test_topk_per_group_matches_single_table(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webscraper_ray.functions.ranking import _topk_kernel, topk_per_group
+
+    rng = np.random.default_rng(7)
+    t = pa.table(
+        {
+            "k": rng.integers(0, 40, 2000),
+            "v": rng.normal(size=2000),
+            "tid": np.arange(2000),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = (
+        topk_per_group(ds, key="k", order_col="v", tie_col="tid", k=3)
+        .to_pandas()
+        .sort_values(["k", "tid"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _topk_kernel(t, "k", "v", "tid", 3)
+        .to_pandas()
+        .sort_values(["k", "tid"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(want)
+
+
+def test_stratified_sample_deterministic_and_stratified(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from webscraper_ray.functions.dedup import md5_u64
+    from webscraper_ray.functions.sampling import stratified_sample
+
+    t = pa.table(
+        {"id": list(range(400)), "s": (["a"] * 200 + ["b"] * 200)}
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = stratified_sample(
+        ds, id_col="id", stratum_col="s", rates_pct={"a": 0}, default_pct=100
+    ).to_pandas()
+    assert set(out["s"]) == {"b"} and len(out) == 200  # 0% vs 100%
+    out2 = stratified_sample(
+        ds, id_col="id", stratum_col="s", rates_pct={}, default_pct=25
+    ).to_pandas()
+    want = {i for i in range(400) if md5_u64(str(i)) % 100 < 25}
+    assert set(out2["id"]) == want  # decision = the documented md5 family
+
+
+def test_exact_quantiles_matches_numpy_rank(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webscraper_ray.functions.stats import exact_quantiles
+
+    vals = np.repeat([10, 20, 30, 40], [7, 1, 1, 1])  # skewed counts
+    ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(3)
+    out = exact_quantiles(ds, "x", [0.5, 0.7, 0.9, 1.0]).to_pandas()
+    s = np.sort(vals)
+    import math
+
+    want = [int(s[max(1, math.ceil(q * len(s))) - 1]) for q in (0.5, 0.7, 0.9, 1.0)]
+    assert out["x"].tolist() == want

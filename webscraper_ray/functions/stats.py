@@ -1,0 +1,69 @@
+"""Exact distributed quantiles over a bounded-cardinality column.
+
+Length/score distributions (p50/p90/p99 of document length, token
+count, quality score) steer every corpus-curation cut. For integer-ish
+columns the exact answer needs no sketch: aggregate VALUE COUNTS — the
+shuffle and the driver gather are sized by the column's distinct-value
+cardinality (document lengths: ~10^5 values), never by row count.
+
+Shape: per-batch ``group_by(col).count`` partial (one row per distinct
+value per block) -> one small ``groupby(col).sum`` all-to-all -> the
+distinct-value histogram sorts driver-side (output-sized, like the
+dedup candidate sets) and quantiles read off the cumulative counts.
+
+Quantile convention: the element at 1-indexed rank ``ceil(q * n)`` —
+DuckDB's ``quantile_disc``, verified against it for several n.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+__all__ = ["exact_quantiles"]
+
+
+def exact_quantiles(
+    ds: "ray.data.Dataset", col: str, qs: Sequence[float]
+) -> pa.Table:
+    """Exact discrete quantiles of ``col``; returns (q, value) rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([col]).group_by(col).aggregate([(col, "count")])
+        return g.rename_columns([col, "cnt"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_arrow_refs()
+    )
+    import ray as _ray
+
+    # distinct-value-sized gather; Ray's sort emits zero-SCHEMA blocks
+    # for empty range partitions — drop them before concat
+    parts = [p for p in _ray.get(hist) if p.num_rows > 0]
+    if not parts:
+        return pa.table(
+            {"q": pa.array(list(qs), pa.float64()), col: pa.nulls(len(qs))}
+        )
+    t = pa.concat_tables(parts)
+    values = t.column(col).to_numpy(zero_copy_only=False)
+    counts = t.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(values, kind="stable")
+    values, counts = values[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if cum.size else 0
+    picks = []
+    for q in qs:
+        rank = max(1, math.ceil(q * n))  # quantile_disc: 1-indexed ceil(q*n)
+        picks.append(values[np.searchsorted(cum, rank, side="left")])
+    return pa.table(
+        {"q": pa.array(list(qs), pa.float64()), col: pa.array(picks)}
+    )

@@ -1507,6 +1507,69 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_topk_events_per_user(sf_dir: str):
+    """Top-2 events per user by value (generalized O1): per-batch partial
+    top-k before the single hash-partition shuffle."""
+    from .functions.ranking import topk_per_group
+
+    return topk_per_group(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        key="user_id",
+        order_col="value",
+        tie_col="event_id",
+        k=2,
+    )
+
+
+SQL_TOPK_EVENTS = """
+SELECT event_id, user_id, value FROM (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 2
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified downsample: keep 10% of the dominant
+    'en' stratum, 50% of everything else (corpus mixing). Hash-decided
+    per row — no RNG, reproducible at any parallelism."""
+    from .functions.sampling import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        id_col="doc_id",
+        stratum_col="lang",
+        rates_pct={"en": 10},
+        default_pct=50,
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100
+      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+"""
+
+
+def q_length_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of document length via distributed value
+    counts — shuffle and driver gather sized by distinct lengths, not
+    rows."""
+    from .functions.stats import exact_quantiles
+
+    return exact_quantiles(
+        _read(sf_dir, "documents", ["n_chars"]), "n_chars", [0.5, 0.9, 0.99]
+    )
+
+
+SQL_LENGTH_QUANTILES = """
+WITH qd AS (SELECT quantile_disc(n_chars, [0.5, 0.9, 0.99]) AS l FROM documents)
+SELECT unnest([0.5, 0.9, 0.99]) AS q, unnest(l) AS n_chars FROM qd
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1543,6 +1606,9 @@ QUERIES = {
     "sessionize": q_sessionize,
     "asof_latest_order": q_asof_latest_order,
     "attribution_window": q_attribution_window,
+    "topk_events_per_user": q_topk_events_per_user,
+    "stratified_sample": q_stratified_sample,
+    "length_quantiles": q_length_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1577,6 +1643,9 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "asof_latest_order": SQL_ASOF_LATEST_ORDER,
     "attribution_window": SQL_ATTRIBUTION_WINDOW,
+    "topk_events_per_user": SQL_TOPK_EVENTS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
