@@ -355,3 +355,111 @@ def test_cid_font_through_converter():
         if span.get("type") == "text"
     ]
     assert "".join(texts) == "Hélmnfffi"
+
+
+# --- non-Flate filters (ISO 32000-1 §7.4.2/4/5) ------------------------------
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Minimal LZW encoder mirroring the decoder's width-growth rule."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    codes = [256]  # leading CLEAR
+    w = b""
+    for b in bytes(data):
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+        else:
+            codes.append(table[w])
+            if next_code < 4096:
+                table[wc] = next_code
+                next_code += 1
+            w = bytes([b])
+    if w:
+        codes.append(table[w])
+    codes.append(257)  # EOD
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    # replay the decoder's width schedule: width grows AFTER the decoder
+    # has added its (n-1)th entry, i.e. track next_code as the decoder
+    # sees it (one behind the encoder within a phrase)
+    dec_next = 258
+    dec_width = 9
+    prev_emitted = False
+    for code in codes:
+        buf = (buf << dec_width) | code
+        nbits += dec_width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        if code == 256:
+            dec_next, dec_width, prev_emitted = 258, 9, False
+            continue
+        if code == 257:
+            break
+        if prev_emitted and dec_next < 4096:
+            dec_next += 1
+        prev_emitted = True
+        if dec_width < 12 and dec_next + early - 1 >= (1 << dec_width):
+            dec_width += 1
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_filter_decoders_roundtrip():
+    from webscraper_ray.oracle.pdf import (
+        _ascii_hex_decode,
+        _lzw_decode,
+        _run_length_decode,
+    )
+
+    payload = b"BT (abc) Tj ET " * 40 + b"\x00\xff tail"
+    assert _ascii_hex_decode(payload.hex().encode() + b">") == payload
+    assert _ascii_hex_decode(b"41 42\n4") == b"AB@"  # odd digit pads 0
+    # RunLength: 2 literals, then 'x' * 4, then EOD
+    assert _run_length_decode(bytes([1]) + b"ab" + bytes([253]) + b"x" + bytes([128])) == b"abxxxx"
+    assert _lzw_decode(_lzw_encode(payload)) == payload
+    assert _lzw_decode(_lzw_encode(payload, early=0), early=0) == payload
+
+
+@pytest.mark.parametrize(
+    "filt",
+    ["ASCIIHexDecode", "RunLengthDecode", "LZWDecode"],
+)
+def test_non_flate_filtered_page_extracts(filt):
+    from webscraper_ray.oracle.pdf import extract_pdf_items
+
+    content = _content()
+    if filt == "ASCIIHexDecode":
+        data = content.hex().encode() + b">"
+    elif filt == "RunLengthDecode":
+        data = b""
+        for i in range(0, len(content), 100):
+            chunk = content[i : i + 100]
+            data += bytes([len(chunk) - 1]) + chunk
+        data += bytes([128])
+    else:
+        data = _lzw_encode(content)
+    stream = (
+        b"<< /Length %d /Filter /%s >>\nstream\n" % (len(data), filt.encode())
+        + data
+        + b"\nendstream"
+    )
+    buf = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+            4: stream,
+            5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        },
+        root=1,
+    )
+    items = extract_pdf_items(buf)
+    texts = [i["str"] for i in items[0]]
+    assert "Title Line" in texts and "Second body line." in texts

@@ -12,7 +12,9 @@ Supported:
   streams (PDF 1.5 compressed objects)
 - /Catalog -> /Pages -> /Kids page-tree walk; /Contents as a direct
   stream, a reference, or an array of references
-- stream filters: none or /FlateDecode (zlib); /Length direct or ref
+- stream filters: none, /FlateDecode (zlib), /LZWDecode (9→12-bit codes
+  + EarlyChange), /ASCIIHexDecode, /RunLengthDecode — image codecs
+  (DCT/JPX/CCITT) and crypt filters excluded; /Length direct or ref
 - content text operators: BT/ET, Tf, Tm, Td, TD, T*, TL, Tj, ', ", TJ
 - literal ``( )`` strings with escapes + octal, hex ``< >`` strings
 - per-font text decode via /ToUnicode CMaps (bfchar + bfrange, scalar
@@ -258,6 +260,93 @@ class _Lexer:
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
 
 
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (ISO 32000-1 §7.4.2): hex pairs, whitespace
+    ignored, '>' is EOD, an odd trailing digit pads with 0."""
+    digits = []
+    for b in data:
+        c = chr(b)
+        if c == ">":
+            break
+        if c.isspace():
+            continue
+        if c not in "0123456789abcdefABCDEF":
+            raise PdfError(f"bad ASCIIHex byte {c!r}")
+        digits.append(c)
+    if len(digits) % 2:
+        digits.append("0")
+    return bytes.fromhex("".join(digits))
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): L<128 copies L+1 literals, L>128
+    repeats the next byte 257-L times, 128 is EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        length = data[i]
+        if length == 128:
+            break
+        if length < 128:
+            chunk = data[i + 1 : i + 2 + length]
+            if len(chunk) != length + 1:
+                raise PdfError("truncated RunLength literal")
+            out += chunk
+            i += 2 + length
+        else:
+            if i + 1 >= len(data):
+                raise PdfError("truncated RunLength run")
+            out += data[i + 1 : i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (§7.4.4): 9→12-bit codes, 256=clear, 257=EOD;
+    ``early`` is the EarlyChange parameter (default 1: the code width
+    grows one code sooner, the PDF default)."""
+    out = bytearray()
+    base = {i: bytes([i]) for i in range(256)}
+    table = dict(base)
+    next_code = 258
+    width = 9
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = dict(base)
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise PdfError("bad LZW start code")
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise PdfError("bad LZW code")
+            out += entry
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            prev = entry
+            if width < 12 and next_code + early - 1 >= (1 << width):
+                width += 1
+    return bytes(out)
+
+
 class _Pdf:
     def __init__(self, buf: bytes):
         if not buf.startswith(b"%PDF-"):
@@ -379,14 +468,28 @@ class _Pdf:
         if filt is None:
             return raw
         filters = filt if isinstance(filt, list) else [filt]
-        for f in filters:
+        parms = self.resolve(s.dict.get("DecodeParms"))
+        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+        for f, parm in zip(filters, parms_list):
             f = str(self.resolve(f))
+            parm = self.resolve(parm)
             if f == "FlateDecode":
                 try:
                     raw = zlib.decompress(raw)
                 except zlib.error as exc:
                     raise PdfError(f"bad Flate stream: {exc}") from exc
+            elif f == "ASCIIHexDecode":
+                raw = _ascii_hex_decode(raw)
+            elif f == "RunLengthDecode":
+                raw = _run_length_decode(raw)
+            elif f == "LZWDecode":
+                early = 1
+                if isinstance(parm, dict):
+                    early = int(self.resolve(parm.get("EarlyChange", 1)))
+                raw = _lzw_decode(raw, early)
             else:
+                # image codecs (DCT/JPX/CCITT) and crypt filters stay out
+                # of the documented subset
                 raise PdfError(f"unsupported stream filter /{f}")
         return raw
 
