@@ -28,7 +28,12 @@ __all__ = ["topk_per_group"]
 
 
 def _topk_kernel(
-    t: pa.Table, key: str, order_col: str, tie_col: str, k: int
+    t: pa.Table,
+    key: str,
+    order_col: str,
+    tie_col: str,
+    k: int,
+    ascending: bool = False,
 ) -> pa.Table:
     """Keep the top-k rows per key value of one in-memory table."""
     if t.num_rows == 0:
@@ -36,8 +41,9 @@ def _topk_kernel(
     keys = t.column(key).to_numpy(zero_copy_only=False)
     val = t.column(order_col).to_numpy(zero_copy_only=False)
     tie = t.column(tie_col).to_numpy(zero_copy_only=False)
-    # sort by (key ASC, val DESC, tie ASC); -val flips only the middle key
-    order = np.lexsort((tie, -val, keys))
+    # sort by (key ASC, val DESC-or-ASC, tie ASC); -val flips only the
+    # middle key (signed order columns only in the DESC path)
+    order = np.lexsort((tie, val if ascending else -val, keys))
     ks = keys[order]
     # cumcount within each key run: position - start-of-run
     starts = np.zeros(ks.size, dtype=np.int64)
@@ -55,14 +61,17 @@ def topk_per_group(
     order_col: str,
     tie_col: str,
     k: int,
+    ascending: bool = False,
     num_partitions: int = 32,
 ) -> "ray.data.Dataset":
     def partial(t: pa.Table) -> pa.Table:
-        t = _topk_kernel(t, key, order_col, tie_col, k)
+        t = _topk_kernel(t, key, order_col, tie_col, k, ascending)
         return t.append_column("_part", _part_column(t.column(key), num_partitions))
 
     def final(t: pa.Table) -> pa.Table:
-        return _topk_kernel(t.drop_columns(["_part"]), key, order_col, tie_col, k)
+        return _topk_kernel(
+            t.drop_columns(["_part"]), key, order_col, tie_col, k, ascending
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

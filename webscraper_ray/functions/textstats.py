@@ -117,14 +117,13 @@ KEEP_MAX_PUNCT = 0.10
 KEEP_MAX_UPPER = 0.30
 
 
-def quality_keep(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """(doc_id, keep): the composite quality filter — keep iff the doc
-    has enough tokens, a sane mean token length, and is not punctuation-
-    or caps-dominated. Vectorized over the quality components."""
+def quality_keep_mask(batch: pa.Table, text_col: str = "text"):
+    """Boolean keep mask for one batch (shared by the (doc_id, keep)
+    projection and the in-place curation-pipeline filter)."""
     import pyarrow.compute as pc
 
     s = quality_scores(batch, text_col)
-    keep = pc.and_(
+    return pc.and_(
         pc.and_(
             pc.greater_equal(s.column("n_tokens"), KEEP_MIN_TOKENS),
             pc.and_(
@@ -137,7 +136,18 @@ def quality_keep(batch: pa.Table, text_col: str = "text") -> pa.Table:
             pc.less_equal(s.column("upper_ratio"), KEEP_MAX_UPPER),
         ),
     )
-    return pa.table({"doc_id": s.column("doc_id"), "keep": keep})
+
+
+def quality_keep(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, keep): the composite quality filter — keep iff the doc
+    has enough tokens, a sane mean token length, and is not punctuation-
+    or caps-dominated. Vectorized over the quality components."""
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "keep": quality_keep_mask(batch, text_col),
+        }
+    )
 
 
 def lang_id_ngram(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -1570,6 +1570,83 @@ SELECT unnest([0.5, 0.9, 0.99]) AS q, unnest(l) AS n_chars FROM qd
 """
 
 
+def q_curation_pipeline(sf_dir: str):
+    """The composite training-data story, one streaming Dataset chain:
+    quality-keep filter -> exact dedup keep-first (md5-prefix family)
+    -> deterministic stratified downsample of the dominant language.
+    Heavy text drops BEFORE the only shuffle; the shuffle carries
+    (h64, doc_id, lang, n_chars) with ≤1 row per (hash, block) after the
+    partial keep-first."""
+    import numpy as np
+
+    from .functions.dedup import md5_u64
+    from .functions.ranking import topk_per_group
+    from .functions.sampling import stratified_sample
+    from .functions.textstats import quality_keep_mask
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def keep_and_hash(t: pa.Table) -> pa.Table:
+        t = t.filter(quality_keep_mask(t))
+        h = np.fromiter(
+            (md5_u64(s or "") for s in t.column("text").to_pylist()),
+            dtype=np.uint64,
+            count=t.num_rows,
+        )
+        return t.drop_columns(["text"]).append_column(
+            "h64", pa.array(h, pa.uint64())
+        )
+
+    deduped = topk_per_group(
+        ds.map_batches(keep_and_hash, batch_format="pyarrow"),
+        key="h64",
+        order_col="doc_id",
+        tie_col="doc_id",
+        k=1,
+        ascending=True,
+    )
+    sampled = stratified_sample(
+        deduped,
+        id_col="doc_id",
+        stratum_col="lang",
+        rates_pct={"en": 50},
+        default_pct=100,
+    )
+    return sampled.drop_columns(["h64"])
+
+
+def _sql_curation_pipeline() -> str:
+    from .functions.textstats import (
+        KEEP_MAX_PUNCT,
+        KEEP_MAX_UPPER,
+        KEEP_MEAN_TOKEN_LEN,
+        KEEP_MIN_TOKENS,
+    )
+
+    return f"""
+WITH s AS ({SQL_QUALITY_SCORES}),
+kept AS (
+  SELECT d.doc_id, d.text, d.lang, d.n_chars
+  FROM documents d JOIN s ON d.doc_id = s.doc_id
+  WHERE s.n_tokens >= {KEEP_MIN_TOKENS}
+    AND s.mean_token_len >= {KEEP_MEAN_TOKEN_LEN[0]}
+    AND s.mean_token_len <= {KEEP_MEAN_TOKEN_LEN[1]}
+    AND s.punct_ratio <= {KEEP_MAX_PUNCT}
+    AND s.upper_ratio <= {KEEP_MAX_UPPER}
+),
+hashed AS (
+  SELECT doc_id, lang, n_chars,
+         ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h64
+  FROM kept
+),
+firsts AS (SELECT h64, min(doc_id) AS doc_id FROM hashed GROUP BY h64)
+SELECT h.doc_id, h.lang, h.n_chars
+FROM hashed h JOIN firsts f ON h.h64 = f.h64 AND h.doc_id = f.doc_id
+WHERE ('0x' || substr(md5(CAST(h.doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100
+      < CASE WHEN h.lang = 'en' THEN 50 ELSE 100 END
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1609,6 +1686,7 @@ QUERIES = {
     "topk_events_per_user": q_topk_events_per_user,
     "stratified_sample": q_stratified_sample,
     "length_quantiles": q_length_quantiles,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLE_SQL = {
@@ -1646,6 +1724,7 @@ ORACLE_SQL = {
     "topk_events_per_user": SQL_TOPK_EVENTS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "length_quantiles": SQL_LENGTH_QUANTILES,
+    "curation_pipeline": _sql_curation_pipeline(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
