@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "ann_bruteforce",
     "tumbling_window",
     "sessionize",
+    "asof_latest_order",
+    "topk_events_per_user",
+    "curation_pipeline",
 ]
 
 
