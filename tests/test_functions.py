@@ -539,3 +539,94 @@ def test_exact_quantiles_matches_numpy_rank(ray_session):
 
     want = [int(s[max(1, math.ceil(q * len(s))) - 1]) for q in (0.5, 0.7, 0.9, 1.0)]
     assert out["x"].tolist() == want
+
+
+# --- clustering / vocabulary -------------------------------------------------
+
+
+def test_round_half_away_matches_duckdb():
+    import duckdb
+    import numpy as np
+
+    from webscraper_ray.functions.clustering import round_half_away
+
+    vals = [0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 2.4999, -2.4999, 1e6 + 0.5]
+    got = round_half_away(np.array(vals)).tolist()
+    want = [
+        duckdb.sql(f"SELECT round(CAST({v} AS DOUBLE))").fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
+
+
+def test_kmeans_deterministic_across_block_counts(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webscraper_ray.functions.clustering import kmeans_clusters
+
+    rng = np.random.default_rng(3)
+    n, d = 300, 8
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(x), pa.list_(pa.float32())),
+        }
+    )
+    outs = []
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = (
+            kmeans_clusters(ds, k=3, iters=2)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    assert outs[0].equals(outs[1])  # int-exact math: parallelism-invariant
+    assert outs[0]["cluster"].nunique() > 1
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webscraper_ray.functions.clustering import kmeans_clusters
+
+    # two tight blobs, k=3: the third initial centroid (id 2, inside blob
+    # A) empties after one update; the run must not crash and every blob
+    # must stay pure
+    a = np.zeros((10, 4), dtype=np.float32)
+    b = np.full((10, 4), 5.0, dtype=np.float32)
+    x = np.vstack([a, b]) + 0.01 * np.arange(20, dtype=np.float32)[:, None]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array(list(x), pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        kmeans_clusters(ray.data.from_arrow(t), k=3, iters=3)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    blob_a = set(out["cluster"][:10])
+    blob_b = set(out["cluster"][10:])
+    assert blob_a.isdisjoint(blob_b)
+
+
+def test_vocab_top_tokens_tie_order(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from webscraper_ray.functions.textstats import vocab_top_tokens
+
+    docs = ["b a", "a c b", "  ", "c"]
+    ds = ray.data.from_arrow(pa.table({"text": docs})).repartition(2)
+    out = vocab_top_tokens(ds, k=2).to_pandas()
+    # freqs: a=2 b=2 c=2 -> ties break token-ascending -> a, b
+    assert out["token"].tolist() == ["a", "b"]
+    assert out["freq"].tolist() == [2, 2]

@@ -150,6 +150,57 @@ def quality_keep(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def token_freq_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(token, freq) pre-aggregated per batch — the combiner half of
+    vocabulary building (tokenizer-training prep). The shuffle after
+    this carries one row per DISTINCT token per block, never per token
+    occurrence; whitespace tokenization is the same contract
+    ``string_split_regex(trim(text), '\\s+')`` expresses in the oracle."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        if t and t.strip():
+            counts.update(t.split())
+    return pa.table(
+        {
+            "token": pa.array(list(counts.keys()), pa.string()),
+            "freq": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
+def vocab_top_tokens(
+    ds, k: int = 200, text_col: str = "text"
+):
+    """Global top-k tokens by corpus frequency (ties: token ascending).
+
+    Per-batch Counter partials -> groupby(token).sum (vocabulary-sized
+    shuffle) -> per-block top-k prune -> final sort + limit over ≤ k×
+    blocks rows."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=[("freq", "descending"), ("token", "ascending")]
+        )
+        return t.take(idx[:k])
+
+    return (
+        ds.map_batches(token_freq_partial, fn_kwargs={"text_col": text_col},
+                       batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("freq", alias_name="freq"))
+        .map_batches(block_topk, batch_format="pyarrow")
+        .sort(["freq", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def lang_id_ngram(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Stopword-vote language ID: argmax over per-language stopword hit
     counts (distinct-token intersection), 'und' (undetermined) when no

@@ -1570,6 +1570,89 @@ SELECT unnest([0.5, 0.9, 0.99]) AS q, unnest(l) AS n_chars FROM qd
 """
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Embedding k-means (4 clusters, 3 Lloyd iterations) — iterative
+    clustering made order-independent (int64-quantized vectors, integer
+    distances, exact re-quantized centroids) so even this is value-hash
+    gated by an unrolled SQL oracle."""
+    from .functions.clustering import kmeans_clusters
+
+    return kmeans_clusters(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=4, iters=3
+    )
+
+
+def _sql_kmeans(k: int = 4, iters: int = 3, d: int = 64) -> str:
+    """Unrolled Lloyd iterations: c0 -> (dist, assign, sums, cents) x
+    iters -> final assignment. Same quantization, distance, tie and
+    rounding conventions as functions/clustering.py."""
+    rng = f"(SELECT unnest(range(1, {d + 1})) AS i) u"
+    parts = [
+        f"""e AS (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) FOR x IN embedding] AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, q AS cent
+  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for it in range(1, iters + 2):
+        prev = f"c{it - 1}"
+        parts.append(
+            f"""d{it} AS (
+  SELECT e.vec_id, c.cl,
+         sum((e.q[u.i] - c.cent[u.i]) * (e.q[u.i] - c.cent[u.i])) AS dist
+  FROM e, {prev} c, {rng}
+  GROUP BY e.vec_id, c.cl
+),
+a{it} AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM d{it}
+  ) WHERE rn = 1
+)"""
+        )
+        if it <= iters:  # the last assignment needs no centroid update
+            parts.append(
+                f"""s{it} AS (
+  SELECT a.cl, u.i AS dim, sum(e.q[u.i]) AS s, count(*) AS n
+  FROM a{it} a JOIN e ON a.vec_id = e.vec_id, {rng}
+  GROUP BY a.cl, u.i
+),
+c{it} AS (
+  SELECT cl, list(CAST(round(s * 1.0 / n) AS BIGINT) ORDER BY dim) AS cent
+  FROM s{it} GROUP BY cl
+  UNION ALL
+  SELECT cl, cent FROM {prev}
+  WHERE cl NOT IN (SELECT DISTINCT cl FROM s{it})
+)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, CAST(cl AS INTEGER) AS cluster FROM a{iters + 1}"
+    )
+
+
+def q_vocab_top_tokens(sf_dir: str):
+    """Vocabulary building: global top-200 tokens by corpus frequency
+    (tokenizer-training prep). Vocabulary-sized shuffle only."""
+    from .functions.textstats import vocab_top_tokens
+
+    return vocab_top_tokens(_read(sf_dir, "documents", ["text"]), k=200)
+
+
+SQL_VOCAB_TOP_TOKENS = r"""
+SELECT token, count(*) AS freq FROM (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+) GROUP BY token ORDER BY freq DESC, token LIMIT 200
+"""
+
+
 def q_curation_pipeline(sf_dir: str):
     """The composite training-data story, one streaming Dataset chain:
     quality-keep filter -> exact dedup keep-first (md5-prefix family)
@@ -1687,6 +1770,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "length_quantiles": q_length_quantiles,
     "curation_pipeline": q_curation_pipeline,
+    "vocab_top_tokens": q_vocab_top_tokens,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 ORACLE_SQL = {
@@ -1725,6 +1810,8 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "curation_pipeline": _sql_curation_pipeline(),
+    "vocab_top_tokens": SQL_VOCAB_TOP_TOKENS,
+    "kmeans_clusters": _sql_kmeans(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
