@@ -630,3 +630,70 @@ def test_vocab_top_tokens_tie_order(ray_session):
     # freqs: a=2 b=2 c=2 -> ties break token-ascending -> a, b
     assert out["token"].tolist() == ["a", "b"]
     assert out["freq"].tolist() == [2, 2]
+
+
+def test_range_count_join_giant_key_single_partition(ray_session):
+    """Documented assumption: one giant key lands in ONE partition (as in
+    any hash join) — the merge must stay correct and bounded there."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webscraper_ray.functions.joins import range_count_join
+
+    us = pa.timestamp("us")
+    n = 20_000  # one hot key holds every right row
+    left = _mk_ds(
+        {"eid": [1, 2], "k": [7, 7], "ts": [1_000_000, 2_000_000]},
+        pa.schema([("eid", pa.int64()), ("k", pa.int64()), ("ts", us)]),
+    )
+    right = _mk_ds(
+        {"k": [7] * n, "rts": list(range(n))},
+        pa.schema([("k", pa.int64()), ("rts", us)]),
+    )
+    out = (
+        range_count_join(
+            left,
+            right,
+            left_key="k",
+            left_ts="ts",
+            right_key="k",
+            right_ts="rts",
+            lo_offset_us=-1_000_000,
+            hi_offset_us=0,
+            count_as="n",
+        )
+        .to_pandas()
+        .sort_values("eid")
+    )
+    # eid=1 window [0, 1e6) -> rts 0..19999 all inside -> 20000... wait,
+    # rts < 1e6 and rts >= 0: all n rows qualify for eid=1; for eid=2
+    # window [1e6, 2e6): none qualify
+    assert out["n"].tolist() == [n, 0]
+
+
+def test_asof_join_payload_collision_rejected(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    from webscraper_ray.functions.joins import asof_join
+
+    us = pa.timestamp("us")
+    left = _mk_ds(
+        {"eid": [1], "k": [1], "ts": [100]},
+        pa.schema([("eid", pa.int64()), ("k", pa.int64()), ("ts", us)]),
+    )
+    right = _mk_ds(
+        {"k": [1], "rts": [50], "eid": [9]},
+        pa.schema([("k", pa.int64()), ("rts", us), ("eid", pa.int64())]),
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left,
+            right,
+            left_key="k",
+            left_ts="ts",
+            right_key="k",
+            right_ts="rts",
+            right_payload=["eid"],
+        )

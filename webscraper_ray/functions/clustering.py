@@ -92,6 +92,14 @@ def kmeans_clusters(
         c_now = cents  # bind per iteration for the task closure
 
         def partials(t: pa.Table, _c=c_now) -> pa.Table:
+            if t.num_rows == 0:  # np.stack rejects an empty block
+                return pa.table(
+                    {
+                        "cl": pa.array([], pa.int32()),
+                        "dim": pa.array([], pa.int32()),
+                        "s": pa.array([], pa.int64()),
+                    }
+                )
             xq = np.stack(t.column("q").to_numpy(zero_copy_only=False)).astype(
                 np.int64
             )
@@ -138,6 +146,13 @@ def kmeans_clusters(
     c_final = cents
 
     def label(t: pa.Table, _c=c_final) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "cluster": pa.array([], pa.int32()),
+                }
+            )
         xq = np.stack(t.column("q").to_numpy(zero_copy_only=False)).astype(np.int64)
         return pa.table(
             {

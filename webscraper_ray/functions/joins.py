@@ -120,6 +120,11 @@ def asof_join(
     """
     left_cols = [c for c in left.schema().names]
     payload = list(right_payload)
+    overlap = set(payload) & set(left_cols)
+    if overlap:
+        raise ValueError(
+            f"right_payload columns collide with left columns: {sorted(overlap)}"
+        )
     tie = tie_break or payload[0]
     right_types = dict(zip(right.schema().names, right.schema().types))
     # harmonized union schema: left carries payload nulls, right carries
