@@ -1570,6 +1570,40 @@ SELECT unnest([0.5, 0.9, 0.99]) AS q, unnest(l) AS n_chars FROM qd
 """
 
 
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type — the two-level
+    pre-aggregation shape: per-batch (type, user) dedup shrinks blocks
+    BEFORE the shuffle, one groupby dedups globally, a per-block count
+    partial + tiny final groupby produce the counts. The shuffle carries
+    distinct pairs, never events."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("user_id", "count")])
+        return g.rename_columns(["event_type", "n_users"])
+
+    return (
+        ds.map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .count()
+        .select_columns(["event_type", "user_id"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Embedding k-means (4 clusters, 3 Lloyd iterations) — iterative
     clustering made order-independent (int64-quantized vectors, integer
@@ -1772,6 +1806,7 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "vocab_top_tokens": q_vocab_top_tokens,
     "kmeans_clusters": q_kmeans_clusters,
+    "distinct_users_per_type": q_distinct_users_per_type,
 }
 
 ORACLE_SQL = {
@@ -1812,6 +1847,7 @@ ORACLE_SQL = {
     "curation_pipeline": _sql_curation_pipeline(),
     "vocab_top_tokens": SQL_VOCAB_TOP_TOKENS,
     "kmeans_clusters": _sql_kmeans(),
+    "distinct_users_per_type": SQL_DISTINCT_USERS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
