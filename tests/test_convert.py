@@ -179,3 +179,27 @@ def test_markdown_underscore_in_identifiers_not_emphasis():
     assert not any(
         n.get("marks") for n in tree["content"][0]["content"]
     )
+
+
+def test_md_no_emphasis_inside_urls_or_code():
+    """marked/GFM never emphasizes link destinations or code spans."""
+    from webscraper_ray.oracle.convert import _md_inline
+
+    assert (
+        _md_inline("[t](/docs/_private_/page)")
+        == '<a href="/docs/_private_/page">t</a>'
+    )
+    assert (
+        _md_inline("[api](https://ex.com/my__mod__x)")
+        == '<a href="https://ex.com/my__mod__x">api</a>'
+    )
+    assert _md_inline("`a_b_c` and `x**y**z`") == "<code>a_b_c</code> and <code>x**y**z</code>"
+    assert (
+        _md_inline("![alt_text](/img/_raw_.png)")
+        == '<img src="/img/_raw_.png" alt="alt_text">'
+    )
+    # emphasis still applies to link TEXT and surrounding prose
+    assert (
+        _md_inline("go [**bold** link](/u_v_w) _now_")
+        == 'go <a href="/u_v_w"><strong>bold</strong> link</a> <em>now</em>'
+    )

@@ -403,7 +403,7 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
         if prev_emitted and dec_next < 4096:
             dec_next += 1
         prev_emitted = True
-        if dec_width < 12 and dec_next + early - 1 >= (1 << dec_width):
+        if dec_width < 12 and dec_next + early >= (1 << dec_width):
             dec_width += 1
     if nbits:
         out.append((buf << (8 - nbits)) & 0xFF)
@@ -463,3 +463,17 @@ def test_non_flate_filtered_page_extracts(filt):
     items = extract_pdf_items(buf)
     texts = [i["str"] for i in items[0]]
     assert "Title Line" in texts and "Second body line." in texts
+
+
+def test_lzw_roundtrip_across_width_switches():
+    """High-entropy payload builds >1024 dictionary entries, crossing the
+    9->10->11 bit switches under both EarlyChange conventions (spec:
+    early=1 switches when entry 511 is added)."""
+    import random
+
+    from webscraper_ray.oracle.pdf import _lzw_decode
+
+    rng = random.Random(5)
+    payload = bytes(rng.randrange(256) for _ in range(8000))
+    for early in (1, 0):
+        assert _lzw_decode(_lzw_encode(payload, early=early), early=early) == payload

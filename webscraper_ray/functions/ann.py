@@ -247,13 +247,16 @@ def ann_lsh_topk_indexed(
     query_matrix: np.ndarray,
     k: int = 10,
     bits: int = 4,
+    salt: bytes = b"ann-lsh",
 ) -> "ray.data.Dataset":
     """LSH top-k over a :func:`build_ann_index` store — identical output
     to :func:`ann_lsh_topk` on the same corpus, but the probe READS only
     the ``bucket=K/`` directories its queries hash to (file-level
-    pruning), not the whole corpus."""
+    pruning), not the whole corpus. ``salt`` (and ``bits``) must match
+    the values the index was built with — mismatched planes would probe
+    the wrong buckets."""
     dim = np.asarray(query_matrix).shape[1]
-    planes = _plane_matrix(dim, bits)
+    planes = _plane_matrix(dim, bits, salt=salt)
     refs = _queries_by_bucket(query_ids, query_matrix, planes)
     paths: list[str] = []  # explicit read_parquet path lists must be files
     for b in sorted(refs):

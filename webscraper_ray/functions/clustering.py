@@ -85,6 +85,12 @@ def kmeans_clusters(
 
     # init: the k smallest ids' quantized vectors (k-row gather)
     head = qds.sort(id_col).limit(k).to_pandas()
+    if head.empty:  # empty corpus: empty labeling, no iterations
+        return ray.data.from_arrow(
+            pa.table(
+                {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int32())}
+            )
+        )
     cents = np.stack(head["q"].to_numpy()).astype(np.int64)
     d = cents.shape[1]
 

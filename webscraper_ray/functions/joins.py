@@ -42,8 +42,16 @@ _KNUTH = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _part_column(key: pa.ChunkedArray, num_partitions: int) -> pa.Array:
-    k = key.to_numpy(zero_copy_only=False).astype(np.uint64)
-    h = (k * _KNUTH) >> np.uint64(17)
+    arr = key.to_numpy(zero_copy_only=False)
+    if arr.dtype.kind in "iu":
+        h = (arr.astype(np.uint64) * _KNUTH) >> np.uint64(17)
+    else:
+        # string/other keys: the repo's md5 family, one pass per batch
+        from .dedup import md5_u64
+
+        h = np.fromiter(
+            (md5_u64(str(v)) for v in arr), dtype=np.uint64, count=len(arr)
+        )
     return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
 
 

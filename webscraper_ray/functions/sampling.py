@@ -48,10 +48,14 @@ def stratified_sample(
         # one md5 pass over the batch's ids (hashing is per-value by
         # nature; everything around it stays columnar)
         buckets = pa.array([md5_u64(str(i)) % 100 for i in ids], pa.int64())
-        strata = t.column(stratum_col)
-        thresholds = pa.array(
-            [rates.get(s, default_pct) for s in strata.to_pylist()], pa.int64()
+        # thresholds: map the handful of DISTINCT strata once, then
+        # index_in/take back — never a per-row dict.get
+        strata = t.column(stratum_col).combine_chunks()
+        uniq = pc.unique(strata)
+        per_uniq = pa.array(
+            [rates.get(u.as_py(), default_pct) for u in uniq], pa.int64()
         )
+        thresholds = pc.take(per_uniq, pc.index_in(strata, value_set=uniq))
         return t.filter(pc.less(buckets, thresholds))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -83,29 +83,49 @@ def convert_html(buf: bytes, seed: str = "") -> dict:
 
 _BR_SENTINEL = "\x00br\x00"
 
-_MD_INLINE_PATTERNS = [
+# code spans, images and links resolve FIRST and their output is stashed
+# behind placeholders, so emphasis never rewrites underscores/stars inside
+# a URL or a code span (marked/GFM does not emphasize link destinations)
+_MD_STASH_PATTERNS = [
     (re.compile(r"`([^`]+)`"), lambda m: f"<code>{m.group(1)}</code>"),
     # image BEFORE link: '![alt](src)' must not parse as '!' + link
     (
         re.compile(r"!\[([^\]]*)\]\(([^)\s]+)\)"),
         lambda m: f'<img src="{m.group(2)}" alt="{m.group(1)}">',
     ),
+    # link text still takes emphasis (marked renders inline content there)
+    (re.compile(r"\[([^\]]+)\]\(([^)\s]+)\)"), lambda m: f'<a href="{m.group(2)}">{_md_em(m.group(1))}</a>'),
+]
+_MD_INLINE_PATTERNS = [
     (re.compile(r"\*\*([^*]+)\*\*"), lambda m: f"<strong>{m.group(1)}</strong>"),
     (re.compile(r"__([^_]+)__"), lambda m: f"<strong>{m.group(1)}</strong>"),
     (re.compile(r"\*([^*]+)\*"), lambda m: f"<em>{m.group(1)}</em>"),
     (re.compile(r"\b_([^_]+)_\b"), lambda m: f"<em>{m.group(1)}</em>"),
     (re.compile(r"~~([^~]+)~~"), lambda m: f"<s>{m.group(1)}</s>"),
-    (re.compile(r"\[([^\]]+)\]\(([^)\s]+)\)"), lambda m: f'<a href="{m.group(2)}">{m.group(1)}</a>'),
 ]
 
 _TABLE_SEP = re.compile(r"^\|?\s*:?-{2,}:?\s*(\|\s*:?-{2,}:?\s*)*\|?$")
 _TASK_ITEM = re.compile(r"^\[( |x|X)\]\s+(.*)$")
 
 
-def _md_inline(text: str) -> str:
-    text = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+def _md_em(text: str) -> str:
     for pattern, repl in _MD_INLINE_PATTERNS:
         text = pattern.sub(repl, text)
+    return text
+
+
+def _md_inline(text: str) -> str:
+    text = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    stash: list[str] = []
+
+    def keep(html: str) -> str:
+        stash.append(html)
+        return f"\x01{len(stash) - 1}\x01"
+
+    for pattern, repl in _MD_STASH_PATTERNS:
+        text = pattern.sub(lambda m, r=repl: keep(r(m)), text)
+    text = _md_em(text)
+    text = re.sub(r"\x01(\d+)\x01", lambda m: stash[int(m.group(1))], text)
     return text.replace(_BR_SENTINEL, "<br>")
 
 

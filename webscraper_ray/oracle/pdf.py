@@ -342,7 +342,10 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
                 table[next_code] = prev + entry[:1]
                 next_code += 1
             prev = entry
-            if width < 12 and next_code + early - 1 >= (1 << width):
+            # spec schedule: with EarlyChange=1 the 9->10 switch happens
+            # when entry 511 is added (next_code + 1 == 512), one code
+            # earlier than the GIF/early=0 convention
+            if width < 12 and next_code + early >= (1 << width):
                 width += 1
     return bytes(out)
 

@@ -192,15 +192,18 @@ def paginate_docs(
     return page, last
 
 
-_PAGE_INDEX_CACHE: dict[tuple, list] = {}
+# per-FILE cache: path -> (size, mtime_ns, min_id, max_id, n_rows). A new
+# wave indexes only its new files; a rewritten file replaces its own entry
+# (no dead whole-file-set entries accumulate across waves).
+_PAGE_FILE_INDEX: dict[str, tuple] = {}
 
 
-def _docs_file_index(docs_dir: str, cols_key: tuple) -> list[tuple]:
-    """One-time per-directory index of ``(min_id, max_id, n_rows, path)``
-    per parquet file, sorted by min_id — built from footer statistics
+def _docs_file_index(docs_dir: str) -> list[tuple]:
+    """Per-directory index of ``(min_id, max_id, n_rows, path)`` per
+    parquet file, sorted by min_id — built from footer statistics
     (falling back to a one-column id read when a writer omitted stats)
-    and cached on the file set, so page fetches never re-open files
-    outside their id window."""
+    and cached per file, so page fetches never re-open files outside
+    their id window and growing docs dirs only index their NEW files."""
     import os
 
     import pyarrow.compute as pc
@@ -211,11 +214,13 @@ def _docs_file_index(docs_dir: str, cols_key: tuple) -> list[tuple]:
         files.extend(
             os.path.join(root, n) for n in names if n.endswith(".parquet")
         )
-    key = (docs_dir, cols_key, tuple(sorted(files)))
-    if key in _PAGE_INDEX_CACHE:
-        return _PAGE_INDEX_CACHE[key]
     entries = []
     for path in sorted(files):
+        fstat = os.stat(path)
+        hit = _PAGE_FILE_INDEX.get(path)
+        if hit is not None and hit[0] == fstat.st_size and hit[1] == fstat.st_mtime_ns:
+            entries.append((hit[2], hit[3], hit[4], path))
+            continue
         pf = pq.ParquetFile(path)
         idx = pf.schema_arrow.get_field_index("id")
         mins, maxs = [], []
@@ -232,9 +237,11 @@ def _docs_file_index(docs_dir: str, cols_key: tuple) -> list[tuple]:
             ids = pq.read_table(path, columns=["id"]).column("id")
             mm = pc.min_max(ids).as_py()
             mn, mx = mm["min"], mm["max"]
+        _PAGE_FILE_INDEX[path] = (
+            fstat.st_size, fstat.st_mtime_ns, mn, mx, pf.metadata.num_rows
+        )
         entries.append((mn, mx, pf.metadata.num_rows, path))
     entries.sort()
-    _PAGE_INDEX_CACHE[key] = entries
     return entries
 
 
@@ -259,26 +266,32 @@ def paginate_docs_dir(
     import pyarrow.parquet as pq
 
     cols = projection_columns(output)
-    entries = _docs_file_index(docs_dir, tuple(cols))
+    entries = _docs_file_index(docs_dir)
     cands = [
         e for e in entries if page_token is None or e[1] > page_token
     ]
+    # the kth-smallest-id threshold that bounds further reads is computed
+    # over the ID COLUMN only; the full tables (which carry text/html at
+    # detail level) concat+sort exactly ONCE at loop exit
     read_tables: list[pa.Table] = []
-    filtered = None
+    ids_acc: list = []
+    n_acc = 0
     i = 0
-    while True:
-        kth = None
-        if filtered is not None and filtered.num_rows >= page_size:
-            kth = filtered.column("id")[page_size - 1].as_py()
-        if i >= len(cands) or (kth is not None and cands[i][0] > kth):
-            break
-        read_tables.append(pq.read_table(cands[i][3], columns=cols))
-        i += 1
-        merged = pa.concat_tables(read_tables)
+    kth = None
+    while i < len(cands) and (kth is None or cands[i][0] <= kth):
+        t = pq.read_table(cands[i][3], columns=cols)
         if page_token is not None:
-            merged = merged.filter(pc.greater(merged.column("id"), page_token))
-        filtered = merged.sort_by("id")
-    if filtered is None:
+            t = t.filter(pc.greater(t.column("id"), page_token))
+        read_tables.append(t)
+        ids_acc.extend(t.column("id").chunks)
+        n_acc += t.num_rows
+        i += 1
+        if n_acc >= page_size:
+            ids = pa.chunked_array(ids_acc).combine_chunks()
+            kth = ids.take(pc.sort_indices(ids)[page_size - 1 : page_size])[0].as_py()
+    if read_tables:
+        filtered = pa.concat_tables(read_tables).sort_by("id")
+    else:
         filtered = pa.table({c: [] for c in cols})
     page = filtered.slice(0, page_size)
     if page.num_rows < page_size:

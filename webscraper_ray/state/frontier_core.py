@@ -137,14 +137,20 @@ class FrontierCore:
                 hit = False
             self.seen_exact.add(canon_url)
         if not hit:
-            self.seen_count += 1
-            if not self.seen_filter.add(canon_url):
+            recorded = self.seen_filter.add(canon_url)
+            if not recorded:
                 # over-capacity: the URL was NOT recorded, so dedup for it
                 # is broken until the operator resizes/reshards. Count it
                 # (visible in stats()/shard stats) instead of failing
                 # silently — a saturated filter would otherwise re-admit
                 # crawled URLs forever.
                 self.stats.filter_overflow += 1
+            # count only URLs actually recorded as seen (in exact mode the
+            # exact set records it regardless of filter overflow): an
+            # unrecorded URL will be offered and counted again later, and
+            # counting it now would inflate seen_count on every re-offer
+            if recorded or self.seen_exact is not None:
+                self.seen_count += 1
         return hit
 
     # --- offers -----------------------------------------------------------
