@@ -697,3 +697,30 @@ def test_asof_join_payload_collision_rejected(ray_session):
             right_ts="rts",
             right_payload=["eid"],
         )
+
+
+def test_topk_per_group_string_key(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from webscraper_ray.functions.ranking import topk_per_group
+
+    t = pa.table(
+        {
+            "src": ["a", "a", "b", "b", "b"],
+            "score": [1.0, 3.0, 2.0, 5.0, 4.0],
+            "tid": [1, 2, 3, 4, 5],
+        }
+    )
+    out = (
+        topk_per_group(
+            ray.data.from_arrow(t).repartition(2),
+            key="src",
+            order_col="score",
+            tie_col="tid",
+            k=1,
+        )
+        .to_pandas()
+        .sort_values("src")
+    )
+    assert out["tid"].tolist() == [2, 4]
