@@ -724,3 +724,29 @@ def test_topk_per_group_string_key(ray_session):
         .sort_values("src")
     )
     assert out["tid"].tolist() == [2, 4]
+
+
+def test_ann_ivf_recall_and_self_hit(ray_session):
+    import ray.data
+
+    from webscraper_ray.functions.ann import ann_bruteforce_topk, ann_ivf_topk
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((300, 16)).astype(np.float64)
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(300)]
+    ds = ray.data.from_items(rows)
+    qids, qmat = [0, 1], mat[:2]
+    exact = ann_bruteforce_topk(ds, qids, qmat, k=5).to_pandas()
+    ivf = ann_ivf_topk(
+        ray.data.from_items(rows), qids, qmat, k=5, n_clusters=4, iters=2, nprobe=2
+    ).to_pandas()
+    for q in qids:
+        # the query's own list is always probed -> the self-hit survives
+        got = ivf[ivf.query_id == q]
+        assert (got.vec_id == q).any()
+        assert got.cos_sim.max() == 1.0
+    inter = len(
+        set(map(tuple, exact[["query_id", "vec_id"]].values))
+        & set(map(tuple, ivf[["query_id", "vec_id"]].values))
+    )
+    assert inter >= 2  # at minimum the self-hits; typically most of top-5

@@ -40,6 +40,7 @@ __all__ = [
     "ann_lsh_topk",
     "build_ann_index",
     "ann_lsh_topk_indexed",
+    "ann_ivf_topk",
     "embed_cosine_dups",
 ]
 
@@ -359,3 +360,82 @@ def embed_cosine_dups(
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
+
+
+def ann_ivf_topk(
+    ds: "ray.data.Dataset",
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 4,
+    iters: int = 2,
+    nprobe: int = 2,
+) -> "ray.data.Dataset":
+    """IVF ANN (task brief's 'IVF variant as the scale path'): k-means
+    centroids form the inverted lists; each query probes only its
+    ``nprobe`` nearest lists.
+
+    Built on the integer-exact :func:`~webscraper_ray.functions.clustering`
+    k-means, so even this two-stage approximate index is value-hash
+    gated: the SQL oracle re-runs the same Lloyd iterations, probes the
+    same lists (ties: lowest cluster id) and scores the same cosine
+    top-k. The corpus pass is ONE map_batches (assign to centroid, score
+    only rows whose list is probed by some query, partial top-k); the
+    reduce is output-sized.
+    """
+    from .clustering import QUANT, kmeans_fit, round_half_away
+
+    _, cents = kmeans_fit(ds, k=n_clusters, iters=iters)
+    qmat = np.asarray(query_matrix, dtype=np.float64)
+    qq = round_half_away(qmat * QUANT).astype(np.int64)
+    qdiff = qq[:, None, :] - cents[None, :, :]
+    qdist = (qdiff * qdiff).sum(axis=2)  # (n_queries, k_clusters)
+    # nprobe nearest lists per query; stable argsort ties to lowest cl,
+    # matching the oracle's ORDER BY dist, cl
+    probe_lists = np.argsort(qdist, axis=1, kind="stable")[:, :nprobe]
+    # cluster -> (query row indices probing it)
+    by_cluster: dict[int, list[int]] = {}
+    for qi in range(len(query_ids)):
+        for c in probe_lists[qi]:
+            by_cluster.setdefault(int(c), []).append(qi)
+    qn = _norm_rows(qmat)
+    shipped = ray.put((cents, by_cluster, list(query_ids), qn))
+
+    def score(batch: pa.Table) -> pa.Table:
+        c_ref, probes, qids, qnorm = ray.get(shipped)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        out_q, out_v, out_s = [], [], []
+        if mat.size:
+            xq = round_half_away(mat * QUANT).astype(np.int64)
+            diff = xq[:, None, :] - c_ref[None, :, :]
+            assign = np.argmin((diff * diff).sum(axis=2), axis=1)
+            xn = _norm_rows(mat)
+            for c, q_rows in probes.items():
+                mask = assign == c
+                if not mask.any():
+                    continue
+                sims = xn[mask] @ qnorm[q_rows].T  # (members, probing queries)
+                member_ids = ids[mask]
+                kk = min(k, len(member_ids))
+                for col, qi in enumerate(q_rows):
+                    s = sims[:, col]
+                    top = (
+                        np.argpartition(-s, kk - 1)[:kk]
+                        if kk < len(member_ids)
+                        else np.arange(len(member_ids))
+                    )
+                    for row in top:
+                        out_q.append(int(qids[qi]))
+                        out_v.append(int(member_ids[row]))
+                        out_s.append(round(float(s[row]), 6))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partial = ds.map_batches(score, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")

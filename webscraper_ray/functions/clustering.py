@@ -35,7 +35,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-__all__ = ["QUANT", "kmeans_clusters", "round_half_away"]
+__all__ = ["QUANT", "kmeans_clusters", "kmeans_fit", "round_half_away"]
 
 QUANT = 1_000_000
 
@@ -68,9 +68,25 @@ def kmeans_clusters(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> "ray.data.Dataset":
-    """(id, cluster) after ``iters`` Lloyd iterations from the k-smallest-id
-    init. Empty clusters keep their previous centroid (and the SQL oracle
-    encodes the same rule)."""
+    """(id, cluster) after ``iters`` Lloyd iterations — see
+    :func:`kmeans_fit`, which additionally returns the centroids."""
+    return kmeans_fit(
+        ds, k=k, iters=iters, id_col=id_col, emb_col=emb_col
+    )[0]
+
+
+def kmeans_fit(
+    ds: "ray.data.Dataset",
+    *,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple["ray.data.Dataset", np.ndarray]:
+    """((id, cluster) Dataset, final quantized centroids (k, d) int64)
+    after ``iters`` Lloyd iterations from the k-smallest-id init. Empty
+    clusters keep their previous centroid (and the SQL oracle encodes the
+    same rule)."""
 
     def quantize(t: pa.Table) -> pa.Table:
         xq = _quant_matrix(t.column(emb_col))
@@ -86,10 +102,16 @@ def kmeans_clusters(
     # init: the k smallest ids' quantized vectors (k-row gather)
     head = qds.sort(id_col).limit(k).to_pandas()
     if head.empty:  # empty corpus: empty labeling, no iterations
-        return ray.data.from_arrow(
-            pa.table(
-                {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int32())}
-            )
+        return (
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "cluster": pa.array([], pa.int32()),
+                    }
+                )
+            ),
+            np.zeros((0, 0), dtype=np.int64),
         )
     cents = np.stack(head["q"].to_numpy()).astype(np.int64)
     d = cents.shape[1]
@@ -167,4 +189,4 @@ def kmeans_clusters(
             }
         )
 
-    return qds.map_batches(label, batch_format="pyarrow")
+    return qds.map_batches(label, batch_format="pyarrow"), c_final

@@ -1616,10 +1616,11 @@ def q_kmeans_clusters(sf_dir: str):
     )
 
 
-def _sql_kmeans(k: int = 4, iters: int = 3, d: int = 64) -> str:
+def _kmeans_cte_parts(k: int = 4, iters: int = 3, d: int = 64) -> list[str]:
     """Unrolled Lloyd iterations: c0 -> (dist, assign, sums, cents) x
-    iters -> final assignment. Same quantization, distance, tie and
-    rounding conventions as functions/clustering.py."""
+    iters -> final assignment a{iters+1} over centroids c{iters}. Same
+    quantization, distance, tie and rounding conventions as
+    functions/clustering.py. Shared by the kmeans and IVF oracles."""
     rng = f"(SELECT unnest(range(1, {d + 1})) AS i) u"
     parts = [
         f"""e AS (
@@ -1664,10 +1665,86 @@ c{it} AS (
   WHERE cl NOT IN (SELECT DISTINCT cl FROM s{it})
 )"""
             )
+    return parts
+
+
+def _sql_kmeans(k: int = 4, iters: int = 3, d: int = 64) -> str:
+    parts = _kmeans_cte_parts(k, iters, d)
     return (
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT vec_id, CAST(cl AS INTEGER) AS cluster FROM a{iters + 1}"
+    )
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN: k-means centroids as inverted lists, each query probes
+    its 2 nearest lists — the brief's 'IVF variant as the scale path',
+    exactly gated because the underlying k-means is integer-exact."""
+    from .functions.ann import ann_ivf_topk
+
+    ids, mat = _query_vectors(sf_dir)
+    return ann_ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        ids,
+        mat,
+        k=10,
+        n_clusters=4,
+        iters=2,
+        nprobe=2,
+    )
+
+
+def _sql_ann_ivf(
+    k: int = 10,
+    n_clusters: int = 4,
+    iters: int = 2,
+    d: int = 64,
+    nprobe: int = 2,
+    n_queries: int = 5,
+) -> str:
+    parts = _kmeans_cte_parts(n_clusters, iters, d)
+    rng = f"(SELECT unnest(range(1, {d + 1})) AS i) u"
+    final_assign = f"a{iters + 1}"
+    final_cents = f"c{iters}"
+    parts.append(
+        f"""qry AS (
+  SELECT e2.vec_id AS query_id, e2.embedding AS qe, e.q AS qq
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {n_queries}) e2
+  JOIN e ON e.vec_id = e2.vec_id
+),
+qd AS (
+  SELECT qry.query_id, c.cl,
+         sum((qry.qq[u.i] - c.cent[u.i]) * (qry.qq[u.i] - c.cent[u.i])) AS dist
+  FROM qry, {final_cents} c, {rng}
+  GROUP BY qry.query_id, c.cl
+),
+probes AS (
+  SELECT query_id, cl FROM (
+    SELECT query_id, cl,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, cl) AS rn
+    FROM qd
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(emb.embedding::DOUBLE[], qry.qe::DOUBLE[]), 6) AS cos_sim
+  FROM probes p
+  JOIN {final_assign} a ON a.cl = p.cl
+  JOIN embeddings emb ON emb.vec_id = a.vec_id
+  JOIN qry ON qry.query_id = p.query_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {k}"""
     )
 
 
@@ -1807,6 +1884,7 @@ QUERIES = {
     "vocab_top_tokens": q_vocab_top_tokens,
     "kmeans_clusters": q_kmeans_clusters,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLE_SQL = {
@@ -1848,6 +1926,7 @@ ORACLE_SQL = {
     "vocab_top_tokens": SQL_VOCAB_TOP_TOKENS,
     "kmeans_clusters": _sql_kmeans(),
     "distinct_users_per_type": SQL_DISTINCT_USERS,
+    "ann_ivf": _sql_ann_ivf(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
