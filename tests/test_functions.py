@@ -750,3 +750,37 @@ def test_ann_ivf_recall_and_self_hit(ray_session):
         & set(map(tuple, ivf[["query_id", "vec_id"]].values))
     )
     assert inter >= 2  # at minimum the self-hits; typically most of top-5
+
+
+def test_exact_quantiles_by_group(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webscraper_ray.functions.stats import exact_quantiles_by_group
+
+    t = pa.table(
+        {
+            "g": ["a"] * 10 + ["b"] * 4,
+            "x": list(range(10)) + [100, 100, 200, 300],
+        }
+    )
+    out = (
+        exact_quantiles_by_group(
+            ray.data.from_arrow(t).repartition(3), "g", "x", [0.5, 1.0]
+        )
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    def disc(vals, q):
+        s = sorted(vals)
+        return s[max(1, math.ceil(q * len(s))) - 1]
+    assert out.values.tolist() == [
+        ["a", 0.5, disc(range(10), 0.5)],
+        ["a", 1.0, 9],
+        ["b", 0.5, 100],
+        ["b", 1.0, 300],
+    ]

@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-__all__ = ["exact_quantiles"]
+__all__ = ["exact_quantiles", "exact_quantiles_by_group"]
 
 
 def exact_quantiles(
@@ -66,4 +66,63 @@ def exact_quantiles(
         picks.append(values[np.searchsorted(cum, rank, side="left")])
     return pa.table(
         {"q": pa.array(list(qs), pa.float64()), col: pa.array(picks)}
+    )
+
+
+def exact_quantiles_by_group(
+    ds: "ray.data.Dataset", group_col: str, col: str, qs: Sequence[float]
+) -> pa.Table:
+    """Exact discrete quantiles of ``col`` per ``group_col`` value;
+    returns (group, q, value) rows. Same shape as
+    :func:`exact_quantiles`: the shuffle and the gather carry one row
+    per (group, distinct value) — the histogram, never the rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([group_col, col])
+            .group_by([group_col, col])
+            .aggregate([(col, "count")])
+        )
+        return g.rename_columns([group_col, col, "cnt"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, col])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_arrow_refs()
+    )
+    import ray as _ray
+
+    parts = [p for p in _ray.get(hist) if p.num_rows > 0]
+    if not parts:
+        return pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "q": pa.array([], pa.float64()),
+                col: pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(parts)
+    groups = t.column(group_col).to_numpy(zero_copy_only=False)
+    values = t.column(col).to_numpy(zero_copy_only=False)
+    counts = t.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.lexsort((values, groups))
+    groups, values, counts = groups[order], values[order], counts[order]
+    out_g, out_q, out_v = [], [], []
+    start = 0
+    for end in list(np.flatnonzero(groups[1:] != groups[:-1]) + 1) + [len(groups)]:
+        cum = np.cumsum(counts[start:end])
+        n = int(cum[-1])
+        for q in qs:
+            rank = max(1, math.ceil(q * n))
+            out_g.append(groups[start])
+            out_q.append(q)
+            out_v.append(values[start + np.searchsorted(cum, rank, side="left")])
+        start = end
+    return pa.table(
+        {
+            group_col: pa.array(out_g),
+            "q": pa.array(out_q, pa.float64()),
+            col: pa.array(out_v),
+        }
     )

@@ -1764,6 +1764,25 @@ SELECT token, count(*) AS freq FROM (
 """
 
 
+def q_lang_length_quantiles(sf_dir: str):
+    """Per-language p50/p90 document length — grouped exact quantiles
+    over the (lang, n_chars) histogram."""
+    from .functions.stats import exact_quantiles_by_group
+
+    return exact_quantiles_by_group(
+        _read(sf_dir, "documents", ["lang", "n_chars"]), "lang", "n_chars", [0.5, 0.9]
+    )
+
+
+SQL_LANG_LENGTH_QUANTILES = """
+WITH qd AS (
+  SELECT lang, quantile_disc(n_chars, [0.5, 0.9]) AS l
+  FROM documents GROUP BY lang
+)
+SELECT lang, unnest([0.5, 0.9]) AS q, unnest(l) AS n_chars FROM qd
+"""
+
+
 def q_curation_pipeline(sf_dir: str):
     """The composite training-data story, one streaming Dataset chain:
     quality-keep filter -> exact dedup keep-first (md5-prefix family)
@@ -1885,6 +1904,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "distinct_users_per_type": q_distinct_users_per_type,
     "ann_ivf": q_ann_ivf,
+    "lang_length_quantiles": q_lang_length_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1927,6 +1947,7 @@ ORACLE_SQL = {
     "kmeans_clusters": _sql_kmeans(),
     "distinct_users_per_type": SQL_DISTINCT_USERS,
     "ann_ivf": _sql_ann_ivf(),
+    "lang_length_quantiles": SQL_LANG_LENGTH_QUANTILES,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
