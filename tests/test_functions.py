@@ -784,3 +784,105 @@ def test_exact_quantiles_by_group(ray_session):
         ["b", 0.5, 100],
         ["b", 1.0, 300],
     ]
+
+
+def test_asof_join_string_key(ray_session):
+    """_part_column routes string keys through the md5 hash; the merge
+    must factorize them to int codes, not crash on key*m arithmetic."""
+    import pyarrow as pa
+
+    from webscraper_ray.functions.joins import asof_join
+
+    us = pa.timestamp("us")
+    left = _mk_ds(
+        {"eid": [1, 2, 3], "host": ["a.com", "b.org", "a.com"],
+         "ts": [1_000, 2_000, 50]},
+        pa.schema([("eid", pa.int64()), ("host", pa.string()), ("ts", us)]),
+    )
+    right = _mk_ds(
+        {"host": ["a.com", "b.org", "c.net"], "rts": [500, 1_500, 10],
+         "oid": [10, 11, 12]},
+        pa.schema([("host", pa.string()), ("rts", us), ("oid", pa.int64())]),
+    )
+    out = (
+        asof_join(
+            left, right,
+            left_key="host", left_ts="ts",
+            right_key="host", right_ts="rts",
+            right_payload=["oid"],
+        )
+        .to_pandas()
+        .sort_values("eid")
+    )
+    # eid=1 (a.com, 1000) -> oid 10; eid=2 (b.org, 2000) -> oid 11;
+    # eid=3 (a.com, 50): nothing at or before -> dropped (inner)
+    assert out["eid"].tolist() == [1, 2]
+    assert out["oid"].tolist() == [10, 11]
+
+
+def test_range_count_join_string_key(ray_session):
+    import pyarrow as pa
+
+    from webscraper_ray.functions.joins import range_count_join
+
+    us = pa.timestamp("us")
+    left = _mk_ds(
+        {"eid": [1, 2], "host": ["a.com", "zz.io"], "ts": [1_000, 1_000]},
+        pa.schema([("eid", pa.int64()), ("host", pa.string()), ("ts", us)]),
+    )
+    right = _mk_ds(
+        {"host": ["a.com", "a.com", "zz.io"], "rts": [1_100, 5_000, 900],
+         "oid": [1, 2, 3]},
+        pa.schema([("host", pa.string()), ("rts", us), ("oid", pa.int64())]),
+    )
+    out = (
+        range_count_join(
+            left, right,
+            left_key="host", left_ts="ts",
+            right_key="host", right_ts="rts",
+            lo_offset_us=0, hi_offset_us=2_000,
+        )
+        .to_pandas()
+        .sort_values("eid")
+    )
+    assert out["eid"].tolist() == [1, 2]
+    assert out["n_matches"].tolist() == [1, 0]
+
+
+def test_batch_topk_tied_scores_keep_lowest_ids():
+    """Exact-duplicate embeddings tie at the k-th slot: the block-level
+    partial must keep the k lowest vec_ids among ties (the oracle's
+    ORDER BY cos_sim DESC, vec_id), not argpartition's arbitrary pick."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webscraper_ray.functions.ann import _BatchTopK
+
+    vec = [1.0, 0.0, 0.0]
+    batch = pa.table(
+        {
+            "vec_id": pa.array([9, 5, 1, 7, 3], pa.int64()),
+            "embedding": pa.array([vec] * 5, pa.list_(pa.float64())),
+        }
+    )
+    out = _BatchTopK(([42], np.array([vec])), k=2)(batch)
+    assert sorted(out.column("vec_id").to_pylist()) == [1, 3]
+
+
+def test_ann_ivf_empty_corpus(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webscraper_ray.functions.ann import ann_ivf_topk
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = ann_ivf_topk(empty, [1], np.array([[1.0, 0.0]]), k=3)
+    assert out.count() == 0

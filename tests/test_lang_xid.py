@@ -138,3 +138,18 @@ def test_response_codec_gzip_threshold():
     astral = "\U0001f600" * 65
     data, ctype, enc = encode_response(astral)
     assert enc == "gzip" and decode_response(data, enc).decode() == astral
+
+
+def test_encode_response_json_gzip_threshold_is_code_units():
+    """The reference gzips on the JS string length of the serialized
+    JSON (UTF-16 code units), not the UTF-8 byte count: 100 CJK chars
+    serialize to ~300 bytes but stay under the 128-unit threshold."""
+    from webscraper_ray.oracle.codec import encode_response
+
+    body = {"t": "文" * 100}  # JSON text ~109 code units, ~309 bytes
+    data, ctype, enc = encode_response(body, accept_cbor=False)
+    assert ctype == "application/json"
+    assert enc is None  # under threshold in code units despite >128 bytes
+    big = {"t": "文" * 130}
+    _, _, enc2 = encode_response(big, accept_cbor=False)
+    assert enc2 == "gzip"

@@ -477,3 +477,35 @@ def test_lzw_roundtrip_across_width_switches():
     payload = bytes(rng.randrange(256) for _ in range(8000))
     for early in (1, 0):
         assert _lzw_decode(_lzw_encode(payload, early=early), early=early) == payload
+
+
+def test_decodeparms_array_shorter_than_filters():
+    """A /DecodeParms array shorter than /Filter (malformed but seen in
+    the wild) must not silently drop trailing filters — missing entries
+    mean 'no parms'."""
+    import zlib
+
+    from webscraper_ray.oracle.pdf import extract_pdf_items
+
+    content = _content()
+    data = zlib.compress(content).hex().encode() + b">"
+    stream = (
+        b"<< /Length %d /Filter [/ASCIIHexDecode /FlateDecode] "
+        b"/DecodeParms [null] >>\nstream\n" % len(data)
+        + data
+        + b"\nendstream"
+    )
+    buf = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+            4: stream,
+            5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        },
+        root=1,
+    )
+    items = extract_pdf_items(buf)
+    texts = [i["str"] for i in items[0]]
+    assert "Title Line" in texts and "Second body line." in texts

@@ -51,6 +51,17 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _topk_rows(scores: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Row indices of the k best by (round(score, 6) DESC, id ASC) — the
+    SAME ordering contract as the final reduce and the SQL oracle, so a
+    block-level partial can never drop a row the oracle keeps on a tie
+    at the k-th slot (exact-duplicate embeddings make ties routine).
+    ``argpartition`` alone picks arbitrarily among boundary ties."""
+    if k >= len(ids):
+        return np.arange(len(ids))
+    return np.lexsort((ids, -np.round(scores, 6)))[:k]
+
+
 class _BatchTopK:
     """Per-batch partial cosine top-k against the broadcast query matrix."""
 
@@ -76,7 +87,7 @@ class _BatchTopK:
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(self.q_ids):
             col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            top = _topk_rows(col, ids, k)
             for row in top:
                 out_q.append(int(qid))
                 out_v.append(int(ids[row]))
@@ -386,6 +397,18 @@ def ann_ivf_topk(
     from .clustering import QUANT, kmeans_fit, round_half_away
 
     _, cents = kmeans_fit(ds, k=n_clusters, iters=iters)
+    if cents.size == 0:
+        # empty corpus: no lists to probe — same contract as the other
+        # ANN variants (empty result, not a broadcasting error)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        )
     qmat = np.asarray(query_matrix, dtype=np.float64)
     qq = round_half_away(qmat * QUANT).astype(np.int64)
     qdiff = qq[:, None, :] - cents[None, :, :]
@@ -417,14 +440,9 @@ def ann_ivf_topk(
                     continue
                 sims = xn[mask] @ qnorm[q_rows].T  # (members, probing queries)
                 member_ids = ids[mask]
-                kk = min(k, len(member_ids))
                 for col, qi in enumerate(q_rows):
                     s = sims[:, col]
-                    top = (
-                        np.argpartition(-s, kk - 1)[:kk]
-                        if kk < len(member_ids)
-                        else np.arange(len(member_ids))
-                    )
+                    top = _topk_rows(s, member_ids, k)
                     for row in top:
                         out_q.append(int(qids[qi]))
                         out_v.append(int(member_ids[row]))

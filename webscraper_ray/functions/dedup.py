@@ -504,10 +504,9 @@ def simhash_near_dups(
         m = group.num_rows
         if m < 2:
             return empty
-        order = np.argsort(
-            np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
-        )
-        ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)[order]
+        ids_raw = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
+        order = np.argsort(ids_raw)
+        ids = ids_raw[order]
         sk = np.array(
             [int(h, 16) for h in group.column("simhash").to_pylist()],
             dtype=np.uint64,

@@ -71,6 +71,22 @@ def _composites(
     return lr, rr, er, m
 
 
+def _int_codes(lk: np.ndarray, rk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Partition-local int64 codes for non-integer join keys.
+
+    The merges only need equal keys to share a code and codes to order
+    consistently across the two sides, so a per-partition ``np.unique``
+    factorization is exact for strings (which ``_part_column`` already
+    routes here via the md5 hash); integer keys pass through untouched.
+    """
+    if lk.dtype.kind in "iu" and rk.dtype.kind in "iu":
+        return lk.astype(np.int64, copy=False), rk.astype(np.int64, copy=False)
+    both = np.concatenate([lk, rk])
+    _, codes = np.unique(both, return_inverse=True)
+    codes = codes.astype(np.int64)
+    return codes[: lk.size], codes[lk.size :]
+
+
 def _check_no_overflow(keys: np.ndarray, m: int) -> None:
     if keys.size and int(keys.max()) > (2**63 - 1) // m:
         raise OverflowError(
@@ -178,6 +194,7 @@ def asof_join(
             take_left = np.empty(0, dtype=np.int64)
             take_right = np.empty(0, dtype=np.int64)
         else:
+            lk, rk = _int_codes(lk, rk)
             lr, rr, _, m = _composites(ltv, rtv)
             _check_no_overflow(np.concatenate([lk, rk]), m)
             comp_r = rk * m + rr
@@ -228,7 +245,6 @@ def range_count_join(
     Output: all left columns + ``count_as`` (int64).
     """
     left_cols = [c for c in left.schema().names]
-    us = pa.timestamp("us")
 
     def project_right(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -270,6 +286,7 @@ def range_count_join(
         else:
             lo_vals = ltv + np.timedelta64(lo_offset_us, "us")
             hi_vals = ltv + np.timedelta64(hi_offset_us, "us")
+            lk, rk = _int_codes(lk, rk)
             _, rr, (lo_r, hi_r), m = _composites(
                 np.empty(0, dtype=rtv.dtype), rtv, (lo_vals, hi_vals)
             )

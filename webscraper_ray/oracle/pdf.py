@@ -473,6 +473,10 @@ class _Pdf:
         filters = filt if isinstance(filt, list) else [filt]
         parms = self.resolve(s.dict.get("DecodeParms"))
         parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+        if len(parms_list) < len(filters):
+            # malformed-but-seen: /DecodeParms array shorter than /Filter —
+            # missing entries mean "no parms", they must not drop filters
+            parms_list = list(parms_list) + [None] * (len(filters) - len(parms_list))
         for f, parm in zip(filters, parms_list):
             f = str(self.resolve(f))
             parm = self.resolve(parm)

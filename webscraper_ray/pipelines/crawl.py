@@ -240,8 +240,10 @@ def run_crawl(
         )
     # static page store => a fetch-miss can never succeed on retry, so
     # shards may remember misses and skip the pipeline; a network fetcher
-    # (HttpFetcher) has transient misses and MUST re-fetch on retry
-    static_store = isinstance(fetcher, SandboxFetcher)
+    # (HttpFetcher) has transient misses and MUST re-fetch on retry.
+    # The fetcher declares this itself (capability attribute, not type
+    # sniffing) so wrappers/test doubles opt in explicitly.
+    static_store = bool(getattr(fetcher, "static_store", False))
     frontier = ShardedFrontier(
         cfg.num_shards,
         robots,

@@ -150,7 +150,9 @@ def q_paginate_documents(sf_dir: str):
             pages.append(page)
         if token is None:
             break
-    out = pa.concat_tables(pages, promote_options="permissive")
+    # `pages` is empty when the table itself is empty; the first (empty)
+    # page still carries the schema, so concat over it instead of []
+    out = pa.concat_tables(pages if pages else [page], promote_options="permissive")
     return out.rename_columns(
         ["doc_id" if c == "id" else c for c in out.column_names]
     )

@@ -316,6 +316,10 @@ class FetchCache:
 class SandboxFetcher:
     """Pool of FetchCache actors; bucket -> actor by ``bucket % pool``."""
 
+    # capability flag read by run_crawl: a static store's miss can never
+    # succeed on retry, so frontier shards may remember misses
+    static_store = True
+
     def __init__(self, store: PageStore, pool_size: int = 8, cpu_share: float = 0.0):
         # cpu_share > 0 books the cache shards' point-take work inside
         # the session CPU budget (a real cluster's page-cache actors run
@@ -573,6 +577,9 @@ class HttpFetcher:
     Entries are grouped BY HOST and hosts hash-assigned to workers, so a
     host's requests share one worker's connection pool (politeness
     budgets were already applied at admission)."""
+
+    # network misses are transient: retries MUST re-fetch (see run_crawl)
+    static_store = False
 
     def __init__(self, pool_size: int = 8, max_threads: int = 16,
                  timeout_s: float = 10.0):
