@@ -886,3 +886,28 @@ def test_ann_ivf_empty_corpus(ray_session):
     )
     out = ann_ivf_topk(empty, [1], np.array([[1.0, 0.0]]), k=3)
     assert out.count() == 0
+
+
+def test_repetition_stats_edges():
+    import pyarrow as pa
+
+    from webscraper_ray.functions.textstats import repetition_stats
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "",  # empty -> zeros
+                    "lonely",  # single token -> zeros
+                    "a b a b a b",  # 'a b' x3, 'b a' x2 -> top 3/5
+                    "x y z",  # all distinct -> top 1/2
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = repetition_stats(batch)
+    assert out.column("n_bigrams").to_pylist() == [0, 0, 5, 2]
+    assert out.column("top_bigram_count").to_pylist() == [0, 0, 3, 1]
+    assert out.column("top_bigram_frac").to_pylist() == [0.0, 0.0, 0.6, 0.5]

@@ -13,6 +13,7 @@ import pyarrow as pa
 
 __all__ = [
     "token_stats",
+    "repetition_stats",
     "bpe_token_stats",
     "quality_scores",
     "quality_keep",
@@ -50,6 +51,48 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "doc_id": batch.column("doc_id"),
             "n_tokens": pa.array(n_tokens, pa.int64()),
             "n_chars_seen": pa.array(n_chars, pa.int64()),
+        }
+    )
+
+
+def _round6(x: float) -> float:
+    """Round half away from zero at 6 decimals (SQL ROUND semantics)."""
+    import math
+
+    return math.floor(abs(x) * 1_000_000 + 0.5) / 1_000_000 * (1 if x >= 0 else -1)
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, n_bigrams, top_bigram_count, top_bigram_frac): Gopher-style
+    within-document repetition signal — the share of word 2-grams taken
+    by the single most frequent 2-gram ("repetitious text" filters, Rae
+    et al. 2021 §A1.1). Whitespace tokens, the same contract as
+    :func:`token_stats`; docs with fewer than two tokens emit zeros.
+
+    Per-batch map, no shuffle: repetition is a within-document property,
+    so at any corpus size this stays embarrassingly parallel."""
+    from collections import Counter
+
+    texts = batch.column(text_col).to_pylist()
+    n_bg, top_c, frac = [], [], []
+    for t in texts:
+        toks = t.split() if t and t.strip() else []
+        if len(toks) < 2:
+            n_bg.append(0)
+            top_c.append(0)
+            frac.append(0.0)
+            continue
+        top = max(Counter(zip(toks, toks[1:])).values())
+        total = len(toks) - 1
+        n_bg.append(total)
+        top_c.append(top)
+        frac.append(_round6(top / total))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bigrams": pa.array(n_bg, pa.int64()),
+            "top_bigram_count": pa.array(top_c, pa.int64()),
+            "top_bigram_frac": pa.array(frac, pa.float64()),
         }
     )
 

@@ -1100,6 +1100,38 @@ FROM documents
 """
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style within-doc repetition: top word-2-gram share (Rae et
+    al. 2021 §A1.1). Pure per-batch map — repetition is a within-document
+    property, so the stage has no shuffle at any corpus size."""
+    from .functions.textstats import repetition_stats
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        repetition_stats, batch_format="pyarrow"
+    )
+
+
+SQL_REPETITION_STATS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+),
+big AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg FROM idx),
+per AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM per GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_bg, 0)::BIGINT AS n_bigrams,
+       coalesce(a.top_c, 0)::BIGINT AS top_bigram_count,
+       CASE WHEN a.n_bg IS NULL THEN 0.0
+            ELSE round(a.top_c * 1.0 / a.n_bg, 6) END AS top_bigram_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_quality_scores(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         quality_scores, batch_format="pyarrow"
@@ -1886,6 +1918,7 @@ QUERIES = {
     "dedup_embed": q_dedup_embed,
     "dedup_simhash_near": q_dedup_simhash_near,
     "token_stats": q_token_stats,
+    "repetition_stats": q_repetition_stats,
     "bpe_token_stats": q_bpe_token_stats,
     "quality_scores": q_quality_scores,
     "quality_keep": q_quality_keep,
@@ -1923,6 +1956,7 @@ ORACLE_SQL = {
     "mktsegment_counts": SQL_MKTSEGMENT_COUNTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_stats": SQL_TOKEN_STATS,
+    "repetition_stats": SQL_REPETITION_STATS,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
     "quality_keep": _sql_quality_keep(),
