@@ -911,3 +911,41 @@ def test_repetition_stats_edges():
     assert out.column("n_bigrams").to_pylist() == [0, 0, 5, 2]
     assert out.column("top_bigram_count").to_pylist() == [0, 0, 3, 1]
     assert out.column("top_bigram_frac").to_pylist() == [0.0, 0.0, 0.6, 0.5]
+
+
+def test_contamination_check_counts_distinct_ngrams(ray_session):
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from webscraper_ray.functions.textstats import (
+        benchmark_ngram_set,
+        contamination_check,
+    )
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "the quick brown fox jumps",  # benchmark doc
+                        "a quick brown fox appears",  # shares 'quick brown fox'
+                        "nothing in common here at all",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    bench = docs.filter(lambda r: r["doc_id"] == 1)
+    ref = ray.put(benchmark_ngram_set(bench, n=3))
+    out = (
+        contamination_check(docs, ref, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1 self-hits all 3 of its 3-grams; doc 2 shares exactly one
+    assert out["n_contaminated_ngrams"].tolist() == [3, 1, 0]
+    assert out["contaminated"].tolist() == [True, True, False]

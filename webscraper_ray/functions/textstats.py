@@ -14,6 +14,8 @@ import pyarrow as pa
 __all__ = [
     "token_stats",
     "repetition_stats",
+    "benchmark_ngram_set",
+    "contamination_check",
     "bpe_token_stats",
     "quality_scores",
     "quality_keep",
@@ -95,6 +97,69 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "top_bigram_frac": pa.array(frac, pa.float64()),
         }
     )
+
+
+def benchmark_ngram_set(
+    bench_ds, n: int = 3, text_col: str = "text"
+) -> frozenset:
+    """DISTINCT word n-grams of a benchmark Dataset, unioned driver-side.
+
+    Decontamination's benchmark side is SMALL (eval suites are MBs even
+    when the corpus is 100 TB), so gathering its distinct grams to the
+    driver and broadcasting them once with ``ray.put`` is the right
+    scale shape — the corpus side streams and never shuffles. At real
+    scale, ship u64 hashes of the grams instead of strings to cut the
+    broadcast payload ~10x."""
+
+    def grams_of(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for t in batch.column(text_col).to_pylist():
+            toks = t.split() if t and t.strip() else []
+            out.update(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    parts = bench_ds.map_batches(grams_of, batch_format="pyarrow")
+    return frozenset(
+        v for b in parts.iter_batches(batch_format="pyarrow")
+        for v in b.column("g").to_pylist()
+    )
+
+
+def contamination_check(
+    ds, bench_ref, n: int = 3, text_col: str = "text"
+):
+    """Per-doc benchmark-overlap counts (GPT-3/Pile-style n-gram
+    decontamination): how many DISTINCT word n-grams of the doc appear
+    in the broadcast benchmark set, plus a contaminated flag.
+
+    One ``map_batches`` over the corpus; the benchmark set is read from
+    the object store once per task. Real decontamination uses 8-13-gram
+    windows — ``n`` is a parameter; tests use 3 for signal on the small
+    synthetic corpus."""
+    import ray
+
+    def check(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        counts, flags = [], []
+        for t in batch.column(text_col).to_pylist():
+            toks = t.split() if t and t.strip() else []
+            grams = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+            c = sum(1 for g in grams if g in bench)
+            counts.append(c)
+            flags.append(c > 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_contaminated_ngrams": pa.array(counts, pa.int64()),
+                "contaminated": pa.array(flags, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow")
 
 
 # GPT2-style pre-tokenizer, ASCII subset (the SQL contract runs the same

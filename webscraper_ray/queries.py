@@ -1132,6 +1132,54 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_contamination_check(sf_dir: str):
+    """GPT-3/Pile-style benchmark decontamination: every doc's distinct
+    word 3-grams are checked against a broadcast 'benchmark' gram set
+    (deterministically, docs with doc_id % 97 == 0 stand in for the
+    external eval suite — no external data in the sandbox). Benchmark
+    side gathers driver-side (eval suites are tiny at any corpus
+    scale); corpus side is one streaming map_batches."""
+    import numpy as np
+    import pyarrow.compute as pc  # noqa: F401  (numpy path below)
+
+    from .functions.textstats import benchmark_ngram_set, contamination_check
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep_bench(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(keep_bench, batch_format="pyarrow")
+    bench_ref = ray.put(benchmark_ngram_set(bench, n=3))
+    return contamination_check(docs, bench_ref, n=3)
+
+
+SQL_CONTAMINATION_CHECK = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+  FROM idx
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT grams.doc_id, count(*) AS c FROM grams JOIN bench USING (g)
+  GROUP BY grams.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.c, 0)::BIGINT AS n_contaminated_ngrams,
+       coalesce(h.c, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_quality_scores(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         quality_scores, batch_format="pyarrow"
@@ -1919,6 +1967,7 @@ QUERIES = {
     "dedup_simhash_near": q_dedup_simhash_near,
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,
+    "contamination_check": q_contamination_check,
     "bpe_token_stats": q_bpe_token_stats,
     "quality_scores": q_quality_scores,
     "quality_keep": q_quality_keep,
@@ -1957,6 +2006,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_stats": SQL_TOKEN_STATS,
     "repetition_stats": SQL_REPETITION_STATS,
+    "contamination_check": SQL_CONTAMINATION_CHECK,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
     "quality_keep": _sql_quality_keep(),
