@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "asof_latest_order",
     "topk_events_per_user",
     "curation_pipeline",
+    "repetition_stats",
+    "contamination_check",
 ]
 
 
