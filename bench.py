@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "repetition_stats",
     "contamination_check",
+    "lm_coverage",
 ]
 
 

@@ -949,3 +949,47 @@ def test_contamination_check_counts_distinct_ngrams(ray_session):
     # doc 1 self-hits all 3 of its 3-grams; doc 2 shares exactly one
     assert out["n_contaminated_ngrams"].tolist() == [3, 1, 0]
     assert out["contaminated"].tolist() == [True, True, False]
+
+
+def test_bigram_lm_coverage_counts_occurrences(ray_session):
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from webscraper_ray.functions.textstats import (
+        bigram_lm_coverage,
+        top_bigrams,
+    )
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b a b a b",  # bigrams: 'a b' x3, 'b a' x2
+                        "a b c d",  # 'a b' 'b c' 'c d'
+                        "",  # zeros
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    lm_tbl = top_bigrams(docs, k=2)  # 'a b' (4) and 'b a' (2): ties none
+    lm = frozenset(
+        v
+        for b in lm_tbl.iter_batches(batch_format="pyarrow")
+        for v in b.column("bigram").to_pylist()
+    )
+    assert lm == {"a b", "b a"}
+    out = (
+        bigram_lm_coverage(docs, ray.put(lm))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1: all 5 occurrences covered; doc 2: only 'a b' of 3; doc 3: zeros
+    assert out["n_bigrams"].tolist() == [5, 3, 0]
+    assert out["n_in_lm"].tolist() == [5, 1, 0]
+    assert out["lm_coverage"].tolist() == [1.0, 0.333333, 0.0]

@@ -16,6 +16,8 @@ __all__ = [
     "repetition_stats",
     "benchmark_ngram_set",
     "contamination_check",
+    "top_bigrams",
+    "bigram_lm_coverage",
     "bpe_token_stats",
     "quality_scores",
     "quality_keep",
@@ -307,6 +309,89 @@ def vocab_top_tokens(
         .sort(["freq", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def bigram_freq_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(bigram, freq) pre-aggregated per batch — the combiner half of
+    bigram-LM training. One row per DISTINCT bigram per block rides the
+    shuffle, never per occurrence."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        toks = t.split() if t and t.strip() else []
+        counts.update(
+            " ".join(p) for p in zip(toks, toks[1:])
+        )
+    return pa.table(
+        {
+            "bigram": pa.array(list(counts.keys()), pa.string()),
+            "freq": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
+def top_bigrams(ds, k: int = 500, text_col: str = "text"):
+    """Global top-k corpus bigrams by frequency (ties: bigram ascending)
+    — the 'trained model' of a count-LM quality scorer. Same shape as
+    :func:`vocab_top_tokens`: partials -> groupby.sum -> per-block
+    prune -> k-sized final sort."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=[("freq", "descending"), ("bigram", "ascending")]
+        )
+        return t.take(idx[:k])
+
+    return (
+        ds.map_batches(bigram_freq_partial, fn_kwargs={"text_col": text_col},
+                       batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("freq", alias_name="freq"))
+        .map_batches(block_topk, batch_format="pyarrow")
+        .sort(["freq", "bigram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def bigram_lm_coverage(ds, lm_ref, text_col: str = "text"):
+    """Count-LM quality score: the fraction of a doc's bigram
+    OCCURRENCES that the broadcast top-K bigram set covers (a KenLM-ish
+    fluency proxy kept integer-exact so the SQL oracle gates values,
+    not approximations).
+
+    Two-stage model-scoring shape: the 'model' is trained distributed
+    (:func:`top_bigrams`), is bounded at K rows by construction — so the
+    ``ray.put`` broadcast is safe at ANY corpus size — and scoring is
+    one streaming map_batches."""
+    import ray
+
+    def score(batch: pa.Table) -> pa.Table:
+        lm = ray.get(lm_ref)
+        n_bg, n_in, cov = [], [], []
+        for t in batch.column(text_col).to_pylist():
+            toks = t.split() if t and t.strip() else []
+            grams = [" ".join(p) for p in zip(toks, toks[1:])]
+            n = len(grams)
+            c = sum(1 for g in grams if g in lm)
+            n_bg.append(n)
+            n_in.append(c)
+            cov.append(_round6(c / n) if n else 0.0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array(n_bg, pa.int64()),
+                "n_in_lm": pa.array(n_in, pa.int64()),
+                "lm_coverage": pa.array(cov, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def lang_id_ngram(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -1180,6 +1180,50 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_lm_coverage(sf_dir: str):
+    """Count-LM quality scoring, trained AND applied distributed: the
+    top-500 corpus bigrams (ties: bigram asc) are the 'model' — bounded
+    at K rows by construction, so the ray.put broadcast is safe at any
+    corpus size — and each doc scores the fraction of its bigram
+    occurrences the model covers. Integer-exact counts gate the values."""
+    from .functions.textstats import bigram_lm_coverage, top_bigrams
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    lm_tbl = top_bigrams(docs, k=500)
+    lm = frozenset(
+        v
+        for b in lm_tbl.iter_batches(batch_format="pyarrow")
+        for v in b.column("bigram").to_pylist()
+    )
+    return bigram_lm_coverage(docs, ray.put(lm))
+
+
+SQL_LM_COVERAGE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+),
+big AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg FROM idx),
+freq AS (SELECT bg, count(*) AS f FROM big GROUP BY bg),
+lm AS (SELECT bg FROM freq ORDER BY f DESC, bg ASC LIMIT 500),
+per AS (
+  SELECT doc_id, count(*) AS n_bg,
+         sum(CASE WHEN bg IN (SELECT bg FROM lm) THEN 1 ELSE 0 END) AS n_in
+  FROM big GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_bg, 0)::BIGINT AS n_bigrams,
+       coalesce(p.n_in, 0)::BIGINT AS n_in_lm,
+       CASE WHEN p.n_bg IS NULL THEN 0.0
+            ELSE round(p.n_in * 1.0 / p.n_bg, 6) END AS lm_coverage
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_quality_scores(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         quality_scores, batch_format="pyarrow"
@@ -1968,6 +2012,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,
     "contamination_check": q_contamination_check,
+    "lm_coverage": q_lm_coverage,
     "bpe_token_stats": q_bpe_token_stats,
     "quality_scores": q_quality_scores,
     "quality_keep": q_quality_keep,
@@ -2007,6 +2052,7 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "repetition_stats": SQL_REPETITION_STATS,
     "contamination_check": SQL_CONTAMINATION_CHECK,
+    "lm_coverage": SQL_LM_COVERAGE,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
     "quality_keep": _sql_quality_keep(),
