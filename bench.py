@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "contamination_check",
     "lm_coverage",
+    "pack_sequences",
 ]
 
 

@@ -993,3 +993,41 @@ def test_bigram_lm_coverage_counts_occurrences(ray_session):
     assert out["n_bigrams"].tolist() == [5, 3, 0]
     assert out["n_in_lm"].tolist() == [5, 1, 0]
     assert out["lm_coverage"].tolist() == [1.0, 0.333333, 0.0]
+
+
+def test_pack_sequences_parallelism_invariant(ray_session):
+    """The distributed prefix sum must produce the same layout
+    regardless of block structure, and bucket boundaries must chain
+    offsets exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webscraper_ray.functions.packing import pack_sequences
+
+    # 50 docs spread over many small buckets (bucket_size=8)
+    ids = list(range(0, 100, 2))
+    texts = ["w " * (i % 7 + 1) for i in ids]  # 1..7 tokens each
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    def run(nblocks):
+        out = (
+            pack_sequences(
+                ray.data.from_arrow(t).repartition(nblocks),
+                context_len=10, bucket_size=8,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return out
+
+    a, b = run(1), run(7)
+    assert a.equals(b)
+    # exact serial reference
+    toks = np.array([i % 7 + 1 for i in ids])
+    excl = np.concatenate([[0], np.cumsum(toks)[:-1]])
+    assert a["global_offset"].tolist() == excl.tolist()
+    assert a["seq_id"].tolist() == (excl // 10).tolist()
+    assert a["offset_in_seq"].tolist() == (excl % 10).tolist()

@@ -1224,6 +1224,40 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing for training: docs laid end-to-end in doc_id
+    order, each assigned its 2048-token context window via a two-pass
+    distributed prefix sum (bounded bucket-offset gather + one
+    groupby(bucket) shuffle — see functions/packing.py)."""
+    from .functions.packing import pack_sequences
+
+    return pack_sequences(
+        _read(sf_dir, "documents", ["doc_id", "text"]), context_len=2048
+    )
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS global_offset
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+       global_offset::BIGINT AS global_offset,
+       (global_offset // 2048)::BIGINT AS seq_id,
+       (global_offset % 2048)::BIGINT AS offset_in_seq
+FROM pre
+"""
+
+
 def q_quality_scores(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         quality_scores, batch_format="pyarrow"
@@ -2013,6 +2047,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "contamination_check": q_contamination_check,
     "lm_coverage": q_lm_coverage,
+    "pack_sequences": q_pack_sequences,
     "bpe_token_stats": q_bpe_token_stats,
     "quality_scores": q_quality_scores,
     "quality_keep": q_quality_keep,
@@ -2053,6 +2088,7 @@ ORACLE_SQL = {
     "repetition_stats": SQL_REPETITION_STATS,
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "lm_coverage": SQL_LM_COVERAGE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
     "quality_keep": _sql_quality_keep(),
