@@ -55,6 +55,32 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.dat
     return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
+def _read_sized(
+    sf_dir: str, table: str, columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Like :func:`_read`, but with the block count sized to the DATA
+    (~4 MiB/block, clamped to [8, 64]) instead of the reader's
+    fill-the-cpus split heuristic.
+
+    Ray splits a single small file into 64 blocks to fill task slots;
+    every downstream sort/groupby then inherits 64 shuffle partitions,
+    and on a small input each exchange pays 64x scheduling overhead for
+    KB-sized partitions (measured on dedup_minhash at sf0.1: 5.8-6.6 s
+    with 64 read blocks vs 3.2-4.0 s with 8-16, interleaved trials,
+    identical output). At real scale bytes//4MiB exceeds the clamp and
+    behavior converges to the default — the knob only removes the
+    small-input overhead, it never caps large reads."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    size = os.path.getsize(path)
+    blocks = max(8, min(64, size // (4 << 20)))
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(
+        path, columns=columns, schema=schema, override_num_blocks=int(blocks)
+    )
+
+
 def _vector_lookup(
     values, keys: pa.Array, outputs: pa.Array, default: str | None = ""
 ) -> pa.Array:
@@ -872,7 +898,7 @@ def q_dedup_minhash(sf_dir: str):
     be reproducible in DuckDB, so the 'approximate' sketch is still
     EXACTLY gated: the oracle recomputes signatures, bands, candidate
     pairs and the agreement estimate end-to-end in SQL."""
-    return minhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return minhash_near_dups(_read_sized(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def _sql_band_ctes() -> str:
@@ -952,7 +978,7 @@ def q_dedup_ngram(sf_dir: str):
     a first-class query; never corpus-wide all-pairs)."""
     from .functions.dedup import ngram_near_dups
 
-    return ngram_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return ngram_near_dups(_read_sized(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def _sql_dedup_ngram() -> str:
@@ -980,7 +1006,7 @@ def q_dedup_embed(sf_dir: str):
     pairwise cosine (threshold 0.4, 2 bits at this scale)."""
     from .functions.ann import embed_cosine_dups
 
-    return embed_cosine_dups(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+    return embed_cosine_dups(_read_sized(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
 def _sql_dedup_embed(threshold: float = 0.4, bits: int = 2, dim: int = 64) -> str:
@@ -1010,7 +1036,7 @@ WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {threshold}
 def q_dedup_simhash(sf_dir: str):
     """SimHash sketch groups — md5 token hashes, bit-vote sketch; gated
     exactly by a generated DuckDB oracle."""
-    return simhash_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return simhash_dups(_read_sized(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def _sql_simhash_ctes() -> str:
@@ -1060,7 +1086,7 @@ def q_dedup_simhash_near(sf_dir: str):
     a generated oracle (hex-string rotations + bit_count)."""
     from .functions.dedup import simhash_near_dups
 
-    return simhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return simhash_near_dups(_read_sized(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def _sql_dedup_simhash_near(max_hamming: int = 3, n_tables: int = 4) -> str:
