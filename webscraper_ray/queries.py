@@ -127,7 +127,7 @@ def q_latest_event_per_user(sf_dir: str):
         return g[["user_id", "ts", "event_type", "value"]]
 
     return (
-        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"])
+        _read_sized(sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"])
         .groupby("user_id")
         .map_groups(latest, batch_format="pandas")
     )
@@ -411,9 +411,9 @@ def q_top_revenue_orders(sf_dir: str, broadcast_max_rows: int | None = None):
 
     nparts = _join_partitions()
     limit = BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read_sized(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    customers = _read_sized(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    line = _read_sized(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
 
     building = customers.map_batches(
@@ -571,7 +571,7 @@ def q_regional_revenue(sf_dir: str, broadcast_max_rows: int | None = None):
             ["l_suppkey", "rev_c4"]
         )
 
-    line = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    line = _read_sized(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
     supp_path = os.path.join(sf_dir, "supplier.parquet")
     n_suppliers = pq.read_metadata(supp_path).num_rows
 
@@ -613,7 +613,7 @@ def q_regional_revenue(sf_dir: str, broadcast_max_rows: int | None = None):
             .groupby("l_suppkey")
             .aggregate(Sum("rev_c4", alias_name="rev_c4"))
             .join(
-                _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+                _read_sized(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
                 "inner",
                 num_partitions=nparts,
                 on=("l_suppkey",),
@@ -676,7 +676,7 @@ def q_order_priority(sf_dir: str, broadcast_max_rows: int | None = None):
     """
     nparts = _join_partitions()
     limit = BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
-    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    line = _read_sized(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
 
     def partial_keys(t: pa.Table) -> pa.Table:
         cutoff = pa.scalar(pd_ts("1995-06-15"))
@@ -684,7 +684,7 @@ def q_order_priority(sf_dir: str, broadcast_max_rows: int | None = None):
         return pa.table({"l_orderkey": pc.unique(late.column("l_orderkey"))})
 
     partials = line.map_batches(partial_keys, batch_format="pyarrow")
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    orders = _read_sized(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
 
     if n_orders <= limit:
@@ -767,7 +767,7 @@ def q_nation_customers(sf_dir: str):
         return g.rename_columns(["n_name", "bal_c", "n"])
 
     agg = (
-        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        _read_sized(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("bal_c", alias_name="bal_c"), Sum("n", alias_name="n_customers"))
@@ -863,7 +863,7 @@ def q_mktsegment_counts(sf_dir: str):
     """O5/unique: distinct-value counting — groupby + count (shuffle of
     one tiny row per (segment, batch))."""
     return (
-        _read(sf_dir, "customer", ["c_mktsegment", "c_custkey"])
+        _read_sized(sf_dir, "customer", ["c_mktsegment", "c_custkey"])
         .groupby("c_mktsegment")
         .aggregate(
             Count(alias_name="n_customers"),
@@ -884,7 +884,7 @@ FROM customer GROUP BY c_mktsegment
 
 
 def q_dedup_exact(sf_dir: str):
-    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return exact_dedup(_read_sized(sf_dir, "documents", ["doc_id", "text"]))
 
 
 SQL_DEDUP_EXACT = """
@@ -1214,7 +1214,7 @@ def q_lm_coverage(sf_dir: str):
     occurrences the model covers. Integer-exact counts gate the values."""
     from .functions.textstats import bigram_lm_coverage, top_bigrams
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read_sized(sf_dir, "documents", ["doc_id", "text"])
     lm_tbl = top_bigrams(docs, k=500)
     lm = frozenset(
         v
@@ -1258,7 +1258,7 @@ def q_pack_sequences(sf_dir: str):
     from .functions.packing import pack_sequences
 
     return pack_sequences(
-        _read(sf_dir, "documents", ["doc_id", "text"]), context_len=2048
+        _read_sized(sf_dir, "documents", ["doc_id", "text"]), context_len=2048
     )
 
 
@@ -1557,7 +1557,7 @@ FROM (
 
 def q_tumbling_window(sf_dir: str):
     return tumbling_counts(
-        _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+        _read_sized(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
     )
 
 
@@ -1575,7 +1575,7 @@ def q_hopping_window(sf_dir: str):
     from .functions.windows import hopping_counts
 
     return hopping_counts(
-        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        _read_sized(sf_dir, "events", ["ts", "event_type", "value"])
     )
 
 
@@ -1600,7 +1600,7 @@ GROUP BY 1, 2
 
 
 def q_sessionize(sf_dir: str):
-    return sessionize(_read(sf_dir, "events", ["user_id", "ts"]))
+    return sessionize(_read_sized(sf_dir, "events", ["user_id", "ts"]))
 
 
 SQL_SESSIONIZE = """
@@ -1624,8 +1624,8 @@ def q_asof_latest_order(sf_dir: str):
     (functions/joins.py)."""
     from .functions.joins import asof_join
 
-    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    orders = _read(
+    events = _read_sized(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read_sized(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     )
     return asof_join(
@@ -1658,7 +1658,7 @@ def q_attribution_window(sf_dir: str):
     per partition, never a pair expansion."""
     from .functions.joins import range_count_join
 
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    ev = _read_sized(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
     def only(kind: str):
         def f(t: pa.Table) -> pa.Table:
@@ -1699,7 +1699,7 @@ def q_topk_events_per_user(sf_dir: str):
     from .functions.ranking import topk_per_group
 
     return topk_per_group(
-        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        _read_sized(sf_dir, "events", ["event_id", "user_id", "value"]),
         key="user_id",
         order_col="value",
         tie_col="event_id",
@@ -1746,7 +1746,7 @@ def q_length_quantiles(sf_dir: str):
     from .functions.stats import exact_quantiles
 
     return exact_quantiles(
-        _read(sf_dir, "documents", ["n_chars"]), "n_chars", [0.5, 0.9, 0.99]
+        _read_sized(sf_dir, "documents", ["n_chars"]), "n_chars", [0.5, 0.9, 0.99]
     )
 
 
@@ -1764,7 +1764,7 @@ def q_distinct_users_per_type(sf_dir: str):
     distinct pairs, never events."""
     from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    ds = _read_sized(sf_dir, "events", ["event_type", "user_id"])
 
     def batch_distinct(t: pa.Table) -> pa.Table:
         return t.group_by(["event_type", "user_id"]).aggregate([])
@@ -1939,7 +1939,7 @@ def q_vocab_top_tokens(sf_dir: str):
     (tokenizer-training prep). Vocabulary-sized shuffle only."""
     from .functions.textstats import vocab_top_tokens
 
-    return vocab_top_tokens(_read(sf_dir, "documents", ["text"]), k=200)
+    return vocab_top_tokens(_read_sized(sf_dir, "documents", ["text"]), k=200)
 
 
 SQL_VOCAB_TOP_TOKENS = r"""
@@ -1956,7 +1956,7 @@ def q_lang_length_quantiles(sf_dir: str):
     from .functions.stats import exact_quantiles_by_group
 
     return exact_quantiles_by_group(
-        _read(sf_dir, "documents", ["lang", "n_chars"]), "lang", "n_chars", [0.5, 0.9]
+        _read_sized(sf_dir, "documents", ["lang", "n_chars"]), "lang", "n_chars", [0.5, 0.9]
     )
 
 
@@ -1983,7 +1983,7 @@ def q_curation_pipeline(sf_dir: str):
     from .functions.sampling import stratified_sample
     from .functions.textstats import quality_keep_mask
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
 
     def keep_and_hash(t: pa.Table) -> pa.Table:
         t = t.filter(quality_keep_mask(t))
