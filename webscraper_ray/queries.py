@@ -411,17 +411,8 @@ def q_top_revenue_orders(sf_dir: str, broadcast_max_rows: int | None = None):
 
     nparts = _join_partitions()
     limit = BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
-    orders = _read_sized(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    customers = _read_sized(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     line = _read_sized(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
-
-    building = customers.map_batches(
-        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")).select(
-            ["c_custkey"]
-        ),
-        batch_format="pyarrow",
-    )
 
     def partial_rev(t: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -436,21 +427,33 @@ def q_top_revenue_orders(sf_dir: str, broadcast_max_rows: int | None = None):
     partials = line.map_batches(partial_rev, batch_format="pyarrow")
 
     if n_orders <= limit:
-        keys = np.unique(building.to_pandas()["c_custkey"].to_numpy())
-        keys_ref = ray.put(keys)
-
-        def filter_orders(t: pa.Table, ref=keys_ref) -> pa.Table:
-            import ray as _ray
-
-            k = _ray.get(ref)
-            kept = t.filter(pc.is_in(t.column("o_custkey"), value_set=pa.array(k)))
-            return kept.select(["o_orderkey", "o_orderdate"])
-
-        bo = orders.map_batches(filter_orders, batch_format="pyarrow").to_pandas()
-        order_keys = bo["o_orderkey"].to_numpy()
+        # both build sides are bounded by the SAME threshold that picked
+        # this plan (customer is the orders dim; n_orders <= limit), so
+        # they are plain driver-side parquet reads — no Ray execution and
+        # its ~1 s streaming-executor launch per gather (this was 2 of
+        # the plan's 3 sequential executions; regional_revenue already
+        # reads its supplier side this way)
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        keys = np.unique(
+            cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+            .column("c_custkey")
+            .to_numpy(zero_copy_only=False)
+        )
+        ot = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+        bo = ot.filter(pc.is_in(ot.column("o_custkey"), value_set=pa.array(keys)))
+        order_keys = bo.column("o_orderkey").to_numpy(zero_copy_only=False)
         sort_idx = np.argsort(order_keys)
         bo_ref = ray.put(
-            (order_keys[sort_idx], bo["o_orderdate"].to_numpy()[sort_idx])
+            (
+                order_keys[sort_idx],
+                bo.column("o_orderdate").to_numpy(zero_copy_only=False)[sort_idx],
+            )
         )
 
         def attach(t: pa.Table, ref=bo_ref) -> pa.Table:
@@ -472,6 +475,17 @@ def q_top_revenue_orders(sf_dir: str, broadcast_max_rows: int | None = None):
 
         joined = partials.map_batches(attach, batch_format="pyarrow")
     else:
+        orders = _read_sized(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        )
+        building = _read_sized(
+            sf_dir, "customer", ["c_custkey", "c_mktsegment"]
+        ).map_batches(
+            lambda t: t.filter(
+                pc.equal(t.column("c_mktsegment"), "BUILDING")
+            ).select(["c_custkey"]),
+            batch_format="pyarrow",
+        )
         building_orders = orders.join(
             building,
             "inner",
