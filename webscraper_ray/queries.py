@@ -310,7 +310,7 @@ def q_pricing_summary(sf_dir: str):
     combined per batch; the groupby shuffles one partial row per (flag,
     status, batch). Mirrors TPC-H Q1 shape.
     """
-    ds = _read(
+    ds = _read_sized(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
