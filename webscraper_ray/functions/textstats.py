@@ -29,12 +29,17 @@ _WS = re.compile(r"\s+")
 _PUNCT = re.compile(r"[.!?,;:]")
 
 
-def _round4(x: float) -> float:
-    """Round half away from zero at 4 decimals (SQL ROUND semantics;
-    Python's built-in round is half-even and diverges on exact .5s)."""
+def _sql_round(x: float, scale: int) -> float:
+    """Round half away from zero (SQL ROUND semantics; Python's built-in
+    round is half-even and diverges on exact .5s). ``scale`` is the
+    power-of-ten multiplier (10_000 for 4 decimals, 1_000_000 for 6)."""
     import math
 
-    return math.floor(abs(x) * 10_000 + 0.5) / 10_000 * (1 if x >= 0 else -1)
+    return math.floor(abs(x) * scale + 0.5) / scale * (1 if x >= 0 else -1)
+
+
+def _round4(x: float) -> float:
+    return _sql_round(x, 10_000)
 # tiny stopword lists per language for the n-gram/stopword heuristic
 _STOPWORDS = {
     "eng": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
@@ -60,10 +65,7 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def _round6(x: float) -> float:
-    """Round half away from zero at 6 decimals (SQL ROUND semantics)."""
-    import math
-
-    return math.floor(abs(x) * 1_000_000 + 0.5) / 1_000_000 * (1 if x >= 0 else -1)
+    return _sql_round(x, 1_000_000)
 
 
 def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -40,45 +40,48 @@ from .oracle.lang import RTL_CODES
 __all__ = ["QUERIES", "ORACLE_SQL", "run_query"]
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+def _read(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    sized: bool = False,
+) -> "ray.data.Dataset":
     """Pruned read (columns=) with a METADATA-FREE schema.
 
     The driver's parquet files carry pandas metadata; Ray Data's shuffle
     operators try to hash block schemas for deduplication and a metadata
     dict makes that fail noisily in every reduce task. Passing an explicit
     clean schema keeps shuffle/join logs quiet and schemas hashable.
+
+    ``sized=True`` sizes the block count to the DATA (~4 MiB/block,
+    floor 8) instead of the reader's fill-the-cpus split heuristic, for
+    reads that feed shuffles: Ray splits a single small file into 64
+    blocks to fill task slots, every downstream sort/groupby inherits 64
+    shuffle partitions, and on a small input each exchange pays 64x
+    scheduling overhead for KB-sized partitions (measured on
+    dedup_minhash at sf0.1: 5.8-6.6 s with 64 read blocks vs 3.2-4.0 s
+    with 8-16, interleaved trials, identical output). Once the
+    data-sized count reaches 64 no override is passed at all, so large
+    reads keep Ray's own target-block-size scaling — the knob only
+    removes small-input overhead, it never caps large reads.
     """
     path = os.path.join(sf_dir, f"{table}.parquet")
     schema = pq.read_schema(path).remove_metadata()
     if columns:
         schema = pa.schema([schema.field(c) for c in columns])
-    return ray.data.read_parquet(path, columns=columns, schema=schema)
+    kwargs = {}
+    if sized:
+        blocks = max(8, os.path.getsize(path) // (4 << 20))
+        if blocks < 64:
+            kwargs["override_num_blocks"] = int(blocks)
+    return ray.data.read_parquet(path, columns=columns, schema=schema, **kwargs)
 
 
 def _read_sized(
     sf_dir: str, table: str, columns: list[str] | None = None
 ) -> "ray.data.Dataset":
-    """Like :func:`_read`, but with the block count sized to the DATA
-    (~4 MiB/block, clamped to [8, 64]) instead of the reader's
-    fill-the-cpus split heuristic.
-
-    Ray splits a single small file into 64 blocks to fill task slots;
-    every downstream sort/groupby then inherits 64 shuffle partitions,
-    and on a small input each exchange pays 64x scheduling overhead for
-    KB-sized partitions (measured on dedup_minhash at sf0.1: 5.8-6.6 s
-    with 64 read blocks vs 3.2-4.0 s with 8-16, interleaved trials,
-    identical output). At real scale bytes//4MiB exceeds the clamp and
-    behavior converges to the default — the knob only removes the
-    small-input overhead, it never caps large reads."""
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    size = os.path.getsize(path)
-    blocks = max(8, min(64, size // (4 << 20)))
-    schema = pq.read_schema(path).remove_metadata()
-    if columns:
-        schema = pa.schema([schema.field(c) for c in columns])
-    return ray.data.read_parquet(
-        path, columns=columns, schema=schema, override_num_blocks=int(blocks)
-    )
+    """Shuffle-feeding read: :func:`_read` with ``sized=True``."""
+    return _read(sf_dir, table, columns, sized=True)
 
 
 def _vector_lookup(
@@ -413,6 +416,7 @@ def q_top_revenue_orders(sf_dir: str, broadcast_max_rows: int | None = None):
     limit = BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
     line = _read_sized(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    n_customers = pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
 
     def partial_rev(t: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -426,13 +430,14 @@ def q_top_revenue_orders(sf_dir: str, broadcast_max_rows: int | None = None):
 
     partials = line.map_batches(partial_rev, batch_format="pyarrow")
 
-    if n_orders <= limit:
-        # both build sides are bounded by the SAME threshold that picked
-        # this plan (customer is the orders dim; n_orders <= limit), so
-        # they are plain driver-side parquet reads — no Ray execution and
-        # its ~1 s streaming-executor launch per gather (this was 2 of
-        # the plan's 3 sequential executions; regional_revenue already
-        # reads its supplier side this way)
+    if n_orders <= limit and n_customers <= limit:
+        # BOTH build sides checked against the threshold (parquet
+        # metadata, no data read) before being loaded driver-side: no
+        # assumed orders:customer ratio. Plain column-pruned parquet
+        # reads replace two sequential Ray executions and their ~1 s
+        # streaming-executor launches (regional_revenue already reads
+        # its supplier side this way); an over-threshold side falls
+        # through to the fully distributed join plan.
         cust = pq.read_table(
             os.path.join(sf_dir, "customer.parquet"),
             columns=["c_custkey", "c_mktsegment"],
@@ -1179,9 +1184,6 @@ def q_contamination_check(sf_dir: str):
     external eval suite — no external data in the sandbox). Benchmark
     side gathers driver-side (eval suites are tiny at any corpus
     scale); corpus side is one streaming map_batches."""
-    import numpy as np
-    import pyarrow.compute as pc  # noqa: F401  (numpy path below)
-
     from .functions.textstats import benchmark_ngram_set, contamination_check
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
