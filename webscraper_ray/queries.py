@@ -1463,7 +1463,7 @@ def _query_vectors(sf_dir: str, n: int = 5):
 def q_ann_bruteforce(sf_dir: str):
     ids, mat = _query_vectors(sf_dir)
     return ann_bruteforce_topk(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), ids, mat, k=10
+        _read_sized(sf_dir, "embeddings", ["vec_id", "embedding"]), ids, mat, k=10
     )
 
 
@@ -1506,7 +1506,7 @@ def _ann_index_for(sf_dir: str, bits: int = 4) -> str:
         return dest
     build_dir = tempfile.mkdtemp(prefix=f"annbuild_{digest}_")
     build_ann_index(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), build_dir, bits=bits
+        _read_sized(sf_dir, "embeddings", ["vec_id", "embedding"]), build_dir, bits=bits
     )
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     try:
@@ -1814,7 +1814,7 @@ def q_kmeans_clusters(sf_dir: str):
     from .functions.clustering import kmeans_clusters
 
     return kmeans_clusters(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=4, iters=3
+        _read_sized(sf_dir, "embeddings", ["vec_id", "embedding"]), k=4, iters=3
     )
 
 
@@ -1887,7 +1887,7 @@ def q_ann_ivf(sf_dir: str):
 
     ids, mat = _query_vectors(sf_dir)
     return ann_ivf_topk(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _read_sized(sf_dir, "embeddings", ["vec_id", "embedding"]),
         ids,
         mat,
         k=10,
