@@ -109,3 +109,35 @@ def test_top_revenue_join_plan_matches_broadcast_plan(ray_session, duck):
     joined = _normalize(q_top_revenue_orders(SF, broadcast_max_rows=0).to_pandas())
     want = _normalize(duck.execute(ORACLE_SQL["top_revenue_orders"]).df())
     pd.testing.assert_frame_equal(joined, want, check_dtype=False, atol=1e-9)
+
+
+def test_read_sized_falls_through_on_large_files(monkeypatch):
+    """Above a 64-block data-sized count, sized reads must pass NO
+    override so large files keep Ray's own target-block-size scaling
+    (the override would pin shuffle parallelism at 64 and balloon
+    per-task memory at real volume)."""
+    import webscraper_ray.queries as Q
+
+    captured = {}
+
+    def fake_read_parquet(path, **kwargs):
+        captured.update(kwargs)
+        return "ds"
+
+    monkeypatch.setattr(Q.ray.data, "read_parquet", fake_read_parquet)
+    sf = "/root/testdata/sf0.001"
+
+    # small file: data-sized override applied, floor 8
+    Q._read(sf, "documents", ["doc_id"], sized=True)
+    assert captured.get("override_num_blocks") == 8
+
+    # pretend the file is 1 GiB: no override at all
+    captured.clear()
+    monkeypatch.setattr(Q.os.path, "getsize", lambda p: 1 << 30)
+    Q._read(sf, "documents", ["doc_id"], sized=True)
+    assert "override_num_blocks" not in captured
+
+    # unsized never overrides
+    captured.clear()
+    Q._read(sf, "documents", ["doc_id"])
+    assert "override_num_blocks" not in captured
