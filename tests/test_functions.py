@@ -869,6 +869,55 @@ def test_batch_topk_tied_scores_keep_lowest_ids():
     assert sorted(out.column("vec_id").to_pylist()) == [1, 3]
 
 
+def test_topk_rows_argpartition_matches_full_lexsort():
+    """_topk_rows selects with O(n) argpartition + a boundary lexsort;
+    the result must equal the full lexsort on the (round(score,6) DESC,
+    id ASC) contract — including ties AT the k-th slot and scores that
+    differ only past 6 decimals (rounded equal -> id decides)."""
+    import numpy as np
+
+    from webscraper_ray.functions.ann import _topk_rows
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(5, 200))
+        # coarse grid: lots of exact ties; plus sub-1e-6 jitter that the
+        # round(., 6) contract must erase
+        scores = rng.integers(0, 8, n) / 10.0 + rng.uniform(-4e-8, 4e-8, n)
+        ids = rng.permutation(n).astype(np.int64)
+        k = int(rng.integers(1, n + 1))
+        got = _topk_rows(scores, ids, k)
+        if k >= n:
+            # fast path: all rows, order irrelevant (final reduce sorts)
+            assert sorted(got) == list(range(n)), (trial, n, k)
+        else:
+            want = np.lexsort((ids, -np.round(scores, 6)))[:k]
+            assert np.array_equal(got, want), (trial, n, k)
+
+
+def test_embedding_matrix_zero_copy_decode_handles_slices():
+    """The shared Arrow list decode must read child values (flatten),
+    so a SLICED list array — nonzero offset, where `.values` would leak
+    neighboring rows — still decodes the right matrix."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webscraper_ray.functions.ann import _embedding_matrix
+
+    rows = [[float(i), float(i) + 0.5] for i in range(6)]
+    arr = pa.array(rows, pa.list_(pa.float64()))
+    full = _embedding_matrix(arr)
+    assert full.shape == (6, 2) and full.dtype == np.float64
+    assert np.array_equal(full, np.asarray(rows))
+    sliced = arr.slice(2, 3)
+    got = _embedding_matrix(sliced)
+    assert np.array_equal(got, np.asarray(rows[2:5]))
+    chunked = pa.chunked_array([arr.slice(0, 2), arr.slice(4, 2)])
+    got2 = _embedding_matrix(chunked)
+    assert np.array_equal(got2, np.asarray(rows[:2] + rows[4:]))
+    assert _embedding_matrix(pa.array([], pa.list_(pa.float64()))).size == 0
+
+
 def test_ann_ivf_empty_corpus(ray_session):
     import numpy as np
     import pyarrow as pa
@@ -1031,3 +1080,23 @@ def test_pack_sequences_parallelism_invariant(ray_session):
     assert a["global_offset"].tolist() == excl.tolist()
     assert a["seq_id"].tolist() == (excl // 10).tolist()
     assert a["offset_in_seq"].tolist() == (excl % 10).tolist()
+
+
+def test_pack_sequences_rejects_duplicate_doc_ids(ray_session):
+    """A duplicated doc_id makes the layout ill-posed (tokens would be
+    double-counted in the bucket offsets) — it must raise loudly, not
+    emit garbage (ADVICE r3)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from webscraper_ray.functions.packing import pack_sequences
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 2, 3], pa.int64()),
+            "text": pa.array(["a b", "c", "d e f", "g"], pa.string()),
+        }
+    )
+    with pytest.raises(Exception, match="unique doc_id.*duplicate id 2"):
+        pack_sequences(ray.data.from_arrow(t), context_len=4).to_pandas()

@@ -140,16 +140,21 @@ def test_response_codec_gzip_threshold():
     assert enc == "gzip" and decode_response(data, enc).decode() == astral
 
 
-def test_encode_response_json_gzip_threshold_is_code_units():
-    """The reference gzips on the JS string length of the serialized
-    JSON (UTF-16 code units), not the UTF-8 byte count: 100 CJK chars
-    serialize to ~300 bytes but stay under the 128-unit threshold."""
-    from webscraper_ray.oracle.codec import encode_response
+def test_encode_response_json_gzip_threshold_is_bytes():
+    """The reference buffers the serialized JSON first
+    (Buffer.from(JSON.stringify(body), 'utf8'), src/app.ts:128) and tests
+    body.length on the BUFFER — UTF-8 bytes. Only the plain-string branch
+    (src/app.ts:146) counts JS code units. 100 CJK chars serialize to
+    ~309 bytes > 128 -> gzipped even though only ~109 code units."""
+    from webscraper_ray.oracle.codec import decode_response, encode_response
 
     body = {"t": "文" * 100}  # JSON text ~109 code units, ~309 bytes
     data, ctype, enc = encode_response(body, accept_cbor=False)
     assert ctype == "application/json"
-    assert enc is None  # under threshold in code units despite >128 bytes
-    big = {"t": "文" * 130}
-    _, _, enc2 = encode_response(big, accept_cbor=False)
-    assert enc2 == "gzip"
+    assert enc == "gzip"  # byte length governs the object branch
+    import json as _json
+
+    assert _json.loads(decode_response(data, enc)) == body
+    small = {"t": "文" * 30}  # ~97 bytes — under threshold either way
+    _, _, enc2 = encode_response(small, accept_cbor=False)
+    assert enc2 is None

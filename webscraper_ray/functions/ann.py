@@ -51,15 +51,78 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _embedding_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Zero-copy-ish (n, d) float64 matrix from an Arrow list column.
+
+    ``flatten()`` reads the list child values directly (respecting any
+    slice offset) instead of materializing one Python list per row the
+    way ``to_pylist`` does — the shared decode for every ANN/dedup-embed
+    kernel (same pattern as ``clustering._quant_matrix``). Assumes
+    fixed-length, null-free embeddings (the corpus contract)."""
+    flat = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(flat)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    d = len(flat[0])
+    return np.asarray(flat.flatten(), dtype=np.float64).reshape(n, d)
+
+
+def _id_array(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    return np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
+
+
 def _topk_rows(scores: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
     """Row indices of the k best by (round(score, 6) DESC, id ASC) — the
     SAME ordering contract as the final reduce and the SQL oracle, so a
     block-level partial can never drop a row the oracle keeps on a tie
     at the k-th slot (exact-duplicate embeddings make ties routine).
-    ``argpartition`` alone picks arbitrarily among boundary ties."""
+
+    O(n) ``argpartition`` selects the boundary value, then only the
+    candidate slice (k + boundary ties) is lexsorted — boundary ties
+    resolve by id exactly as a full lexsort would."""
     if k >= len(ids):
         return np.arange(len(ids))
-    return np.lexsort((ids, -np.round(scores, 6)))[:k]
+    neg = -np.round(scores, 6)
+    part = np.argpartition(neg, k - 1)[:k]
+    kth_val = neg[part].max()
+    cand = np.flatnonzero(neg <= kth_val)
+    order = np.lexsort((ids[cand], neg[cand]))[:k]
+    return cand[order]
+
+
+_EMPTY_TOPK = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "vec_id": pa.array([], pa.int64()),
+        "cos_sim": pa.array([], pa.float64()),
+    }
+)
+
+
+def _score_partial_topk(
+    ids: np.ndarray,
+    mat_normed: np.ndarray,
+    q_ids: list[int],
+    qn: np.ndarray,
+    k: int,
+) -> tuple[list[int], list[int], list[float]]:
+    """Partial top-k of a normalized batch against normalized queries.
+
+    Output is k rows per query (tiny); the per-row Python loop only runs
+    over that output set."""
+    sims = mat_normed @ qn.T  # (rows, n_queries)
+    kk = min(k, len(ids))
+    out_q: list[int] = []
+    out_v: list[int] = []
+    out_s: list[float] = []
+    for qi, qid in enumerate(q_ids):
+        col = sims[:, qi]
+        top = _topk_rows(col, ids, kk)
+        for row in top:
+            out_q.append(int(qid))
+            out_v.append(int(ids[row]))
+            out_s.append(round(float(col[row]), 6))
+    return out_q, out_v, out_s
 
 
 class _BatchTopK:
@@ -72,26 +135,13 @@ class _BatchTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        ids = _id_array(batch.column("vec_id"))
+        mat = _embedding_matrix(batch.column("embedding"))
         if mat.size == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "cos_sim": pa.array([], pa.float64()),
-                }
-            )
-        sims = _norm_rows(mat) @ self.qn.T  # (rows, n_queries)
-        k = min(self.k, len(ids))
-        out_q, out_v, out_s = [], [], []
-        for qi, qid in enumerate(self.q_ids):
-            col = sims[:, qi]
-            top = _topk_rows(col, ids, k)
-            for row in top:
-                out_q.append(int(qid))
-                out_v.append(int(ids[row]))
-                out_s.append(round(float(col[row]), 6))
+            return _EMPTY_TOPK
+        out_q, out_v, out_s = _score_partial_topk(
+            ids, _norm_rows(mat), self.q_ids, self.qn, self.k
+        )
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
@@ -180,39 +230,31 @@ def _bucket_scorer(planes: np.ndarray, refs: dict, k: int):
     queries of its own bucket (refs: bucket -> broadcast query ref)."""
 
     def score_bucket(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        empty = pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "vec_id": pa.array([], pa.int64()),
-                "cos_sim": pa.array([], pa.float64()),
-            }
-        )
+        ids = _id_array(batch.column("vec_id"))
+        mat = _embedding_matrix(batch.column("embedding"))
         if mat.size == 0:
-            return empty
+            return _EMPTY_TOPK
         buckets = _bucket_of(mat, planes)
-        out = [empty]
+        out_q: list[int] = []
+        out_v: list[int] = []
+        out_s: list[float] = []
         for b, ref in refs.items():
             mask = buckets == b
             if not mask.any():
                 continue
             q_ids_b, q_mat_b = ray.get(ref)
-            scorer = _BatchTopK(((q_ids_b, q_mat_b)), k)
-            out.append(
-                scorer(
-                    pa.table(
-                        {
-                            "vec_id": pa.array(ids[mask].tolist(), pa.int64()),
-                            "embedding": pa.array(
-                                [row.tolist() for row in mat[mask]],
-                                pa.list_(pa.float64()),
-                            ),
-                        }
-                    )
-                )
-            )
-        return pa.concat_tables(out)
+            qn = _norm_rows(np.asarray(q_mat_b, dtype=np.float64))
+            q, v, s = _score_partial_topk(ids[mask], _norm_rows(mat[mask]), q_ids_b, qn, k)
+            out_q.extend(q)
+            out_v.extend(v)
+            out_s.extend(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
 
     return score_bucket
 
@@ -233,7 +275,7 @@ def build_ann_index(
     """
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = _embedding_matrix(batch.column("embedding"))
         if mat.size == 0:
             buckets = pa.array([], pa.int64())
         else:
@@ -318,7 +360,7 @@ def embed_cosine_dups(
     planes = _plane_matrix(dim, bits, salt=b"embed-dedup")
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = _embedding_matrix(batch.column("embedding"))
         if mat.size == 0:
             return pa.table(
                 {
@@ -426,8 +468,8 @@ def ann_ivf_topk(
 
     def score(batch: pa.Table) -> pa.Table:
         c_ref, probes, qids, qnorm = ray.get(shipped)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        ids = _id_array(batch.column("vec_id"))
+        mat = _embedding_matrix(batch.column("embedding"))
         out_q, out_v, out_s = [], [], []
         if mat.size:
             xq = round_half_away(mat * QUANT).astype(np.int64)

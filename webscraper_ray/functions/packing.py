@@ -53,7 +53,12 @@ def pack_sequences(
     bucket_size: int = 1024,
 ) -> "ray.data.Dataset":
     """(doc_id, n_tokens, global_offset, seq_id, offset_in_seq) for a
-    greedy end-to-end layout of the corpus in ``doc_id`` order."""
+    greedy end-to-end layout of the corpus in ``doc_id`` order.
+
+    Precondition: ``id_col`` values are UNIQUE (the layout is defined by
+    doc order, so a duplicate id is ill-posed). Enforced per bucket —
+    a duplicate raises ``ValueError`` instead of silently double-counting
+    tokens in the offsets."""
 
     def bucket_partials(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
@@ -99,6 +104,14 @@ def pack_sequences(
         toks_g = _token_counts(group.column(text_col).to_pylist())
         o = np.argsort(ids)
         ids_s, toks_s = ids[o], toks_g[o]
+        if len(ids_s) > 1 and not np.all(np.diff(ids_s) > 0):
+            # A duplicated doc_id would double-count tokens in the bucket
+            # offsets and yield an ill-defined layout — fail loudly (the
+            # joins' overflow-guard discipline), don't emit garbage.
+            dup = int(ids_s[np.flatnonzero(np.diff(ids_s) == 0)[0]])
+            raise ValueError(
+                f"pack_sequences requires unique {id_col}; duplicate id {dup}"
+            )
         base = off_map[int(ids_s[0]) // bucket_size]
         excl = base + np.concatenate([[0], np.cumsum(toks_s)[:-1]])
         return pa.table(

@@ -46,15 +46,12 @@ def encode_response(
         data = cbor_dumps(body)
         ctype = "application/cbor"
     else:
-        text = json.dumps(body, ensure_ascii=False, separators=(",", ":"))
-        data = text.encode("utf-8")
+        # the reference buffers the serialized JSON first
+        # (Buffer.from(JSON.stringify(body), 'utf8'), src/app.ts:128) and
+        # tests body.length on the BUFFER — i.e. UTF-8 bytes, unlike the
+        # plain-string branch above. Fall through to the byte check.
+        data = json.dumps(body, ensure_ascii=False, separators=(",", ":")).encode("utf-8")
         ctype = "application/json"
-        # same UTF-16 code-unit threshold as the str branch: the reference
-        # gzips on the JS STRING length of the serialized JSON, not bytes
-        code_units = len(text) + sum(1 for ch in text if ord(ch) > 0xFFFF)
-        if accept_gzip and code_units > GZIP_MIN_LENGTH:
-            return gzip.compress(data, mtime=0), ctype, "gzip"
-        return data, ctype, None
     if accept_gzip and len(data) > GZIP_MIN_LENGTH:
         # mtime=0: deterministic output (gzip headers embed a timestamp)
         return gzip.compress(data, mtime=0), ctype, "gzip"
