@@ -112,6 +112,44 @@ def test_minhash_hot_band_star_bounds_giant_cluster(ray_session):
     assert seen == set(range(m))
 
 
+def test_minhash_semi_join_path_no_driver_gather(ray_session, monkeypatch):
+    """VERDICT r3 #1: on a high-duplication corpus (every doc in some
+    candidate pair) the involved-id filter must NOT gather the id list
+    driver-side. Force the semi-join plan with a tiny broadcast bound and
+    booby-trap the broadcast helper — the run must succeed and match the
+    broadcast plan's output exactly."""
+    import ray.data
+
+    from webscraper_ray.functions import dedup
+
+    base = "we choose to go to the moon in this decade and do the other things "
+    # 30 dup docs (all involved) + a few singletons
+    rows = [{"doc_id": i, "text": base * 5} for i in range(30)]
+    rows += [
+        {
+            "doc_id": 100 + i,
+            "text": f"lonely {i} " + " ".join(f"z{i}_{j}" for j in range(40)),
+        }
+        for i in range(5)
+    ]
+
+    want = dedup.minhash_near_dups(ray.data.from_items(rows)).to_pandas()
+    want_ng = dedup.ngram_near_dups(ray.data.from_items(rows)).to_pandas()
+
+    def boom(_inv_ds):
+        raise AssertionError("driver-side involved-id gather on the semi-join path")
+
+    monkeypatch.setattr(dedup, "_involved_ids_ref", boom)
+    got = dedup.minhash_near_dups(
+        ray.data.from_items(rows), involved_broadcast_max=1
+    ).to_pandas()
+    assert got.equals(want)
+    got_ng = dedup.ngram_near_dups(
+        ray.data.from_items(rows), involved_broadcast_max=1
+    ).to_pandas()
+    assert got_ng.equals(want_ng)
+
+
 def test_simhash_hot_prefix_star_bounds_giant_cluster(ray_session):
     """Identical sketches in a giant cluster collide in every rotation
     table; over the cap each (table, prefix) bucket verifies only the
@@ -544,6 +582,39 @@ def test_exact_quantiles_matches_numpy_rank(ray_session):
 # --- clustering / vocabulary -------------------------------------------------
 
 
+def test_exact_quantiles_high_cardinality_guard(ray_session):
+    """VERDICT r3 #4: a float column with cardinality ~ row count must
+    fail loudly before the driver gather, not OOM; bounded columns pass
+    untouched under the same explicit limit."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from webscraper_ray.functions.stats import (
+        exact_quantiles,
+        exact_quantiles_by_group,
+    )
+
+    n = 5000
+    rng = np.random.default_rng(3)
+    t = pa.table(
+        {
+            "g": pa.array((np.arange(n) % 3).astype(str)),
+            "score": pa.array(rng.uniform(0, 1, n), pa.float64()),
+            "length": pa.array((np.arange(n) % 17).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(Exception, match="distinct values"):
+        exact_quantiles(ds, "score", [0.5], max_distinct=1000)
+    with pytest.raises(Exception, match="distinct values"):
+        exact_quantiles_by_group(ds, "g", "score", [0.5], max_distinct=1000)
+    # the bounded column still works under the same limit
+    out = exact_quantiles(ray.data.from_arrow(t), "length", [0.5], max_distinct=1000)
+    assert out.num_rows == 1
+
+
 def test_round_half_away_matches_duckdb():
     import duckdb
     import numpy as np
@@ -670,6 +741,42 @@ def test_range_count_join_giant_key_single_partition(ray_session):
     # rts < 1e6 and rts >= 0: all n rows qualify for eid=1; for eid=2
     # window [1e6, 2e6): none qualify
     assert out["n"].tolist() == [n, 0]
+
+
+def test_asof_join_giant_key_single_partition(ray_session):
+    """VERDICT r3 #6 (documented hash-join caveat): one key holding every
+    right row lands in ONE merge partition — the merge must degrade
+    gracefully (one vectorized searchsorted pass, correct output), not
+    blow up. 40k right rows on a single key, many distinct timestamps."""
+    import pyarrow as pa
+
+    from webscraper_ray.functions.joins import asof_join
+
+    us = pa.timestamp("us")
+    n = 40_000
+    left = _mk_ds(
+        {"eid": [1, 2, 3], "k": [7, 7, 7], "ts": [500, 25_000, n + 10]},
+        pa.schema([("eid", pa.int64()), ("k", pa.int64()), ("ts", us)]),
+    )
+    right = _mk_ds(
+        {"k": [7] * n, "rts": list(range(n)), "val": list(range(n))},
+        pa.schema([("k", pa.int64()), ("rts", us), ("val", pa.int64())]),
+    )
+    out = (
+        asof_join(
+            left,
+            right,
+            left_key="k",
+            left_ts="ts",
+            right_key="k",
+            right_ts="rts",
+            right_payload=["val"],
+        )
+        .to_pandas()
+        .sort_values("eid")
+    )
+    # latest rts <= ts: 500 -> 500, 25_000 -> 25_000, n+10 -> n-1
+    assert out["val"].tolist() == [500, 25_000, n - 1]
 
 
 def test_asof_join_payload_collision_rejected(ray_session):

@@ -252,12 +252,20 @@ def _band_candidates(
     return pairs, a_col, b_col
 
 
-def _involved_ids_ref(pairs: "ray.data.Dataset", a_col: str, b_col: str):
-    """Broadcast ref of the distinct doc ids appearing in any candidate
-    pair — ids ONLY (8 B each, output-sized), used to filter the
-    signature/shingle recompute map-side. The pair set itself stays
-    distributed."""
-    import ray
+# Involved-id broadcast bound: above this many distinct candidate-pair doc
+# ids (~32 MB of int64) the id list stops being "output-sized" in any useful
+# sense — a high-duplication corpus drives it toward corpus-sized — and the
+# involved-doc filter switches from a ray.put broadcast to a distributed
+# hash semi-join, so nothing corpus-proportional is ever gathered driver-side.
+INVOLVED_BROADCAST_MAX = 4_000_000
+
+
+def _involved_ids_ds(
+    pairs: "ray.data.Dataset", a_col: str, b_col: str
+) -> "ray.data.Dataset":
+    """Distinct doc ids appearing in any candidate pair, as an
+    output-sized MATERIALIZED Dataset (column ``doc_id``) — the pair set
+    and the id set both stay distributed."""
 
     def both(t: pa.Table) -> pa.Table:
         merged = pa.concat_arrays(
@@ -268,15 +276,72 @@ def _involved_ids_ref(pairs: "ray.data.Dataset", a_col: str, b_col: str):
         )
         return pa.table({"doc_id": merged})
 
-    ids = (
+    return (
         pairs.map_batches(both, batch_format="pyarrow")
         .groupby("doc_id")
         .count()
         .select_columns(["doc_id"])
-        .take_all()
+        .materialize()
     )
+
+
+def _involved_ids_ref(inv_ds: "ray.data.Dataset"):
+    """Broadcast ref of the involved-id list — only called when the count
+    is under :data:`INVOLVED_BROADCAST_MAX` (see :func:`_involved_docs`)."""
+    import ray
+
+    ids = inv_ds.take_all()
     involved = np.array(sorted(r["doc_id"] for r in ids), dtype=np.int64)
     return ray.put(involved)
+
+
+def _involved_docs(
+    ds: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    a_col: str,
+    b_col: str,
+    broadcast_max: int = INVOLVED_BROADCAST_MAX,
+) -> "ray.data.Dataset":
+    """``(id_col, text_col)`` rows of the docs that appear in a candidate
+    pair — the shared input of the signature/shingle verify recompute.
+
+    Two plans, picked by the DISTINCT involved-id count:
+
+    - ``<= broadcast_max``: ray.put the id array once, map-side ``is_in``
+      filter — no shuffle of the corpus (the cheap path on ordinary
+      duplication rates).
+    - above it: a distributed hash semi-join of the corpus against the
+      id Dataset (same machinery as :func:`_join_pair_sides`). The corpus
+      text ships through ONE hash exchange — unavoidable, since on such a
+      corpus the verify must recompute signatures for ~every doc anyway —
+      and the driver never holds the id list.
+    """
+    import pyarrow.compute as pc
+
+    inv_ds = _involved_ids_ds(pairs, a_col, b_col)
+    n_inv = inv_ds.count()
+    docs = ds.select_columns([id_col, text_col])
+    if n_inv <= broadcast_max:
+        ref = _involved_ids_ref(inv_ds)
+
+        def keep(batch: pa.Table, _ref=ref, _cache={}) -> pa.Table:  # noqa: B006
+            vs = _cache.get("vs")
+            if vs is None:  # one get + Arrow conversion per worker, not per batch
+                import ray as _ray
+
+                vs = pa.array(_ray.get(_ref))
+                _cache["vs"] = vs
+            return batch.filter(pc.is_in(batch.column(id_col), value_set=vs))
+
+        return docs.map_batches(keep, batch_format="pyarrow")
+    inv_keyed = (
+        inv_ds if id_col == "doc_id" else inv_ds.rename_columns({"doc_id": id_col})
+    )
+    # same empty-partition-side guard as _join_pair_sides
+    n_parts = max(1, min(16, n_inv // 4096))
+    return docs.join(inv_keyed, "inner", num_partitions=n_parts, on=(id_col,))
 
 
 def minhash_near_dups(
@@ -285,6 +350,7 @@ def minhash_near_dups(
     text_col: str = "text",
     jaccard_threshold: float = 0.8,
     hot_band_cap: int = HOT_BAND_CAP,
+    involved_broadcast_max: int = INVOLVED_BROADCAST_MAX,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs ``(doc_a, doc_b, est_jaccard)`` with
     ``doc_a < doc_b`` and signature-agreement estimate >= threshold.
@@ -295,11 +361,13 @@ def minhash_near_dups(
     - candidates: groupby the band key with a hot-band star cap (see
       :func:`_band_candidates`) — an all-to-all of band rows only,
       bounded pair output even under giant duplicate clusters.
-    - estimate: fully distributed. The only driver artifact is the
-      involved-doc ID LIST (8 B/doc, output-sized) broadcast to filter
-      the signature recompute map-side; pairs join the signature table
-      twice (both sides output-sized) and the agreement estimate is a
-      vectorized per-batch kernel. No pair set is ever gathered.
+    - estimate: fully distributed. The signature recompute reads only the
+      involved docs via :func:`_involved_docs` (broadcast filter under
+      ``involved_broadcast_max`` distinct ids, distributed semi-join
+      above it — a 90%-duplicate corpus never gathers a corpus-sized id
+      list); pairs join the signature table twice (both sides
+      output-sized) and the agreement estimate is a vectorized per-batch
+      kernel. No pair set is ever gathered.
     """
     import ray  # noqa: F401  (ray.data used via ds)
 
@@ -316,14 +384,11 @@ def minhash_near_dups(
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ray.data.from_arrow(empty)
-    inv_ref = _involved_ids_ref(pairs, a_col, b_col)
+    involved = _involved_docs(
+        ds, pairs, id_col, text_col, a_col, b_col, involved_broadcast_max
+    )
 
-    def sig_of_involved(batch: pa.Table, ref=inv_ref) -> pa.Table:
-        import ray as _ray
-
-        inv = _ray.get(ref)
-        mask = pc.is_in(batch.column(id_col), value_set=pa.array(inv))
-        kept = batch.filter(mask)
+    def sig_kernel(kept: pa.Table) -> pa.Table:
         sigs, has_sig = minhash_signatures_batch(kept.column(text_col).to_pylist())
         keep_idx = np.flatnonzero(has_sig)
         return pa.table(
@@ -335,7 +400,7 @@ def minhash_near_dups(
             }
         )
 
-    sig_ds = ds.map_batches(sig_of_involved, batch_format="pyarrow").materialize()
+    sig_ds = involved.map_batches(sig_kernel, batch_format="pyarrow").materialize()
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -553,6 +618,7 @@ def ngram_near_dups(
     text_col: str = "text",
     jaccard_threshold: float = 0.8,
     hot_band_cap: int = HOT_BAND_CAP,
+    involved_broadcast_max: int = INVOLVED_BROADCAST_MAX,
 ) -> "ray.data.Dataset":
     """Exact-Jaccard near-dup pairs ``(doc_a, doc_b, jaccard)``.
 
@@ -561,12 +627,12 @@ def ngram_near_dups(
     computes the TRUE distinct-3-shingle Jaccard of each candidate pair
     (``np.intersect1d`` over per-doc sorted shingle-hash arrays) instead
     of the signature estimate. Verify is a distributed join of the pair
-    set against the involved docs' shingle arrays; only the involved-doc
-    ID LIST is broadcast, no pair set reaches the driver.
+    set against the involved docs' shingle arrays; the involved-doc
+    filter is :func:`_involved_docs` (broadcast under the id-count bound,
+    distributed semi-join above it) — no pair set or corpus-sized id
+    list ever reaches the driver.
     """
     import ray  # noqa: F401
-
-    import pyarrow.compute as pc
 
     pairs, a_col, b_col = _band_candidates(ds, id_col, text_col, hot_band_cap)
     empty = pa.table(
@@ -579,13 +645,11 @@ def ngram_near_dups(
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ray.data.from_arrow(empty)
-    inv_ref = _involved_ids_ref(pairs, a_col, b_col)
+    involved = _involved_docs(
+        ds, pairs, id_col, text_col, a_col, b_col, involved_broadcast_max
+    )
 
-    def shingle_arrays(batch: pa.Table, ref=inv_ref) -> pa.Table:
-        import ray as _ray
-
-        inv = _ray.get(ref)
-        kept = batch.filter(pc.is_in(batch.column(id_col), value_set=pa.array(inv)))
+    def shingle_arrays(kept: pa.Table) -> pa.Table:
         ids, arrays = [], []
         for doc, text in zip(
             kept.column(id_col).to_pylist(), kept.column(text_col).to_pylist()
@@ -604,7 +668,7 @@ def ngram_near_dups(
             }
         )
 
-    hash_ds = ds.map_batches(shingle_arrays, batch_format="pyarrow").materialize()
+    hash_ds = involved.map_batches(shingle_arrays, batch_format="pyarrow").materialize()
 
     def verify(t: pa.Table) -> pa.Table:
         # per-pair loop is fine here: the candidate set is output-sized

@@ -46,12 +46,16 @@ def _part_column(key: pa.ChunkedArray, num_partitions: int) -> pa.Array:
     if arr.dtype.kind in "iu":
         h = (arr.astype(np.uint64) * _KNUTH) >> np.uint64(17)
     else:
-        # string/other keys: the repo's md5 family, one pass per batch
+        # string/other keys: md5 over the batch's DISTINCT values only
+        # (the lang_normalize trick), then scatter via the inverse index —
+        # the Python hash loop is distinct-sized, never row-sized
         from .dedup import md5_u64
 
-        h = np.fromiter(
-            (md5_u64(str(v)) for v in arr), dtype=np.uint64, count=len(arr)
+        uniq, inv = np.unique(arr, return_inverse=True)
+        uh = np.fromiter(
+            (md5_u64(str(v)) for v in uniq), dtype=np.uint64, count=len(uniq)
         )
+        h = uh[inv]
     return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
 
 

@@ -13,6 +13,11 @@ dedup candidate sets) and quantiles read off the cumulative counts.
 
 Quantile convention: the element at 1-indexed rank ``ceil(q * n)`` —
 DuckDB's ``quantile_disc``, verified against it for several n.
+
+The bounded-cardinality contract is ENFORCED: the histogram's distinct
+count is checked (by block metadata, no extra pass) against
+``max_distinct`` before anything gathers — a high-cardinality float
+column raises instead of OOMing the driver.
 """
 
 from __future__ import annotations
@@ -26,11 +31,41 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-__all__ = ["exact_quantiles", "exact_quantiles_by_group"]
+__all__ = ["exact_quantiles", "exact_quantiles_by_group", "MAX_DISTINCT_GATHER"]
+
+# The driver gather is sized by the column's distinct-value count. The
+# algorithm's contract is integer-ish/bounded-cardinality columns; a
+# high-cardinality float column (cardinality ~ row count) would silently
+# turn the gather corpus-sized. Above this bound (~tens of MB of
+# histogram rows) the call FAILS LOUDLY instead of OOMing the driver —
+# callers with such columns should bucket/round the column first.
+MAX_DISTINCT_GATHER = 4_000_000
+
+
+def _gather_histogram(agg: "ray.data.Dataset", what: str, max_distinct: int):
+    """Materialize the value-count histogram, guard its cardinality by
+    METADATA count (no extra pass over the data), then gather."""
+    import ray as _ray
+
+    agg = agg.materialize()
+    n_distinct = agg.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"exact_quantiles: {what} has {n_distinct} distinct values "
+            f"(> {max_distinct}); the exact histogram gather would be "
+            "driver-unbounded. Round/bucket the column first or raise "
+            "max_distinct explicitly."
+        )
+    # Ray's sort emits zero-SCHEMA blocks for empty range partitions —
+    # drop them before concat
+    return [p for p in _ray.get(agg.to_arrow_refs()) if p.num_rows > 0]
 
 
 def exact_quantiles(
-    ds: "ray.data.Dataset", col: str, qs: Sequence[float]
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: Sequence[float],
+    max_distinct: int = MAX_DISTINCT_GATHER,
 ) -> pa.Table:
     """Exact discrete quantiles of ``col``; returns (q, value) rows."""
 
@@ -38,17 +73,12 @@ def exact_quantiles(
         g = t.select([col]).group_by(col).aggregate([(col, "count")])
         return g.rename_columns([col, "cnt"])
 
-    hist = (
+    agg = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(col)
         .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_arrow_refs()
     )
-    import ray as _ray
-
-    # distinct-value-sized gather; Ray's sort emits zero-SCHEMA blocks
-    # for empty range partitions — drop them before concat
-    parts = [p for p in _ray.get(hist) if p.num_rows > 0]
+    parts = _gather_histogram(agg, f"column {col!r}", max_distinct)
     if not parts:
         return pa.table(
             {"q": pa.array(list(qs), pa.float64()), col: pa.nulls(len(qs))}
@@ -70,7 +100,11 @@ def exact_quantiles(
 
 
 def exact_quantiles_by_group(
-    ds: "ray.data.Dataset", group_col: str, col: str, qs: Sequence[float]
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    qs: Sequence[float],
+    max_distinct: int = MAX_DISTINCT_GATHER,
 ) -> pa.Table:
     """Exact discrete quantiles of ``col`` per ``group_col`` value;
     returns (group, q, value) rows. Same shape as
@@ -85,15 +119,14 @@ def exact_quantiles_by_group(
         )
         return g.rename_columns([group_col, col, "cnt"])
 
-    hist = (
+    agg = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby([group_col, col])
         .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_arrow_refs()
     )
-    import ray as _ray
-
-    parts = [p for p in _ray.get(hist) if p.num_rows > 0]
+    parts = _gather_histogram(
+        agg, f"({group_col!r}, {col!r}) pairs", max_distinct
+    )
     if not parts:
         return pa.table(
             {

@@ -147,14 +147,13 @@ def search_by_urls(docs: "ray.data.Dataset", urls: Iterable[str]) -> "ray.data.D
     """searchAPI batch analog: broadcast the (small) url list and
     semi-join before the per-url argmax — docs never shuffle for urls
     outside the request set."""
-    wanted = set(urls)
+    # build the Arrow value_set ONCE in the closure, not per batch
+    wanted = pa.array(sorted(set(urls)), pa.string())
 
     def keep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return batch.filter(
-            pc.is_in(batch.column("url"), value_set=pa.array(list(wanted), pa.string()))
-        )
+        return batch.filter(pc.is_in(batch.column("url"), value_set=wanted))
 
     return latest_docs(docs.map_batches(keep, batch_format="pyarrow"))
 
