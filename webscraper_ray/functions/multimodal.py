@@ -1,10 +1,13 @@
 """Multimodal column operators — image/audio/video as opaque binary
 (task brief §multimodal).
 
-The container has no image/audio codecs, so the DECODE kernels are
+PNG images decode FOR REAL via the from-scratch baseline codec in
+:mod:`.png` (chunk parse + CRC, zlib inflate, all five scanline
+filters) — see :class:`ImageStats` and ``DecodeImage('real')``. The
+container has no JPEG/audio/video codecs, so THOSE kernels remain
 clearly-marked stubs (``decode_stub='fake'`` produces a deterministic
 fake decode; ``'raise'`` raises NotImplementedError as a real deploy
-would until a codec is wired in). Everything around the decode — the
+would until a codec is wired in). Everything around every decode — the
 Arrow schema contract, actor-pool stage shape, batch sizing for large
 binary payloads, output layout — is real and tested.
 
@@ -37,10 +40,12 @@ __all__ = [
     "MEDIA_SCHEMA",
     "DecodeImage",
     "FrameSample",
+    "ImageStats",
     "ResizeImage",
     "fake_media_table",
     "FAKE_IMG_MAGIC",
     "synth_image_payload",
+    "synth_png_payload",
     "parse_fake_image",
 ]
 
@@ -107,6 +112,70 @@ def parse_fake_image(payload: bytes) -> tuple[int, int, int]:
     return h, w, 3
 
 
+# --- REAL deterministic PNG corpus ------------------------------------------
+#
+# Unlike FIMG (a header-only fake), these are genuine PNG files: pixel
+# values are a pure function of the media id, so the whole
+# synthesize -> inflate -> unfilter -> stats pipeline is value-hash
+# gated by a SQL oracle that recomputes the stats arithmetically.
+#
+#   height   = 4 + id % 5          (4..8)
+#   width    = 4 + id % 6          (4..9)
+#   channels = 1 if id even else 3 (grey / RGB)
+#   pixel k (row-major over h*w*ch) = (id*7 + k) % 256
+#   per-row filter type = row % 5  (exercises all five PNG filters)
+
+
+def synth_png_payload(media_id: int) -> bytes:
+    """Deterministic REAL PNG bytes for ``media_id`` (formulas above)."""
+    from .png import encode_png
+
+    h = 4 + media_id % 5
+    w = 4 + media_id % 6
+    ch = 1 if media_id % 2 == 0 else 3
+    n = h * w * ch
+    px = (np.int64(media_id) * 7 + np.arange(n, dtype=np.int64)) % 256
+    img = px.astype(np.uint8).reshape((h, w) if ch == 1 else (h, w, ch))
+    return encode_png(img)
+
+
+class ImageStats:
+    """Actor-pool stage: REAL PNG payload -> dims + integer pixel stats.
+
+    The decode is the from-scratch :func:`~webscraper_ray.functions.png.
+    decode_png` (zlib inflate + per-scanline unfilter); stats are exact
+    integers so the SQL oracle hashes equal. Non-PNG payloads raise —
+    route media by ``kind`` upstream.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .png import decode_png
+
+        hs, ws, chs, sums, mins, maxs = [], [], [], [], [], []
+        for payload in batch.column("payload").to_pylist():
+            img = decode_png(payload)
+            h, w = img.shape[0], img.shape[1]
+            ch = 1 if img.ndim == 2 else img.shape[2]
+            flat = img.reshape(-1).astype(np.int64)
+            hs.append(h)
+            ws.append(w)
+            chs.append(ch)
+            sums.append(int(flat.sum()))
+            mins.append(int(flat.min()))
+            maxs.append(int(flat.max()))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "height": pa.array(hs, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "channels": pa.array(chs, pa.int64()),
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "pixel_min": pa.array(mins, pa.int64()),
+                "pixel_max": pa.array(maxs, pa.int64()),
+            }
+        )
+
+
 class DecodeImage:
     """Actor-pool stage: image payload -> dims + a 16-d feature vector.
 
@@ -117,8 +186,11 @@ class DecodeImage:
     def __init__(self, decode_stub: str = "fake"):
         # 'fake'  : dims derived from a payload hash (pure stub)
         # 'header': REAL byte parse of the documented FIMG fake format
+        # 'real'  : REAL decode — PNG via the from-scratch codec, FIMG
+        #           via the header parse; anything else (JPEG/video)
+        #           raises until a codec library is wired in
         # 'raise' : what a production build does until a codec is wired
-        if decode_stub not in ("fake", "header", "raise"):
+        if decode_stub not in ("fake", "header", "real", "raise"):
             raise ValueError(decode_stub)
         self.decode_stub = decode_stub
         # real build: self.codec = PIL/cv2; self.model = load_model(...)
@@ -128,6 +200,19 @@ class DecodeImage:
             raise NotImplementedError(
                 "image decode needs an imaging library absent from this "
                 "container; wire PIL/cv2 here"
+            )
+        if self.decode_stub == "real":
+            from .png import PNG_SIGNATURE, decode_png
+
+            if payload[:8] == PNG_SIGNATURE:
+                img = decode_png(payload)
+                ch = 1 if img.ndim == 2 else img.shape[2]
+                return img.shape[0], img.shape[1], ch
+            if payload[:4] == FAKE_IMG_MAGIC:
+                return parse_fake_image(payload)
+            raise NotImplementedError(
+                "only PNG decodes natively; JPEG/video need a codec "
+                "library absent from this container"
             )
         if self.decode_stub == "header":
             return parse_fake_image(payload)
