@@ -509,3 +509,94 @@ def test_decodeparms_array_shorter_than_filters():
     items = extract_pdf_items(buf)
     texts = [i["str"] for i in items[0]]
     assert "Title Line" in texts and "Second body line." in texts
+
+
+def test_dct_image_xobject_passthrough():
+    """VERDICT r3 #7: a DCT-filtered (JPEG) image XObject must not break
+    text extraction — text ops never need the image bytes. The fake JPEG
+    body deliberately contains PDF-looking byte traps ('7 0 obj',
+    'endstream', unbalanced parens)."""
+    # realistic-ish JPEG: SOI/APP0 header + binary junk incl. trap bytes
+    jpeg = (
+        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + b"\x00( 7 0 obj endstream \xff\xfe" + bytes(range(256)) + b"\xff\xd9"
+    )
+    content = (
+        b"BT /F1 24 Tf 72 720 Td (Title Line) Tj ET\n"
+        b"q 100 0 0 100 72 500 cm /Im0 Do Q\n"
+        b"BT /F1 10 Tf 72 400 Td (Body after image.) Tj ET\n"
+    )
+    pdf = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> /XObject << /Im0 6 0 R >> >> >>",
+            4: b"<< /Length %d >>\nstream\n" % len(content)
+            + content
+            + b"\nendstream",
+            5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            6: b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode "
+            b"/Length %d >>\nstream\n" % len(jpeg)
+            + jpeg
+            + b"\nendstream",
+        },
+        root=1,
+    )
+    pages = extract_pdf_items(pdf)
+    assert [i["str"] for i in pages[0]] == ["Title Line", "Body after image."]
+    # the converter path (paragraph_counts-style gating) works too
+    doc = convert_pdf(pdf, seed="t")
+    texts = [n["content"][0]["text"] for n in doc["content"]]
+    assert texts == ["Title Line", "Body after image."]
+
+
+def test_inline_image_binary_skipped():
+    """BI/ID/EI inline image: raw binary (with '(' and 'Tj' traps) must
+    be skipped to EI, leaving surrounding text intact."""
+    binary = b"\xff\xd8( Tj ET BT \x00\x01EIX" + bytes(range(64)) + b"\xff"
+    content = (
+        b"BT /F1 12 Tf (Before) Tj ET\n"
+        b"BI /W 4 /H 4 /BPC 8 /CS /RGB /F /DCT ID " + binary + b" EI\n"
+        b"BT /F1 12 Tf (After) Tj ET\n"
+    )
+    pdf = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> >>",
+            4: b"<< /Length %d >>\nstream\n" % len(content)
+            + content
+            + b"\nendstream",
+            5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        },
+        root=1,
+    )
+    pages = extract_pdf_items(pdf)
+    assert [i["str"] for i in pages[0]] == ["Before", "After"]
+
+
+def test_explicit_dct_stream_decode_still_raises():
+    """Decoding a DCT stream on purpose (not via text extraction) keeps
+    the honest unsupported-filter error."""
+    from webscraper_ray.oracle.pdf import _Pdf
+
+    jpeg = b"\xff\xd8\xff\xd9"
+    pdf_bytes = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: b"<< /Length 5 >>\nstream\nBT ET\nendstream",
+            5: b"<< /Subtype /Image /Filter /DCTDecode /Length %d >>\nstream\n"
+            % len(jpeg)
+            + jpeg
+            + b"\nendstream",
+        },
+        root=1,
+    )
+    p = _Pdf(pdf_bytes)
+    with pytest.raises(PdfError, match="unsupported stream filter"):
+        p.stream_data(p.objects[5])

@@ -26,9 +26,13 @@ spaces), ``-``/``*`` bullet lists, ``1.`` ordered lists, GFM task lists
 (``- [ ]`` / ``- [x]``), GFM pipe tables, fenced code blocks with a
 language info string, ``>`` blockquotes, ``---`` rules, inline
 ``**bold**``/``__bold__``, ``*italic*``/``_italic_``, ``~~strike~~``,
-`` `code` ``, ``[text](url)`` links, ``![alt](src)`` images. Not
-covered (documented out of subset): nested lists, reference-style
-links, HTML passthrough, footnotes.
+`` `code` ``, ``[text](url)`` links, ``![alt](src)`` images,
+reference-style links (``[label]: url`` definitions; full/collapsed/
+shortcut forms), recursive blockquote content (lists/headings/quotes
+inside quotes), raw HTML block passthrough. Not covered (documented
+out of subset, pinned in ``tests/test_md_conformance.py``):
+indent-nested sublists (flatten), blockquote lazy continuation,
+footnotes.
 """
 
 from __future__ import annotations
@@ -114,7 +118,26 @@ def _md_em(text: str) -> str:
     return text
 
 
-def _md_inline(text: str) -> str:
+def _esc_url(url: str) -> str:
+    return (
+        url.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def _norm_label(label: str) -> str:
+    return " ".join(label.lower().split())
+
+
+# reference-style links (CommonMark §link reference definitions):
+# full [text][label], collapsed [label][], shortcut [label]
+_REF_FULL = re.compile(r"\[([^\]]+)\]\[([^\]]*)\]")
+_REF_SHORTCUT = re.compile(r"\[([^\]]+)\]")
+
+
+def _md_inline(text: str, refs: "dict[str, str] | None" = None) -> str:
     text = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     stash: list[str] = []
 
@@ -124,6 +147,22 @@ def _md_inline(text: str) -> str:
 
     for pattern, repl in _MD_STASH_PATTERNS:
         text = pattern.sub(lambda m, r=repl: keep(r(m)), text)
+    if refs:
+        def full(m: "re.Match[str]") -> str:
+            label = _norm_label(m.group(2)) or _norm_label(m.group(1))
+            url = refs.get(label)
+            if url is None:
+                return m.group(0)  # undefined label: literal text (marked)
+            return keep(f'<a href="{_esc_url(url)}">{_md_em(m.group(1))}</a>')
+
+        def shortcut(m: "re.Match[str]") -> str:
+            url = refs.get(_norm_label(m.group(1)))
+            if url is None:
+                return m.group(0)
+            return keep(f'<a href="{_esc_url(url)}">{_md_em(m.group(1))}</a>')
+
+        text = _REF_FULL.sub(full, text)
+        text = _REF_SHORTCUT.sub(shortcut, text)
     text = _md_em(text)
     text = re.sub(r"\x01(\d+)\x01", lambda m: stash[int(m.group(1))], text)
     return text.replace(_BR_SENTINEL, "<br>")
@@ -133,16 +172,56 @@ def _md_cells(line: str) -> list[str]:
     return [c.strip() for c in line.strip().strip("|").split("|")]
 
 
-def markdown_to_html(md: str) -> str:
-    """Deterministic markdown -> HTML for the documented subset."""
+_REF_DEF = re.compile(
+    r"^ {0,3}\[([^\]]+)\]:\s*<?([^\s>]+)>?"
+    r"(?:\s+(?:\"[^\"]*\"|'[^']*'|\([^)]*\)))?\s*$"
+)
+_QUOTE_STRIP = re.compile(r"^ {0,3}> ?")
+_HTML_BLOCK_START = re.compile(r"^<[A-Za-z/!]")
+
+
+def markdown_to_html(
+    md: str, _depth: int = 0, _refs: "dict[str, str] | None" = None
+) -> str:
+    """Deterministic markdown -> HTML for the documented subset.
+
+    Documented divergences from marked's full CommonMark (pinned by
+    ``tests/test_md_conformance.py``): indent-nested sublists flatten
+    into their parent list; blockquote "lazy continuation" lines (quoted
+    paragraph continuing on an un-prefixed line) end the quote; setext
+    underlines require the paragraph line directly above. Blockquote
+    CONTENT recurses through the full converter (nested lists, headings
+    and quotes inside a quote all work), reference-style links resolve
+    (full/collapsed/shortcut), and raw HTML blocks pass through to the
+    tree parser like marked passes them to the sanitizer.
+    """
     lines = md.split("\n")
+    # link reference definitions: collect + remove first (CommonMark:
+    # first definition of a label wins; labels case/space-normalized;
+    # definitions are document-global, so outer ones flow into recursed
+    # blockquote content via _refs)
+    refs: dict[str, str] = dict(_refs) if _refs else {}
+    kept: list[str] = []
+    in_fence = False
+    for line in lines:
+        if line.strip().startswith("```"):
+            in_fence = not in_fence
+        m = None if in_fence else _REF_DEF.match(line)
+        if m:
+            refs.setdefault(_norm_label(m.group(1)), m.group(2))
+        else:
+            kept.append(line)
+    lines = kept
     html: list[str] = []
     paragraph: list[str] = []
     i = 0
 
+    def _inline(text: str) -> str:
+        return _md_inline(text, refs)
+
     def flush_paragraph() -> None:
         if paragraph:
-            html.append(f"<p>{_md_inline(' '.join(paragraph))}</p>")
+            html.append(f"<p>{_inline(' '.join(paragraph))}</p>")
             paragraph.clear()
 
     while i < len(lines):
@@ -154,7 +233,7 @@ def markdown_to_html(md: str) -> str:
         elif paragraph and re.match(r"^(=+|-{2,})$", stripped):
             # setext heading: '===' under a paragraph line -> h1, '---' -> h2
             level = 1 if stripped.startswith("=") else 2
-            text = _md_inline(" ".join(paragraph))
+            text = _inline(" ".join(paragraph))
             paragraph.clear()
             html.append(f"<h{level}>{text}</h{level}>")
             i += 1
@@ -173,7 +252,7 @@ def markdown_to_html(md: str) -> str:
         elif re.match(r"^#{1,6}\s", stripped):
             flush_paragraph()
             hashes, _, rest = stripped.partition(" ")
-            html.append(f"<h{len(hashes)}>{_md_inline(rest.strip())}</h{len(hashes)}>")
+            html.append(f"<h{len(hashes)}>{_inline(rest.strip())}</h{len(hashes)}>")
             i += 1
         elif re.match(r"^(-{3,}|\*{3,})$", stripped):
             flush_paragraph()
@@ -193,9 +272,9 @@ def markdown_to_html(md: str) -> str:
             while i < len(lines) and "|" in lines[i] and lines[i].strip():
                 rows.append(_md_cells(lines[i]))
                 i += 1
-            head = "".join(f"<th>{_md_inline(c)}</th>" for c in header)
+            head = "".join(f"<th>{_inline(c)}</th>" for c in header)
             body = "".join(
-                "<tr>" + "".join(f"<td>{_md_inline(c)}</td>" for c in row) + "</tr>"
+                "<tr>" + "".join(f"<td>{_inline(c)}</td>" for c in row) + "</tr>"
                 for row in rows
             )
             html.append(f"<table><tr>{head}</tr>{body}</table>")
@@ -218,22 +297,36 @@ def markdown_to_html(md: str) -> str:
                 body = "".join(
                     '<li data-type="taskItem" data-checked="{}">{}</li>'.format(
                         "true" if m.group(1).lower() == "x" else "false",
-                        _md_inline(m.group(2)),
+                        _inline(m.group(2)),
                     )
                     for m in tasks
                 )
                 html.append(f'<ul data-type="taskList">{body}</ul>')
             else:
                 tag = "ol" if ordered else "ul"
-                body = "".join(f"<li>{_md_inline(item)}</li>" for item in items)
+                body = "".join(f"<li>{_inline(item)}</li>" for item in items)
                 html.append(f"<{tag}>{body}</{tag}>")
         elif stripped.startswith(">"):
             flush_paragraph()
             quoted: list[str] = []
             while i < len(lines) and lines[i].strip().startswith(">"):
-                quoted.append(lines[i].strip().lstrip(">").strip())
+                # strip exactly ONE quote level; inner '>' nests on recurse
+                quoted.append(_QUOTE_STRIP.sub("", lines[i], count=1))
                 i += 1
-            html.append(f"<blockquote><p>{_md_inline(' '.join(quoted))}</p></blockquote>")
+            if _depth < 16:
+                inner = markdown_to_html("\n".join(quoted), _depth + 1, refs)
+            else:  # depth bomb: flatten instead of recursing further
+                inner = f"<p>{_inline(' '.join(q.strip() for q in quoted))}</p>"
+            html.append(f"<blockquote>{inner}</blockquote>")
+        elif _HTML_BLOCK_START.match(stripped):
+            # raw HTML block (CommonMark §4.6 simplified): pass through to
+            # the tree parser until a blank line, like marked does
+            flush_paragraph()
+            raw: list[str] = []
+            while i < len(lines) and lines[i].strip():
+                raw.append(lines[i])
+                i += 1
+            html.append("\n".join(raw))
         else:
             # trailing two spaces = GFM hard break
             if line.rstrip("\r").endswith("  "):

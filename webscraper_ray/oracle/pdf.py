@@ -14,7 +14,11 @@ Supported:
   stream, a reference, or an array of references
 - stream filters: none, /FlateDecode (zlib), /LZWDecode (9→12-bit codes
   + EarlyChange), /ASCIIHexDecode, /RunLengthDecode — image codecs
-  (DCT/JPX/CCITT) and crypt filters excluded; /Length direct or ref
+  (DCT/JPX/CCITT) and crypt filters excluded; /Length direct or ref.
+  DCT/JPX/CCITT image XOBJECTS pass through un-decoded (text extraction
+  never touches their bytes; only an explicit decode of such a stream
+  raises), and inline images (BI/ID/EI) are skipped in the content
+  tokenizer so raw JPEG bytes never reach the text path
 - content text operators: BT/ET, Tf, Tm, Td, TD, T*, TL, Tj, ', ", TJ
 - literal ``( )`` strings with escapes + octal, hex ``< >`` strings
 - per-font text decode via /ToUnicode CMaps (bfchar + bfrange, scalar
@@ -674,7 +678,29 @@ def _tokenize_content(data: bytes):
             lex.pos += 1  # skip unknown byte
             continue
         lex.pos = m.end()
-        yield ("op", m.group().decode("latin-1"))
+        op = m.group().decode("latin-1")
+        if op == "ID":
+            # inline image (§8.9.7: BI <dict> ID <binary> EI): the binary
+            # body (often DCT/JPEG bytes) must NOT reach the tokenizer —
+            # skip to the EI delimiter. Text extraction never needs the
+            # pixels, so the image passes through un-decoded.
+            pos = lex.pos + 1 if lex.pos < n else lex.pos  # 1 ws byte after ID
+            while True:
+                e = data.find(b"EI", pos)
+                if e < 0:
+                    lex.pos = n
+                    break
+                before_ws = e > 0 and data[e - 1] in b"\x00\t\n\f\r "
+                after = data[e + 2 : e + 3]
+                after_ok = after == b"" or after in (
+                    b"\x00", b"\t", b"\n", b"\f", b"\r", b" ", b"/", b"[", b"<", b"("
+                )
+                if before_ws and after_ok:
+                    lex.pos = e + 2
+                    break
+                pos = e + 2
+            continue
+        yield ("op", op)
 
 
 def _page_fonts(pdf: "_Pdf", page: dict) -> dict:
