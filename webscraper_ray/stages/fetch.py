@@ -514,16 +514,27 @@ class HttpFetchWorker:
     """
 
     def __init__(self, max_threads: int = 16, timeout_s: float = 10.0,
-                 user_agent: str = "webscraper-ray/2.0"):
+                 user_agent: str = "webscraper-ray/2.0",
+                 url_rewrite: "list[tuple[str, str]] | None" = None):
         from concurrent.futures import ThreadPoolExecutor
 
         self.pool = ThreadPoolExecutor(max_workers=max_threads)
         self.timeout_s = timeout_s
         self.user_agent = user_agent
+        # mirror/proxy seam: (prefix, replacement) rules applied to the
+        # REQUEST target only — the frontier's canonical URL is what the
+        # output table (and thus the whole pipeline) keeps seeing. Lets a
+        # crawl fetch through a mirror, a cache, or a loopback test
+        # server without perturbing canon/politeness/seen state.
+        self.url_rewrite = list(url_rewrite or [])
 
     def _get(self, url: str) -> str | None:
         import urllib.request
 
+        for prefix, repl in self.url_rewrite:
+            if url.startswith(prefix):
+                url = repl + url[len(prefix):]
+                break
         try:
             req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
@@ -582,9 +593,14 @@ class HttpFetcher:
     static_store = False
 
     def __init__(self, pool_size: int = 8, max_threads: int = 16,
-                 timeout_s: float = 10.0):
+                 timeout_s: float = 10.0,
+                 url_rewrite: "list[tuple[str, str]] | None" = None):
         self.pool = [
-            HttpFetchWorker.remote(max_threads=max_threads, timeout_s=timeout_s)
+            HttpFetchWorker.remote(
+                max_threads=max_threads,
+                timeout_s=timeout_s,
+                url_rewrite=url_rewrite,
+            )
             for _ in range(pool_size)
         ]
 
