@@ -178,8 +178,65 @@ def _band_hashes(sig_row: np.ndarray) -> list[str]:
     return out
 
 
+def _band_hashes_u64(sig_row: np.ndarray) -> list[int]:
+    """Same band keys as :func:`_band_hashes`, as uint64 (the first 8 md5
+    bytes big-endian == int(hex16, 16)) — the SHUFFLE representation; the
+    final pair output, and therefore the SQL oracle, is unchanged."""
+    out = []
+    for b in range(N_BANDS):
+        chunk = sig_row[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
+        s = "".join(f"{int(v):016x}" for v in chunk)
+        out.append(int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big"))
+    return out
+
+
 
 HOT_BAND_CAP = 256
+
+
+_BAND_PARTS = 64
+
+_KN1 = np.uint64(0x9E3779B97F4A7C15)
+_KN2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _hash_distinct(
+    ds: "ray.data.Dataset", cols: list[str], num_parts: int = _BAND_PARTS
+) -> "ray.data.Dataset":
+    """DISTINCT over int64 ``cols``: one hash-partition shuffle + a
+    vectorized per-partition ``np.unique``.
+
+    Replaces ``groupby(cols).count()`` where only the distinct rows are
+    wanted — Ray's sort-based Aggregate paid 33.7 s for the sf1 pair
+    dedupe that this shape does in under a second (measured, BASELINE
+    §c sf1); the output row set is identical.
+    """
+
+    def add_p(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for j, c in enumerate(cols):
+            v = t.column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
+            h ^= (v + np.uint64(j + 1)) * (_KN1 if j % 2 == 0 else _KN2)
+        return t.append_column(
+            "_dp", pa.array((h % np.uint64(num_parts)).astype(np.int32))
+        )
+
+    def uniq(t: pa.Table) -> pa.Table:
+        mat = np.stack(
+            [
+                t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+                for c in cols
+            ],
+            axis=1,
+        )
+        u = np.unique(mat, axis=0)
+        return pa.table({c: pa.array(u[:, j], pa.int64()) for j, c in enumerate(cols)})
+
+    return (
+        ds.map_batches(add_p, batch_format="pyarrow")
+        .groupby("_dp")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
 
 
 def _band_candidates(
@@ -187,20 +244,30 @@ def _band_candidates(
     id_col: str,
     text_col: str,
     hot_band_cap: int = HOT_BAND_CAP,
+    num_parts: int = _BAND_PARTS,
 ) -> "tuple":
-    """Shared LSH candidate stage: band rows -> groupby the band key ->
-    per-bucket pair emission -> distinct (doc_a < doc_b) pairs as a
-    MATERIALIZED output-sized Dataset (the pair set never reaches the
-    driver). Band rows (~24 B) are the sole corpus-proportional shuffle
-    payload.
+    """Shared LSH candidate stage: band rows -> ONE hash-partition
+    shuffle on the band key -> vectorized multi-bucket pair emission per
+    partition -> distinct (doc_a < doc_b) pairs as a MATERIALIZED
+    output-sized Dataset (the pair set never reaches the driver). Band
+    rows (~20 B: int32 band + uint64 key + id) are the sole
+    corpus-proportional shuffle payload.
+
+    Partition-wise emission (not per-bucket ``map_groups``): grouping by
+    the raw band key dispatches one Python call per bucket — at 10x bench
+    scale that was 800k dispatches and 65 of 90 s (measured, BASELINE §c
+    sf1). Instead band rows hash-partition into ``num_parts`` groups and
+    each partition lexsorts once; the only per-bucket Python loop runs
+    over buckets with >= 2 members, which is duplicate-proportional.
+    Bucket identity is the exact (band_id, band key) pair, so the pair
+    set — and the SQL oracle — is unchanged.
 
     Hot-band guard: a giant duplicate cluster puts m docs under ONE band
-    key; all-pairs there is O(m^2) rows out of a single partition. Buckets
-    over ``hot_band_cap`` emit a STAR to the bucket's min doc id (m-1
-    pairs) instead — connectivity-preserving for duplicate clustering
-    (every member still pairs with the cluster representative), bounded
-    output. Buckets at or under the cap are exhaustive, so corpora without
-    giant clusters (the oracle gate's corpora) are byte-identical to the
+    key; all-pairs there is O(m^2) rows. Buckets over ``hot_band_cap``
+    emit a STAR to the bucket's min doc id (m-1 pairs) instead —
+    connectivity-preserving for duplicate clustering, bounded output.
+    Buckets at or under the cap are exhaustive, so corpora without giant
+    clusters (the oracle gate's corpora) are byte-identical to the
     all-pairs contract.
     """
 
@@ -212,43 +279,72 @@ def _band_candidates(
         for i, (doc, ok) in enumerate(zip(ids, has_sig)):
             if not ok:
                 continue
-            for b, bh in enumerate(_band_hashes(sigs[i])):
+            for b, bh in enumerate(_band_hashes_u64(sigs[i])):
                 out_band.append(b)
                 out_hash.append(bh)
                 out_id.append(doc)
+        bu = np.array(out_hash, dtype=np.uint64)
         return pa.table(
             {
+                "_part": pa.array((bu % num_parts).astype(np.int32)),
                 "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.string()),
+                "band_u64": pa.array(bu),
                 id_col: pa.array(out_id),
             }
         )
 
     a_col, b_col = f"{id_col}_a", f"{id_col}_b"
+    empty = pa.table(
+        {a_col: pa.array([], pa.int64()), b_col: pa.array([], pa.int64())}
+    )
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(np.asarray(group.column(id_col).to_pylist(), dtype=np.int64))
-        m = len(ids)
-        if m < 2:
-            a = b = np.array([], dtype=np.int64)
-        elif m <= hot_band_cap:
-            ii, jj = np.triu_indices(m, k=1)
-            a, b = ids[ii], ids[jj]
-        else:  # hot band: star to the min id, m-1 pairs instead of m^2/2
-            a, b = np.full(m - 1, ids[0]), ids[1:]
+    def emit_pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return empty
+        bid = part.column("band_id").to_numpy(zero_copy_only=False)
+        bu = part.column("band_u64").to_numpy(zero_copy_only=False)
+        ids = np.asarray(
+            part.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        order = np.lexsort((ids, bu, bid))
+        bid, bu, ids = bid[order], bu[order], ids[order]
+        change = np.flatnonzero((bid[1:] != bid[:-1]) | (bu[1:] != bu[:-1])) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(ids)]])
+        multi = ends - starts >= 2
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts[multi], ends[multi]):
+            g = ids[s:e]
+            m = int(e - s)
+            if m <= hot_band_cap:
+                ii, jj = np.triu_indices(m, k=1)
+                out_a.append(g[ii])
+                out_b.append(g[jj])
+            else:  # hot band: star to the min id, m-1 pairs vs m^2/2
+                out_a.append(np.full(m - 1, g[0]))
+                out_b.append(g[1:])
+        if not out_a:
+            return empty
+        # partition-local distinct shrinks the final dedupe shuffle (a
+        # duplicate cluster collides in all 16 bands -> 16x repeat here)
+        pairs_arr = np.unique(
+            np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1),
+            axis=0,
+        )
         return pa.table(
-            {a_col: pa.array(a, pa.int64()), b_col: pa.array(b, pa.int64())}
+            {
+                a_col: pa.array(pairs_arr[:, 0], pa.int64()),
+                b_col: pa.array(pairs_arr[:, 1], pa.int64()),
+            }
         )
 
     bands = ds.map_batches(band_rows, batch_format="pyarrow")
-    pairs = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby([a_col, b_col])
-        .count()
-        .select_columns([a_col, b_col])
-        .materialize()  # output-sized; reused by the verify joins
-    )
+    pairs = _hash_distinct(
+        bands.groupby("_part").map_groups(emit_pairs, batch_format="pyarrow"),
+        [a_col, b_col],
+        num_parts,
+    ).materialize()  # output-sized; reused by the verify joins
     return pairs, a_col, b_col
 
 
@@ -276,13 +372,9 @@ def _involved_ids_ds(
         )
         return pa.table({"doc_id": merged})
 
-    return (
-        pairs.map_batches(both, batch_format="pyarrow")
-        .groupby("doc_id")
-        .count()
-        .select_columns(["doc_id"])
-        .materialize()
-    )
+    return _hash_distinct(
+        pairs.map_batches(both, batch_format="pyarrow"), ["doc_id"]
+    ).materialize()
 
 
 def _involved_ids_ref(inv_ds: "ray.data.Dataset"):
