@@ -1,15 +1,17 @@
 """Stream-shaped operators over the ``events`` log (ray_guide §streaming).
 
-Ray Data has no event-time windows; the batch equivalents treat events as
-an ordered, user-partitioned log: ``groupby(user_id).map_groups`` sorts
-each group by ts and applies the windowing in pandas. The ordering
-assumption (per-key ts order inside the group) is established by the
-sort inside the group fn, never globally.
+Ray Data has no event-time windows; the batch equivalents treat events
+as an ordered, user-partitioned log. Tumbling/hopping counts pre-combine
+per batch before a tiny groupby; sessionize hash-partitions by user and
+processes every user of a partition in ONE vectorized numpy pass
+(lexsort + reduceat) — never one Python dispatch per user. The ordering
+assumption (per-key ts order) is established inside the kernel, never
+globally.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -148,24 +150,62 @@ def hopping_counts(
     )
 
 
-def sessionize(ds: "ray.data.Dataset", gap_minutes: int = 30) -> "ray.data.Dataset":
+_SESSION_PARTS = 32
+_KNUTH = np.uint64(0x9E3779B97F4A7C15)
+
+
+def sessionize(
+    ds: "ray.data.Dataset",
+    gap_minutes: int = 30,
+    num_parts: int = _SESSION_PARTS,
+) -> "ray.data.Dataset":
     """(user_id, n_sessions, n_events): sessions split on > gap idle time.
 
-    groupby(user_id) shuffles once on the natural partition key; each
-    group is sorted by ts locally. Matches the SQL lag()/sum() session
-    construction in the oracle.
+    ONE hash-partition shuffle on user_id (sessions need every event of a
+    user together — gaps span batches, so no per-batch partial exists);
+    each partition handles ALL its users in one vectorized pass (lexsort
+    + reduceat over user boundaries), never one Python call per user
+    (per-user map_groups measured 10 s for 1.5k users at the sf1 bench
+    point). Matches the SQL lag()/sum() session construction exactly.
     """
-    gap = pd.Timedelta(minutes=gap_minutes)
+    gap = np.timedelta64(gap_minutes * 60_000_000, "us")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        return pd.DataFrame(
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_p", pa.array(((u * _KNUTH) % np.uint64(num_parts)).astype(np.int32))
+        )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        diffs = np.concatenate([[np.timedelta64(0, "us")], ts[1:] - ts[:-1]])
+        new_session = new_user | (diffs > gap)
+        starts = np.flatnonzero(new_user)
+        ends = np.concatenate([starts[1:], [len(u)]])
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(new_session.sum())],
-                "n_events": [len(g)],
+                "user_id": pa.array(u[starts]),
+                "n_sessions": pa.array(
+                    np.add.reduceat(new_session.astype(np.int64), starts), pa.int64()
+                ),
+                "n_events": pa.array((ends - starts).astype(np.int64), pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(per_part, batch_format="pyarrow")
+    )

@@ -120,19 +120,45 @@ def q_latest_event_per_user(sf_dir: str):
 
     The reference sorts candidate rows by time-prefixed id desc and takes
     the first with a title; here: latest event per user (ties: max
-    event_id, mirroring max-id-wins). groupby(user_id) is the one shuffle;
-    group fn is a vectorized idxmax.
-    """
-    import pandas as pd
+    event_id, mirroring max-id-wins).
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).tail(1)
-        return g[["user_id", "ts", "event_type", "value"]]
+    Scale shape: per-batch partial lexmax (one surviving row per user per
+    batch — vectorized boundary take, no per-user Python) -> ONE
+    hash-partition shuffle of the user-count-sized partials -> the same
+    vectorized kernel per partition. Replaces per-user map_groups, which
+    paid one pandas dispatch per user (measured 8 s at the sf1 bench
+    point for 1.5k users).
+    """
+
+    def _lexmax_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u_s = u[order]
+        last = np.flatnonzero(np.concatenate([u_s[1:] != u_s[:-1], [True]]))
+        return t.take(pa.array(order[last]))
+
+    n_parts = 16
+
+    def partial(t: pa.Table) -> pa.Table:
+        kept = _lexmax_rows(t)
+        u = kept.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((u * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)).astype(
+            np.int32
+        )
+        return kept.append_column("_p", pa.array(part))
+
+    def final(t: pa.Table) -> pa.Table:
+        return _lexmax_rows(t).select(["user_id", "ts", "event_type", "value"])
 
     return (
         _read_sized(sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"])
-        .groupby("user_id")
-        .map_groups(latest, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 
