@@ -125,10 +125,10 @@ def test_png_synth_and_image_stats_match_formula():
         assert row["pixel_max"] == int(want.max())
 
 
-def test_decode_image_real_mode_png_and_fimg():
-    """DecodeImage('real'): PNG decodes natively, FIMG parses, anything
-    else (JPEG) still raises — the honest stub now covers only formats
-    with no in-container codec."""
+def test_decode_image_real_mode_png_jpeg_and_fimg():
+    """DecodeImage('real'): PNG and JPEG decode natively, FIMG parses,
+    anything else (video/unknown) still raises — the honest stub now
+    covers only formats with no in-container codec."""
     import pytest
 
     import pyarrow as pa
@@ -137,16 +137,19 @@ def test_decode_image_real_mode_png_and_fimg():
         DecodeImage,
         MEDIA_SCHEMA,
         synth_image_payload,
+        synth_jpeg_payload,
         synth_png_payload,
     )
 
     dec = DecodeImage(decode_stub="real")
     png_h, png_w, png_c = dec._decode(synth_png_payload(5))
     assert (png_h, png_w, png_c) == (4 + 5 % 5, 4 + 5 % 6, 3)
+    jpg_h, jpg_w, jpg_c = dec._decode(synth_jpeg_payload(5))
+    assert (jpg_h, jpg_w, jpg_c) == (8 * (1 + 5 % 3), 8 * (1 + 5 % 4), 1)
     fimg_h, fimg_w, fimg_c = dec._decode(synth_image_payload(5))
     assert (fimg_w, fimg_h, fimg_c) == (16 + 5 * 37 % 1024, 16 + 5 * 91 % 768, 3)
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        dec._decode(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+    with pytest.raises(NotImplementedError, match="codec"):
+        dec._decode(b"\x00\x00\x00\x18ftypmp42 fake video bytes")
     # batch path end-to-end
     rows = [
         {"media_id": 1, "kind": "image/png", "payload": synth_png_payload(1), "meta": []},
@@ -155,3 +158,156 @@ def test_decode_image_real_mode_png_and_fimg():
     out = dec(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
     assert out.column("height").to_pylist() == [4 + 1 % 5, 4 + 2 % 5]
     assert out.column("channels").to_pylist() == [3, 1]
+
+
+# --- WAV / RIFF ---------------------------------------------------------------
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from webscraper_ray.functions.audio import decode_wav, encode_wav
+
+    mono = ((np.arange(37, dtype=np.int64) * 991) % 60001 - 30000).astype(np.int16)
+    samples, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and np.array_equal(samples, mono)
+
+    stereo = np.stack([mono, mono[::-1]], axis=1)
+    samples, rate = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and samples.shape == (37, 2)
+    assert np.array_equal(samples, stereo)
+
+
+def test_wav_skips_unknown_chunks_and_rejects_nonpcm():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from webscraper_ray.functions.audio import decode_wav, encode_wav
+
+    data = bytearray(encode_wav(np.arange(5, dtype=np.int16), 8000))
+    # splice an unknown odd-length chunk right after 'WAVE' (word-aligned)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    data[12:12] = extra
+    data[4:8] = struct.pack("<I", struct.unpack("<I", bytes(data[4:8]))[0] + len(extra))
+    samples, rate = decode_wav(bytes(data))
+    assert rate == 8000 and len(samples) == 5
+
+    bad = bytearray(encode_wav(np.arange(5, dtype=np.int16), 8000))
+    i = bad.find(b"fmt ")
+    bad[i + 8] = 3  # wFormatTag = IEEE float
+    with _pytest.raises(NotImplementedError, match="only PCM"):
+        decode_wav(bytes(bad))
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not a wav at all")
+
+
+def test_audio_stats_matches_formula():
+    import numpy as np
+    import pyarrow as _pa
+
+    from webscraper_ray.functions.multimodal import AudioStats, synth_wav_payload
+
+    ids = [0, 1, 4, 9, 123]
+    t = _pa.table(
+        {
+            "media_id": _pa.array(ids, _pa.int64()),
+            "payload": _pa.array(
+                [synth_wav_payload(i) for i in ids], _pa.large_binary()
+            ),
+        }
+    )
+    out = AudioStats()(t)
+    for row, mid in zip(out.to_pylist(), ids):
+        n = 16 + mid % 49
+        k = np.arange(n, dtype=np.int64)
+        s = (mid * 31 + k * 97) % 4001 - 2000
+        assert row == {
+            "media_id": mid,
+            "n_samples": n,
+            "sample_rate": 8000 + (mid % 5) * 2000,
+            "channels": 1,
+            "sample_sum": int(s.sum()),
+            "sample_min": int(s.min()),
+            "sample_max": int(s.max()),
+        }
+
+
+# --- FVID video container -----------------------------------------------------
+
+
+def test_fvid_roundtrip_and_errors():
+    import pytest as _pytest
+
+    from webscraper_ray.functions.multimodal import encode_fvid, parse_fvid
+
+    frames = [b"frame-one", b"", b"xx" * 100]
+    assert parse_fvid(encode_fvid(frames)) == frames
+    with _pytest.raises(ValueError, match="FVID"):
+        parse_fvid(b"nope")
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_fvid(encode_fvid(frames)[:-5])
+
+
+def test_frame_sample_real_decodes_png_frames():
+    import numpy as np
+    import pyarrow as _pa
+
+    from webscraper_ray.functions.multimodal import FrameSample, synth_video_payload
+
+    ids = [0, 3, 6]
+    t = _pa.table(
+        {
+            "media_id": _pa.array(ids, _pa.int64()),
+            "payload": _pa.array(
+                [synth_video_payload(i) for i in ids], _pa.large_binary()
+            ),
+        }
+    )
+    out = FrameSample(n_frames=4, decode_stub="real")(t)
+    assert out.num_rows == 12
+    rows = out.to_pylist()
+    for mid in ids:
+        nf = 2 + mid % 5
+        mine = [r for r in rows if r["media_id"] == mid]
+        for k, r in enumerate(sorted(mine, key=lambda r: r["sample_k"])):
+            j = k * nf // 4
+            seed = mid * 1000 + j
+            h, w = 4 + seed % 5, 4 + seed % 6
+            ch = 1 if seed % 2 == 0 else 3
+            px = (np.int64(seed) * 7 + np.arange(h * w * ch, dtype=np.int64)) % 256
+            assert r == {
+                "media_id": mid,
+                "sample_k": k,
+                "frame_idx": j,
+                "height": h,
+                "width": w,
+                "channels": ch,
+                "pixel_sum": int(px.sum()),
+            }
+
+
+def test_image_stats_dispatches_jpeg_and_rejects_unknown():
+    import pyarrow as _pa
+    import pytest as _pytest
+
+    from webscraper_ray.functions.multimodal import ImageStats, synth_jpeg_payload
+
+    t = _pa.table(
+        {
+            "media_id": _pa.array([7], _pa.int64()),
+            "payload": _pa.array([synth_jpeg_payload(7)], _pa.large_binary()),
+        }
+    )
+    out = ImageStats()(t)
+    assert out.column("height")[0].as_py() == 8 * (1 + 7 % 3)
+    bad = _pa.table(
+        {
+            "media_id": _pa.array([0], _pa.int64()),
+            "payload": _pa.array([b"GIF89a..."], _pa.large_binary()),
+        }
+    )
+    with _pytest.raises(ValueError, match="neither PNG nor JPEG"):
+        ImageStats()(bad)

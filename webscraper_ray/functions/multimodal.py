@@ -3,13 +3,17 @@
 
 PNG images decode FOR REAL via the from-scratch baseline codec in
 :mod:`.png` (chunk parse + CRC, zlib inflate, all five scanline
-filters) — see :class:`ImageStats` and ``DecodeImage('real')``. The
-container has no JPEG/audio/video codecs, so THOSE kernels remain
-clearly-marked stubs (``decode_stub='fake'`` produces a deterministic
-fake decode; ``'raise'`` raises NotImplementedError as a real deploy
-would until a codec is wired in). Everything around every decode — the
-Arrow schema contract, actor-pool stage shape, batch sizing for large
-binary payloads, output layout — is real and tested.
+filters), JPEG via the from-scratch ITU-T T.81 baseline codec in
+:mod:`.jpeg` (Huffman + dequant + vectorized IDCT), WAV audio via the
+RIFF parser in :mod:`.audio`, and video frames via the documented FVID
+container of PNG frames — see :class:`ImageStats`, :class:`AudioStats`,
+``FrameSample('real')`` and ``DecodeImage('real')``. Real-world video
+codecs (H.264 etc.) need libraries absent from this container, so that
+kernel remains a clearly-marked stub (``decode_stub='fake'`` produces a
+deterministic fake decode; ``'raise'`` raises NotImplementedError as a
+real deploy would until a codec is wired in). Everything around every
+decode — the Arrow schema contract, actor-pool stage shape, batch
+sizing for large binary payloads, output layout — is real and tested.
 
 Schema contract for a media table::
 
@@ -38,14 +42,21 @@ import pyarrow as pa
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "AudioStats",
     "DecodeImage",
     "FrameSample",
     "ImageStats",
     "ResizeImage",
     "fake_media_table",
     "FAKE_IMG_MAGIC",
+    "FVID_MAGIC",
+    "encode_fvid",
+    "parse_fvid",
     "synth_image_payload",
+    "synth_jpeg_payload",
     "synth_png_payload",
+    "synth_video_payload",
+    "synth_wav_payload",
     "parse_fake_image",
 ]
 
@@ -139,21 +150,123 @@ def synth_png_payload(media_id: int) -> bytes:
     return encode_png(img)
 
 
+# --- REAL deterministic JPEG corpus -----------------------------------------
+#
+# Genuine baseline JPEG files from the from-scratch T.81 codec in
+# :mod:`.jpeg`. The images are grids of CONSTANT 8x8 blocks: a constant
+# block has only DC energy, and with a DC quantization step of 8 the
+# quantized DC is exactly (v - 128), so the decode reproduces every
+# pixel EXACTLY and a SQL oracle can recompute the stats
+# arithmetically (the general +/-1 lossy path is pinned by unit tests).
+#
+#   block rows hb = 1 + id % 3, block cols wb = 1 + id % 4
+#   height = 8*hb, width = 8*wb, grayscale
+#   block k (row-major over hb*wb) value = (id*13 + k*29) % 256
+
+
+def synth_jpeg_payload(media_id: int) -> bytes:
+    """Deterministic REAL baseline-JPEG bytes (formulas above)."""
+    from .jpeg import encode_jpeg
+
+    hb = 1 + media_id % 3
+    wb = 1 + media_id % 4
+    k = np.arange(hb * wb, dtype=np.int64)
+    vals = ((np.int64(media_id) * 13 + k * 29) % 256).astype(np.uint8).reshape(hb, wb)
+    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    q = np.full(64, 16, dtype=np.int64)
+    q[0] = 8  # DC step 8 => quantized DC == v - 128 exactly
+    return encode_jpeg(img, quant=q)
+
+
+# --- REAL deterministic WAV corpus -------------------------------------------
+#
+#   n_samples   = 16 + id % 49
+#   sample_rate = 8000 + (id % 5) * 2000
+#   sample k    = ((id*31 + k*97) % 4001) - 2000   (16-bit PCM mono)
+
+
+def synth_wav_payload(media_id: int) -> bytes:
+    """Deterministic REAL RIFF/WAVE bytes (formulas above)."""
+    from .audio import encode_wav
+
+    n = 16 + media_id % 49
+    rate = 8000 + (media_id % 5) * 2000
+    k = np.arange(n, dtype=np.int64)
+    samples = ((np.int64(media_id) * 31 + k * 97) % 4001 - 2000).astype(np.int16)
+    return encode_wav(samples, rate)
+
+
+# --- FVID: a documented length-prefixed video frame container ----------------
+#
+# Real-world video codecs (H.264 etc.) need libraries absent from this
+# container, so the honest stub remains for those — but the *container
+# plumbing* and per-frame decode are real: FVID is a trivial public
+# layout (magic | u32 frame count | per frame u32 length + PNG bytes)
+# whose frames are genuine PNGs decoded by the from-scratch codec.
+#
+#   n_frames = 2 + id % 5
+#   frame j is synth_png_payload(id * 1000 + j)
+
+FVID_MAGIC = b"FVID"
+
+
+def encode_fvid(frames: "list[bytes]") -> bytes:
+    out = bytearray(FVID_MAGIC)
+    out += len(frames).to_bytes(4, "big")
+    for f in frames:
+        out += len(f).to_bytes(4, "big") + f
+    return bytes(out)
+
+
+def parse_fvid(payload: bytes) -> "list[bytes]":
+    if payload[:4] != FVID_MAGIC:
+        raise ValueError("not an FVID payload")
+    n = int.from_bytes(payload[4:8], "big")
+    pos = 8
+    frames = []
+    for _ in range(n):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        pos += 4
+        frame = payload[pos : pos + ln]
+        if len(frame) < ln:
+            raise ValueError("fvid: truncated frame")
+        frames.append(frame)
+        pos += ln
+    return frames
+
+
+def synth_video_payload(media_id: int) -> bytes:
+    """Deterministic REAL FVID container of genuine PNG frames."""
+    n_frames = 2 + media_id % 5
+    return encode_fvid(
+        [synth_png_payload(media_id * 1000 + j) for j in range(n_frames)]
+    )
+
+
 class ImageStats:
     """Actor-pool stage: REAL PNG payload -> dims + integer pixel stats.
 
-    The decode is the from-scratch :func:`~webscraper_ray.functions.png.
-    decode_png` (zlib inflate + per-scanline unfilter); stats are exact
-    integers so the SQL oracle hashes equal. Non-PNG payloads raise —
-    route media by ``kind`` upstream.
+    The decode dispatches on the file signature: PNG via the
+    from-scratch :func:`~webscraper_ray.functions.png.decode_png` (zlib
+    inflate + per-scanline unfilter), JPEG via the from-scratch T.81
+    baseline :func:`~webscraper_ray.functions.jpeg.decode_jpeg`
+    (Huffman + dequant + vectorized IDCT); stats are exact integers so
+    the SQL oracle hashes equal. Other payloads raise — route media by
+    ``kind`` upstream.
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .png import decode_png
+        from .jpeg import JPEG_SIGNATURE, decode_jpeg
+        from .png import PNG_SIGNATURE, decode_png
 
         hs, ws, chs, sums, mins, maxs = [], [], [], [], [], []
         for payload in batch.column("payload").to_pylist():
-            img = decode_png(payload)
+            if payload[:8] == PNG_SIGNATURE:
+                img = decode_png(payload)
+            elif payload[:2] == JPEG_SIGNATURE:
+                img = decode_jpeg(payload)
+            else:
+                raise ValueError("ImageStats: payload is neither PNG nor JPEG")
             h, w = img.shape[0], img.shape[1]
             ch = 1 if img.ndim == 2 else img.shape[2]
             flat = img.reshape(-1).astype(np.int64)
@@ -202,16 +315,21 @@ class DecodeImage:
                 "container; wire PIL/cv2 here"
             )
         if self.decode_stub == "real":
+            from .jpeg import JPEG_SIGNATURE, decode_jpeg
             from .png import PNG_SIGNATURE, decode_png
 
+            img = None
             if payload[:8] == PNG_SIGNATURE:
                 img = decode_png(payload)
+            elif payload[:2] == JPEG_SIGNATURE:
+                img = decode_jpeg(payload)
+            if img is not None:
                 ch = 1 if img.ndim == 2 else img.shape[2]
                 return img.shape[0], img.shape[1], ch
             if payload[:4] == FAKE_IMG_MAGIC:
                 return parse_fake_image(payload)
             raise NotImplementedError(
-                "only PNG decodes natively; JPEG/video need a codec "
+                "only PNG/JPEG decode natively; video needs a codec "
                 "library absent from this container"
             )
         if self.decode_stub == "header":
@@ -236,15 +354,86 @@ class DecodeImage:
         )
 
 
+class AudioStats:
+    """Actor-pool stage: REAL WAV payload -> rate/shape + integer sample
+    stats, exact so the SQL oracle hashes equal. Non-WAV payloads raise
+    — route media by ``kind`` upstream."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .audio import decode_wav
+
+        ns, rates, chs, sums, mins, maxs = [], [], [], [], [], []
+        for payload in batch.column("payload").to_pylist():
+            samples, rate = decode_wav(payload)
+            flat = samples.reshape(-1).astype(np.int64)
+            ns.append(samples.shape[0])
+            rates.append(rate)
+            chs.append(1 if samples.ndim == 1 else samples.shape[1])
+            sums.append(int(flat.sum()))
+            mins.append(int(flat.min()))
+            maxs.append(int(flat.max()))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "n_samples": pa.array(ns, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "channels": pa.array(chs, pa.int64()),
+                "sample_sum": pa.array(sums, pa.int64()),
+                "sample_min": pa.array(mins, pa.int64()),
+                "sample_max": pa.array(maxs, pa.int64()),
+            }
+        )
+
+
 class FrameSample:
     """Actor-pool stage: video payload -> n evenly spaced frame records
-    (flat output: one row per sampled frame)."""
+    (flat output: one row per sampled frame).
+
+    ``decode_stub='real'`` parses the documented FVID container and
+    REALLY decodes each sampled PNG frame (exact integer pixel stats,
+    SQL-oracle-gated); ``'fake'`` keeps the hash-stub; ``'raise'`` is
+    what a production build does for real-world codecs (H.264 etc.)
+    until a codec library is wired in.
+    """
 
     def __init__(self, n_frames: int = 4, decode_stub: str = "fake"):
         self.n_frames = n_frames
         self.decode_stub = decode_stub
 
+    def _real(self, batch: pa.Table) -> pa.Table:
+        from .png import decode_png
+
+        ids, ks, fidx, hs, ws, chs, sums = [], [], [], [], [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            frames = parse_fvid(payload)
+            nf = len(frames)
+            for k in range(self.n_frames):
+                j = k * nf // self.n_frames
+                img = decode_png(frames[j])
+                ids.append(mid)
+                ks.append(k)
+                fidx.append(j)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                chs.append(1 if img.ndim == 2 else img.shape[2])
+                sums.append(int(img.reshape(-1).astype(np.int64).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "sample_k": pa.array(ks, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "channels": pa.array(chs, pa.int64()),
+                "pixel_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode_stub == "real":
+            return self._real(batch)
         ids, frame_idx, frame_sig = [], [], []
         for mid, payload in zip(
             batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()

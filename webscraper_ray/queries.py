@@ -960,6 +960,169 @@ GROUP BY media_id, height, width, channels
 """
 
 
+def q_jpeg_decode(sf_dir: str):
+    """REAL baseline-JPEG decode end-to-end: synthesize one genuine
+    JPEG file per ``documents`` row with the from-scratch ITU-T T.81
+    encoder (constant 8x8 blocks whose values are a pure function of
+    doc_id, DC quant step 8 so the decode is pixel-exact), then Huffman
+    decode + dequantize + IDCT it back in an ImageStats actor pool. The
+    DuckDB oracle recomputes the stats arithmetically — any defect in
+    the entropy coding, zigzag, quant or IDCT path diverges the hash."""
+    from .functions.multimodal import ImageStats, synth_jpeg_payload
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "payload": pa.array(
+                    [synth_jpeg_payload(i) for i in ids], pa.large_binary()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(
+            ImageStats,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+        )
+    )
+
+
+SQL_JPEG_DECODE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         1 + doc_id % 3 AS hb,
+         1 + doc_id % 4 AS wb
+  FROM documents
+),
+blocks AS (
+  SELECT media_id, hb, wb, (media_id * 13 + u.k * 29) % 256 AS v
+  FROM dims, UNNEST(range(0, hb * wb)) AS u(k)
+)
+SELECT media_id, 8 * hb AS height, 8 * wb AS width, 1 AS channels,
+       CAST(sum(v) * 64 AS BIGINT) AS pixel_sum,
+       CAST(min(v) AS BIGINT) AS pixel_min,
+       CAST(max(v) AS BIGINT) AS pixel_max
+FROM blocks GROUP BY media_id, hb, wb
+"""
+
+
+def q_audio_wav_stats(sf_dir: str):
+    """REAL WAV decode end-to-end: synthesize one genuine RIFF/WAVE
+    file per ``documents`` row (16-bit PCM samples a pure function of
+    doc_id), parse it back with the from-scratch RIFF parser in an
+    AudioStats actor pool, and emit exact integer sample stats the
+    DuckDB oracle recomputes arithmetically."""
+    from .functions.multimodal import AudioStats, synth_wav_payload
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "payload": pa.array(
+                    [synth_wav_payload(i) for i in ids], pa.large_binary()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(
+            AudioStats,
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=2,
+        )
+    )
+
+
+SQL_AUDIO_WAV_STATS = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         16 + doc_id % 49 AS n,
+         8000 + (doc_id % 5) * 2000 AS rate
+  FROM documents
+),
+s AS (
+  SELECT media_id, n, rate, (media_id * 31 + u.k * 97) % 4001 - 2000 AS v
+  FROM dims, UNNEST(range(0, n)) AS u(k)
+)
+SELECT media_id, n AS n_samples, rate AS sample_rate, 1 AS channels,
+       CAST(sum(v) AS BIGINT) AS sample_sum,
+       CAST(min(v) AS BIGINT) AS sample_min,
+       CAST(max(v) AS BIGINT) AS sample_max
+FROM s GROUP BY media_id, n, rate
+"""
+
+
+def q_video_frame_stats(sf_dir: str):
+    """REAL video-frame sampling: synthesize one FVID container per
+    ``documents`` row (a documented length-prefixed container of
+    genuine PNG frames), sample 4 evenly spaced frames per video in a
+    FrameSample actor pool, REALLY decode each sampled frame with the
+    from-scratch PNG codec, and emit exact per-frame pixel stats the
+    DuckDB oracle recomputes arithmetically. Real-world codecs (H.264)
+    stay behind the honest stub; the container plumbing, sampling math
+    and frame decode here are all real."""
+    from .functions.multimodal import FrameSample, synth_video_payload
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "payload": pa.array(
+                    [synth_video_payload(i) for i in ids], pa.large_binary()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(
+            FrameSample,
+            fn_constructor_kwargs={"n_frames": 4, "decode_stub": "real"},
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=2,
+        )
+    )
+
+
+SQL_VIDEO_FRAME_STATS = """
+WITH vids AS (
+  SELECT doc_id AS media_id, 2 + doc_id % 5 AS nf FROM documents
+),
+frames AS (
+  SELECT media_id, u.k AS sample_k, (u.k * nf) // 4 AS frame_idx,
+         media_id * 1000 + (u.k * nf) // 4 AS seed
+  FROM vids, UNNEST(range(0, 4)) AS u(k)
+),
+dims AS (
+  SELECT media_id, sample_k, frame_idx, seed,
+         4 + seed % 5 AS height, 4 + seed % 6 AS width,
+         CASE WHEN seed % 2 = 0 THEN 1 ELSE 3 END AS channels
+  FROM frames
+),
+px AS (
+  SELECT media_id, sample_k, frame_idx, height, width, channels,
+         (seed * 7 + u.j) % 256 AS v
+  FROM dims, UNNEST(range(0, height * width * channels)) AS u(j)
+)
+SELECT media_id, sample_k, frame_idx, height, width, channels,
+       CAST(sum(v) AS BIGINT) AS pixel_sum
+FROM px GROUP BY media_id, sample_k, frame_idx, height, width, channels
+"""
+
+
 def q_mktsegment_counts(sf_dir: str):
     """O5/unique: distinct-value counting — groupby + count (shuffle of
     one tiny row per (segment, batch))."""
@@ -2162,6 +2325,9 @@ QUERIES = {
     "mktsegment_counts": q_mktsegment_counts,
     "multimodal_decode": q_multimodal_decode,
     "png_decode": q_png_decode,
+    "jpeg_decode": q_jpeg_decode,
+    "audio_wav_stats": q_audio_wav_stats,
+    "video_frame_stats": q_video_frame_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -2224,6 +2390,9 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "png_decode": SQL_PNG_DECODE,
+    "jpeg_decode": SQL_JPEG_DECODE,
+    "audio_wav_stats": SQL_AUDIO_WAV_STATS,
+    "video_frame_stats": SQL_VIDEO_FRAME_STATS,
     "dedup_minhash": _sql_dedup_minhash(),
     "dedup_simhash": _sql_dedup_simhash(),
     "dedup_ngram": _sql_dedup_ngram(),
