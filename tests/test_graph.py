@@ -1,0 +1,86 @@
+"""Connected components (duplicate-cluster resolution) — kernel,
+convergence, parallelism invariance, full-corpus attach."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from webscraper_ray.functions.graph import attach_cluster_ids, connected_components
+
+
+def _pairs(pairs):
+    a, b = zip(*pairs) if pairs else ((), ())
+    return ray.data.from_arrow(
+        pa.table(
+            {"doc_a": pa.array(list(a), pa.int64()), "doc_b": pa.array(list(b), pa.int64())}
+        )
+    )
+
+
+def _labels(ds):
+    t = ds.to_pandas().sort_values("node")
+    return dict(zip(t["node"], t["label"]))
+
+
+def test_two_components_and_singleton_chain(ray_session):
+    # component {1,2,3} (triangle), component {10,11,12,13} as a PATH —
+    # diameter 3 exercises multiple propagation rounds
+    got = _labels(
+        connected_components(
+            _pairs([(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13)]),
+            num_parts=4,
+        )
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_long_path_converges_in_diameter_rounds(ray_session):
+    # path 0-1-2-...-9: worst-case diameter for 10 nodes
+    got = _labels(
+        connected_components(_pairs([(i, i + 1) for i in range(9)]), num_parts=3)
+    )
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_parallelism_invariance(ray_session):
+    pairs = [(1, 5), (5, 9), (20, 21), (30, 31), (31, 32), (2, 9)]
+    lo = _labels(connected_components(_pairs(pairs), num_parts=1))
+    hi = _labels(connected_components(_pairs(pairs), num_parts=16))
+    assert lo == hi == {1: 1, 5: 1, 9: 1, 2: 1, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
+
+
+def test_giant_star_single_round(ray_session):
+    # the hot-band star shape the dedup caps emit: hub 0, 500 leaves
+    got = _labels(
+        connected_components(_pairs([(0, i) for i in range(1, 501)]), num_parts=8)
+    )
+    assert set(got.values()) == {0} and len(got) == 501
+
+
+def test_empty_pairs(ray_session):
+    out = connected_components(_pairs([]))
+    assert out.count() == 0
+
+
+def test_max_iters_guard(ray_session):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs([(i, i + 1) for i in range(9)]), max_iters=2)
+
+
+def test_attach_cluster_ids_full_corpus(ray_session):
+    comps = connected_components(_pairs([(3, 7), (7, 11)]), num_parts=4)
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(1, 13)), pa.int64())})
+    )
+    out = attach_cluster_ids(docs, comps, num_parts=4).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    want_cluster = [i if i not in (3, 7, 11) else 3 for i in range(1, 13)]
+    assert out["cluster_id"].tolist() == want_cluster
+    assert out["is_canonical"].tolist() == [
+        1 if c == i else 0 for i, c in zip(range(1, 13), want_cluster)
+    ]
+    # exactly one canonical doc per cluster
+    canon = out[out["is_canonical"] == 1]
+    assert sorted(canon["doc_id"]) == sorted(set(want_cluster))

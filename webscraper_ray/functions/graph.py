@@ -1,0 +1,257 @@
+"""Distributed connected components — duplicate-CLUSTER resolution.
+
+The dedup family (minhash/simhash/ngram/embed) emits verified near-dup
+PAIRS; a real curation pipeline needs the transitive closure of those
+pairs — "these 9 docs are one duplicate cluster, keep one" — which no
+pairwise operator gives. Ray Data has no graph primitive, so this is a
+task-brief custom operator built as composition (a) from the brief's
+ladder: hash-min label propagation (the classic BSP algorithm — every
+node starts labeled with its own id; each round every node takes the
+min over its closed neighborhood; converges in O(graph diameter)
+rounds, and near-dup graphs are star/clique-shaped so the diameter is
+tiny — the hot-band star caps in :mod:`.dedup` explicitly preserve
+connectivity for exactly this use).
+
+Scale shape (per round, E = directed edge count = 2x pairs, V = nodes):
+- TWO hash-partition shuffles of 2-int64-column rows: edges+labels
+  co-partitioned by ``src`` to emit (dst, label) messages, then
+  messages+labels co-partitioned by node for the min-reduce. Nothing
+  corpus-proportional — E and V are OUTPUT-sized (only docs in some
+  candidate pair), the same bound the dedup verify joins live under.
+- the per-round label frontier is materialized (V rows, 2 ints) — the
+  standard iterative-algorithm checkpoint, like `clustering.py`'s
+  centroid gather except it stays distributed; the driver sees ONE
+  number per round (the changed-label count).
+- rounds = graph diameter + 1 (the +1 detects convergence); a loud
+  ``max_iters`` guard instead of a silent wrong answer.
+
+Partitioning assumptions (documented per the brief): one partition's
+edges fit in a worker's heap — ``num_parts`` is the unit of parallelism
+and of memory; a giant star's edges land on the hub's partition (same
+caveat as any hash join — the dedup star caps bound m at the source).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .joins import _part_column
+
+__all__ = ["connected_components", "attach_cluster_ids"]
+
+_EMPTY_LABELS = pa.table(
+    {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+)
+
+
+def _pairs_schema(a: str, b: str) -> pa.Table:
+    return pa.table({a: pa.array([], pa.int64()), b: pa.array([], pa.int64())})
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    num_parts: int = 32,
+    max_iters: int = 50,
+) -> "ray.data.Dataset":
+    """(node, label) for every node in ``pairs``; ``label`` is the min
+    node id of the node's connected component. Deterministic and
+    parallelism-invariant (min is order-free)."""
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(_EMPTY_LABELS)
+
+    # initial frontier: every endpoint labeled with itself (distinct via
+    # the same hash-partition + np.unique the dedup family uses)
+    def self_label(t: pa.Table) -> pa.Table:
+        nodes = np.unique(t.column("src").to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(nodes), "label": pa.array(nodes)})
+
+    def dedup_nodes(part: pa.Table) -> pa.Table:
+        nodes = np.unique(part.column("node").to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(nodes), "label": pa.array(nodes)})
+
+    labels = (
+        edges.map_batches(self_label, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "_part", _part_column(t.column("node"), num_parts)
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(dedup_nodes, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # union schema for both per-round shuffles: (_part, _side, a, b)
+    #   join step:   side 0 edge (src, dst)      side 1 label (node, label)
+    #   reduce step: side 0 msg  (node, label)   side 1 label (node, old)
+    def tag(side: int, x_col: str, y_col: str, parts: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "_part": _part_column(t.column(x_col), parts),
+                    "_side": pa.array(
+                        np.full(t.num_rows, side, dtype=np.int8)
+                    ),
+                    "a": t.column(x_col),
+                    "b": t.column(y_col),
+                }
+            )
+
+        return fn
+
+    def emit_messages(part: pa.Table) -> pa.Table:
+        side = part.column("_side").to_numpy(zero_copy_only=False)
+        a = part.column("a").to_numpy(zero_copy_only=False)
+        b = part.column("b").to_numpy(zero_copy_only=False)
+        lbl_mask = side == 1
+        nodes, lbls = a[lbl_mask], b[lbl_mask]
+        order = np.argsort(nodes)
+        nodes, lbls = nodes[order], lbls[order]
+        src, dst = a[~lbl_mask], b[~lbl_mask]
+        # every edge endpoint is in the label frontier by construction
+        return pa.table(
+            {
+                "node": pa.array(dst),
+                "label": pa.array(lbls[np.searchsorted(nodes, src)]),
+            }
+        )
+
+    def min_reduce(part: pa.Table) -> pa.Table:
+        side = part.column("_side").to_numpy(zero_copy_only=False)
+        a = part.column("a").to_numpy(zero_copy_only=False)
+        b = part.column("b").to_numpy(zero_copy_only=False)
+        old_mask = side == 1
+        old_nodes, old_lbls = a[old_mask], b[old_mask]
+        order = np.argsort(old_nodes)
+        old_nodes, old_lbls = old_nodes[order], old_lbls[order]
+        mn, ml = a[~old_mask], b[~old_mask]
+        incoming = np.full(old_nodes.shape, np.iinfo(np.int64).max)
+        np.minimum.at(incoming, np.searchsorted(old_nodes, mn), ml)
+        new = np.minimum(old_lbls, incoming)
+        return pa.table(
+            {
+                "node": pa.array(old_nodes),
+                "label": pa.array(new),
+                "changed": pa.array((new < old_lbls).astype(np.int8)),
+            }
+        )
+
+    for _ in range(max_iters):
+        msgs = (
+            edges.map_batches(tag(0, "src", "dst", num_parts), batch_format="pyarrow")
+            .union(
+                labels.map_batches(
+                    tag(1, "node", "label", num_parts), batch_format="pyarrow"
+                )
+            )
+            .groupby("_part")
+            .map_groups(emit_messages, batch_format="pyarrow")
+        )
+        step = (
+            msgs.map_batches(tag(0, "node", "label", num_parts), batch_format="pyarrow")
+            .union(
+                labels.map_batches(
+                    tag(1, "node", "label", num_parts), batch_format="pyarrow"
+                )
+            )
+            .groupby("_part")
+            .map_groups(min_reduce, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = step.sum("changed") or 0
+        # CRITICAL: re-bound the frontier's block count every round. The
+        # groupby sort's output block count tracks its INPUT block count
+        # (union = edge blocks + label blocks), so without this coalesce
+        # the frontier's blocks grow ~2x per round — by round 8 a 10-node
+        # graph fans a sort over thousands of KB blocks and the driver
+        # melts building O(blocks^2) shuffle refs. One cheap split/merge
+        # exchange of frontier-sized 2-int64 rows keeps every round O(1)
+        # blocks for the life of the loop.
+        labels = (
+            step.drop_columns(["changed"]).repartition(num_parts).materialize()
+        )
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "graph diameter exceeds the guard; raise max_iters explicitly"
+    )
+
+
+def attach_cluster_ids(
+    docs: "ray.data.Dataset",
+    components: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    num_parts: int = 32,
+) -> "ray.data.Dataset":
+    """Left-attach component labels to the FULL corpus: docs in no pair
+    become singleton clusters of themselves. One hash-partition shuffle
+    of (id) + (node, label) rows; the corpus side ships the id column
+    only — project upstream."""
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_part": _part_column(t.column(id_col), num_parts),
+                "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "a": t.column(id_col),
+                "b": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_part": _part_column(t.column("node"), num_parts),
+                "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "a": t.column("node"),
+                "b": t.column("label"),
+            }
+        )
+
+    def attach(part: pa.Table) -> pa.Table:
+        side = part.column("_side").to_numpy(zero_copy_only=False)
+        a = part.column("a").to_numpy(zero_copy_only=False)
+        lbl_mask = side == 1
+        nodes = a[lbl_mask]
+        lbls = part.column("b").to_numpy(zero_copy_only=False)[lbl_mask]
+        order = np.argsort(nodes)
+        nodes, lbls = nodes[order], lbls[order]
+        ids = a[~lbl_mask].astype(np.int64)
+        cluster = ids.copy()
+        if nodes.size:
+            idx = np.searchsorted(nodes, ids)
+            found = (idx < nodes.size) & (nodes[np.minimum(idx, nodes.size - 1)] == ids)
+            cluster[found] = lbls[idx[found]]
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster_id": pa.array(cluster),
+                "is_canonical": pa.array((cluster == ids).astype(np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(tag_docs, batch_format="pyarrow")
+        .union(components.map_batches(tag_labels, batch_format="pyarrow"))
+        .groupby("_part")
+        .map_groups(attach, batch_format="pyarrow")
+    )

@@ -1236,6 +1236,64 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.8
 """
 
 
+def q_dup_clusters(sf_dir: str):
+    """Duplicate-CLUSTER resolution: the minhash near-dup pairs are only
+    edges — a curation pipeline needs their transitive closure ("these 9
+    docs are one cluster, keep one"). Distributed hash-min label
+    propagation (:func:`~webscraper_ray.functions.graph.
+    connected_components`, O(diameter) rounds of two edge-sized
+    shuffles) assigns every corpus doc its component's min doc id;
+    singletons cluster with themselves. The DuckDB oracle recomputes the
+    closure with a recursive CTE over the SAME verified pair set, so the
+    whole chain — sketch, bands, verify, clustering — is value-hash
+    gated end-to-end."""
+    from .functions.dedup import minhash_near_dups
+    from .functions.graph import attach_cluster_ids, connected_components
+
+    docs = _read_sized(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_near_dups(docs)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return attach_cluster_ids(
+        _read_sized(sf_dir, "documents", ["doc_id"]), comps
+    )
+
+
+def _sql_dup_clusters() -> str:
+    from .functions.dedup import N_HASHES
+
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    return rf"""
+WITH RECURSIVE {_sql_band_ctes()},
+est AS (
+  SELECT p.doc_a, p.doc_b, ({agree}) / 64.0 AS est_jaccard
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+),
+verified AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.8),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b, doc_a FROM verified
+),
+reach AS (
+  SELECT src AS id, dst AS r FROM edges
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+clusters AS (
+  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       CAST(CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+"""
+
+
 def q_dedup_ngram(sf_dir: str):
     """Exact n-gram-Jaccard near-dup pairs — LSH band candidates, TRUE
     distinct-3-shingle Jaccard verify (the brief's ngram-Jaccard dedup as
@@ -2330,6 +2388,7 @@ QUERIES = {
     "video_frame_stats": q_video_frame_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dup_clusters": q_dup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
     "dedup_embed": q_dedup_embed,
@@ -2394,6 +2453,7 @@ ORACLE_SQL = {
     "audio_wav_stats": SQL_AUDIO_WAV_STATS,
     "video_frame_stats": SQL_VIDEO_FRAME_STATS,
     "dedup_minhash": _sql_dedup_minhash(),
+    "dup_clusters": _sql_dup_clusters(),
     "dedup_simhash": _sql_dedup_simhash(),
     "dedup_ngram": _sql_dedup_ngram(),
     "dedup_embed": _sql_dedup_embed(),
