@@ -2269,6 +2269,47 @@ SELECT token, count(*) AS freq FROM (
 """
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-5 salient terms by tf-idf (keyword extraction /
+    topic filtering). Inverted-index shape: distinct (doc, token, tf)
+    rows -> ONE token-keyed exchange where df is a partition-local
+    group size (never a vocabulary broadcast) + partial per-doc top-k
+    -> ONE doc-keyed exchange for the exact top-k. Scores rounded
+    half-away to 6 decimals BEFORE ranking on both sides."""
+    from .functions.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _read_sized(sf_dir, "documents", ["doc_id", "text"]), k=5
+    )
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+dt AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY doc_id, token
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n FROM toks),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token
+  ) AS rk FROM scored
+)
+SELECT doc_id, token, tf, tfidf FROM ranked WHERE rk <= 5
+"""
+
+
 def q_lang_length_quantiles(sf_dir: str):
     """Per-language p50/p90 document length — grouped exact quantiles
     over the (lang, n_chars) histogram."""
@@ -2415,6 +2456,7 @@ QUERIES = {
     "length_quantiles": q_length_quantiles,
     "curation_pipeline": q_curation_pipeline,
     "vocab_top_tokens": q_vocab_top_tokens,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "kmeans_clusters": q_kmeans_clusters,
     "distinct_users_per_type": q_distinct_users_per_type,
     "ann_ivf": q_ann_ivf,
@@ -2467,6 +2509,7 @@ ORACLE_SQL = {
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "curation_pipeline": _sql_curation_pipeline(),
     "vocab_top_tokens": SQL_VOCAB_TOP_TOKENS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "kmeans_clusters": _sql_kmeans(),
     "distinct_users_per_type": SQL_DISTINCT_USERS,
     "ann_ivf": _sql_ann_ivf(),
