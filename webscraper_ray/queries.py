@@ -2269,6 +2269,61 @@ SELECT token, count(*) AS freq FROM (
 """
 
 
+def q_bm25_search(sf_dir: str):
+    """BM25 keyword search: global top-10 docs for each of 4 keyword
+    queries (text-side similarity search, complementing the ANN family).
+    Two streaming passes, driver artifacts bounded by the query-term
+    count; per-block partial top-k caps the reduce at k rows per query
+    per block."""
+    from .functions.bm25 import bm25_topk
+
+    return bm25_topk(_read_sized(sf_dir, "documents", ["doc_id", "text"]), k=10)
+
+
+def _sql_bm25_search() -> str:
+    from .functions.bm25 import B, DEFAULT_QUERIES, K1
+
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in DEFAULT_QUERIES for t in sorted(set(q.split()))
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dt AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY doc_id, token
+),
+q(query_id, token) AS (VALUES {vals}),
+df AS (
+  SELECT token, count(*) AS df FROM tf
+  WHERE token IN (SELECT token FROM q) GROUP BY token
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))
+         ), 6) AS score
+  FROM q JOIN tf USING (token) JOIN df USING (token)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id
+  ) AS rk FROM scored
+)
+SELECT query_id, doc_id, score FROM ranked WHERE rk <= 10
+"""
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Per-document top-5 salient terms by tf-idf (keyword extraction /
     topic filtering). Inverted-index shape: distinct (doc, token, tf)
@@ -2457,6 +2512,7 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "vocab_top_tokens": q_vocab_top_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_search": q_bm25_search,
     "kmeans_clusters": q_kmeans_clusters,
     "distinct_users_per_type": q_distinct_users_per_type,
     "ann_ivf": q_ann_ivf,
@@ -2510,6 +2566,7 @@ ORACLE_SQL = {
     "curation_pipeline": _sql_curation_pipeline(),
     "vocab_top_tokens": SQL_VOCAB_TOP_TOKENS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "bm25_search": _sql_bm25_search(),
     "kmeans_clusters": _sql_kmeans(),
     "distinct_users_per_type": SQL_DISTINCT_USERS,
     "ann_ivf": _sql_ann_ivf(),
