@@ -2324,6 +2324,63 @@ SELECT query_id, doc_id, score FROM ranked WHERE rk <= 10
 """
 
 
+_TERM_LOOKUP_TERMS = ["hash", "window", "customer"]
+
+
+def _text_index_for(sf_dir: str, num_buckets: int = 64) -> str:
+    """Build-or-reuse the token-bucket postings index for a documents
+    table — same source-identity cache discipline as `_ann_index_for`."""
+    import tempfile
+
+    from .functions.textindex import build_text_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:nb={num_buckets}"
+    digest = __import__("hashlib").blake2b(key.encode(), digest_size=8).hexdigest()
+    dest = os.path.join(tempfile.gettempdir(), "webscraper_ray_textidx", digest)
+    if os.path.isdir(dest):
+        return dest
+    build_dir = tempfile.mkdtemp(prefix=f"tidxbuild_{digest}_")
+    build_text_index(
+        _read_sized(sf_dir, "documents", ["doc_id", "text"]),
+        build_dir,
+        num_buckets=num_buckets,
+    )
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    try:
+        os.rename(build_dir, dest)
+    except OSError:
+        pass  # concurrent builder won; identical index
+    return dest
+
+
+def q_term_lookup(sf_dir: str):
+    """Inverted-index term lookup over the bucket-partitioned postings
+    store: the probe reads ONLY the ``bucket=K/`` dirs its terms hash to
+    (file-level pruning — the ANN store's layout applied to text).
+    Returns exact (token, doc_id, tf) postings for 3 probe terms."""
+    from .functions.textindex import term_postings
+
+    return term_postings(_text_index_for(sf_dir), _TERM_LOOKUP_TERMS)
+
+
+def _sql_term_lookup() -> str:
+    terms = ", ".join(f"'{t}'" for t in _TERM_LOOKUP_TERMS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+dt AS (SELECT doc_id, unnest(t) AS token FROM toks)
+SELECT token, doc_id, count(*) AS tf FROM dt
+WHERE token IN ({terms})
+GROUP BY token, doc_id
+"""
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Per-document top-5 salient terms by tf-idf (keyword extraction /
     topic filtering). Inverted-index shape: distinct (doc, token, tf)
@@ -2513,6 +2570,7 @@ QUERIES = {
     "vocab_top_tokens": q_vocab_top_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search": q_bm25_search,
+    "term_lookup": q_term_lookup,
     "kmeans_clusters": q_kmeans_clusters,
     "distinct_users_per_type": q_distinct_users_per_type,
     "ann_ivf": q_ann_ivf,
@@ -2567,6 +2625,7 @@ ORACLE_SQL = {
     "vocab_top_tokens": SQL_VOCAB_TOP_TOKENS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_search": _sql_bm25_search(),
+    "term_lookup": _sql_term_lookup(),
     "kmeans_clusters": _sql_kmeans(),
     "distinct_users_per_type": SQL_DISTINCT_USERS,
     "ann_ivf": _sql_ann_ivf(),
