@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "contamination_check",
     "lm_coverage",
     "pack_sequences",
+    "tfidf_top_terms",
+    "bm25_search",
+    "term_lookup",
+    "dup_clusters",
 ]
 
 
