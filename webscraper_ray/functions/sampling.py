@@ -25,7 +25,7 @@ import ray.data
 
 from .dedup import md5_u64
 
-__all__ = ["stratified_sample"]
+__all__ = ["stratified_sample", "domain_mix"]
 
 
 def stratified_sample(
@@ -59,3 +59,75 @@ def stratified_sample(
         return t.filter(pc.less(buckets, thresholds))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def domain_mix(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str,
+    stratum_col: str,
+    weights: Mapping[str, float],
+) -> "ray.data.Dataset":
+    """Resample the corpus to a TARGET source mix, deterministically.
+
+    The data-mixing step of a training recipe: given target proportions
+    over a chosen set of sources (unlisted sources are dropped), keep
+    the LARGEST corpus whose per-source counts match the target exactly
+    — ``scale = min_s(count_s / w_s)``, ``kept_s = floor(scale * w_s)``
+    — selecting each source's ``kept_s`` docs with the SMALLEST
+    ``md5_u64(str(id))`` (ties: id ascending). Hash-order selection
+    makes the sample reproducible at any parallelism and expressible in
+    the oracle as a ``row_number() OVER (PARTITION BY source ORDER BY
+    md5-prefix-int, id)`` filter.
+
+    Scale shape: per-source counts reduce to a driver table bounded by
+    the SOURCE CARDINALITY (documented contract — sources are a mixing
+    recipe's handful, never corpus-proportional); selection is a
+    per-batch partial bottom-``kept_s`` per source, then ONE
+    source-keyed exchange carrying <= kept_s rows per source per block.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    targets = {k: float(v) for k, v in weights.items() if v > 0}
+    if not targets:
+        raise ValueError("domain_mix: weights must name at least one source")
+
+    counts_rows = (
+        ds.groupby(stratum_col).aggregate(Count(alias_name="c")).take_all()
+    )  # bounded: one row per distinct source
+    counts = {r[stratum_col]: r["c"] for r in counts_rows}
+    scale = min(counts.get(s, 0) / w for s, w in targets.items())
+    kept = {s: int(np.floor(scale * w)) for s, w in targets.items()}
+
+    src_arr = np.array(sorted(targets))
+    kept_arr = np.array([kept[s] for s in sorted(targets)], dtype=np.int64)
+
+    def bottom_k(t: pa.Table) -> pa.Table:
+        strata = t.column(stratum_col).to_numpy(zero_copy_only=False)
+        sel = np.isin(strata, src_arr)
+        if not sel.any():
+            return t.slice(0, 0)
+        t = t.filter(pa.array(sel))
+        strata = strata[sel]
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        uh = np.fromiter(
+            (md5_u64(str(v)) for v in uniq), dtype=np.uint64, count=len(uniq)
+        )
+        h = uh[inv]
+        code = np.searchsorted(src_arr, strata)
+        order = np.lexsort((ids, h, code))
+        code_s = code[order]
+        starts = np.flatnonzero(np.r_[True, code_s[1:] != code_s[:-1]])
+        sizes = np.diff(np.r_[starts, code_s.size])
+        rank = np.arange(code_s.size) - np.repeat(starts, sizes)
+        keep_idx = order[rank < kept_arr[code_s]]
+        return t.take(pa.array(np.sort(keep_idx)))
+
+    partial = ds.map_batches(bottom_k, batch_format="pyarrow")
+    return (
+        partial.groupby(stratum_col)
+        .map_groups(bottom_k, batch_format="pyarrow")
+    )

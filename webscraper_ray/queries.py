@@ -2324,6 +2324,58 @@ SELECT query_id, doc_id, score FROM ranked WHERE rk <= 10
 """
 
 
+_MIX_WEIGHTS = [
+    ("src0", 0.4),
+    ("src1", 0.25),
+    ("src2", 0.2),
+    ("src3", 0.1),
+    ("src4", 0.05),
+]
+
+
+def q_domain_mix(sf_dir: str):
+    """Data mixing: resample to a TARGET source distribution — the
+    largest corpus whose per-source counts hit the target proportions
+    exactly, selecting each source's quota by ascending md5 hash order
+    (deterministic, parallelism-invariant, resumable). Driver artifact
+    bounded by source cardinality; one source-keyed exchange of
+    partial-pruned rows."""
+    from .functions.sampling import domain_mix
+
+    return domain_mix(
+        _read_sized(sf_dir, "documents", ["doc_id", "source"]),
+        id_col="doc_id",
+        stratum_col="source",
+        weights=dict(_MIX_WEIGHTS),
+    )
+
+
+def _sql_domain_mix() -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS)
+    return f"""
+WITH t(source, w) AS (VALUES {vals}),
+counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+scale AS (
+  SELECT min(COALESCE(counts.c, 0) / t.w) AS s
+  FROM t LEFT JOIN counts USING (source)
+),
+kept AS (
+  SELECT t.source, CAST(floor(scale.s * t.w) AS BIGINT) AS n
+  FROM t CROSS JOIN scale
+),
+ranked AS (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source
+    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+             doc_id
+  ) AS rk
+  FROM documents WHERE source IN (SELECT source FROM t)
+)
+SELECT r.doc_id, r.source FROM ranked r
+JOIN kept k USING (source) WHERE r.rk <= k.n
+"""
+
+
 _TERM_LOOKUP_TERMS = ["hash", "window", "customer"]
 
 
@@ -2571,6 +2623,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search": q_bm25_search,
     "term_lookup": q_term_lookup,
+    "domain_mix": q_domain_mix,
     "kmeans_clusters": q_kmeans_clusters,
     "distinct_users_per_type": q_distinct_users_per_type,
     "ann_ivf": q_ann_ivf,
@@ -2626,6 +2679,7 @@ ORACLE_SQL = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_search": _sql_bm25_search(),
     "term_lookup": _sql_term_lookup(),
+    "domain_mix": _sql_domain_mix(),
     "kmeans_clusters": _sql_kmeans(),
     "distinct_users_per_type": SQL_DISTINCT_USERS,
     "ann_ivf": _sql_ann_ivf(),
