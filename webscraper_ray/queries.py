@@ -2324,6 +2324,42 @@ SELECT query_id, doc_id, score FROM ranked WHERE rk <= 10
 """
 
 
+def q_customers_no_urgent(sf_dir: str):
+    """Distributed ANTI-JOIN: customers with no urgent order — the one
+    join shape the registry lacked (J-family). The right side is
+    filtered and projected to its key column BEFORE the exchange, so the
+    partitioned `Dataset.join(left_anti)` ships (custkey) rows only."""
+
+    cust = _read_sized(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+    urgent = (
+        _read_sized(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(t.column("o_orderpriority"), "1-URGENT")
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    return cust.join(
+        urgent,
+        join_type="left_anti",
+        num_partitions=16,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+
+SQL_CUSTOMERS_NO_URGENT = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
 _MIX_WEIGHTS = [
     ("src0", 0.4),
     ("src1", 0.25),
@@ -2624,6 +2660,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "term_lookup": q_term_lookup,
     "domain_mix": q_domain_mix,
+    "customers_no_urgent": q_customers_no_urgent,
     "kmeans_clusters": q_kmeans_clusters,
     "distinct_users_per_type": q_distinct_users_per_type,
     "ann_ivf": q_ann_ivf,
@@ -2680,6 +2717,7 @@ ORACLE_SQL = {
     "bm25_search": _sql_bm25_search(),
     "term_lookup": _sql_term_lookup(),
     "domain_mix": _sql_domain_mix(),
+    "customers_no_urgent": SQL_CUSTOMERS_NO_URGENT,
     "kmeans_clusters": _sql_kmeans(),
     "distinct_users_per_type": SQL_DISTINCT_USERS,
     "ann_ivf": _sql_ann_ivf(),
