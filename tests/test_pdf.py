@@ -600,3 +600,134 @@ def test_explicit_dct_stream_decode_still_raises():
     p = _Pdf(pdf_bytes)
     with pytest.raises(PdfError, match="unsupported stream filter"):
         p.stream_data(p.objects[5])
+
+
+# ---------------------------------------------------------------------------
+# Standard security handler (RC4) — encryptor written independently in-test
+# (hashlib + its own RC4 loop) against PDF 1.7 §7.6.3, so the module's key
+# derivation is checked by round-trip, not by reusing its own helpers.
+
+_ENC_PAD = bytes.fromhex(
+    "28bf4e5e4e758a416400"
+    "4e56fffa01082e2e00b6"
+    "d0683e802f0ca9fe6453"
+    "697a"
+)
+_ID0 = bytes(range(16))
+
+
+def _rc4_test(key: bytes, data: bytes) -> bytes:
+    s = bytearray(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) % 256
+        s[i], s[j] = s[j], s[i]
+    i = j = 0
+    out = bytearray()
+    for c in data:
+        i = (i + 1) % 256
+        j = (j + s[i]) % 256
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) % 256])
+    return bytes(out)
+
+
+def _enc_params(r: int, n: int, user_pw: bytes = b""):
+    import hashlib
+
+    owner = (b"" + _ENC_PAD)[:32]  # empty owner password
+    if r == 2:
+        ok = hashlib.md5(owner).digest()[:n]
+    else:
+        h = hashlib.md5(owner).digest()
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+        ok = h[:n]
+    o = (user_pw + _ENC_PAD)[:32]
+    if r == 2:
+        o = _rc4_test(ok, o)
+    else:
+        for i in range(20):
+            o = _rc4_test(bytes(b ^ i for b in ok), o)
+    p = -44  # permissions int32
+    h = hashlib.md5(
+        (user_pw + _ENC_PAD)[:32]
+        + o
+        + (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + _ID0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    if r == 2:
+        u = _rc4_test(key, _ENC_PAD)
+    else:
+        u = _rc4_test(key, hashlib.md5(_ENC_PAD + _ID0).digest())
+        for i in range(1, 20):
+            u = _rc4_test(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16
+    return key, o, u, p
+
+
+def _obj_key_test(key: bytes, num: int) -> bytes:
+    import hashlib
+
+    h = hashlib.md5(
+        key + (num).to_bytes(3, "little") + (0).to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(key) + 5, 16)]
+
+
+def _encrypted_pdf(r: int, v: int, bits: int, user_pw: bytes = b"") -> bytes:
+    import zlib as _z
+
+    n = bits // 8
+    key, o, u, p = _enc_params(r, n, user_pw)
+    data = _z.compress(_content())
+    enc_data = _rc4_test(_obj_key_test(key, 4), data)
+    stream = (
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(enc_data)
+        + enc_data
+        + b"\nendstream"
+    )
+    length_entry = b" /Length %d" % bits if v == 2 else b""
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        4: stream,
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: b"<< /Filter /Standard /V %d /R %d%s /O <%s> /U <%s> /P %d >>"
+        % (v, r, length_entry, o.hex().encode(), u.hex().encode(), p),
+    }
+    pdf = _pdf(objects, root=1)
+    return pdf.replace(
+        b"trailer\n<< /Size",
+        b"trailer\n<< /Encrypt 6 0 R /ID [<%s> <%s>] /Size"
+        % (_ID0.hex().encode(), _ID0.hex().encode()),
+    )
+
+
+@pytest.mark.parametrize("r,v,bits", [(2, 1, 40), (3, 2, 128)])
+def test_encrypted_rc4_roundtrip(r, v, bits):
+    pages = extract_pdf_items(_encrypted_pdf(r, v, bits))
+    assert [i["str"] for i in pages[0]] == [
+        "Title Line",
+        "First body line.",
+        "Second body line.",
+    ]
+
+
+def test_password_protected_rejected():
+    with pytest.raises(PdfError, match="password-protected"):
+        extract_pdf_items(_encrypted_pdf(3, 2, 128, user_pw=b"secret"))
+
+
+def test_aes_rejected():
+    pdf = _encrypted_pdf(3, 2, 128).replace(
+        b"/V 2 /R 3", b"/V 4 /R 4"
+    )
+    with pytest.raises(PdfError, match="RC4"):
+        extract_pdf_items(pdf)

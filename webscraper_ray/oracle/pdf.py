@@ -28,10 +28,17 @@ Supported:
   (1-byte) or ``chr(code)`` (2-byte Identity) — embedded-CMap CID->GID
   resolution (the full pdfjs path) stays out of subset.
 
+- encryption: the Standard security handler with RC4 (V 1/2, R 2/3,
+  40..128-bit) and an empty user password — the common "encrypted for
+  permissions, readable by anyone" case pdfjs opens without a password;
+  per-object keys via MD5 (PDF 1.7 §7.6.3 Algorithms 1/2/4/5), streams
+  decrypted before filters
+
 Not supported (raise ``ValueError`` -> converter error channel, the
-reference's HTTP 400 analog): encrypted files, predictors, filters other
-than Flate, xref-stream-only files whose objects are all in object
-streams we fail to locate, vertical writing modes.
+reference's HTTP 400 analog): password-protected files (user-password
+check fails), AES / crypt filters / non-Standard handlers, predictors,
+filters other than the list above, xref-stream-only files whose objects
+are all in object streams we fail to locate, vertical writing modes.
 
 Item semantics vs pdfjs: ``height`` = font size scaled by the text
 matrix's vertical axis (``|| (c, d) ||`` of Tm), which equals pdfjs's
@@ -72,11 +79,13 @@ class Name(str):
 
 
 class Stream:
-    __slots__ = ("dict", "raw")
+    __slots__ = ("dict", "raw", "num", "gen")
 
     def __init__(self, d: dict, raw: bytes):
         self.dict = d
         self.raw = raw
+        self.num: int | None = None  # owning indirect object, for decrypt
+        self.gen: int = 0
 
 
 _WS = b"\x00\t\n\x0c\r "
@@ -263,6 +272,77 @@ class _Lexer:
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
 
+# ---------------------------------------------------------------------------
+# Standard security handler (PDF 1.7 §7.6): RC4 + MD5 key derivation.
+# RC4 is the public stream cipher (symmetric: encrypt == decrypt).
+
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for idx, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[idx] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _md5(b: bytes) -> bytes:
+    import hashlib
+
+    return hashlib.md5(b).digest()
+
+
+def _std_file_key(
+    user_pw: bytes, o: bytes, p: int, id0: bytes, r: int, n: int
+) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    h = _md5(
+        (user_pw + _PAD)[:32]
+        + o[:32]
+        + (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + id0
+    )
+    if r >= 3:
+        for _ in range(50):
+            h = _md5(h[:n])
+    return h[:n]
+
+
+def _check_user_password(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
+    """Algorithms 4 (R2) / 5 (R3): does the derived key open the file?"""
+    if r == 2:
+        return _rc4(key, _PAD) == u[:32]
+    x = _rc4(key, _md5(_PAD + id0))
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x == u[:16]
+
+
+def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: the per-object RC4 key."""
+    h = _md5(
+        file_key
+        + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+    )
+    return h[: min(len(file_key) + 5, 16)]
+
 
 def _ascii_hex_decode(data: bytes) -> bytes:
     """ASCIIHexDecode (ISO 32000-1 §7.4.2): hex pairs, whitespace
@@ -378,6 +458,8 @@ class _Pdf:
             if parsed is None:
                 continue
             obj, end = parsed
+            if isinstance(obj, Stream):
+                obj.num, obj.gen = num, int(m.group(2))
             self.objects[num] = obj
             if end is not None:
                 skip_until = end
@@ -427,9 +509,19 @@ class _Pdf:
         return obj, (e_obj + len(b"endobj") if e_obj != -1 else None)
 
     def _check_encrypted(self) -> None:
-        """Reject encrypted files by the TRAILER'S /Encrypt entry (or an
+        """Set up decryption from the TRAILER'S /Encrypt entry (or an
         XRef stream dict's) — not a whole-buffer byte scan, which
-        false-positives on '/Encrypt' inside string/stream content."""
+        false-positives on '/Encrypt' inside string/stream content.
+
+        Supported: the Standard security handler with RC4 (V 1/2,
+        R 2/3, i.e. 40..128-bit) and an EMPTY user password — the
+        overwhelmingly common "encrypted for permissions, readable by
+        anyone" case (PDF 1.7 §7.6.3, Algorithms 2/4/5; pdfjs opens
+        these without a password, `src/converting.ts:43-145`). AES
+        (/V 4+), crypt filters, and files that actually require a
+        password raise ``PdfError`` (the converter's error channel)."""
+        self._enc_key: bytes | None = None
+        trailers: list[dict] = []
         for m in re.finditer(rb"trailer", self.buf):
             lex = _Lexer(self.buf, m.end())
             try:
@@ -437,11 +529,37 @@ class _Pdf:
             except PdfError:
                 continue
             if isinstance(d, dict) and "Encrypt" in d:
-                raise PdfError("encrypted PDFs are out of subset")
+                trailers.append(d)
         for obj in self.objects.values():
             d = obj.dict if isinstance(obj, Stream) else obj
             if isinstance(d, dict) and d.get("Type") == "XRef" and "Encrypt" in d:
-                raise PdfError("encrypted PDFs are out of subset")
+                trailers.append(d)
+        if not trailers:
+            return
+        tr = trailers[-1]
+        enc = self.resolve(tr["Encrypt"])
+        if not isinstance(enc, dict):
+            raise PdfError("malformed /Encrypt dictionary")
+        if str(self.resolve(enc.get("Filter"))) != "Standard":
+            raise PdfError("non-Standard security handlers are out of subset")
+        v = int(self.resolve(enc.get("V", 0)))
+        r = int(self.resolve(enc.get("R", 0)))
+        if v not in (1, 2) or r not in (2, 3):
+            raise PdfError("only RC4 V1/V2 R2/R3 encryption is in subset")
+        o = self.resolve(enc.get("O"))
+        u = self.resolve(enc.get("U"))
+        if not isinstance(o, bytes) or not isinstance(u, bytes):
+            raise PdfError("malformed /Encrypt O/U entries")
+        p = int(self.resolve(enc.get("P", -1)))
+        n = int(self.resolve(enc.get("Length", 40))) // 8 if v == 2 else 5
+        ids = self.resolve(tr.get("ID"))
+        id0 = self.resolve(ids[0]) if isinstance(ids, list) and ids else b""
+        if not isinstance(id0, bytes):
+            id0 = b""
+        key = _std_file_key(b"", o, p, id0, r, n)
+        if not _check_user_password(key, u, id0, r):
+            raise PdfError("password-protected PDFs are out of subset")
+        self._enc_key = key
 
     def _expand_object_streams(self) -> None:
         for obj in list(self.objects.values()):
@@ -472,6 +590,15 @@ class _Pdf:
         length = self.resolve(s.dict.get("Length"))
         if isinstance(length, int) and length <= len(raw):
             raw = raw[:length]
+        # decrypt BEFORE filters (the spec's layering); XRef streams are
+        # never encrypted, and objects inside ObjStm come decrypted with
+        # their container
+        if (
+            self._enc_key is not None
+            and s.num is not None
+            and self.resolve(s.dict.get("Type")) != "XRef"
+        ):
+            raw = _rc4(_object_key(self._enc_key, s.num, s.gen), raw)
         if filt is None:
             return raw
         filters = filt if isinstance(filt, list) else [filt]
