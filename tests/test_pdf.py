@@ -731,3 +731,31 @@ def test_aes_rejected():
     )
     with pytest.raises(PdfError, match="RC4"):
         extract_pdf_items(pdf)
+
+
+def test_embedded_cmap_encoding_maps_code_to_cid():
+    """Type0 font with an EMBEDDED CMap /Encoding and no ToUnicode:
+    codes map through cidchar/cidrange to CIDs; fallback text is
+    chr(CID), not chr(code)."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"3 begincidchar\n<0001> 72\n<0002> 105\n<0003> 33\nendcidchar\n"
+        b"1 begincidrange\n<0010> <0012> 65\nendcidrange\n"
+        b"endcmap end\n"
+    )
+    content = b"BT /F1 12 Tf 72 700 Td <000100020003> Tj <001000110012> Tj ET\n"
+    pdf = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>",
+            4: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+            5: b"<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding 7 0 R >>",
+            7: b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream",
+        },
+        root=1,
+    )
+    pages = extract_pdf_items(pdf)
+    assert [i["str"] for i in pages[0]] == ["Hi!", "ABC"]

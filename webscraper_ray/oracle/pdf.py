@@ -739,9 +739,46 @@ def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
     return cmap, width
 
 
+def _parse_cidmap(data: bytes) -> tuple[dict[int, int], int]:
+    """(code -> CID, code width) from an EMBEDDED CMap stream used as a
+    Type0 font's /Encoding (PDF 32000-1 §9.7.5.3): cidchar + cidrange
+    sections; width from codespacerange. Vertical modes / usecmap
+    composition stay out of subset (callers fall back to identity)."""
+    cid: dict[int, int] = {}
+    width = 0
+    for sec in re.finditer(rb"begincodespacerange(.*?)endcodespacerange", data, re.S):
+        for obj in _cmap_objects(sec.group(1)):
+            if isinstance(obj, bytes) and obj:
+                width = max(width, len(obj))
+    for sec in re.finditer(rb"begincidchar(.*?)endcidchar", data, re.S):
+        objs = _cmap_objects(sec.group(1))
+        for i in range(0, len(objs) - 1, 2):
+            src, dst = objs[i], objs[i + 1]
+            if isinstance(src, bytes) and isinstance(dst, int):
+                cid[int.from_bytes(src, "big")] = dst
+                width = width or len(src)
+    for sec in re.finditer(rb"begincidrange(.*?)endcidrange", data, re.S):
+        objs = _cmap_objects(sec.group(1))
+        for i in range(0, len(objs) - 2, 3):
+            lo, hi, start = objs[i], objs[i + 1], objs[i + 2]
+            if not (
+                isinstance(lo, bytes) and isinstance(hi, bytes) and isinstance(start, int)
+            ):
+                continue
+            lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+            if hi_i - lo_i > 0x10000:  # malformed-range guard
+                continue
+            width = width or len(lo)
+            for off in range(hi_i - lo_i + 1):
+                cid[lo_i + off] = start + off
+    return cid, width
+
+
 class _Font:
-    """Per-font text decoder: ToUnicode CMap when present, identity
-    fallback otherwise (latin-1 for 1-byte codes, chr(code) for 2-byte)."""
+    """Per-font text decoder: ToUnicode CMap when present; else an
+    embedded-CMap /Encoding maps code->CID and the fallback becomes
+    chr(CID); else identity (latin-1 for 1-byte codes, chr(code) for
+    2-byte)."""
 
     def __init__(self, pdf: "_Pdf", font_dict: dict):
         sub = pdf.resolve(font_dict.get("Subtype"))
@@ -750,6 +787,13 @@ class _Font:
             2 if str(sub) == "Type0" or str(enc) in ("Identity-H", "Identity-V") else 1
         )
         self.cmap: dict[int, str] | None = None
+        self.cid_map: dict[int, int] | None = None
+        if isinstance(enc, Stream):  # embedded CMap (code -> CID)
+            cid, width = _parse_cidmap(pdf.stream_data(enc))
+            if cid:
+                self.cid_map = cid
+                if width:
+                    self.code_bytes = width
         tu = pdf.resolve(font_dict.get("ToUnicode"))
         if isinstance(tu, Stream):
             cmap, width = _parse_tounicode(pdf.stream_data(tu))
@@ -759,13 +803,16 @@ class _Font:
                     self.code_bytes = width
 
     def decode(self, bs: bytes) -> str:
-        if self.cmap is None and self.code_bytes == 1:
+        if self.cmap is None and self.cid_map is None and self.code_bytes == 1:
             return bs.decode("latin-1")
         step = self.code_bytes
         out = []
         for i in range(0, len(bs) - step + 1, step):
             code = int.from_bytes(bs[i : i + step], "big")
             mapped = self.cmap.get(code) if self.cmap is not None else None
+            if mapped is None and self.cid_map is not None:
+                c = self.cid_map.get(code)
+                mapped = chr(c) if c is not None else None
             out.append(mapped if mapped is not None else chr(code))
         rem = len(bs) % step
         if rem:  # trailing short code: keep the raw bytes visible
@@ -776,6 +823,7 @@ class _Font:
 _DEFAULT_FONT = _Font.__new__(_Font)
 _DEFAULT_FONT.code_bytes = 1
 _DEFAULT_FONT.cmap = None
+_DEFAULT_FONT.cid_map = None
 
 
 # --- content-stream interpretation ------------------------------------------
