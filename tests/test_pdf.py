@@ -759,3 +759,59 @@ def test_embedded_cmap_encoding_maps_code_to_cid():
     )
     pages = extract_pdf_items(pdf)
     assert [i["str"] for i in pages[0]] == ["Hi!", "ABC"]
+
+
+def _predicted_stream(content: bytes, pred: int, columns: int) -> bytes:
+    """Apply the PNG Up filter (pred 12 layout) or TIFF differencing
+    (pred 2) the way an encoder would, then Flate-compress."""
+    import zlib as _z
+
+    rows = [content[i : i + columns] for i in range(0, len(content), columns)]
+    rows = [r + b"\x00" * (columns - len(r)) for r in rows]  # pad last row
+    if pred == 2:
+        enc = bytearray()
+        for r in rows:
+            row = bytearray(r)
+            for i in range(len(row) - 1, 0, -1):
+                row[i] = (row[i] - row[i - 1]) & 0xFF
+            enc += row
+    else:  # PNG Up
+        enc = bytearray()
+        prev = bytes(columns)
+        for r in rows:
+            enc.append(2)
+            enc += bytes((c - p) & 0xFF for c, p in zip(r, prev))
+            prev = r
+    return _z.compress(bytes(enc))
+
+
+@pytest.mark.parametrize("pred", [2, 12])
+def test_flate_predictor_roundtrip(pred):
+    content = _content()
+    cols = 40
+    padded_len = ((len(content) + cols - 1) // cols) * cols
+    data = _predicted_stream(content, pred, cols)
+    stream = (
+        b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor %d /Columns %d >> >>\nstream\n" % (len(data), pred, cols)
+        + data
+        + b"\nendstream"
+    )
+    pdf = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>",
+            4: stream,
+            5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        },
+        root=1,
+    )
+    assert padded_len >= len(content)
+    pages = extract_pdf_items(pdf)
+    assert [i["str"] for i in pages[0]] == [
+        "Title Line",
+        "First body line.",
+        "Second body line.",
+    ]

@@ -34,9 +34,12 @@ Supported:
   per-object keys via MD5 (PDF 1.7 §7.6.3 Algorithms 1/2/4/5), streams
   decrypted before filters
 
+- /Predictor on Flate/LZW DecodeParms: TIFF horizontal differencing and
+  the full PNG filter set (the xref-stream / ObjStm layout)
+
 Not supported (raise ``ValueError`` -> converter error channel, the
 reference's HTTP 400 analog): password-protected files (user-password
-check fails), AES / crypt filters / non-Standard handlers, predictors,
+check fails), AES / crypt filters / non-Standard handlers,
 filters other than the list above, xref-stream-only files whose objects
 are all in object streams we fail to locate, vertical writing modes.
 
@@ -344,6 +347,55 @@ def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
     return h[: min(len(file_key) + 5, 16)]
 
 
+def _unpredict(data: bytes, pred: int, colors: int, bpc: int, cols: int) -> bytes:
+    """Undo /Predictor on a decoded Flate/LZW stream (PDF 1.7 §7.4.4.4):
+    TIFF horizontal differencing (2, 8-bit only) and the PNG filter set
+    (>= 10) — the layout xref streams and ObjStms commonly use."""
+    row = (cols * colors * bpc + 7) // 8
+    bpp = max(1, (colors * bpc) // 8)
+    if pred == 2:
+        if bpc != 8:
+            raise PdfError("TIFF predictor with BitsPerComponent != 8")
+        out = bytearray(data)
+        for r0 in range(0, len(out) - row + 1, row):
+            for i in range(r0 + bpp, r0 + row):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    out = bytearray()
+    prev = bytes(row)
+    pos = 0
+    while pos + 1 + row <= len(data):
+        ftype = data[pos]
+        cur = bytearray(data[pos + 1 : pos + 1 + row])
+        pos += 1 + row
+        if ftype == 1:  # Sub
+            for i in range(bpp, row):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row):
+                left = cur[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise PdfError(f"unknown PNG predictor filter type {ftype}")
+        out += cur
+        prev = cur
+    return bytes(out)
+
+
 def _ascii_hex_decode(data: bytes) -> bytes:
     """ASCIIHexDecode (ISO 32000-1 §7.4.2): hex pairs, whitespace
     ignored, '>' is EOD, an odd trailing digit pads with 0."""
@@ -584,6 +636,20 @@ class _Pdf:
             depth += 1
         return obj
 
+    def _apply_predictor(self, raw: bytes, parm) -> bytes:
+        if not isinstance(parm, dict):
+            return raw
+        pred = int(self.resolve(parm.get("Predictor", 1)) or 1)
+        if pred <= 1:
+            return raw
+        return _unpredict(
+            raw,
+            pred,
+            int(self.resolve(parm.get("Colors", 1)) or 1),
+            int(self.resolve(parm.get("BitsPerComponent", 8)) or 8),
+            int(self.resolve(parm.get("Columns", 1)) or 1),
+        )
+
     def stream_data(self, s: Stream) -> bytes:
         filt = self.resolve(s.dict.get("Filter"))
         raw = s.raw
@@ -616,6 +682,7 @@ class _Pdf:
                     raw = zlib.decompress(raw)
                 except zlib.error as exc:
                     raise PdfError(f"bad Flate stream: {exc}") from exc
+                raw = self._apply_predictor(raw, parm)
             elif f == "ASCIIHexDecode":
                 raw = _ascii_hex_decode(raw)
             elif f == "RunLengthDecode":
@@ -625,6 +692,7 @@ class _Pdf:
                 if isinstance(parm, dict):
                     early = int(self.resolve(parm.get("EarlyChange", 1)))
                 raw = _lzw_decode(raw, early)
+                raw = self._apply_predictor(raw, parm)
             else:
                 # image codecs (DCT/JPX/CCITT) and crypt filters stay out
                 # of the documented subset
