@@ -335,12 +335,15 @@ def ann_lsh_topk_indexed(
     return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
 
 
+HOT_BUCKET_CAP = 4096
+
+
 def embed_cosine_dups(
     ds: "ray.data.Dataset",
     threshold: float = 0.4,
     bits: int = 2,
     dim: int = 64,
-    hot_bucket_cap: int = 4096,
+    hot_bucket_cap: int = HOT_BUCKET_CAP,
 ) -> "ray.data.Dataset":
     """Embedding-cosine near-duplicate pairs (task brief §dedup).
 

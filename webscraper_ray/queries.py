@@ -1170,8 +1170,9 @@ def _sql_band_ctes() -> str:
     LSH candidate stage of :func:`~webscraper_ray.functions.dedup`
     reproduced in SQL (64 xor-permutation minima, 16 band keys,
     band-join candidate pairs)."""
-    from .functions.dedup import _XOR_C, N_BANDS, N_HASHES
+    from .functions.dedup import _XOR_C, HOT_BAND_CAP, N_BANDS, N_HASHES
 
+    hot_cap = HOT_BAND_CAP
     rows_per_band = N_HASHES // N_BANDS
     mins = ",\n         ".join(
         f"min(xor(h, {int(c)}::UBIGINT)) AS s{i}" for i, c in enumerate(_XOR_C)
@@ -1208,10 +1209,16 @@ bands AS (
   {bands}
 ),
 pairs AS (
+  -- mirrors the hot-band star cap (functions/dedup.py emit_pairs):
+  -- buckets over HOT_BAND_CAP emit only (min id, other) star pairs
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
+  FROM (SELECT *,
+               count(*) OVER (PARTITION BY band_id, band_hash) AS m,
+               min(doc_id) OVER (PARTITION BY band_id, band_hash) AS mn
+        FROM bands) a
   JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
               AND a.doc_id < b.doc_id
+              AND (a.m <= {hot_cap} OR a.doc_id = a.mn)
 )"""
 
 
@@ -1343,14 +1350,23 @@ def _sql_dedup_embed(threshold: float = 0.4, bits: int = 2, dim: int = 64) -> st
             f"THEN {1 << i} ELSE 0 END)"
         )
     bucket = " + ".join(terms)
+    from .functions.ann import HOT_BUCKET_CAP
+
     return f"""
 WITH eb AS (
   SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket
   FROM embeddings
 )
+-- mirrors the hot-bucket star cap (embed_cosine_dups): buckets over
+-- HOT_BUCKET_CAP compare only (min id, other) star pairs
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
-FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM (SELECT *,
+             count(*) OVER (PARTITION BY bucket) AS m,
+             min(vec_id) OVER (PARTITION BY bucket) AS mn
+      FROM eb) a
+JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         AND (a.m <= {HOT_BUCKET_CAP} OR a.vec_id = a.mn)
 WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {threshold}
 """
 
@@ -1412,6 +1428,8 @@ def q_dedup_simhash_near(sf_dir: str):
 
 
 def _sql_dedup_simhash_near(max_hamming: int = 3, n_tables: int = 4) -> str:
+    from .functions.dedup import HOT_BAND_CAP
+
     tables = ", ".join(f"({t})" for t in range(n_tables))
     return rf"""
 WITH {_sql_simhash_ctes()},
@@ -1421,12 +1439,18 @@ rot AS (
   FROM all_docs, (VALUES {tables}) t(table_id)
 ),
 cand AS (
+  -- mirrors the hot-prefix star cap (simhash_near_dups): buckets over
+  -- HOT_BAND_CAP verify only (min id, other) star pairs
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          bit_count(xor(('0x' || a.simhash)::UBIGINT,
                        ('0x' || b.simhash)::UBIGINT)) AS hamming
-  FROM rot a
+  FROM (SELECT *,
+               count(*) OVER (PARTITION BY table_id, prefix) AS m,
+               min(doc_id) OVER (PARTITION BY table_id, prefix) AS mn
+        FROM rot) a
   JOIN rot b ON a.table_id = b.table_id AND a.prefix = b.prefix
             AND a.doc_id < b.doc_id
+            AND (a.m <= {HOT_BAND_CAP} OR a.doc_id = a.mn)
 )
 SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
 FROM cand WHERE hamming <= {max_hamming}
