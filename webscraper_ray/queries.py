@@ -2348,6 +2348,40 @@ SELECT query_id, doc_id, score FROM ranked WHERE rk <= 10
 """
 
 
+def q_chunk_documents(sf_dir: str):
+    """Fixed-window document chunking (window 64, stride 48): the
+    preprocessing staple between raw docs and packed sequences. Pure
+    per-batch flat map — no shuffle at any corpus size."""
+    from .functions.chunking import chunk_documents
+
+    return chunk_documents(
+        _read_sized(sf_dir, "documents", ["doc_id", "text"]),
+        window=64,
+        stride=48,
+    )
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+st AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, len(t) - 1, 48)) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST(start / 48 AS BIGINT) AS chunk_id,
+       CAST(least(start + 64, len(t)) - start AS BIGINT) AS n_tokens,
+       array_to_string(t[start + 1 : least(start + 64, len(t))], ' ')
+         AS chunk_text
+FROM st
+"""
+
+
 def q_customers_no_urgent(sf_dir: str):
     """Distributed ANTI-JOIN: customers with no urgent order — the one
     join shape the registry lacked (J-family). The right side is
@@ -2685,6 +2719,7 @@ QUERIES = {
     "term_lookup": q_term_lookup,
     "domain_mix": q_domain_mix,
     "customers_no_urgent": q_customers_no_urgent,
+    "chunk_documents": q_chunk_documents,
     "kmeans_clusters": q_kmeans_clusters,
     "distinct_users_per_type": q_distinct_users_per_type,
     "ann_ivf": q_ann_ivf,
@@ -2742,6 +2777,7 @@ ORACLE_SQL = {
     "term_lookup": _sql_term_lookup(),
     "domain_mix": _sql_domain_mix(),
     "customers_no_urgent": SQL_CUSTOMERS_NO_URGENT,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "kmeans_clusters": _sql_kmeans(),
     "distinct_users_per_type": SQL_DISTINCT_USERS,
     "ann_ivf": _sql_ann_ivf(),
