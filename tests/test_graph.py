@@ -84,3 +84,22 @@ def test_attach_cluster_ids_full_corpus(ray_session):
     # exactly one canonical doc per cluster
     canon = out[out["is_canonical"] == 1]
     assert sorted(canon["doc_id"]) == sorted(set(want_cluster))
+
+
+def test_attach_preserves_ids_above_2_53(ray_session):
+    # a nullable int64 label column would round-trip through float64 and
+    # corrupt ids above 2^53 — pin exact int64 fidelity end-to-end
+    big = 2**53 + 1
+    comps = connected_components(_pairs([(big, big + 2)]), num_parts=2)
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([big, big + 1, big + 2], pa.int64())})
+    )
+    out = (
+        attach_cluster_ids(docs, comps, num_parts=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [big, big + 1, big + 2]
+    assert out["cluster_id"].tolist() == [big, big + 1, big]
+    assert out["is_canonical"].tolist() == [1, 1, 0]

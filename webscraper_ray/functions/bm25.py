@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .tfidf import _per_doc_topk, _round6_vec  # noqa: F401  (shared kernels)
+from .tfidf import _round6_vec, flat_tokens as _tokenize_flat
 
 __all__ = ["DEFAULT_QUERIES", "bm25_topk", "K1", "B"]
 
@@ -43,16 +43,6 @@ DEFAULT_QUERIES = [
     (2, "customer order query"),
     (3, "vector scan"),
 ]
-
-
-def _tokenize_flat(batch: pa.Table, text_col: str):
-    txt = pc.fill_null(batch.column(text_col).combine_chunks(), "")
-    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), pattern=r"\s+")
-    flat = toks.flatten().to_numpy(zero_copy_only=False)
-    offsets = toks.offsets.to_numpy(zero_copy_only=False)
-    parent = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offsets))
-    keep = flat != ""
-    return flat[keep], parent[keep], len(toks)
 
 
 def bm25_topk(

@@ -30,22 +30,34 @@ def chunk_documents_batch(
     covered and the last chunk may be short."""
     if stride <= 0 or window <= 0:
         raise ValueError("chunk_documents: window and stride must be positive")
+    if stride > window:
+        raise ValueError(
+            "chunk_documents: stride > window would leave uncovered token "
+            "gaps (the coverage contract requires stride <= window)"
+        )
+    # tokenize with the SHARED oracle-contract kernel (RE2 \s+, not
+    # Python str.split — see tfidf.flat_tokens)
+    from .tfidf import flat_tokens
+
+    tok_np, parent, _ = flat_tokens(batch, text_col)
     ids = batch.column(id_col).to_pylist()
     out_id: list[int] = []
     out_chunk: list[int] = []
     out_n: list[int] = []
     out_text: list[str] = []
-    for doc_id, t in zip(ids, batch.column(text_col).to_pylist()):
-        if not t or not t.strip():
-            continue
-        toks = t.split()
-        n = len(toks)
-        for k, start in enumerate(range(0, n, stride)):
-            end = min(start + window, n)
-            out_id.append(doc_id)
-            out_chunk.append(k)
-            out_n.append(end - start)
-            out_text.append(" ".join(toks[start:end]))
+    if tok_np.size:
+        bounds = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+        ends = np.r_[bounds[1:], tok_np.size]
+        for s, e in zip(bounds, ends):
+            doc_id = ids[parent[s]]
+            toks = tok_np[s:e]
+            n = toks.size
+            for k, start in enumerate(range(0, n, stride)):
+                end = min(start + window, n)
+                out_id.append(doc_id)
+                out_chunk.append(k)
+                out_n.append(end - start)
+                out_text.append(" ".join(toks[start:end]))
     return pa.table(
         {
             id_col: pa.array(out_id, pa.int64()),

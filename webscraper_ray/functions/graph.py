@@ -213,7 +213,10 @@ def attach_cluster_ids(
                 "_part": _part_column(t.column(id_col), num_parts),
                 "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
                 "a": t.column(id_col),
-                "b": pa.nulls(t.num_rows, pa.int64()),
+                # zero filler, NOT pa.nulls: a nullable int64 column
+                # converts to float64 in to_numpy and silently corrupts
+                # ids above 2^53; side-0 rows never read b
+                "b": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
             }
         )
 

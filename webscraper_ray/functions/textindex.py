@@ -25,20 +25,22 @@ import pyarrow as pa
 
 import ray.data
 
-from .dedup import md5_u64
+from .joins import _part_column
 from .tfidf import doc_term_freqs
 
 __all__ = ["build_text_index", "term_postings", "token_bucket"]
 
 
 def token_bucket(tokens: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Deterministic md5 bucket per token — hashed over the batch's
-    DISTINCT tokens only (the `lang_normalize` trick)."""
-    uniq, inv = np.unique(tokens, return_inverse=True)
-    uh = np.fromiter(
-        (md5_u64(str(t)) for t in uniq), dtype=np.uint64, count=len(uniq)
+    """Deterministic md5 bucket per token — the SAME string-key kernel
+    every hash-partition exchange uses (`joins._part_column`: md5 over
+    the batch's distinct values, scattered back), so build and probe can
+    never drift."""
+    return (
+        _part_column(pa.array(tokens), num_buckets)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
     )
-    return (uh[inv] % np.uint64(num_buckets)).astype(np.int64)
 
 
 def build_text_index(

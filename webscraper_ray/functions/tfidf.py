@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 
 from .joins import _part_column
 
-__all__ = ["doc_term_freqs", "tfidf_top_terms"]
+__all__ = ["flat_tokens", "doc_term_freqs", "tfidf_top_terms"]
 
 
 def _round6_vec(x: np.ndarray) -> np.ndarray:
@@ -44,23 +44,30 @@ def _round6_vec(x: np.ndarray) -> np.ndarray:
     return np.floor(np.abs(x) * 1e6 + 0.5) / 1e6 * np.sign(x)
 
 
-def doc_term_freqs(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """DISTINCT (doc_id, token, tf) rows for one batch. Whitespace
-    tokenization — the same contract the oracle expresses with
-    ``string_split_regex(trim(text), '\\s+')``. Globally distinct
-    because ``map_batches`` never splits a row across batches."""
-    import pandas as pd
-
+def flat_tokens(batch: pa.Table, text_col: str = "text"):
+    """(tokens, parent row indices, n_rows) — THE repo-wide tokenizer
+    kernel: Arrow regex split matching the oracle contract
+    ``string_split_regex(trim(text), '\\s+')`` (RE2 semantics — Python's
+    ``str.split()`` splits on MORE codepoints, e.g. \\x0b, and would
+    diverge from the SQL gate). Shared by tfidf / bm25 / chunking."""
     txt = pc.fill_null(batch.column(text_col).combine_chunks(), "")
     toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), pattern=r"\s+")
     flat = toks.flatten()
     offsets = toks.offsets.to_numpy(zero_copy_only=False)
-    parent = np.repeat(
-        np.arange(len(toks), dtype=np.int64), np.diff(offsets)
-    )
+    parent = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offsets))
     tok_np = flat.to_numpy(zero_copy_only=False)
     keep = tok_np != ""  # empty text trims+splits to one "" token
-    tok_np, parent = tok_np[keep], parent[keep]
+    return tok_np[keep], parent[keep], len(toks)
+
+
+def doc_term_freqs(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """DISTINCT (doc_id, token, tf) rows for one batch. Whitespace
+    tokenization via :func:`flat_tokens` — the same contract the oracle
+    expresses with ``string_split_regex(trim(text), '\\s+')``. Globally
+    distinct because ``map_batches`` never splits a row across batches."""
+    import pandas as pd
+
+    tok_np, parent, _ = flat_tokens(batch, text_col)
     if tok_np.size == 0:
         return pa.table(
             {

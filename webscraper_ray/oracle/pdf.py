@@ -352,7 +352,9 @@ def _unpredict(data: bytes, pred: int, colors: int, bpc: int, cols: int) -> byte
     TIFF horizontal differencing (2, 8-bit only) and the PNG filter set
     (>= 10) — the layout xref streams and ObjStms commonly use."""
     row = (cols * colors * bpc + 7) // 8
-    bpp = max(1, (colors * bpc) // 8)
+    # PNG filter unit: CEIL of bits-per-pixel over 8 (a 12-bit pixel
+    # filters with a 2-byte left neighbor), never the floor
+    bpp = max(1, (colors * bpc + 7) // 8)
     if pred == 2:
         if bpc != 8:
             raise PdfError("TIFF predictor with BitsPerComponent != 8")
@@ -393,6 +395,8 @@ def _unpredict(data: bytes, pred: int, colors: int, bpc: int, cols: int) -> byte
             raise PdfError(f"unknown PNG predictor filter type {ftype}")
         out += cur
         prev = cur
+    if pos != len(data):  # trailing partial row: loud, not silent drop
+        raise PdfError("truncated predictor stream (partial trailing row)")
     return bytes(out)
 
 
