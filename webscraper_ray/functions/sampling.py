@@ -80,54 +80,131 @@ def domain_mix(
     the oracle as a ``row_number() OVER (PARTITION BY source ORDER BY
     md5-prefix-int, id)`` filter.
 
-    Scale shape: per-source counts reduce to a driver table bounded by
-    the SOURCE CARDINALITY (documented contract — sources are a mixing
-    recipe's handful, never corpus-proportional); selection is a
-    per-batch partial bottom-``kept_s`` per source, then ONE
-    source-keyed exchange carrying <= kept_s rows per source per block.
+    Scale shape — no corpus-proportional reduce anywhere:
+
+    1. ONE streaming pass builds a per-source histogram of the hash's
+       TOP 16 BITS (driver gather bounded by |targets| x 65536 rows, a
+       CONSTANT independent of corpus size). The histogram also yields
+       the per-source counts, so no separate count pass.
+    2. The driver finds each source's exact threshold bucket B_s (the
+       65536-ile containing the kept_s-th smallest hash) and the
+       residual quota rem_s inside it.
+    3. ONE more streaming pass keeps rows with bucket < B_s outright (a
+       pure map filter — these are exactly the quota minus the boundary
+       bucket) and routes ONLY boundary-bucket rows (expected
+       count_s/65536; md5 uniformity) through a small source-keyed
+       exchange for the exact bottom-rem_s by (hash, id).
     """
     import numpy as np
-
-    from ray.data.aggregate import Count
 
     targets = {k: float(v) for k, v in weights.items() if v > 0}
     if not targets:
         raise ValueError("domain_mix: weights must name at least one source")
 
-    counts_rows = (
-        ds.groupby(stratum_col).aggregate(Count(alias_name="c")).take_all()
-    )  # bounded: one row per distinct source
-    counts = {r[stratum_col]: r["c"] for r in counts_rows}
-    scale = min(counts.get(s, 0) / w for s, w in targets.items())
-    kept = {s: int(np.floor(scale * w)) for s, w in targets.items()}
-
     src_arr = np.array(sorted(targets))
-    kept_arr = np.array([kept[s] for s in sorted(targets)], dtype=np.int64)
 
-    def bottom_k(t: pa.Table) -> pa.Table:
+    def _hashes(t: pa.Table):
         strata = t.column(stratum_col).to_numpy(zero_copy_only=False)
         sel = np.isin(strata, src_arr)
         if not sel.any():
-            return t.slice(0, 0)
+            return None
         t = t.filter(pa.array(sel))
-        strata = strata[sel]
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(ids, return_inverse=True)
         uh = np.fromiter(
             (md5_u64(str(v)) for v in uniq), dtype=np.uint64, count=len(uniq)
         )
         h = uh[inv]
-        code = np.searchsorted(src_arr, strata)
+        code = np.searchsorted(src_arr, strata[sel])
+        return t, h, code
+
+    # ---- pass 1: per-(source, top-16-bit bucket) histogram partials
+    def hist_partial(t: pa.Table) -> pa.Table:
+        got = _hashes(t)
+        if got is None:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        _t, h, code = got
+        key = code.astype(np.int64) * 65536 + (h >> np.uint64(48)).astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"key": pa.array(uk), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist_rows = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )  # bounded: <= |targets| * 65536 rows, constant in corpus size
+    hist = np.zeros((len(src_arr), 65536), dtype=np.int64)
+    for r in hist_rows:
+        hist[r["key"] // 65536, r["key"] % 65536] = r["cnt"]
+    counts = hist.sum(axis=1)
+    scale = min(
+        counts[i] / targets[s] for i, s in enumerate(src_arr.tolist())
+    )
+    kept_arr = np.floor(
+        scale * np.array([targets[s] for s in src_arr.tolist()])
+    ).astype(np.int64)
+
+    # per-source threshold bucket and residual quota inside it
+    cum = np.cumsum(hist, axis=1)
+    b_arr = np.full(len(src_arr), -1, dtype=np.int64)
+    rem_arr = np.zeros(len(src_arr), dtype=np.int64)
+    for i, k in enumerate(kept_arr):
+        if k <= 0:
+            continue
+        b = int(np.searchsorted(cum[i], k))  # first bucket with cum >= k
+        below = int(cum[i][b - 1]) if b > 0 else 0
+        b_arr[i], rem_arr[i] = b, int(k) - below
+
+    # ---- pass 2: keep below-threshold outright; tag boundary rows
+    def select(t: pa.Table) -> pa.Table:
+        got = _hashes(t)
+        if got is None:
+            empty = t.slice(0, 0)
+            return empty.append_column("_bnd", pa.array([], pa.int8()))
+        t, h, code = got
+        hi = (h >> np.uint64(48)).astype(np.int64)
+        below = hi < b_arr[code]
+        bnd = hi == b_arr[code]
+        keep = below | bnd
+        out = t.filter(pa.array(keep))
+        return out.append_column(
+            "_bnd", pa.array(bnd[keep].astype(np.int8))
+        )
+
+    def boundary_bottom(part: pa.Table) -> pa.Table:
+        got = _hashes(part)
+        if got is None:
+            return part.slice(0, 0)
+        part, h, code = got
+        ids = part.column(id_col).to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, h, code))
         code_s = code[order]
         starts = np.flatnonzero(np.r_[True, code_s[1:] != code_s[:-1]])
         sizes = np.diff(np.r_[starts, code_s.size])
         rank = np.arange(code_s.size) - np.repeat(starts, sizes)
-        keep_idx = order[rank < kept_arr[code_s]]
-        return t.take(pa.array(np.sort(keep_idx)))
+        keep_idx = order[rank < rem_arr[code_s]]
+        return part.take(pa.array(np.sort(keep_idx)))
 
-    partial = ds.map_batches(bottom_k, batch_format="pyarrow")
-    return (
-        partial.groupby(stratum_col)
-        .map_groups(bottom_k, batch_format="pyarrow")
+    mat = ds.map_batches(select, batch_format="pyarrow").materialize()
+
+    def only(flag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t.column("_bnd"), flag)
+            return t.filter(mask).drop_columns(["_bnd"])
+
+        return fn
+
+    selected = mat.map_batches(only(0), batch_format="pyarrow")
+    boundary = (
+        mat.map_batches(only(1), batch_format="pyarrow")
+        .groupby(stratum_col)
+        .map_groups(boundary_bottom, batch_format="pyarrow")
     )
+    return selected.union(boundary)
