@@ -815,3 +815,42 @@ def test_flate_predictor_roundtrip(pred):
         "First body line.",
         "Second body line.",
     ]
+
+
+def test_pdf_fuzz_new_paths_never_raise_unexpected():
+    """Fuzz over the round-4 paths too (RC4-encrypted file, predictor
+    stream): mutated bytes must parse or raise PdfError, never leak
+    KeyError/struct.error/IndexError out of decrypt/unpredict."""
+    import random
+
+    rng = random.Random(4321)
+    content = _content()
+    data = _predicted_stream(content, 12, 40)
+    pred_pdf = _pdf(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+            b"<< /Predictor 12 /Columns 40 >> >>\nstream\n" % len(data)
+            + data
+            + b"\nendstream",
+        },
+        root=1,
+    )
+    seeds = [_encrypted_pdf(2, 1, 40), _encrypted_pdf(3, 2, 128), pred_pdf]
+    for trial in range(150):
+        base = bytearray(seeds[trial % len(seeds)])
+        for _ in range(rng.randint(1, 12)):
+            pos = rng.randrange(len(base))
+            op = rng.random()
+            if op < 0.4:
+                base[pos] = rng.randrange(256)
+            elif op < 0.7:
+                del base[pos]
+            else:
+                base.insert(pos, rng.randrange(256))
+        try:
+            extract_pdf_items(bytes(base))
+        except PdfError:
+            pass
