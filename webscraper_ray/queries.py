@@ -2348,6 +2348,50 @@ SELECT query_id, doc_id, score FROM ranked WHERE rk <= 10
 """
 
 
+def q_hll_distinct_users(sf_dir: str):
+    """HyperLogLog registers over events.user_id — the mergeable
+    distinct-count sketch (constant 64-register state; the scale path
+    where exact COUNT DISTINCT's value shuffle stops being affordable).
+    Integer-gated: the oracle recomputes the md5 register/rank table
+    exactly; the float estimate is a pure function of it."""
+    from .functions.sketches import hll_registers
+
+    return hll_registers(_read_sized(sf_dir, "events", ["user_id"]), "user_id")
+
+
+def _sql_hll_distinct_users() -> str:
+    from .functions.sketches import M_REGISTERS, P_BITS
+
+    w_bits = 64 - P_BITS
+    two_w = 1 << w_bits
+    branches = "\n         ".join(
+        f"WHEN w >= {1 << (w_bits - r)}::UBIGINT THEN {r}"
+        for r in range(1, w_bits + 1)
+    )
+    return f"""
+WITH du AS (SELECT DISTINCT user_id FROM events),
+h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM du
+),
+rr AS (
+  SELECT CAST(h // {two_w}::UBIGINT AS BIGINT) AS register,
+         h % {two_w}::UBIGINT AS w
+  FROM h
+),
+ranked AS (
+  SELECT register,
+         CASE {branches}
+         ELSE {w_bits + 1} END AS rho
+  FROM rr
+),
+regs AS (SELECT register, max(rho) AS rho FROM ranked GROUP BY register)
+SELECT g.register, CAST(COALESCE(regs.rho, 0) AS BIGINT) AS rho
+FROM (SELECT unnest(range(0, {M_REGISTERS})) AS register) g
+LEFT JOIN regs USING (register)
+"""
+
+
 def q_chunk_documents(sf_dir: str):
     """Fixed-window document chunking (window 64, stride 48): the
     preprocessing staple between raw docs and packed sequences. Pure
@@ -2720,6 +2764,7 @@ QUERIES = {
     "domain_mix": q_domain_mix,
     "customers_no_urgent": q_customers_no_urgent,
     "chunk_documents": q_chunk_documents,
+    "hll_distinct_users": q_hll_distinct_users,
     "kmeans_clusters": q_kmeans_clusters,
     "distinct_users_per_type": q_distinct_users_per_type,
     "ann_ivf": q_ann_ivf,
@@ -2778,6 +2823,7 @@ ORACLE_SQL = {
     "domain_mix": _sql_domain_mix(),
     "customers_no_urgent": SQL_CUSTOMERS_NO_URGENT,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "hll_distinct_users": _sql_hll_distinct_users(),
     "kmeans_clusters": _sql_kmeans(),
     "distinct_users_per_type": SQL_DISTINCT_USERS,
     "ann_ivf": _sql_ann_ivf(),
