@@ -16,7 +16,7 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["tumbling_counts", "hopping_counts", "sessionize"]
+__all__ = ["tumbling_counts", "hopping_counts", "sessionize", "funnel_stages"]
 
 
 def tumbling_counts(ds: "ray.data.Dataset", hours: int = 1) -> "ray.data.Dataset":
@@ -201,6 +201,81 @@ def sessionize(
                     np.add.reduceat(new_session.astype(np.int64), starts), pa.int64()
                 ),
                 "n_events": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+def funnel_stages(
+    ds: "ray.data.Dataset",
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    num_parts: int = _SESSION_PARTS,
+) -> "ray.data.Dataset":
+    """(user_id, reached_stage): the classic ordered conversion funnel —
+    stage 1 = first ``stages[0]``, stage 2 = first ``stages[1]`` AFTER
+    that, stage 3 = first ``stages[2]`` after THAT; 0 = none.
+
+    Same shape as :func:`sessionize`: ONE hash-partition shuffle on
+    user_id (ordering spans batches), then every user of a partition in
+    one vectorized pass — three masked min-reduceat sweeps chained
+    through per-user sentinels, never a Python loop per user.
+    """
+    s1, s2, s3 = stages
+    SENT = np.iinfo(np.int64).max
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_p", pa.array(((u * _KNUTH) % np.uint64(num_parts)).astype(np.int32))
+        )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "reached_stage": pa.array([], pa.int64()),
+                }
+            )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        group = np.zeros(u.size, dtype=np.int64)
+        group[starts] = 1
+        group = np.cumsum(group) - 1  # per-row user index
+
+        def first_after(kind: str, after: np.ndarray) -> np.ndarray:
+            # min ts among rows of `kind` strictly after the user's
+            # `after` time (SENT = stage not reached)
+            masked = np.where((et == kind) & (ts > after[group]), ts, SENT)
+            return np.minimum.reduceat(masked, starts)
+
+        t0 = np.full(starts.size, -(2**62), dtype=np.int64)
+        t1 = first_after(s1, t0)
+        t2 = first_after(s2, t1)
+        t3 = first_after(s3, t2)
+        reached = (
+            (t1 != SENT).astype(np.int64)
+            + (t2 != SENT).astype(np.int64)
+            + (t3 != SENT).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "reached_stage": pa.array(reached),
             }
         )
 

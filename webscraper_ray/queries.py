@@ -2348,6 +2348,44 @@ SELECT query_id, doc_id, score FROM ranked WHERE rk <= 10
 """
 
 
+def q_funnel_stages(sf_dir: str):
+    """Ordered conversion funnel (view -> click -> purchase): furthest
+    stage each user reached, with strict event-time ordering between
+    stages. One user-keyed shuffle; per-partition vectorized
+    three-sweep reduceat chain (no per-user Python dispatch)."""
+    from .functions.windows import funnel_stages
+
+    return funnel_stages(
+        _read_sized(sf_dir, "events", ["user_id", "ts", "event_type"])
+    )
+
+
+SQL_FUNNEL_STAGES = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS reached_stage
+FROM u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
 def q_hll_distinct_users(sf_dir: str):
     """HyperLogLog registers over events.user_id — the mergeable
     distinct-count sketch (constant 64-register state; the scale path
@@ -2765,6 +2803,7 @@ QUERIES = {
     "customers_no_urgent": q_customers_no_urgent,
     "chunk_documents": q_chunk_documents,
     "hll_distinct_users": q_hll_distinct_users,
+    "funnel_stages": q_funnel_stages,
     "kmeans_clusters": q_kmeans_clusters,
     "distinct_users_per_type": q_distinct_users_per_type,
     "ann_ivf": q_ann_ivf,
@@ -2824,6 +2863,7 @@ ORACLE_SQL = {
     "customers_no_urgent": SQL_CUSTOMERS_NO_URGENT,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "hll_distinct_users": _sql_hll_distinct_users(),
+    "funnel_stages": SQL_FUNNEL_STAGES,
     "kmeans_clusters": _sql_kmeans(),
     "distinct_users_per_type": SQL_DISTINCT_USERS,
     "ann_ivf": _sql_ann_ivf(),
