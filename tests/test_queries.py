@@ -111,6 +111,32 @@ def test_top_revenue_join_plan_matches_broadcast_plan(ray_session, duck):
     pd.testing.assert_frame_equal(joined, want, check_dtype=False, atol=1e-9)
 
 
+def test_returned_items_join_plan_matches_broadcast_plan(ray_session, duck):
+    from webscraper_ray.queries import ORACLE_SQL, q_returned_items
+
+    joined = _normalize(q_returned_items(SF, broadcast_max_rows=0).to_pandas())
+    want = _normalize(duck.execute(ORACLE_SQL["returned_items"]).df())
+    pd.testing.assert_frame_equal(joined, want, check_dtype=False, atol=1e-9)
+
+
+def test_large_volume_join_plan_matches_broadcast_plan(ray_session, duck):
+    from webscraper_ray.queries import ORACLE_SQL, q_large_volume_customers
+
+    joined = _normalize(
+        q_large_volume_customers(SF, broadcast_max_rows=0).to_pandas()
+    )
+    want = _normalize(duck.execute(ORACLE_SQL["large_volume_customers"]).df())
+    pd.testing.assert_frame_equal(joined, want, check_dtype=False, atol=1e-9)
+
+
+def test_promo_revenue_join_plan_matches_broadcast_plan(ray_session, duck):
+    from webscraper_ray.queries import ORACLE_SQL, q_promo_revenue
+
+    joined = _normalize(q_promo_revenue(SF, broadcast_max_rows=0).to_pandas())
+    want = _normalize(duck.execute(ORACLE_SQL["promo_revenue"]).df())
+    pd.testing.assert_frame_equal(joined, want, check_dtype=False, atol=1e-9)
+
+
 def test_read_sized_falls_through_on_large_files(monkeypatch):
     """Above a 64-block data-sized count, sized reads must pass NO
     override so large files keep Ray's own target-block-size scaling

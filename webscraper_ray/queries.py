@@ -2747,6 +2747,598 @@ WHERE ('0x' || substr(md5(CAST(h.doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100
 
 
 # ---------------------------------------------------------------------------
+# Classic warehouse shapes (round 4, second half): predicate-pruned scalar
+# aggregate, returned-items multi-join, having-filtered join-back, ratio
+# join, scalar-subquery + anti-join. Same planner discipline as the other
+# J3 queries: per-batch exact-cents pre-aggregation below every join,
+# size-gated broadcast vs partitioned Dataset.join on parquet row counts.
+# ---------------------------------------------------------------------------
+
+_TS96 = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+_TS97 = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+_TS2000 = pa.scalar(np.datetime64("2000-01-01", "us"), pa.timestamp("us"))
+
+
+def q_revenue_forecast(sf_dir: str):
+    """TPC-H Q6 shape: tight multi-predicate filter + ONE scalar sum.
+
+    Scale shape: column-pruned read (4 of 11 columns), the filter and
+    the cents product run vectorized per batch, each block contributes
+    ONE partial row, and the only 'exchange' is the driver-side sum of
+    those partials — nothing shuffles. The discount band compares exact
+    integer cents on both sides (float literals like 0.05 are not
+    representable; cents are)."""
+    line = _read(
+        sf_dir,
+        "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_c = _cents(t.column("l_discount"))
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(t.column("l_shipdate"), _TS96),
+                pc.less(t.column("l_shipdate"), _TS97),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc_c, pa.scalar(5, pa.int64())),
+                    pc.less_equal(disc_c, pa.scalar(7, pa.int64())),
+                ),
+                pc.less(t.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        kept = t.filter(mask)
+        rev = pc.sum(
+            pc.multiply(
+                _cents(kept.column("l_extendedprice")),
+                _cents(kept.column("l_discount")),
+            )
+        )
+        return pa.table(
+            {"rev_c4": pa.array([rev.as_py() or 0], pa.int64())}
+        )
+
+    total = line.map_batches(partial, batch_format="pyarrow").sum("rev_c4")
+    return pa.table({"revenue": pa.array([total / 10_000.0], pa.float64())})
+
+
+SQL_REVENUE_FORECAST = """
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_returned_items(sf_dir: str, broadcast_max_rows: int | None = None):
+    """TPC-H Q10 shape: who returned the most revenue — filtered fact,
+    two dimension attaches, grouped sum, deterministic top 20.
+
+    Scale shape: lineitem filters + pre-aggregates revenue BY ORDERKEY
+    per batch (exact cents) before anything joins. Under
+    ``BROADCAST_MAX_ROWS`` (parquet metadata, both sides checked) the
+    orderkey->custkey and custkey->(name, acctbal, nation) maps ship
+    once via ``ray.put`` and attach with searchsorted; above it the
+    plan is two partitioned ``Dataset.join``s. nation is genuinely tiny
+    and broadcasts either way. The top-20 sorts on INT cents (ties
+    broken by custkey) so float division can't reorder."""
+    import ray
+
+    nparts = _join_partitions()
+    limit = BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
+    line = _read_sized(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        rev = pc.multiply(
+            _cents(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t.column("l_discount"))),
+        )
+        tt = pa.table({"l_orderkey": t.column("l_orderkey"), "rev_c4": rev})
+        return tt.group_by("l_orderkey").aggregate([("rev_c4", "sum")]).rename_columns(
+            ["l_orderkey", "rev_c4"]
+        )
+
+    partials = line.map_batches(partial, batch_format="pyarrow")
+    n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    n_customers = pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).combine_chunks()
+    nation_ref = ray.put(
+        (nation.column("n_nationkey").chunk(0).cast(pa.int32()),
+         nation.column("n_name").chunk(0))
+    )
+
+    if n_orders <= limit and n_customers <= limit:
+        ot = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey"],
+        )
+        okeys = ot.column("o_orderkey").to_numpy(zero_copy_only=False)
+        osort = np.argsort(okeys)
+        o_ref = ray.put(
+            (okeys[osort], ot.column("o_custkey").to_numpy(zero_copy_only=False)[osort])
+        )
+
+        def attach_cust(t: pa.Table, ref=o_ref) -> pa.Table:
+            import ray as _ray
+
+            okeys_s, ocust_s = _ray.get(ref)
+            pos = np.searchsorted(
+                okeys_s, t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            )
+            tt = pa.table(
+                {"c_custkey": pa.array(ocust_s[pos]), "rev_c4": t.column("rev_c4")}
+            )
+            return tt.group_by("c_custkey").aggregate([("rev_c4", "sum")]).rename_columns(
+                ["c_custkey", "rev_c4"]
+            )
+
+        agg = (
+            partials.map_batches(attach_cust, batch_format="pyarrow")
+            .groupby("c_custkey")
+            .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+        )
+    else:
+        orders = _read_sized(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        agg = (
+            partials.join(
+                orders,
+                "inner",
+                num_partitions=nparts,
+                on=("l_orderkey",),
+                right_on=("o_orderkey",),
+            )
+            .groupby("o_custkey")
+            .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+            .map_batches(
+                lambda t: t.rename_columns(["c_custkey", "rev_c4"]),
+                batch_format="pyarrow",
+            )
+        )
+
+    top = agg.sort(["rev_c4", "c_custkey"], descending=[True, False]).limit(20)
+
+    # the 20-row result attaches its dimension columns with one
+    # column-pruned customer read — output-sized work, never fact-sized
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    ).combine_chunks()
+    ckeys = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    csort = np.argsort(ckeys)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        nkeys, nnames = _ray.get(nation_ref)
+        pos = csort[
+            np.searchsorted(
+                ckeys[csort], t.column("c_custkey").to_numpy(zero_copy_only=False)
+            )
+        ]
+        names = pc.take(cust.column("c_name"), pa.array(pos))
+        bals = pc.take(cust.column("c_acctbal"), pa.array(pos))
+        nat = _vector_lookup(
+            pc.take(cust.column("c_nationkey"), pa.array(pos)), nkeys, nnames
+        )
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_name": names,
+                "revenue": pc.divide(t.column("rev_c4").cast(pa.float64()), 10_000.0),
+                "c_acctbal": bals,
+                "n_name": nat,
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RETURNED_ITEMS = """
+SELECT c.c_custkey, c.c_name,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) DESC,
+         c.c_custkey
+LIMIT 20
+"""
+
+
+def q_large_volume_customers(sf_dir: str, broadcast_max_rows: int | None = None):
+    """TPC-H Q18 shape: HAVING-filtered aggregate joined back to its
+    dimensions (large-volume orders and who placed them).
+
+    Scale shape: quantity sums per orderkey pre-aggregate per batch
+    (quantities are integral by construction — summed as exact int64),
+    ONE orderkey groupby shuffles the partials, and the HAVING > 300
+    filter runs distributed BEFORE any dimension work, so only
+    qualifying rows (output-sized) reach the joins. Dimension attach is
+    size-gated: broadcast searchsorted maps under the threshold, two
+    partitioned joins above it."""
+    import ray
+
+    nparts = _join_partitions()
+    limit = BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
+    line = _read_sized(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "sum_qty": pc.round(t.column("l_quantity")).cast(pa.int64()),
+            }
+        )
+        return tt.group_by("o_orderkey").aggregate([("sum_qty", "sum")]).rename_columns(
+            ["o_orderkey", "sum_qty"]
+        )
+
+    big = (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+        .filter(lambda r: r["sum_qty"] > 300)
+    )
+
+    n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    n_customers = pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
+
+    if n_orders <= limit and n_customers <= limit:
+        ot = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        ).combine_chunks()
+        okeys = ot.column("o_orderkey").to_numpy(zero_copy_only=False)
+        osort = np.argsort(okeys)
+        ct = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name"],
+        ).combine_chunks()
+        ckeys = ct.column("c_custkey").to_numpy(zero_copy_only=False)
+        csort = np.argsort(ckeys)
+        dims_ref = ray.put((okeys[osort], osort, ot, ckeys[csort], csort, ct))
+
+        def attach(t: pa.Table, ref=dims_ref) -> pa.Table:
+            import ray as _ray
+
+            okeys_s, osort_, ot_, ckeys_s, csort_, ct_ = _ray.get(ref)
+            opos = osort_[
+                np.searchsorted(
+                    okeys_s, t.column("o_orderkey").to_numpy(zero_copy_only=False)
+                )
+            ]
+            custkeys = pc.take(ot_.column("o_custkey"), pa.array(opos))
+            cpos = csort_[
+                np.searchsorted(
+                    ckeys_s, custkeys.to_numpy(zero_copy_only=False)
+                )
+            ]
+            return pa.table(
+                {
+                    "c_custkey": custkeys,
+                    "c_name": pc.take(ct_.column("c_name"), pa.array(cpos)),
+                    "o_orderkey": t.column("o_orderkey"),
+                    "o_orderdate": pc.take(ot_.column("o_orderdate"), pa.array(opos)),
+                    "o_totalprice": pc.take(ot_.column("o_totalprice"), pa.array(opos)),
+                    "sum_qty": t.column("sum_qty").cast(pa.float64()),
+                }
+            )
+
+        out = big.map_batches(attach, batch_format="pyarrow")
+    else:
+        orders = _read_sized(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+        )
+        cust = _read_sized(sf_dir, "customer", ["c_custkey", "c_name"])
+        out = (
+            big.join(
+                orders, "inner", num_partitions=nparts, on=("o_orderkey",)
+            )
+            .join(
+                cust,
+                "inner",
+                num_partitions=nparts,
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "c_custkey": t.column("o_custkey"),
+                        "c_name": t.column("c_name"),
+                        "o_orderkey": t.column("o_orderkey"),
+                        "o_orderdate": t.column("o_orderdate"),
+                        "o_totalprice": t.column("o_totalprice"),
+                        "sum_qty": t.column("sum_qty").cast(pa.float64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    return out.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(100)
+
+
+SQL_LARGE_VOLUME_CUSTOMERS = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(sum(l.l_quantity) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+HAVING sum(l.l_quantity) > 300
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+def q_promo_revenue(sf_dir: str, broadcast_max_rows: int | None = None):
+    """TPC-H Q14 shape, widened to a monthly series: promo vs total
+    revenue per ship month. The 'ratio' ships as its exact integer
+    numerator/denominator (cents) rather than a lossy float division,
+    so the gate stays bit-exact at any parallelism.
+
+    Scale shape: the part side reduces to a partkey->is_promo BITMAP
+    before anything moves — under the threshold it broadcasts once
+    (searchsorted membership per batch); above it the fact side
+    pre-aggregates per (partkey, month) so the partitioned join carries
+    |part|x|months| rows, never lineitem rows. One tiny month groupby
+    finishes either way."""
+    import ray
+
+    nparts = _join_partitions()
+    limit = BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
+    line = _read_sized(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    n_parts_tbl = pq.read_metadata(os.path.join(sf_dir, "part.parquet")).num_rows
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "month": t.column("month"),
+                "promo_revenue": pc.divide(
+                    t.column("promo_c4").cast(pa.float64()), 10_000.0
+                ),
+                "total_revenue": pc.divide(
+                    t.column("total_c4").cast(pa.float64()), 10_000.0
+                ),
+            }
+        )
+
+    if n_parts_tbl <= limit:
+        pt = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+        )
+        promo_keys = np.sort(
+            pt.filter(pc.equal(pt.column("p_type"), "PROMO"))
+            .column("p_partkey")
+            .to_numpy(zero_copy_only=False)
+        )
+        promo_ref = ray.put(promo_keys)
+
+        def partial(t: pa.Table, ref=promo_ref) -> pa.Table:
+            import ray as _ray
+
+            promo = _ray.get(ref)
+            month = pc.strftime(t.column("l_shipdate"), format="%Y-%m")
+            rev = pc.multiply(
+                _cents(t.column("l_extendedprice")),
+                pc.subtract(
+                    pa.scalar(100, pa.int64()), _cents(t.column("l_discount"))
+                ),
+            )
+            keys = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(promo, keys)
+            is_promo = (pos < promo.size) & (promo[np.minimum(pos, promo.size - 1)] == keys)
+            promo_rev = pc.multiply(rev, pa.array(is_promo.astype(np.int64)))
+            tt = pa.table(
+                {"month": month, "promo_c4": promo_rev, "total_c4": rev}
+            )
+            return tt.group_by("month").aggregate(
+                [("promo_c4", "sum"), ("total_c4", "sum")]
+            ).rename_columns(["month", "promo_c4", "total_c4"])
+
+        agg = (
+            line.map_batches(partial, batch_format="pyarrow")
+            .groupby("month")
+            .aggregate(
+                Sum("promo_c4", alias_name="promo_c4"),
+                Sum("total_c4", alias_name="total_c4"),
+            )
+        )
+    else:
+        def partial_by_part(t: pa.Table) -> pa.Table:
+            month = pc.strftime(t.column("l_shipdate"), format="%Y-%m")
+            rev = pc.multiply(
+                _cents(t.column("l_extendedprice")),
+                pc.subtract(
+                    pa.scalar(100, pa.int64()), _cents(t.column("l_discount"))
+                ),
+            )
+            tt = pa.table(
+                {"l_partkey": t.column("l_partkey"), "month": month, "rev_c4": rev}
+            )
+            return tt.group_by(["l_partkey", "month"]).aggregate(
+                [("rev_c4", "sum")]
+            ).rename_columns(["l_partkey", "month", "rev_c4"])
+
+        part_ds = _read_sized(sf_dir, "part", ["p_partkey", "p_type"])
+        joined = (
+            line.map_batches(partial_by_part, batch_format="pyarrow")
+            .groupby(["l_partkey", "month"])
+            .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+            .join(
+                part_ds,
+                "inner",
+                num_partitions=nparts,
+                on=("l_partkey",),
+                right_on=("p_partkey",),
+            )
+        )
+
+        def to_month(t: pa.Table) -> pa.Table:
+            is_promo = pc.cast(
+                pc.equal(t.column("p_type"), "PROMO"), pa.int64()
+            )
+            tt = pa.table(
+                {
+                    "month": t.column("month"),
+                    "promo_c4": pc.multiply(t.column("rev_c4"), is_promo),
+                    "total_c4": t.column("rev_c4"),
+                }
+            )
+            return tt.group_by("month").aggregate(
+                [("promo_c4", "sum"), ("total_c4", "sum")]
+            ).rename_columns(["month", "promo_c4", "total_c4"])
+
+        agg = (
+            joined.map_batches(to_month, batch_format="pyarrow")
+            .groupby("month")
+            .aggregate(
+                Sum("promo_c4", alias_name="promo_c4"),
+                Sum("total_c4", alias_name="total_c4"),
+            )
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PROMO_REVENUE = """
+SELECT strftime(l.l_shipdate, '%Y-%m') AS month,
+       sum(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                ELSE 0 END) / 10000.0 AS promo_revenue,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0
+         AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY strftime(l.l_shipdate, '%Y-%m')
+"""
+
+
+def q_dormant_customers(sf_dir: str):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders — a GLOBAL scalar subquery feeding a distributed anti-join.
+
+    Scale shape: the balance average is two distributed partial sums
+    (cents + count) reduced to ONE scalar pair; the above-average test
+    cross-multiplies integers (bal_c * n > sum_c) so no float threshold
+    can disagree between engines. The recent-orders side filters and
+    projects to its key column before the ONE left_anti exchange; the
+    final mktsegment groupby shuffles customer-sized partials only."""
+    bal = _read_sized(sf_dir, "customer", ["c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bal_c": pa.array(
+                    [pc.sum(_cents(t.column("c_acctbal"))).as_py() or 0], pa.int64()
+                ),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    stats = bal.map_batches(bal_partial, batch_format="pyarrow")
+    sum_c = stats.sum("bal_c")
+    n_cust = stats.sum("n")
+
+    cust = _read_sized(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    recent = _read_sized(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("o_orderdate"), _TS2000)
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    dormant = cust.join(
+        recent,
+        join_type="left_anti",
+        num_partitions=_join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def partial(t: pa.Table, s=sum_c, n=n_cust) -> pa.Table:
+        bal_c = _cents(t.column("c_acctbal"))
+        kept = t.filter(
+            pc.greater(pc.multiply(bal_c, pa.scalar(n, pa.int64())), pa.scalar(s, pa.int64()))
+        )
+        tt = pa.table(
+            {
+                "c_mktsegment": kept.column("c_mktsegment"),
+                "bal_c": _cents(kept.column("c_acctbal")),
+                "n_custs": pa.array(np.ones(kept.num_rows, dtype=np.int64)),
+            }
+        )
+        return tt.group_by("c_mktsegment").aggregate(
+            [("bal_c", "sum"), ("n_custs", "sum")]
+        ).rename_columns(["c_mktsegment", "bal_c", "n_custs"])
+
+    agg = (
+        dormant.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("bal_c", alias_name="bal_c"), Sum("n_custs", alias_name="n_custs")
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "n_custs": t.column("n_custs"),
+                "total_acctbal": pc.divide(
+                    t.column("bal_c").cast(pa.float64()), 100.0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DORMANT_CUSTOMERS = """
+WITH stats AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s, count(*) AS n
+  FROM customer
+)
+SELECT c.c_mktsegment,
+       count(*) AS n_custs,
+       sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
+FROM customer c, stats
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * stats.n > stats.s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2801,6 +3393,11 @@ QUERIES = {
     "term_lookup": q_term_lookup,
     "domain_mix": q_domain_mix,
     "customers_no_urgent": q_customers_no_urgent,
+    "revenue_forecast": q_revenue_forecast,
+    "returned_items": q_returned_items,
+    "large_volume_customers": q_large_volume_customers,
+    "promo_revenue": q_promo_revenue,
+    "dormant_customers": q_dormant_customers,
     "chunk_documents": q_chunk_documents,
     "hll_distinct_users": q_hll_distinct_users,
     "funnel_stages": q_funnel_stages,
@@ -2861,6 +3458,11 @@ ORACLE_SQL = {
     "term_lookup": _sql_term_lookup(),
     "domain_mix": _sql_domain_mix(),
     "customers_no_urgent": SQL_CUSTOMERS_NO_URGENT,
+    "revenue_forecast": SQL_REVENUE_FORECAST,
+    "returned_items": SQL_RETURNED_ITEMS,
+    "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
+    "promo_revenue": SQL_PROMO_REVENUE,
+    "dormant_customers": SQL_DORMANT_CUSTOMERS,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "hll_distinct_users": _sql_hll_distinct_users(),
     "funnel_stages": SQL_FUNNEL_STAGES,
