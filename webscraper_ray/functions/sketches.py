@@ -90,3 +90,129 @@ def hll_estimate(registers: dict[int, int]) -> float:
 
         return m * math.log(m / zeros)
     return e
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable frequency estimator (Cormode & Muthukrishnan
+# 2005, public algorithm). Register state is a constant DEPTH x WIDTH int
+# matrix; per-batch partial sketches SUM, so the merge is order-free and
+# the md5 bucket family is DuckDB-reproducible: the ORACLE recomputes the
+# registers (and therefore the min-estimates) exactly.
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 64
+
+
+def countmin_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(depth, bucket, cnt) partial register rows for one batch: token
+    occurrence counts hashed into CM_WIDTH buckets per depth row. The
+    partial is at most DEPTH x WIDTH rows regardless of batch size."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        if t and t.strip():
+            counts.update(t.split())
+    regs = np.zeros((CM_DEPTH, CM_WIDTH), dtype=np.int64)
+    for tok, c in counts.items():
+        for d in range(CM_DEPTH):
+            regs[d, md5_u64(f"{d}|{tok}") % CM_WIDTH] += c
+    d_idx, b_idx = np.nonzero(regs)
+    return pa.table(
+        {
+            "depth": pa.array(d_idx.astype(np.int64)),
+            "bucket": pa.array(b_idx.astype(np.int64)),
+            "cnt": pa.array(regs[d_idx, b_idx]),
+        }
+    )
+
+
+def countmin_registers(ds, text_col: str = "text"):
+    """Full sketch as a Dataset: one streaming pass, one <= DEPTH*WIDTH-row
+    keyed reduce."""
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(
+            countmin_partial, fn_kwargs={"text_col": text_col},
+            batch_format="pyarrow",
+        )
+        .groupby(["depth", "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def countmin_estimates(ds, tokens: list[str], text_col: str = "text") -> pa.Table:
+    """Point-frequency estimates for ``tokens``: min over depth rows of
+    the addressed register. The driver artifact is the constant-size
+    register matrix — never the vocabulary."""
+    regs = np.zeros((CM_DEPTH, CM_WIDTH), dtype=np.int64)
+    for b in countmin_registers(ds, text_col).iter_batches(batch_format="pyarrow"):
+        d = b.column("depth").to_numpy(zero_copy_only=False)
+        w = b.column("bucket").to_numpy(zero_copy_only=False)
+        regs[d, w] = b.column("cnt").to_numpy(zero_copy_only=False)
+    ests = [
+        int(min(regs[d, md5_u64(f"{d}|{tok}") % CM_WIDTH] for d in range(CM_DEPTH)))
+        for tok in tokens
+    ]
+    return pa.table(
+        {
+            "token": pa.array(list(tokens), pa.string()),
+            "est_count": pa.array(ests, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — constant-size set-membership sketch (Bloom 1970, public
+# algorithm). The build side ORs per-batch bit arrays (order-free merge);
+# membership is k md5 probes. Deterministic md5 positions make the filter
+# — including its false positives — exactly reproducible in SQL.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 4096
+BLOOM_K = 3
+
+
+def bloom_positions(gram: str) -> list[int]:
+    """The K bit positions of one item (md5 family, DuckDB-reproducible)."""
+    return [md5_u64(f"{i}|{gram}") % BLOOM_M_BITS for i in range(BLOOM_K)]
+
+
+def bloom_bits(items) -> np.ndarray:
+    """Dense bit array for a small (benchmark-sized) item set."""
+    bits = np.zeros(BLOOM_M_BITS, dtype=bool)
+    for g in items:
+        bits[bloom_positions(g)] = True
+    return bits
+
+
+def bloom_contamination(ds, bits_ref, n: int = 3, text_col: str = "text"):
+    """Per-doc Bloom decontamination flag: does ANY distinct word n-gram
+    of the doc hit all K filter bits? Same corpus shape as the exact
+    n-gram check (one streaming map_batches, broadcast read once per
+    task) but the broadcast is the CONSTANT-SIZE bit array instead of
+    the benchmark gram set — the 100-TB shape when the eval suite
+    itself is large. False positives are possible and deterministic."""
+    import ray
+
+    def check(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        flags = []
+        for t in batch.column(text_col).to_pylist():
+            toks = t.split() if t and t.strip() else []
+            grams = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+            flags.append(
+                any(bool(bits[bloom_positions(g)].all()) for g in grams)
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "maybe_contaminated": pa.array(flags, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow")

@@ -159,3 +159,62 @@ def exact_quantiles_by_group(
             col: pa.array(out_v),
         }
     )
+
+
+def percentile_rank(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    col: str,
+    max_distinct: int = MAX_DISTINCT_GATHER,
+) -> "ray.data.Dataset":
+    """Distributed ``percent_rank() OVER (ORDER BY col)`` for every row
+    without a global sort: (rank-1)/(N-1) with min-rank tie semantics.
+
+    A naive window function is a full-corpus sort; the exact answer only
+    needs the VALUE-COUNT HISTOGRAM (same bounded-cardinality contract
+    and loud guard as :func:`exact_quantiles`). One histogram exchange,
+    the (value -> strictly-below count) table broadcasts once, and a
+    second streaming pass attaches ranks by searchsorted — no row-level
+    shuffle at all. Ranks are rounded half-away to 6 decimals to match
+    the SQL oracle's rounding."""
+    import ray as _ray
+
+    from .clustering import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([col]).group_by(col).aggregate([(col, "count")])
+        return g.rename_columns([col, "cnt"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    parts = _gather_histogram(agg, f"column {col!r}", max_distinct)
+    t = pa.concat_tables(parts)
+    values = t.column(col).to_numpy(zero_copy_only=False)
+    counts = t.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(values, kind="stable")
+    values, counts = values[order], counts[order]
+    below = np.cumsum(counts) - counts  # rows strictly less than value
+    n = int(counts.sum())
+    pct = (
+        round_half_away(below.astype(np.float64) / (n - 1) * 1e6) / 1e6
+        if n > 1
+        else np.zeros_like(below, dtype=np.float64)
+    )
+    lut_ref = _ray.put((values, pct))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        vals_s, pct_s = _ray.get(lut_ref)
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vals_s, v)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                col: batch.column(col),
+                "pct_rank": pa.array(pct_s[pos], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -3338,6 +3338,279 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q_rollup_summary(sf_dir: str):
+    """ROLLUP aggregate (OLAP subtotals): per (returnflag, linestatus),
+    per returnflag, and grand total in one result, 'ALL' marking the
+    rolled-up level.
+
+    Scale shape: ONE distributed pass computes the finest-level
+    aggregate exactly like pricing_summary (per-batch partials, one
+    groupby exchange); the coarser levels are pure re-aggregations of
+    that GROUP-CARDINALITY-BOUNDED table (|flags| x |statuses| rows —
+    single digits at any corpus size), so they derive driver-side with
+    no second pass over the data."""
+    import ray
+
+    line = _read_sized(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": pc.round(t.column("l_quantity")).cast(pa.int64()),
+                "n_items": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("n_items", "sum")]
+        ).rename_columns(["l_returnflag", "l_linestatus", "sum_qty", "n_items"])
+
+    agg = (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows > 0]
+    fine = pa.concat_tables(parts).combine_chunks()
+
+    def level(t: pa.Table, keys: list[str]) -> pa.Table:
+        if keys:
+            g = t.group_by(keys).aggregate(
+                [("sum_qty", "sum"), ("n_items", "sum")]
+            ).rename_columns(keys + ["sum_qty", "n_items"])
+        else:
+            g = pa.table(
+                {
+                    "sum_qty": pa.array(
+                        [pc.sum(t.column("sum_qty")).as_py() or 0], pa.int64()
+                    ),
+                    "n_items": pa.array(
+                        [pc.sum(t.column("n_items")).as_py() or 0], pa.int64()
+                    ),
+                }
+            )
+        n = g.num_rows
+        cols = {}
+        for c in ("l_returnflag", "l_linestatus"):
+            cols[c] = (
+                g.column(c) if c in keys else pa.array(["ALL"] * n, pa.string())
+            )
+        cols["sum_qty"] = g.column("sum_qty").cast(pa.float64())
+        cols["n_items"] = g.column("n_items")
+        return pa.table(cols)
+
+    return pa.concat_tables(
+        [
+            level(fine, ["l_returnflag", "l_linestatus"]),
+            level(fine, ["l_returnflag"]),
+            level(fine, []),
+        ]
+    )
+
+
+SQL_ROLLUP_SUMMARY = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# the pivot's column set is config (fixed output schema), not discovered
+# from the data — at 100 TB a discovery pass would be its own shuffle and
+# an unstable schema; real pipelines pin their event taxonomy.
+_PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_pivot(sf_dir: str):
+    """PIVOT: one row per user, one count column per event type.
+
+    Scale shape: the per-batch partial turns the (user, type) pairs
+    into indicator columns and pre-aggregates by user, so the single
+    user-keyed exchange carries one row per (user, batch) with 5 int
+    columns — never the raw events. The output schema is fixed by
+    config, keeping it stable under streaming execution."""
+    ev = _read_sized(sf_dir, "events", ["user_id", "event_type"])
+    n_cols = [f"n_{et}" for et in _PIVOT_EVENT_TYPES]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t.column("user_id")}
+        for et, name in zip(_PIVOT_EVENT_TYPES, n_cols):
+            cols[name] = pc.cast(
+                pc.equal(t.column("event_type"), et), pa.int64()
+            )
+        tt = pa.table(cols)
+        return tt.group_by("user_id").aggregate(
+            [(c, "sum") for c in n_cols]
+        ).rename_columns(["user_id"] + n_cols)
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in n_cols])
+    )
+
+
+def _sql_event_type_pivot() -> str:
+    counts = ",\n       ".join(
+        f"count(*) FILTER (WHERE event_type = '{et}') AS n_{et}"
+        for et in _PIVOT_EVENT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       {counts}
+FROM events
+GROUP BY user_id
+"""
+
+
+# fixed probe tokens for the count-min point queries (config, like the ANN
+# query vectors); 'quux' is absent from the corpus and exercises the
+# zero/collision path of the estimator
+_CM_QUERY_TOKENS = ("scan", "column", "window", "join", "merge", "value", "quux")
+
+
+def q_countmin_estimate(sf_dir: str):
+    """Count-Min point-frequency estimates for the probe tokens — the
+    mergeable frequency sketch next to HLL's distinct-count one (the
+    scale path when exact vocabulary counts stop being affordable).
+    Integer-gated: the oracle recomputes registers AND min-estimates
+    exactly from the same md5 bucket family, so even the sketch's
+    collisions are checked."""
+    from .functions.sketches import countmin_estimates
+
+    return countmin_estimates(
+        _read_sized(sf_dir, "documents", ["text"]), list(_CM_QUERY_TOKENS)
+    )
+
+
+def _sql_countmin_estimate() -> str:
+    from .functions.sketches import CM_DEPTH, CM_WIDTH
+
+    toks = ", ".join(f"'{t}'" for t in _CM_QUERY_TOKENS)
+    return rf"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+dt AS (SELECT unnest(t) AS token FROM toks),
+tc AS (SELECT token, count(*) AS c FROM dt GROUP BY token),
+depths AS (SELECT unnest(range(0, {CM_DEPTH})) AS d),
+regs AS (
+  SELECT d,
+         ('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || token), 1, 16))::UBIGINT
+           % {CM_WIDTH} AS bucket,
+         sum(c) AS cnt
+  FROM tc CROSS JOIN depths
+  GROUP BY 1, 2
+),
+q AS (SELECT unnest([{toks}]) AS token),
+qb AS (
+  SELECT q.token, depths.d,
+         ('0x' || substr(md5(CAST(depths.d AS VARCHAR) || '|' || q.token), 1, 16))::UBIGINT
+           % {CM_WIDTH} AS bucket
+  FROM q CROSS JOIN depths
+)
+SELECT qb.token, CAST(min(coalesce(regs.cnt, 0)) AS BIGINT) AS est_count
+FROM qb LEFT JOIN regs ON qb.d = regs.d AND qb.bucket = regs.bucket
+GROUP BY qb.token
+"""
+
+
+def q_bloom_contamination(sf_dir: str):
+    """Bloom-filter decontamination: the exact benchmark-gram check's
+    scale sibling — the broadcast is a CONSTANT-SIZE bit array instead
+    of the gram set, so it stays cheap when the eval suite itself is
+    large. Deterministic md5 bit positions make the filter — including
+    any false positives — exactly reproducible in the oracle."""
+    from .functions.sketches import bloom_bits, bloom_contamination
+    from .functions.textstats import benchmark_ngram_set
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep_bench(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(keep_bench, batch_format="pyarrow")
+    bits_ref = ray.put(bloom_bits(benchmark_ngram_set(bench, n=3)))
+    return bloom_contamination(docs, bits_ref, n=3)
+
+
+def _sql_bloom_contamination() -> str:
+    from .functions.sketches import BLOOM_K, BLOOM_M_BITS
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+  FROM idx
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+ks AS (SELECT unnest(range(0, {BLOOM_K})) AS i),
+pos AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || g), 1, 16))::UBIGINT
+      % {BLOOM_M_BITS} AS p
+  FROM bench CROSS JOIN ks
+),
+gp AS (
+  SELECT doc_id, g,
+    ('0x' || substr(md5(CAST(ks.i AS VARCHAR) || '|' || g), 1, 16))::UBIGINT
+      % {BLOOM_M_BITS} AS p
+  FROM grams CROSS JOIN ks
+),
+hits AS (
+  SELECT gp.doc_id, gp.g, count(pos.p) AS matched
+  FROM gp LEFT JOIN pos ON gp.p = pos.p
+  GROUP BY gp.doc_id, gp.g
+),
+flagged AS (
+  SELECT doc_id, max(CASE WHEN matched = {BLOOM_K} THEN 1 ELSE 0 END) AS f
+  FROM hits GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(f.f, 0) = 1 AS maybe_contaminated
+FROM documents d LEFT JOIN flagged f USING (doc_id)
+"""
+
+
+def q_doc_percentile(sf_dir: str):
+    """percent_rank() window function over document length WITHOUT a
+    global sort: the rank lookup table derives from the value-count
+    histogram (bounded-cardinality contract, loud guard) and broadcasts
+    once; a second streaming pass attaches ranks by searchsorted."""
+    from .functions.stats import percentile_rank
+
+    return percentile_rank(
+        _read_sized(sf_dir, "documents", ["doc_id", "n_chars"]),
+        "doc_id",
+        "n_chars",
+    )
+
+
+SQL_DOC_PERCENTILE = """
+SELECT doc_id, n_chars,
+       round(percent_rank() OVER (ORDER BY n_chars), 6) AS pct_rank
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3398,8 +3671,13 @@ QUERIES = {
     "large_volume_customers": q_large_volume_customers,
     "promo_revenue": q_promo_revenue,
     "dormant_customers": q_dormant_customers,
+    "rollup_summary": q_rollup_summary,
+    "event_type_pivot": q_event_type_pivot,
     "chunk_documents": q_chunk_documents,
     "hll_distinct_users": q_hll_distinct_users,
+    "countmin_estimate": q_countmin_estimate,
+    "bloom_contamination": q_bloom_contamination,
+    "doc_percentile": q_doc_percentile,
     "funnel_stages": q_funnel_stages,
     "kmeans_clusters": q_kmeans_clusters,
     "distinct_users_per_type": q_distinct_users_per_type,
@@ -3463,8 +3741,13 @@ ORACLE_SQL = {
     "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
     "promo_revenue": SQL_PROMO_REVENUE,
     "dormant_customers": SQL_DORMANT_CUSTOMERS,
+    "rollup_summary": SQL_ROLLUP_SUMMARY,
+    "event_type_pivot": _sql_event_type_pivot(),
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "hll_distinct_users": _sql_hll_distinct_users(),
+    "countmin_estimate": _sql_countmin_estimate(),
+    "bloom_contamination": _sql_bloom_contamination(),
+    "doc_percentile": SQL_DOC_PERCENTILE,
     "funnel_stages": SQL_FUNNEL_STAGES,
     "kmeans_clusters": _sql_kmeans(),
     "distinct_users_per_type": SQL_DISTINCT_USERS,
