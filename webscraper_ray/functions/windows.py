@@ -16,7 +16,14 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["tumbling_counts", "hopping_counts", "sessionize", "funnel_stages"]
+__all__ = [
+    "tumbling_counts",
+    "hopping_counts",
+    "sessionize",
+    "funnel_stages",
+    "rolling_sum",
+    "event_gaps",
+]
 
 
 def tumbling_counts(ds: "ray.data.Dataset", hours: int = 1) -> "ray.data.Dataset":
@@ -276,6 +283,126 @@ def funnel_stages(
             {
                 "user_id": pa.array(u[starts]),
                 "reached_stage": pa.array(reached),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+def _user_sorted(t: pa.Table):
+    """Per-partition total order (user_id, ts, event_id) — event_id is
+    unique, so the order (and every frame computed over it) is exact."""
+    u = t.column("user_id").to_numpy(zero_copy_only=False)
+    ts = (
+        t.column("ts")
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .view(np.int64)
+    )
+    eid = t.column("event_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, u))
+    return order, u[order], ts[order], eid[order]
+
+
+def rolling_sum(
+    ds: "ray.data.Dataset",
+    preceding: int = 2,
+    num_parts: int = _SESSION_PARTS,
+) -> "ray.data.Dataset":
+    """Per-event moving sum of ``value`` over the frame ROWS ``preceding``
+    PRECEDING..CURRENT, per user ordered by (ts, event_id) — the
+    ordered-frame window aggregate (trend smoothing / rate features).
+
+    ONE hash-partition shuffle on user_id (frames span batches), then
+    every user of a partition in one vectorized pass: a cumulative sum
+    with the frame start clamped to the user boundary — no Python loop
+    per user or per row. Values sum as exact round(value*1000) int64
+    'milli-units' so parallel order can't perturb float addition; the
+    result divides once at the end.
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_p", pa.array(((u * _KNUTH) % np.uint64(num_parts)).astype(np.int32))
+        )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "rolling_sum": pa.array([], pa.float64()),
+                }
+            )
+        order, u, ts, eid = _user_sorted(t)
+        v = t.column("value").to_numpy(zero_copy_only=False)[order]
+        vm = np.round(v * 1000.0).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        group = np.zeros(u.size, dtype=np.int64)
+        group[starts] = 1
+        group = np.cumsum(group) - 1
+        cs = np.r_[0, np.cumsum(vm)]  # cs[i+1] = sum of rows 0..i
+        i = np.arange(u.size)
+        lo = np.maximum(i - preceding, starts[group])
+        rs = cs[i + 1] - cs[lo]
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(u),
+                "rolling_sum": pa.array(rs.astype(np.float64) / 1000.0),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+def event_gaps(
+    ds: "ray.data.Dataset",
+    num_parts: int = _SESSION_PARTS,
+) -> "ray.data.Dataset":
+    """Per-event lag: microseconds since the user's previous event
+    (NULL for the first) — lag()/LEAD-family window coverage and the
+    raw material for inter-arrival analyses. Same one-shuffle,
+    vectorized-per-partition shape as :func:`sessionize`."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_p", pa.array(((u * _KNUTH) % np.uint64(num_parts)).astype(np.int32))
+        )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        order, u, ts, eid = _user_sorted(t)
+        gaps = np.empty(u.size, dtype=np.int64)
+        gaps[0] = 0
+        gaps[1:] = ts[1:] - ts[:-1]
+        first = np.r_[True, u[1:] != u[:-1]]
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(u),
+                "gap_us": pa.array(
+                    np.ma.masked_array(gaps, mask=first), pa.int64(),
+                    from_pandas=True,
+                ),
             }
         )
 

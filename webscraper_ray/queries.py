@@ -3611,6 +3611,102 @@ FROM documents
 """
 
 
+def q_rolling_value_sum(sf_dir: str):
+    """Ordered-frame window aggregate: per-event moving sum of value
+    over ROWS 2 PRECEDING..CURRENT per user — the window-frame family
+    (tumbling/hopping/session cover time buckets; this covers row
+    frames). One user-keyed shuffle, clamped-cumsum kernel."""
+    from .functions.windows import rolling_sum
+
+    return rolling_sum(
+        _read_sized(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        preceding=2,
+    )
+
+
+SQL_ROLLING_VALUE_SUM = """
+SELECT event_id, user_id,
+       sum(CAST(round(value * 1000) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ) / 1000.0 AS rolling_sum
+FROM events
+"""
+
+
+def q_event_gaps(sf_dir: str):
+    """lag() window function: microseconds since the user's previous
+    event, NULL for the first — inter-arrival analysis."""
+    from .functions.windows import event_gaps
+
+    return event_gaps(
+        _read_sized(sf_dir, "events", ["event_id", "user_id", "ts"])
+    )
+
+
+SQL_EVENT_GAPS = """
+SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+       ) AS gap_us
+FROM events
+"""
+
+
+def q_price_histogram(sf_dir: str):
+    """Fixed-width bucket histogram of a HIGH-CARDINALITY float column
+    (o_totalprice) — the documented scale path where exact_quantiles'
+    bounded-cardinality contract doesn't hold: bucket FIRST (exact
+    integer cents // width), then the value shuffle is bucket-count
+    sized. One partial-aggregated groupby; counts and exact-cents sums
+    per $10k bucket."""
+    orders = _read_sized(sf_dir, "orders", ["o_totalprice"])
+    width_c = pa.scalar(1_000_000, pa.int64())  # $10k in cents
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice"))
+        tt = pa.table(
+            {
+                "bucket": pc.divide(cents, width_c),  # int64 // : floor for >=0
+                "total_c": cents,
+                "n_orders": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return tt.group_by("bucket").aggregate(
+            [("total_c", "sum"), ("n_orders", "sum")]
+        ).rename_columns(["bucket", "total_c", "n_orders"])
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("total_c", alias_name="total_c"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "bucket": t.column("bucket"),
+                "n_orders": t.column("n_orders"),
+                "sum_totalprice": pc.divide(
+                    t.column("total_c").cast(pa.float64()), 100.0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PRICE_HISTOGRAM = """
+SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 1000000 AS bucket,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_totalprice
+FROM orders
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3654,11 +3750,14 @@ QUERIES = {
     "tumbling_window": q_tumbling_window,
     "hopping_window": q_hopping_window,
     "sessionize": q_sessionize,
+    "rolling_value_sum": q_rolling_value_sum,
+    "event_gaps": q_event_gaps,
     "asof_latest_order": q_asof_latest_order,
     "attribution_window": q_attribution_window,
     "topk_events_per_user": q_topk_events_per_user,
     "stratified_sample": q_stratified_sample,
     "length_quantiles": q_length_quantiles,
+    "price_histogram": q_price_histogram,
     "curation_pipeline": q_curation_pipeline,
     "vocab_top_tokens": q_vocab_top_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -3711,6 +3810,8 @@ ORACLE_SQL = {
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "hopping_window": _sql_hopping_window(),
     "sessionize": SQL_SESSIONIZE,
+    "rolling_value_sum": SQL_ROLLING_VALUE_SUM,
+    "event_gaps": SQL_EVENT_GAPS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "png_decode": SQL_PNG_DECODE,
     "jpeg_decode": SQL_JPEG_DECODE,
@@ -3729,6 +3830,7 @@ ORACLE_SQL = {
     "topk_events_per_user": SQL_TOPK_EVENTS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "length_quantiles": SQL_LENGTH_QUANTILES,
+    "price_histogram": SQL_PRICE_HISTOGRAM,
     "curation_pipeline": _sql_curation_pipeline(),
     "vocab_top_tokens": SQL_VOCAB_TOP_TOKENS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
