@@ -137,6 +137,14 @@ def test_promo_revenue_join_plan_matches_broadcast_plan(ray_session, duck):
     pd.testing.assert_frame_equal(joined, want, check_dtype=False, atol=1e-9)
 
 
+def test_volume_shipping_join_plan_matches_broadcast_plan(ray_session, duck):
+    from webscraper_ray.queries import ORACLE_SQL, q_volume_shipping
+
+    joined = _normalize(q_volume_shipping(SF, broadcast_max_rows=0).to_pandas())
+    want = _normalize(duck.execute(ORACLE_SQL["volume_shipping"]).df())
+    pd.testing.assert_frame_equal(joined, want, check_dtype=False, atol=1e-9)
+
+
 def test_read_sized_falls_through_on_large_files(monkeypatch):
     """Above a 64-block data-sized count, sized reads must pass NO
     override so large files keep Ray's own target-block-size scaling

@@ -3707,6 +3707,198 @@ GROUP BY 1
 """
 
 
+def q_volume_shipping(sf_dir: str, broadcast_max_rows: int | None = None):
+    """TPC-H Q7 shape: revenue between nation PAIRS per ship year — one
+    fact with TWO independent dimension paths (supplier nation directly;
+    customer nation through orders).
+
+    Scale shape: under the threshold both key maps (suppkey->nation,
+    orderkey->cust nation) broadcast once and attach via searchsorted,
+    so the fact makes ONE streaming pass and only (pair, year) partials
+    shuffle. Above it, the plan is two partitioned joins with revenue
+    pre-aggregated per (orderkey, suppkey, year) first. Either way the
+    final exchange is |nations|^2 x |years| rows."""
+    import ray
+
+    nparts = _join_partitions()
+    limit = BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
+    line = _read_sized(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).combine_chunks()
+    nkeys = nation.column("n_nationkey").chunk(0).cast(pa.int32())
+    nnames = nation.column("n_name").chunk(0)
+
+    n_supp = pq.read_metadata(os.path.join(sf_dir, "supplier.parquet")).num_rows
+    n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    n_cust = pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
+
+    def rev_of(t: pa.Table) -> pa.ChunkedArray:
+        return pc.multiply(
+            _cents(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t.column("l_discount"))),
+        )
+
+    if max(n_supp, n_orders, n_cust) <= limit:
+        st = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"],
+        ).combine_chunks()
+        supp_nation = _vector_lookup(st.column("s_nationkey"), nkeys, nnames)
+        skeys = st.column("s_suppkey").to_numpy(zero_copy_only=False)
+        ssort = np.argsort(skeys)
+
+        ct = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        ).combine_chunks()
+        cust_nation = _vector_lookup(ct.column("c_nationkey"), nkeys, nnames)
+        ckeys = ct.column("c_custkey").to_numpy(zero_copy_only=False)
+        csort = np.argsort(ckeys)
+
+        ot = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey"],
+        ).combine_chunks()
+        okeys = ot.column("o_orderkey").to_numpy(zero_copy_only=False)
+        osort = np.argsort(okeys)
+        # compose orderkey -> customer nation driver-side (both dims
+        # already under the broadcast threshold)
+        opos = csort[
+            np.searchsorted(
+                ckeys[csort], ot.column("o_custkey").to_numpy(zero_copy_only=False)
+            )
+        ]
+        order_nation = pc.take(cust_nation, pa.array(opos))
+        maps_ref = ray.put(
+            (
+                skeys[ssort],
+                pc.take(supp_nation, pa.array(ssort)),
+                okeys[osort],
+                pc.take(order_nation, pa.array(osort)),
+            )
+        )
+
+        def partial(t: pa.Table, ref=maps_ref) -> pa.Table:
+            import ray as _ray
+
+            sk, sn, ok, on = _ray.get(ref)
+            spos = np.searchsorted(
+                sk, t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            )
+            opos_ = np.searchsorted(
+                ok, t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            )
+            tt = pa.table(
+                {
+                    "supp_nation": pc.take(sn, pa.array(spos)),
+                    "cust_nation": pc.take(on, pa.array(opos_)),
+                    "l_year": pc.year(t.column("l_shipdate")).cast(pa.int64()),
+                    "rev_c4": rev_of(t),
+                }
+            )
+            return tt.group_by(["supp_nation", "cust_nation", "l_year"]).aggregate(
+                [("rev_c4", "sum")]
+            ).rename_columns(["supp_nation", "cust_nation", "l_year", "rev_c4"])
+
+        partials = line.map_batches(partial, batch_format="pyarrow")
+    else:
+        def pre(t: pa.Table) -> pa.Table:
+            tt = pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "l_suppkey": t.column("l_suppkey"),
+                    "l_year": pc.year(t.column("l_shipdate")).cast(pa.int64()),
+                    "rev_c4": rev_of(t),
+                }
+            )
+            return tt.group_by(["l_orderkey", "l_suppkey", "l_year"]).aggregate(
+                [("rev_c4", "sum")]
+            ).rename_columns(["l_orderkey", "l_suppkey", "l_year", "rev_c4"])
+
+        nation_ref = ray.put((nkeys, nnames))
+        supp = _read_sized(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        orders = _read_sized(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        cust = _read_sized(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        cust_orders = orders.join(
+            cust,
+            "inner",
+            num_partitions=nparts,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+        joined = (
+            line.map_batches(pre, batch_format="pyarrow")
+            .join(
+                supp,
+                "inner",
+                num_partitions=nparts,
+                on=("l_suppkey",),
+                right_on=("s_suppkey",),
+            )
+            .join(
+                cust_orders,
+                "inner",
+                num_partitions=nparts,
+                on=("l_orderkey",),
+                right_on=("o_orderkey",),
+            )
+        )
+
+        def to_pair(t: pa.Table, ref=nation_ref) -> pa.Table:
+            import ray as _ray
+
+            keys, names = _ray.get(ref)
+            tt = pa.table(
+                {
+                    "supp_nation": _vector_lookup(t.column("s_nationkey"), keys, names),
+                    "cust_nation": _vector_lookup(t.column("c_nationkey"), keys, names),
+                    "l_year": t.column("l_year"),
+                    "rev_c4": t.column("rev_c4"),
+                }
+            )
+            return tt.group_by(["supp_nation", "cust_nation", "l_year"]).aggregate(
+                [("rev_c4", "sum")]
+            ).rename_columns(["supp_nation", "cust_nation", "l_year", "rev_c4"])
+
+        partials = joined.map_batches(to_pair, batch_format="pyarrow")
+
+    agg = partials.groupby(["supp_nation", "cust_nation", "l_year"]).aggregate(
+        Sum("rev_c4", alias_name="rev_c4")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "supp_nation": t.column("supp_nation"),
+                "cust_nation": t.column("cust_nation"),
+                "l_year": t.column("l_year"),
+                "revenue": pc.divide(t.column("rev_c4").cast(pa.float64()), 10_000.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_VOLUME_SHIPPING = """
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3770,6 +3962,7 @@ QUERIES = {
     "large_volume_customers": q_large_volume_customers,
     "promo_revenue": q_promo_revenue,
     "dormant_customers": q_dormant_customers,
+    "volume_shipping": q_volume_shipping,
     "rollup_summary": q_rollup_summary,
     "event_type_pivot": q_event_type_pivot,
     "chunk_documents": q_chunk_documents,
@@ -3843,6 +4036,7 @@ ORACLE_SQL = {
     "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
     "promo_revenue": SQL_PROMO_REVENUE,
     "dormant_customers": SQL_DORMANT_CUSTOMERS,
+    "volume_shipping": SQL_VOLUME_SHIPPING,
     "rollup_summary": SQL_ROLLUP_SUMMARY,
     "event_type_pivot": _sql_event_type_pivot(),
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
