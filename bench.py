@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "bm25_search",
     "term_lookup",
     "dup_clusters",
+    "returned_items",
+    "volume_shipping",
+    "rolling_value_sum",
+    "countmin_estimate",
 ]
 
 
