@@ -2991,11 +2991,35 @@ def q_large_volume_customers(sf_dir: str, broadcast_max_rows: int | None = None)
             ["o_orderkey", "sum_qty"]
         )
 
+    # high-cardinality keyed aggregate (|orders| distinct keys): Ray's
+    # per-key Aggregate measured 10.4 s on 472k partial rows at sf0.1 —
+    # the hash-partition + ONE vectorized arrow group_by per partition
+    # pattern (sessionize's) does the same reduce in ~1 s, and the
+    # HAVING filter fuses into the same pass so only qualifying rows
+    # (output-sized) leave the exchange
+    knuth = np.uint64(0x9E3779B97F4A7C15)
+    n_agg_parts = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_p", pa.array(((k * knuth) % np.uint64(n_agg_parts)).astype(np.int32))
+        )
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["o_orderkey", "sum_qty"])
+            .group_by("o_orderkey")
+            .aggregate([("sum_qty", "sum")])
+            .rename_columns(["o_orderkey", "sum_qty"])
+        )
+        return g.filter(pc.greater(g.column("sum_qty"), pa.scalar(300, pa.int64())))
+
     big = (
         line.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
-        .filter(lambda r: r["sum_qty"] > 300)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(reduce_part, batch_format="pyarrow")
     )
 
     n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
@@ -3263,9 +3287,10 @@ def q_dormant_customers(sf_dir: str):
             }
         )
 
-    stats = bal.map_batches(bal_partial, batch_format="pyarrow")
-    sum_c = stats.sum("bal_c")
-    n_cust = stats.sum("n")
+    # one execution for both scalars (a second .sum() would relaunch the
+    # whole read: ~1 s streaming-executor floor per execution)
+    totals = bal.map_batches(bal_partial, batch_format="pyarrow").sum(["bal_c", "n"])
+    sum_c, n_cust = totals["sum(bal_c)"], totals["sum(n)"]
 
     cust = _read_sized(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
     recent = _read_sized(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
