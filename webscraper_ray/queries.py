@@ -3924,6 +3924,29 @@ GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
 """
 
 
+def q_export_manifest(sf_dir: str):
+    """Resumable partitioned-parquet SINK, gated through its manifest:
+    one directory per lang with a per-partition _SUCCESS marker written
+    after the data — a failed run re-invoked skips finished partitions
+    (resume semantics pinned in tests/test_export.py). The manifest's
+    (partition, n_rows) must equal the source group counts, which gates
+    that the export wrote everything exactly once."""
+    import tempfile
+
+    from .functions.export import export_partitioned
+
+    out = tempfile.mkdtemp(prefix="wsr_export_")
+    manifest = export_partitioned(
+        _read_sized(sf_dir, "documents", ["doc_id", "lang"]), out, "lang"
+    )
+    return manifest.select(["lang", "n_rows"])
+
+
+SQL_EXPORT_MANIFEST = """
+SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3975,6 +3998,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "length_quantiles": q_length_quantiles,
     "price_histogram": q_price_histogram,
+    "export_manifest": q_export_manifest,
     "curation_pipeline": q_curation_pipeline,
     "vocab_top_tokens": q_vocab_top_tokens,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -4049,6 +4073,7 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "price_histogram": SQL_PRICE_HISTOGRAM,
+    "export_manifest": SQL_EXPORT_MANIFEST,
     "curation_pipeline": _sql_curation_pipeline(),
     "vocab_top_tokens": SQL_VOCAB_TOP_TOKENS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
