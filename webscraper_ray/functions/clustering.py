@@ -190,3 +190,55 @@ def kmeans_fit(
         )
 
     return qds.map_batches(label, batch_format="pyarrow"), c_final
+
+
+def label_centroid_sums(
+    ds: "ray.data.Dataset",
+    label_col: str = "label",
+    emb_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Grouped VECTOR aggregate: exact per-(label, dim) quantized sums
+    and counts — the centroid's exact integer numerator/denominator
+    (mean = sum_q / n / QUANT, derivable without any float exchanged).
+
+    Shape: per-batch sort-by-label + ``np.add.reduceat`` turns each
+    block into <= |labels| x d long-format partial rows; ONE
+    (label, dim) groupby finishes — the exchange and the result are
+    |labels| x d sized, never corpus-sized."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    label_col: pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "sum_q": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        xq = _quant_matrix(t.column(emb_col))
+        labels = (
+            t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        order = np.argsort(labels, kind="stable")
+        labels_s, xq_s = labels[order], xq[order]
+        starts = np.flatnonzero(np.r_[True, labels_s[1:] != labels_s[:-1]])
+        sums = np.add.reduceat(xq_s, starts, axis=0)  # (n_labels, d)
+        cnts = np.diff(np.r_[starts, labels_s.size])
+        n_labels, d = sums.shape
+        return pa.table(
+            {
+                label_col: pa.array(np.repeat(labels_s[starts], d)),
+                "dim": pa.array(
+                    np.tile(np.arange(1, d + 1, dtype=np.int64), n_labels)
+                ),
+                "sum_q": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(cnts.astype(np.int64), d)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([label_col, "dim"])
+        .aggregate(Sum("sum_q", alias_name="sum_q"), Sum("n", alias_name="n"))
+    )

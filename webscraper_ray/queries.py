@@ -3947,6 +3947,37 @@ SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang
 """
 
 
+def q_label_centroids(sf_dir: str):
+    """Grouped vector aggregate: per-(label, dim) exact quantized sums
+    and counts over the embedding column — the centroid as an exact
+    integer fraction, order-independent at any parallelism (the k-means
+    quantization discipline applied to a straight groupby)."""
+    from .functions.clustering import label_centroid_sums
+
+    return label_centroid_sums(
+        _read_sized(sf_dir, "embeddings", ["label", "embedding"])
+    )
+
+
+def _sql_label_centroids() -> str:
+    from .functions.clustering import QUANT
+
+    return f"""
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label, embedding AS v FROM embeddings
+),
+flat AS (
+  SELECT label, unnest(range(1, len(v) + 1)) AS dim, v
+  FROM e
+)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       sum(CAST(round(CAST(v[dim] AS DOUBLE) * {QUANT}) AS BIGINT)) AS sum_q,
+       count(*) AS n
+FROM flat
+GROUP BY label, dim
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4021,6 +4052,7 @@ QUERIES = {
     "doc_percentile": q_doc_percentile,
     "funnel_stages": q_funnel_stages,
     "kmeans_clusters": q_kmeans_clusters,
+    "label_centroids": q_label_centroids,
     "distinct_users_per_type": q_distinct_users_per_type,
     "ann_ivf": q_ann_ivf,
     "lang_length_quantiles": q_lang_length_quantiles,
@@ -4096,6 +4128,7 @@ ORACLE_SQL = {
     "doc_percentile": SQL_DOC_PERCENTILE,
     "funnel_stages": SQL_FUNNEL_STAGES,
     "kmeans_clusters": _sql_kmeans(),
+    "label_centroids": _sql_label_centroids(),
     "distinct_users_per_type": SQL_DISTINCT_USERS,
     "ann_ivf": _sql_ann_ivf(),
     "lang_length_quantiles": SQL_LANG_LENGTH_QUANTILES,
