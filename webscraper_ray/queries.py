@@ -3978,6 +3978,55 @@ GROUP BY label, dim
 """
 
 
+def q_props_value_stats(sf_dir: str):
+    """Semi-structured column extraction: pull the integer field out of
+    the JSON ``props`` string with ONE vectorized regex kernel
+    (``pc.extract_regex`` — never json.loads per row) and aggregate per
+    event type. The per-batch partial ships 5 ints per (type, batch);
+    exact integer stats end to end."""
+    ev = _read_sized(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), pattern=r'"k":\s*(?P<v>-?\d+)')
+        k = pc.struct_field(m, "v").cast(pa.int64())
+        tt = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "sum_k": k,
+                "min_k": k,
+                "max_k": k,
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return tt.group_by("event_type").aggregate(
+            [("sum_k", "sum"), ("min_k", "min"), ("max_k", "max"), ("n", "sum")]
+        ).rename_columns(["event_type", "sum_k", "min_k", "max_k", "n"])
+
+    from ray.data.aggregate import Max, Min
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+SQL_PROPS_VALUE_STATS = r"""
+SELECT event_type,
+       sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS sum_k,
+       min(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS min_k,
+       max(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS max_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4045,6 +4094,7 @@ QUERIES = {
     "volume_shipping": q_volume_shipping,
     "rollup_summary": q_rollup_summary,
     "event_type_pivot": q_event_type_pivot,
+    "props_value_stats": q_props_value_stats,
     "chunk_documents": q_chunk_documents,
     "hll_distinct_users": q_hll_distinct_users,
     "countmin_estimate": q_countmin_estimate,
@@ -4121,6 +4171,7 @@ ORACLE_SQL = {
     "volume_shipping": SQL_VOLUME_SHIPPING,
     "rollup_summary": SQL_ROLLUP_SUMMARY,
     "event_type_pivot": _sql_event_type_pivot(),
+    "props_value_stats": SQL_PROPS_VALUE_STATS,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "hll_distinct_users": _sql_hll_distinct_users(),
     "countmin_estimate": _sql_countmin_estimate(),
