@@ -4027,6 +4027,82 @@ GROUP BY event_type
 """
 
 
+def q_daily_revenue_filled(sf_dir: str):
+    """Time-series gap fill: daily order revenue INCLUDING zero rows for
+    order-free days (the date-spine LEFT JOIN shape every dashboard
+    pipeline needs).
+
+    Scale shape: one distributed day-keyed partial aggregate (exchange =
+    distinct days, calendar-bounded); the spine generates driver-side
+    from the aggregate's own min/max — a bounded gather regardless of
+    corpus size — and fills with exact zeros."""
+    import ray
+
+    orders = _read_sized(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "day": pc.floor_temporal(t.column("o_orderdate"), unit="day"),
+                "rev_c": _cents(t.column("o_totalprice")),
+                "n_orders": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return tt.group_by("day").aggregate(
+            [("rev_c", "sum"), ("n_orders", "sum")]
+        ).rename_columns(["day", "rev_c", "n_orders"])
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("rev_c", alias_name="rev_c"), Sum("n_orders", alias_name="n_orders")
+        )
+    )
+    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows > 0]
+    t = pa.concat_tables(parts).combine_chunks()
+    days = (
+        t.column("day")
+        .cast(pa.timestamp("us"))
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[D]")
+    )
+    spine = np.arange(days.min(), days.max() + np.timedelta64(1, "D"))
+    rev = np.zeros(spine.size, dtype=np.int64)
+    cnt = np.zeros(spine.size, dtype=np.int64)
+    pos = (days - spine[0]).astype(np.int64)
+    rev[pos] = t.column("rev_c").to_numpy(zero_copy_only=False)
+    cnt[pos] = t.column("n_orders").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "day": pa.array(spine.astype("datetime64[us]"), pa.timestamp("us")),
+            "revenue": pa.array(rev.astype(np.float64) / 100.0),
+            "n_orders": pa.array(cnt),
+        }
+    )
+
+
+SQL_DAILY_REVENUE_FILLED = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c,
+         count(*) AS n
+  FROM orders GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series(
+    (SELECT min(day) FROM daily),
+    (SELECT max(day) FROM daily),
+    INTERVAL 1 DAY
+  )) AS day
+)
+SELECT s.day,
+       coalesce(d.rev_c, 0) / 100.0 AS revenue,
+       coalesce(d.n, 0) AS n_orders
+FROM spine s LEFT JOIN daily d USING (day)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4095,6 +4171,7 @@ QUERIES = {
     "rollup_summary": q_rollup_summary,
     "event_type_pivot": q_event_type_pivot,
     "props_value_stats": q_props_value_stats,
+    "daily_revenue_filled": q_daily_revenue_filled,
     "chunk_documents": q_chunk_documents,
     "hll_distinct_users": q_hll_distinct_users,
     "countmin_estimate": q_countmin_estimate,
@@ -4172,6 +4249,7 @@ ORACLE_SQL = {
     "rollup_summary": SQL_ROLLUP_SUMMARY,
     "event_type_pivot": _sql_event_type_pivot(),
     "props_value_stats": SQL_PROPS_VALUE_STATS,
+    "daily_revenue_filled": SQL_DAILY_REVENUE_FILLED,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "hll_distinct_users": _sql_hll_distinct_users(),
     "countmin_estimate": _sql_countmin_estimate(),
