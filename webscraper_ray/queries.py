@@ -4103,6 +4103,62 @@ FROM spine s LEFT JOIN daily d USING (day)
 """
 
 
+def q_pagerank_docs(sf_dir: str):
+    """Distributed PageRank over the derived doc link graph — the crawl
+    frontier's page-importance signal (see functions/pagerank.py for the
+    full scale story: ONE frontier-sized exchange per iteration, static
+    out-links carried in the frontier, exact-integer damping).
+
+    Scale shape: the read ships the id column only; per iteration the
+    exchange carries 4 rows x 7 int64 per node, independent of document
+    size; the driver never sees more than control messages."""
+    from .functions.pagerank import pagerank
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_nodes = pq.ParquetFile(path).metadata.num_rows
+    ids = _read_sized(sf_dir, "documents", ["doc_id"])
+    return pagerank(ids, n_nodes, iters=5)
+
+
+def _sql_pagerank(iters: int = 5) -> str:
+    """Chained-CTE unroll of the exact-integer damped iteration (the
+    _kmeans_cte_parts trick): pr0 seeds Q per node; each prN is one
+    LEFT JOIN of the node universe against the grouped edge
+    contributions of prN-1, with the identical // floors."""
+    from .functions.pagerank import BASE, OUT_DEGREE, Q
+
+    parts = [
+        """nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT d.doc_id AS src,
+         CAST((('0x' || substr(md5('pr:' || CAST(d.doc_id AS VARCHAR) || ':'
+                || CAST(j.j AS VARCHAR)), 1, 16))::UBIGINT
+               % (SELECT n FROM nn)) AS BIGINT) AS dst
+  FROM documents d, (SELECT unnest(range({deg})) AS j) j
+),
+pr0 AS (SELECT doc_id AS id, CAST({q} AS BIGINT) AS r FROM documents)""".format(
+            deg=OUT_DEGREE, q=Q
+        )
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""pr{it} AS (
+  SELECT d.doc_id AS id,
+         CAST({BASE} + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS id, sum(p.r // {OUT_DEGREE}) AS c
+    FROM pr{it - 1} p JOIN e ON e.src = p.id
+    GROUP BY e.dst
+  ) s ON s.id = d.doc_id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id AS doc_id, r AS rank_q FROM pr{iters}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4183,6 +4239,7 @@ QUERIES = {
     "distinct_users_per_type": q_distinct_users_per_type,
     "ann_ivf": q_ann_ivf,
     "lang_length_quantiles": q_lang_length_quantiles,
+    "pagerank_docs": q_pagerank_docs,
 }
 
 ORACLE_SQL = {
@@ -4261,6 +4318,7 @@ ORACLE_SQL = {
     "distinct_users_per_type": SQL_DISTINCT_USERS,
     "ann_ivf": _sql_ann_ivf(),
     "lang_length_quantiles": SQL_LANG_LENGTH_QUANTILES,
+    "pagerank_docs": _sql_pagerank(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
