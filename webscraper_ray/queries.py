@@ -4103,6 +4103,47 @@ FROM spine s LEFT JOIN daily d USING (day)
 """
 
 
+def q_dup_span_stats(sf_dir: str):
+    """Cross-doc duplicated-span fraction (Lee et al. 2021 ExactSubstr
+    signal over word 3-grams): per doc, distinct grams and how many of
+    them occur in >= 2 docs. See functions/dupspans.py for the scale
+    story (8-B gram hashes shipped, per-partition df reduce, doc-keyed
+    partials, distributed zero-fill — no driver gather)."""
+    from .functions.dupspans import dup_span_stats
+
+    return dup_span_stats(
+        _read_sized(sf_dir, "documents", ["doc_id", "text"]), n=3
+    )
+
+
+SQL_DUP_SPAN_STATS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]),
+                         1, 16))::UBIGINT AS h
+  FROM idx
+),
+df AS (SELECT h, count(*) AS c FROM grams GROUP BY h),
+per AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM grams g JOIN df f USING (h) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(p.n_dup, 0)::BIGINT AS n_dup_grams
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_pagerank_docs(sf_dir: str):
     """Distributed PageRank over the derived doc link graph — the crawl
     frontier's page-importance signal (see functions/pagerank.py for the
@@ -4240,6 +4281,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "lang_length_quantiles": q_lang_length_quantiles,
     "pagerank_docs": q_pagerank_docs,
+    "dup_span_stats": q_dup_span_stats,
 }
 
 ORACLE_SQL = {
@@ -4319,6 +4361,7 @@ ORACLE_SQL = {
     "ann_ivf": _sql_ann_ivf(),
     "lang_length_quantiles": SQL_LANG_LENGTH_QUANTILES,
     "pagerank_docs": _sql_pagerank(),
+    "dup_span_stats": SQL_DUP_SPAN_STATS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
