@@ -4144,6 +4144,72 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_snapshot_diff(sf_dir: str):
+    """CDC between two crawl snapshots: v2 is DERIVED deterministically
+    from the corpus (doc_id%11 deleted, %7 modified, %13 spawns an
+    added doc), then functions/cdc.py classifies added / deleted /
+    modified generically by (id, payload-md5) — ONE union-tag exchange
+    of 40-B rows, output change-sized (see module docstring)."""
+    from .functions.cdc import snapshot_diff
+
+    v1 = _read_sized(sf_dir, "documents", ["doc_id", "text"])
+
+    def derive_v2(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 11 != 0
+        kept = t.filter(pa.array(keep))
+        kids = kept.column("doc_id").to_numpy(zero_copy_only=False)
+        mod = pa.array(kids % 7 == 0)
+        text = pc.if_else(
+            mod,
+            pc.binary_join_element_wise(kept.column("text"), " [rev2]", ""),
+            kept.column("text"),
+        )
+        adds = t.filter(pa.array(ids % 13 == 0))
+        add_ids = pc.add(adds.column("doc_id"), 10_000_000)
+        add_text = pc.binary_join_element_wise(
+            "new doc ", pc.cast(adds.column("doc_id"), pa.string()), ""
+        )
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [kept.column("doc_id").combine_chunks(),
+                     add_ids.combine_chunks()]
+                ),
+                "text": pa.concat_arrays(
+                    [text.combine_chunks()
+                     if isinstance(text, pa.ChunkedArray) else text,
+                     add_text.combine_chunks()
+                     if isinstance(add_text, pa.ChunkedArray) else add_text]
+                ),
+            }
+        )
+
+    v2 = _read_sized(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        derive_v2, batch_format="pyarrow"
+    )
+    return snapshot_diff(v1, v2)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         'new doc ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'deleted'
+            ELSE 'modified' END AS change
+FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+"""
+
+
 def q_pagerank_docs(sf_dir: str):
     """Distributed PageRank over the derived doc link graph — the crawl
     frontier's page-importance signal (see functions/pagerank.py for the
@@ -4282,6 +4348,7 @@ QUERIES = {
     "lang_length_quantiles": q_lang_length_quantiles,
     "pagerank_docs": q_pagerank_docs,
     "dup_span_stats": q_dup_span_stats,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLE_SQL = {
@@ -4362,6 +4429,7 @@ ORACLE_SQL = {
     "lang_length_quantiles": SQL_LANG_LENGTH_QUANTILES,
     "pagerank_docs": _sql_pagerank(),
     "dup_span_stats": SQL_DUP_SPAN_STATS,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
