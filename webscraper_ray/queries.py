@@ -4210,6 +4210,278 @@ WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
 """
 
 
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention (the growth-analytics staple): users grouped by
+    first-active week, counted per (cohort_week, active_week).
+
+    Scale shape: per-batch DISTINCT (user, week) partials (lexsort
+    dedup) feed ONE user-keyed exchange; each partition derives cohorts
+    and reduces to (cohort, week) counts, so the final exchange is
+    weeks^2-bounded. Weeks are integer epoch buckets (epoch_us //
+    week_us) — no calendar semantics to disagree over."""
+    from .functions.joins import _part_column
+
+    ev = _read_sized(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        wk = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // _WEEK_US
+        )
+        order = np.lexsort((wk, u))
+        u, wk = u[order], wk[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (wk[1:] != wk[:-1])]
+        u, wk = u[keep], wk[keep]
+        return pa.table(
+            {
+                "_part": _part_column(pa.chunked_array([pa.array(u)]), 16),
+                "u": pa.array(u),
+                "wk": pa.array(wk),
+            }
+        )
+
+    def reduce(part: pa.Table) -> pa.Table:
+        u = part.column("u").to_numpy(zero_copy_only=False)
+        wk = part.column("wk").to_numpy(zero_copy_only=False)
+        order = np.lexsort((wk, u))
+        u, wk = u[order], wk[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (wk[1:] != wk[:-1])]
+        u, wk = u[keep], wk[keep]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.r_[starts, u.size])
+        cohort = np.repeat(wk[starts], sizes)  # first (min) week per user
+        key = cohort * np.int64(1 << 20) + wk  # wk ~ 2.8k, headroom vast
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cohort_week": pa.array(uk >> 20),
+                "active_week": pa.array(uk & ((1 << 20) - 1)),
+                "n_users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(reduce, batch_format="pyarrow")
+        .groupby(["cohort_week", "active_week"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH ew AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+),
+fw AS (SELECT user_id, min(wk) AS cohort FROM ew GROUP BY user_id)
+SELECT f.cohort AS cohort_week, e.wk AS active_week, count(*) AS n_users
+FROM ew e JOIN fw f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_event_type_overlap(sf_dir: str):
+    """Set-operation matrix: for every event-type pair (a < b), how many
+    users did BOTH — the INTERSECT family over the pinned taxonomy
+    (_PIVOT_EVENT_TYPES; a discovery pass would be its own shuffle).
+
+    Scale shape: per-batch distinct (user, type-bit) partials; ONE
+    user-keyed exchange; per partition an OR-reduce to one bitmask per
+    user, then |pairs| counters — the final exchange is 10 rows per
+    partition."""
+    from .functions.joins import _part_column
+
+    types = list(_PIVOT_EVENT_TYPES)
+    t_idx = {t: i for i, t in enumerate(types)}
+    ev = _read_sized(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_pylist()
+        try:
+            bits = np.array([1 << t_idx[x] for x in et], dtype=np.int64)
+        except KeyError as e:  # loud: the taxonomy is a pinned contract
+            raise ValueError(f"unknown event_type {e.args[0]!r}") from e
+        order = np.argsort(u, kind="stable")
+        u, bits = u[order], bits[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        mask = np.bitwise_or.reduceat(bits, starts)
+        return pa.table(
+            {
+                "_part": _part_column(
+                    pa.chunked_array([pa.array(u[starts])]), 16
+                ),
+                "u": pa.array(u[starts]),
+                "m": pa.array(mask),
+            }
+        )
+
+    def reduce(part: pa.Table) -> pa.Table:
+        u = part.column("u").to_numpy(zero_copy_only=False)
+        m = part.column("m").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u, m = u[order], m[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        mask = np.bitwise_or.reduceat(m, starts)
+        ta, tb, n = [], [], []
+        for a in range(len(types)):
+            for b in range(a + 1, len(types)):
+                c = int(np.count_nonzero((mask >> a) & (mask >> b) & 1))
+                if c:
+                    ta.append(types[a])
+                    tb.append(types[b])
+                    n.append(c)
+        return pa.table(
+            {
+                "type_a": pa.array(ta, pa.string()),
+                "type_b": pa.array(tb, pa.string()),
+                "n_users": pa.array(n, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(reduce, batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+def _sql_event_type_overlap() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _PIVOT_EVENT_TYPES)
+    return f"""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE event_type IN ({in_list})
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_users
+FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def q_ntile_customers(sf_dir: str):
+    """ntile(4) by account balance within nation — the quartile-bucket
+    window, computed WITHOUT a global sort: one nation-keyed exchange,
+    then an exact vectorized ntile over each nation's (balance DESC,
+    custkey) order (ties broken deterministically, SQL's exact
+    big-buckets-first sizing)."""
+    from .functions.joins import _part_column
+
+    cust = _read_sized(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part", _part_column(t.column("c_nationkey"), 8)
+        )
+
+    def tiles(part: pa.Table) -> pa.Table:
+        nat = part.column("c_nationkey").to_numpy(zero_copy_only=False)
+        bal = part.column("c_acctbal").to_numpy(zero_copy_only=False)
+        key = part.column("c_custkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -bal, nat))
+        nat, bal, key = nat[order], bal[order], key[order]
+        starts = np.flatnonzero(np.r_[True, nat[1:] != nat[:-1]])
+        sizes = np.diff(np.r_[starts, nat.size])
+        n = np.repeat(sizes, sizes)
+        r = np.arange(nat.size) - np.repeat(starts, sizes)
+        k = 4
+        big = n % k
+        size_big = n // k + 1
+        small = np.maximum(n // k, 1)  # guarded: unused when r < big*size_big
+        tile = np.where(
+            r < big * size_big,
+            r // size_big,
+            big + (r - big * size_big) // small,
+        ) + 1
+        return pa.table(
+            {
+                "c_custkey": pa.array(key),
+                "c_nationkey": pa.array(nat),
+                "tile": pa.array(tile.astype(np.int64)),
+            }
+        )
+
+    return (
+        cust.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(tiles, batch_format="pyarrow")
+    )
+
+
+SQL_NTILE_CUSTOMERS = """
+SELECT c_custkey, c_nationkey,
+       ntile(4) OVER (
+         PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+       ) AS tile
+FROM customer
+"""
+
+
+def q_embedding_gram(sf_dir: str):
+    """Distributed Gram matrix of the embedding table (X^T X over
+    quantized int64 components) — the one-pass building block for PCA /
+    covariance / whitening at corpus scale.
+
+    Scale shape: each batch contributes one d x d integer partial (a
+    single int64 matmul — exact, order-independent); the exchange
+    carries d*(d+1)/2 rows per batch and the output is d^2-bounded.
+    The kmeans quantization discipline (clustering.QUANT, half-away
+    rounding) makes every entry SQL-recomputable."""
+    from .functions.clustering import _quant_matrix
+
+    emb = _read_sized(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        xq = _quant_matrix(t.column("embedding"))
+        if xq.size == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        g = xq.T @ xq
+        iu, ju = np.triu_indices(g.shape[0])
+        return pa.table(
+            {
+                "i": pa.array((iu + 1).astype(np.int64)),
+                "j": pa.array((ju + 1).astype(np.int64)),
+                "s": pa.array(g[iu, ju]),
+            }
+        )
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("s", alias_name="s"))
+    )
+
+
+def _sql_embedding_gram(d: int = 64) -> str:
+    from .functions.clustering import QUANT
+
+    return f"""
+WITH e AS (
+  SELECT [CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT) FOR x IN embedding] AS q
+  FROM embeddings
+),
+u AS (SELECT unnest(range(1, {d + 1})) AS i)
+SELECT u1.i AS i, u2.i AS j, CAST(sum(e.q[u1.i] * e.q[u2.i]) AS BIGINT) AS s
+FROM e, u u1, u u2
+WHERE u2.i >= u1.i
+GROUP BY 1, 2
+"""
+
+
 def q_pagerank_docs(sf_dir: str):
     """Distributed PageRank over the derived doc link graph — the crawl
     frontier's page-importance signal (see functions/pagerank.py for the
@@ -4349,6 +4621,10 @@ QUERIES = {
     "pagerank_docs": q_pagerank_docs,
     "dup_span_stats": q_dup_span_stats,
     "snapshot_diff": q_snapshot_diff,
+    "cohort_retention": q_cohort_retention,
+    "event_type_overlap": q_event_type_overlap,
+    "ntile_customers": q_ntile_customers,
+    "embedding_gram": q_embedding_gram,
 }
 
 ORACLE_SQL = {
@@ -4430,6 +4706,10 @@ ORACLE_SQL = {
     "pagerank_docs": _sql_pagerank(),
     "dup_span_stats": SQL_DUP_SPAN_STATS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "event_type_overlap": _sql_event_type_overlap(),
+    "ntile_customers": SQL_NTILE_CUSTOMERS,
+    "embedding_gram": _sql_embedding_gram(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
