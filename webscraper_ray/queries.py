@@ -3363,17 +3363,36 @@ GROUP BY c.c_mktsegment
 """
 
 
-def q_rollup_summary(sf_dir: str):
-    """ROLLUP aggregate (OLAP subtotals): per (returnflag, linestatus),
-    per returnflag, and grand total in one result, 'ALL' marking the
-    rolled-up level.
+def q_cube_summary(sf_dir: str):
+    """GROUP BY CUBE — every grouping-set combination (fine, each
+    single key, grand total). Same scale shape as rollup_summary: ONE
+    distributed finest-level pass; all 2^k coarser levels re-aggregate
+    the group-cardinality-bounded table driver-side, no second data
+    pass. The two queries share the finest-pass kernel."""
+    fine = _rollup_fine_pass(sf_dir)
+    return pa.concat_tables(
+        [
+            _reagg_level(fine, ["l_returnflag", "l_linestatus"]),
+            _reagg_level(fine, ["l_returnflag"]),
+            _reagg_level(fine, ["l_linestatus"]),
+            _reagg_level(fine, []),
+        ]
+    )
 
-    Scale shape: ONE distributed pass computes the finest-level
-    aggregate exactly like pricing_summary (per-batch partials, one
-    groupby exchange); the coarser levels are pure re-aggregations of
-    that GROUP-CARDINALITY-BOUNDED table (|flags| x |statuses| rows —
-    single digits at any corpus size), so they derive driver-side with
-    no second pass over the data."""
+
+SQL_CUBE_SUMMARY = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def _rollup_fine_pass(sf_dir: str) -> pa.Table:
+    """Finest-level (returnflag, linestatus) aggregate — the ONE
+    distributed pass shared by rollup_summary and cube_summary."""
     import ray
 
     line = _read_sized(
@@ -3402,39 +3421,55 @@ def q_rollup_summary(sf_dir: str):
         )
     )
     parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows > 0]
-    fine = pa.concat_tables(parts).combine_chunks()
+    return pa.concat_tables(parts).combine_chunks()
 
-    def level(t: pa.Table, keys: list[str]) -> pa.Table:
-        if keys:
-            g = t.group_by(keys).aggregate(
-                [("sum_qty", "sum"), ("n_items", "sum")]
-            ).rename_columns(keys + ["sum_qty", "n_items"])
-        else:
-            g = pa.table(
-                {
-                    "sum_qty": pa.array(
-                        [pc.sum(t.column("sum_qty")).as_py() or 0], pa.int64()
-                    ),
-                    "n_items": pa.array(
-                        [pc.sum(t.column("n_items")).as_py() or 0], pa.int64()
-                    ),
-                }
-            )
-        n = g.num_rows
-        cols = {}
-        for c in ("l_returnflag", "l_linestatus"):
-            cols[c] = (
-                g.column(c) if c in keys else pa.array(["ALL"] * n, pa.string())
-            )
-        cols["sum_qty"] = g.column("sum_qty").cast(pa.float64())
-        cols["n_items"] = g.column("n_items")
-        return pa.table(cols)
 
+def _reagg_level(t: pa.Table, keys: list[str]) -> pa.Table:
+    """Re-aggregate the bounded finest table to one grouping set,
+    filling rolled-up keys with 'ALL'."""
+    if keys:
+        g = t.group_by(keys).aggregate(
+            [("sum_qty", "sum"), ("n_items", "sum")]
+        ).rename_columns(keys + ["sum_qty", "n_items"])
+    else:
+        g = pa.table(
+            {
+                "sum_qty": pa.array(
+                    [pc.sum(t.column("sum_qty")).as_py() or 0], pa.int64()
+                ),
+                "n_items": pa.array(
+                    [pc.sum(t.column("n_items")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+    n = g.num_rows
+    cols = {}
+    for c in ("l_returnflag", "l_linestatus"):
+        cols[c] = (
+            g.column(c) if c in keys else pa.array(["ALL"] * n, pa.string())
+        )
+    cols["sum_qty"] = g.column("sum_qty").cast(pa.float64())
+    cols["n_items"] = g.column("n_items")
+    return pa.table(cols)
+
+
+def q_rollup_summary(sf_dir: str):
+    """ROLLUP aggregate (OLAP subtotals): per (returnflag, linestatus),
+    per returnflag, and grand total in one result, 'ALL' marking the
+    rolled-up level.
+
+    Scale shape: ONE distributed pass computes the finest-level
+    aggregate exactly like pricing_summary (per-batch partials, one
+    groupby exchange); the coarser levels are pure re-aggregations of
+    that GROUP-CARDINALITY-BOUNDED table (|flags| x |statuses| rows —
+    single digits at any corpus size), so they derive driver-side with
+    no second pass over the data."""
+    fine = _rollup_fine_pass(sf_dir)
     return pa.concat_tables(
         [
-            level(fine, ["l_returnflag", "l_linestatus"]),
-            level(fine, ["l_returnflag"]),
-            level(fine, []),
+            _reagg_level(fine, ["l_returnflag", "l_linestatus"]),
+            _reagg_level(fine, ["l_returnflag"]),
+            _reagg_level(fine, []),
         ]
     )
 
@@ -4625,6 +4660,7 @@ QUERIES = {
     "event_type_overlap": q_event_type_overlap,
     "ntile_customers": q_ntile_customers,
     "embedding_gram": q_embedding_gram,
+    "cube_summary": q_cube_summary,
 }
 
 ORACLE_SQL = {
@@ -4710,6 +4746,7 @@ ORACLE_SQL = {
     "event_type_overlap": _sql_event_type_overlap(),
     "ntile_customers": SQL_NTILE_CUSTOMERS,
     "embedding_gram": _sql_embedding_gram(),
+    "cube_summary": SQL_CUBE_SUMMARY,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
