@@ -4517,6 +4517,90 @@ GROUP BY 1, 2
 """
 
 
+_PCA_ITERS = 4
+_PCA_VSCALE = 1024
+
+
+def q_pca_power_component(sf_dir: str):
+    """Top principal direction of the embedding table by EXACT-integer
+    power iteration over the distributed Gram matrix — the PCA /
+    whitening building block at corpus scale.
+
+    Scale shape: the data pass is q_embedding_gram's (one streaming
+    map, d^2-bounded exchange); the iteration itself runs driver-side
+    on the d x d result in PYTHON INTS (w = G @ v reaches ~10^19-10^20
+    — past int64, fine for bigint and for DuckDB's HUGEINT sums).
+    Each round rescales by s = max|w| // 1024 + 1 and divides with
+    TRUNCATION toward zero (DuckDB's // semantics; Python's // floors,
+    so negatives are mirrored via abs), keeping every step a pure
+    integer function so the oracle replays it exactly via chained CTEs.
+    Sign is pinned by the deterministic all-ones start vector."""
+    import ray
+
+    gram = q_embedding_gram(sf_dir)
+    parts = [p for p in ray.get(gram.to_arrow_refs()) if p.num_rows > 0]
+    t = pa.concat_tables(parts).combine_chunks()
+    ii = t.column("i").to_numpy(zero_copy_only=False)
+    jj = t.column("j").to_numpy(zero_copy_only=False)
+    ss = t.column("s").to_numpy(zero_copy_only=False)
+    d = int(ii.max()) if len(ii) else 0
+    g = [[0] * d for _ in range(d)]  # Python ints: exact at any scale
+    for a, b, s in zip(ii, jj, ss):
+        g[a - 1][b - 1] = int(s)
+        g[b - 1][a - 1] = int(s)
+    v = [_PCA_VSCALE] * d
+    for _ in range(_PCA_ITERS):
+        w = [sum(g[r][c] * v[c] for c in range(d)) for r in range(d)]
+        s = max((abs(x) for x in w), default=0) // _PCA_VSCALE + 1
+        # DuckDB's // TRUNCATES toward zero (-7 // 2 = -3); Python's
+        # floors — mirror the oracle exactly on negative components
+        v = [(abs(x) // s) * (1 if x >= 0 else -1) for x in w]
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "comp_q": pa.array(v, pa.int64()),
+        }
+    )
+
+
+def _sql_pca_power(d: int = 64) -> str:
+    from .functions.clustering import QUANT
+
+    parts = [
+        f"""e AS (
+  SELECT [CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT) FOR x IN embedding] AS q
+  FROM embeddings
+),
+u AS (SELECT unnest(range(1, {d + 1})) AS i),
+gram AS (
+  SELECT u1.i AS i, u2.i AS j, CAST(sum(e.q[u1.i] * e.q[u2.i]) AS BIGINT) AS s
+  FROM e, u u1, u u2 WHERE u2.i >= u1.i GROUP BY 1, 2
+),
+g AS (
+  SELECT i, j, s FROM gram
+  UNION ALL
+  SELECT j AS i, i AS j, s FROM gram WHERE i <> j
+),
+v0 AS (SELECT i AS dim, CAST({_PCA_VSCALE} AS HUGEINT) AS c FROM u)"""
+    ]
+    for it in range(1, _PCA_ITERS + 1):
+        parts.append(
+            f"""w{it} AS (
+  SELECT g.i AS dim, sum(g.s * v.c) AS w
+  FROM g JOIN v{it - 1} v ON v.dim = g.j GROUP BY g.i
+),
+s{it} AS (SELECT max(abs(w)) // {_PCA_VSCALE} + 1 AS s FROM w{it}),
+v{it} AS (
+  SELECT dim, w // (SELECT s FROM s{it}) AS c FROM w{it}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT dim, CAST(c AS BIGINT) AS comp_q FROM v{_PCA_ITERS}"
+    )
+
+
 def q_pagerank_docs(sf_dir: str):
     """Distributed PageRank over the derived doc link graph — the crawl
     frontier's page-importance signal (see functions/pagerank.py for the
@@ -4661,6 +4745,7 @@ QUERIES = {
     "ntile_customers": q_ntile_customers,
     "embedding_gram": q_embedding_gram,
     "cube_summary": q_cube_summary,
+    "pca_power_component": q_pca_power_component,
 }
 
 ORACLE_SQL = {
@@ -4747,6 +4832,7 @@ ORACLE_SQL = {
     "ntile_customers": SQL_NTILE_CUSTOMERS,
     "embedding_gram": _sql_embedding_gram(),
     "cube_summary": SQL_CUBE_SUMMARY,
+    "pca_power_component": _sql_pca_power(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
