@@ -180,12 +180,14 @@ def pagerank(
             }
         )
 
+    # no per-round repartition (unlike graph.py's label loop): the
+    # frontier is the groupby's ONLY input, so its block count stays
+    # ~num_parts across rounds instead of compounding via a union
     for _ in range(iters):
         frontier = (
             frontier.map_batches(emit, batch_format="pyarrow")
             .groupby("_part")
             .map_groups(sum_reduce, batch_format="pyarrow")
-            .repartition(num_parts)
             .materialize()
         )
 
