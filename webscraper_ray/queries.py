@@ -4601,6 +4601,163 @@ v{it} AS (
     )
 
 
+def q_user_growth(sf_dir: str):
+    """Daily user growth: new users (first-ever event that day) and the
+    cumulative running total — the activation curve.
+
+    Scale shape: per-batch (user, min-day) partials feed ONE user-keyed
+    exchange; each partition reduces its users to per-day new-user
+    counts, so the final day-keyed aggregate and the driver-side cumsum
+    are DAY-cardinality bounded."""
+    from .functions.joins import _part_column
+
+    ev = _read_sized(sf_dir, "events", ["user_id", "ts"])
+    day_us = 86_400 * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // day_us
+        )
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        first = np.r_[True, u[1:] != u[:-1]]
+        u, d = u[first], d[first]
+        return pa.table(
+            {
+                "_part": _part_column(pa.chunked_array([pa.array(u)]), 16),
+                "u": pa.array(u),
+                "d": pa.array(d),
+            }
+        )
+
+    def reduce(part: pa.Table) -> pa.Table:
+        u = part.column("u").to_numpy(zero_copy_only=False)
+        d = part.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        first = np.r_[True, u[1:] != u[:-1]]
+        days, cnt = np.unique(d[first], return_counts=True)
+        return pa.table(
+            {
+                "day_i": pa.array(days),
+                "new_users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    import ray
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(reduce, batch_format="pyarrow")
+        .groupby("day_i")
+        .aggregate(Sum("new_users", alias_name="new_users"))
+    )
+    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows > 0]
+    t = pa.concat_tables(parts).combine_chunks()
+    di = t.column("day_i").to_numpy(zero_copy_only=False)
+    nu = t.column("new_users").to_numpy(zero_copy_only=False)
+    order = np.argsort(di)
+    di, nu = di[order], nu[order]
+    return pa.table(
+        {
+            "day": pa.array(
+                (di * day_us).astype("datetime64[us]"), pa.timestamp("us")
+            ),
+            "new_users": pa.array(nu),
+            "cum_users": pa.array(np.cumsum(nu)),
+        }
+    )
+
+
+SQL_USER_GROWTH = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS d FROM events GROUP BY user_id
+),
+nd AS (SELECT d, count(*) AS new_users FROM f GROUP BY d)
+SELECT d AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+FROM nd
+"""
+
+
+_COOC_VOCAB_K = 20
+
+
+def q_token_cooccurrence(sf_dir: str):
+    """Doc-level co-occurrence counts between the corpus's top-20 tokens
+    (the integer core of a PMI / word-association table): composes the
+    distributed vocabulary pass with a bitmask co-occurrence pass.
+
+    Scale shape: pass 1 is vocab_top_tokens (vocabulary-sized shuffle,
+    20-row driver artifact, broadcast once); pass 2 streams the corpus,
+    reducing each batch to per-doc 20-bit masks and then to <= 190
+    (pair, n) partial rows — the exchange is PAIR-cardinality bounded
+    regardless of corpus size."""
+    from .functions.textstats import vocab_top_tokens
+    from .functions.tfidf import flat_tokens
+
+    vocab_rows = vocab_top_tokens(
+        _read_sized(sf_dir, "documents", ["text"]), k=_COOC_VOCAB_K
+    ).take_all()
+    vocab = np.sort(np.array([r["token"] for r in vocab_rows], dtype=object))
+    nv = len(vocab)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tok, parent, n_rows = flat_tokens(t, "text")
+        ta, tb, n = [], [], []
+        if tok.size:
+            idx = np.searchsorted(vocab, tok)
+            np.clip(idx, 0, nv - 1, out=idx)
+            hit = vocab[idx] == tok
+            bits = np.zeros(n_rows, dtype=np.int64)
+            np.bitwise_or.at(
+                bits, parent[hit], np.int64(1) << idx[hit].astype(np.int64)
+            )
+            for a in range(nv):
+                for b in range(a + 1, nv):
+                    c = int(np.count_nonzero((bits >> a) & (bits >> b) & 1))
+                    if c:
+                        ta.append(str(vocab[a]))
+                        tb.append(str(vocab[b]))
+                        n.append(c)
+        return pa.table(
+            {
+                "tok_a": pa.array(ta, pa.string()),
+                "tok_b": pa.array(tb, pa.string()),
+                "n_docs": pa.array(n, pa.int64()),
+            }
+        )
+
+    docs = _read_sized(sf_dir, "documents", ["text"])
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tok_a", "tok_b"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+def _sql_token_cooccurrence() -> str:
+    return rf"""
+WITH dt AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+vocab AS (
+  SELECT token FROM dt GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT {_COOC_VOCAB_K}
+),
+dv AS (
+  SELECT DISTINCT doc_id, token FROM dt JOIN vocab USING (token)
+)
+SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_docs
+FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.token < b.token
+GROUP BY 1, 2
+"""
+
+
 def q_pagerank_docs(sf_dir: str):
     """Distributed PageRank over the derived doc link graph — the crawl
     frontier's page-importance signal (see functions/pagerank.py for the
@@ -4746,6 +4903,8 @@ QUERIES = {
     "embedding_gram": q_embedding_gram,
     "cube_summary": q_cube_summary,
     "pca_power_component": q_pca_power_component,
+    "user_growth": q_user_growth,
+    "token_cooccurrence": q_token_cooccurrence,
 }
 
 ORACLE_SQL = {
@@ -4833,6 +4992,8 @@ ORACLE_SQL = {
     "embedding_gram": _sql_embedding_gram(),
     "cube_summary": SQL_CUBE_SUMMARY,
     "pca_power_component": _sql_pca_power(),
+    "user_growth": SQL_USER_GROWTH,
+    "token_cooccurrence": _sql_token_cooccurrence(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
