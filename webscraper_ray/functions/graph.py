@@ -40,7 +40,7 @@ import ray.data
 
 from .joins import _part_column
 
-__all__ = ["connected_components", "attach_cluster_ids"]
+__all__ = ["connected_components", "attach_cluster_ids", "triangle_count"]
 
 _EMPTY_LABELS = pa.table(
     {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
@@ -258,3 +258,82 @@ def attach_cluster_ids(
         .groupby("_part")
         .map_groups(attach, batch_format="pyarrow")
     )
+
+
+def triangle_count(
+    edges: "ray.data.Dataset",
+    num_partitions: int = 16,
+) -> int:
+    """Exact triangle count over an undirected edge Dataset ``(a, b)``
+    with ``a < b`` and no duplicates (the orientation dedupe is the
+    caller's — see ``queries.q_link_triangles``).
+
+    The classic two-exchange node-iterator with ORIENTATION: because
+    every edge is stored low-id -> high-id, each triangle ``p<q<r`` is
+    found exactly once — as the wedge ``(q, r)`` centered at ``p``
+    closed by the oriented edge ``(q, r)``. No post-hoc /3 division, no
+    double counting to reason away.
+
+    Scale shape:
+    - ONE hash-partition exchange of the edge list on ``a``; wedges emit
+      per partition via one lexsort + per-center ``triu`` (the
+      ``_band_candidates`` emission kernel) — wedge volume is
+      sum(out_deg^2)/2, the algorithm's intrinsic cost;
+    - ONE partitioned inner join of wedges against the edge list on
+      ``(a, b)`` (``Dataset.join``) — the closure probe;
+    - the driver sees a single count.
+
+    Partitioning assumption (per the brief): a hub node's out-edges land
+    in one partition; ordering by id is a proxy for the degree ordering
+    the literature uses, so a low-id hub still concentrates wedges.
+    Callers with power-law graphs should relabel ids by ascending degree
+    first (one extra exchange) to restore the O(E^{3/2}) bound.
+    """
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", _part_column(t.column("a"), num_partitions))
+
+    def emit_wedges(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return empty
+        a = part.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = part.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        change = np.flatnonzero(a[1:] != a[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(a)]])
+        out_x: list[np.ndarray] = []
+        out_y: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            m = int(e - s)
+            if m < 2:
+                continue
+            g = b[s:e]  # ascending (lexsort), so x < y holds per pair
+            ii, jj = np.triu_indices(m, k=1)
+            out_x.append(g[ii])
+            out_y.append(g[jj])
+        if not out_x:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_x)),
+                "b": pa.array(np.concatenate(out_y)),
+            }
+        )
+
+    wedges = (
+        edges.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_wedges, batch_format="pyarrow")
+    )
+    closed = wedges.join(
+        edges,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a", "b"),
+    )
+    return closed.count()

@@ -4818,6 +4818,570 @@ pr0 AS (SELECT doc_id AS id, CAST({q} AS BIGINT) AS r FROM documents)""".format(
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_sampled_quantiles(sf_dir: str):
+    """Sampled quantiles over a HIGH-CARDINALITY money column — the
+    third leg of the quantile family: ``exact_quantiles`` needs bounded
+    cardinality, ``price_histogram`` fixes bucket width; this one bounds
+    BOTH the shuffle and the driver gather by SAMPLE size, the standard
+    scale answer when neither holds.
+
+    The sample is hash-deterministic (``md5_u64(orderkey) % 16 == 0``,
+    the ``sampling.py`` family): parallelism-invariant, rerun-stable,
+    and exactly reproducible in SQL — so the "approximate" operator is
+    value-hash GATED on its exact output. Scale shape: the only
+    exchange is the value-count groupby of the ~1/16 sample in exact
+    integer cents; at a 10^10-row corpus a 10^-5 rate keeps the gather
+    ~10^5 rows."""
+    from .functions.dedup import md5_u64
+    from .functions.stats import exact_quantiles
+
+    ds = _read_sized(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def sample_cents(t: pa.Table) -> pa.Table:
+        ids = t.column("o_orderkey").to_pylist()
+        keep = pa.array([md5_u64(str(i)) % 16 == 0 for i in ids], pa.bool_())
+        kept = t.filter(keep)
+        return pa.table({"price_c": _cents(kept.column("o_totalprice"))})
+
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    out = exact_quantiles(
+        ds.map_batches(sample_cents, batch_format="pyarrow"), "price_c", qs
+    )
+    return pa.table(
+        {
+            "q": out.column("q"),
+            "o_totalprice": pc.divide(
+                pc.cast(out.column("price_c"), pa.float64()), pa.scalar(100.0)
+            ),
+        }
+    )
+
+
+SQL_SAMPLED_QUANTILES = """
+WITH s AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders
+  WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 16))::UBIGINT % 16 = 0
+), qd AS (SELECT quantile_disc(price_c, [0.25, 0.5, 0.75, 0.9, 0.99]) AS l FROM s)
+SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+       unnest(l) / 100.0 AS o_totalprice
+FROM qd
+"""
+
+
+_TS_Q2_96 = pa.scalar(np.datetime64("1996-04-01", "us"), pa.timestamp("us"))
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: aggregate -> GLOBAL max scalar -> filter the
+    aggregate by it (the ``CREATE VIEW revenue ... WHERE total =
+    (SELECT max)`` pattern) — the one warehouse shape the registry
+    lacked where a scalar subquery gates an AGGREGATE, not a base table.
+
+    Scale shape: revenue pre-aggregates per batch in exact cents before
+    the one supplier-keyed groupby; the aggregate (supplier-cardinality
+    rows) materializes once and serves both the scalar max reduce and
+    the equality filter; only the winning row(s) — ties included —
+    reach the driver, where the bounded supplier dimension attaches
+    names."""
+    line = _read_sized(
+        sf_dir,
+        "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), _TS96),
+            pc.less(t.column("l_shipdate"), _TS_Q2_96),
+        )
+        kept = t.filter(mask)
+        rev = pc.multiply(
+            _cents(kept.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), _cents(kept.column("l_discount"))
+            ),
+        )
+        g = (
+            pa.table({"s_suppkey": kept.column("l_suppkey"), "rev_c": rev})
+            .group_by("s_suppkey")
+            .aggregate([("rev_c", "sum")])
+        )
+        return g.rename_columns(["s_suppkey", "rev_c"])
+
+    agg = (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .materialize()
+    )
+    mx = agg.max("rev_c")
+    winners = agg.map_batches(
+        lambda t: t.filter(pc.equal(t.column("rev_c"), pa.scalar(mx, pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()  # output-sized: only the tie set at the global max
+    winners = winners.sort_values("s_suppkey")
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    names = _vector_lookup(
+        pa.array(winners["s_suppkey"].to_numpy(), pa.int64()),
+        sup.column("s_suppkey").combine_chunks().cast(pa.int64()),
+        sup.column("s_name").combine_chunks(),
+    )
+    return pa.table(
+        {
+            "s_suppkey": pa.array(winners["s_suppkey"].to_numpy(), pa.int64()),
+            "s_name": names,
+            "total_revenue": pa.array(
+                winners["rev_c"].to_numpy() / 10000.0, pa.float64()
+            ),
+        }
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT r.s_suppkey, s.s_name, r.rev_c / 10000.0 AS total_revenue
+FROM rev r JOIN supplier s USING (s_suppkey)
+WHERE r.rev_c = (SELECT max(rev_c) FROM rev)
+ORDER BY r.s_suppkey
+"""
+
+
+def q_shipmode_priority(sf_dir: str):
+    """TPC-H Q12 shape: BIG-BIG join + CASE-split counts. The fact side
+    pre-aggregates per (orderkey, flag) COUNT per batch — counts are
+    additive, so cross-block repeats of the same key need no global
+    fold before the join; each partial attaches the order's priority
+    class independently and the final sums stay exact. The orders side
+    ships (orderkey, is_high bit) only. One partitioned
+    ``Dataset.join`` exchange, then per-batch CASE partials and a
+    3-row final groupby."""
+    line = _read_sized(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"]
+    )
+
+    def line_part(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), _TS96),
+            pc.less(t.column("l_shipdate"), _TS97),
+        )
+        kept = t.filter(mask)
+        g = (
+            kept.select(["l_orderkey", "l_returnflag"])
+            .group_by(["l_orderkey", "l_returnflag"])
+            .aggregate([("l_returnflag", "count")])
+        )
+        return g.rename_columns(["l_orderkey", "l_returnflag", "n"])
+
+    lagg = line.map_batches(line_part, batch_format="pyarrow")
+    _HIGH = pa.array(["1-URGENT", "2-HIGH"])
+    orders = _read_sized(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "is_high": pc.cast(
+                    pc.is_in(t.column("o_orderpriority"), value_set=_HIGH),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = lagg.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def case_part(t: pa.Table) -> pa.Table:
+        n = t.column("n")
+        hi = t.column("is_high")
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": t.column("l_returnflag"),
+                    "high_line_count": pc.multiply(n, hi),
+                    "low_line_count": pc.multiply(
+                        n, pc.subtract(pa.scalar(1, pa.int64()), hi)
+                    ),
+                }
+            )
+            .group_by("l_returnflag")
+            .aggregate([("high_line_count", "sum"), ("low_line_count", "sum")])
+        )
+        return g.rename_columns(
+            ["l_returnflag", "high_line_count", "low_line_count"]
+        )
+
+    return (
+        joined.map_batches(case_part, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+        .sort("l_returnflag")
+    )
+
+
+SQL_SHIPMODE_PRIORITY = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+           AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: the EXISTS + NOT-EXISTS self-join — suppliers
+    who were the UNIQUE latest shipper in a multi-supplier 'F' order.
+    The classic formulation is two correlated subqueries against the
+    fact table itself; distributed it is ONE orderkey-keyed exchange
+    with a vectorized per-order kernel.
+
+    Scale shape: per-batch (orderkey, suppkey) max-shipdate partials
+    shrink the fact before the exchange; the per-partition kernel
+    lexsorts once and resolves every order with two ``reduceat`` sweeps
+    (fold duplicate partials, then per-order max / distinct-supplier /
+    unique-at-max flags) — no per-order Python dispatch; qualifying
+    (orderkey, suppkey) rows semi-join the F-orders projection through
+    a partitioned ``Dataset.join``; the supplier-cardinality count
+    aggregate sorts and cuts to 10 distributed, and only those 10 rows
+    reach the driver for the dimension attach."""
+    from .functions.joins import _part_column as _pcol
+
+    line = _read_sized(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+
+    def part_max(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("l_shipdate", "max")]
+        )
+        g = g.rename_columns(["l_orderkey", "l_suppkey", "smax"])
+        return g.append_column("_part", _pcol(g.column("l_orderkey"), 16))
+
+    empty = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "l_suppkey": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return empty
+        ok = part.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = part.column("l_suppkey").to_numpy(zero_copy_only=False)
+        sm = part.column("smax").to_numpy(zero_copy_only=False).view("i8")
+        order = np.lexsort((sk, ok))
+        ok, sk, sm = ok[order], sk[order], sm[order]
+        # fold cross-block (orderkey, suppkey) repeats to one max row
+        chg = np.flatnonzero((ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])) + 1
+        starts = np.concatenate([[0], chg])
+        ok, sk = ok[starts], sk[starts]
+        sm = np.maximum.reduceat(sm, starts)
+        # per-order sweeps over the folded rows
+        chg2 = np.flatnonzero(ok[1:] != ok[:-1]) + 1
+        starts2 = np.concatenate([[0], chg2])
+        ends2 = np.concatenate([chg2, [len(ok)]])
+        nsupp = ends2 - starts2
+        omax = np.maximum.reduceat(sm, starts2)
+        at_max = sm == np.repeat(omax, nsupp)
+        n_at_max = np.add.reduceat(at_max.astype(np.int64), starts2)
+        keep = at_max & np.repeat((n_at_max == 1) & (nsupp > 1), nsupp)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok[keep].astype(np.int64)),
+                "l_suppkey": pa.array(sk[keep].astype(np.int64)),
+            }
+        )
+
+    cand = (
+        line.map_batches(part_max, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+    fords = _read_sized(
+        sf_dir, "orders", ["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "F")).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    waiting = cand.join(
+        fords,
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    counts = (
+        waiting.map_batches(
+            lambda t: t.group_by("l_suppkey")
+            .aggregate([("l_suppkey", "count")])
+            .rename_columns(["l_suppkey", "numwait"]),
+            batch_format="pyarrow",
+        )
+        .groupby("l_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+    )
+    top = (
+        counts.sort(["numwait", "l_suppkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    names = _vector_lookup(
+        pa.array(top["l_suppkey"].to_numpy(), pa.int64()),
+        sup.column("s_suppkey").combine_chunks().cast(pa.int64()),
+        sup.column("s_name").combine_chunks(),
+    )
+    return pa.table(
+        {
+            "s_suppkey": pa.array(top["l_suppkey"].to_numpy(), pa.int64()),
+            "s_name": names,
+            "numwait": pa.array(top["numwait"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH ls AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+ord AS (
+  SELECT l_orderkey, max(smax) AS omax, count(*) AS nsupp
+  FROM ls GROUP BY l_orderkey
+),
+w AS (
+  SELECT ls.l_orderkey, ls.l_suppkey
+  FROM ls JOIN ord USING (l_orderkey)
+  WHERE ls.smax = ord.omax AND ord.nsupp > 1
+),
+u AS (SELECT l_orderkey FROM w GROUP BY l_orderkey HAVING count(*) = 1),
+q AS (
+  SELECT w.l_suppkey
+  FROM w JOIN u USING (l_orderkey)
+  JOIN orders ON o_orderkey = w.l_orderkey AND o_orderstatus = 'F'
+)
+SELECT q.l_suppkey AS s_suppkey, s.s_name, count(*) AS numwait
+FROM q JOIN supplier s ON s.s_suppkey = q.l_suppkey
+GROUP BY q.l_suppkey, s.s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+"""
+
+
+def q_dedup_edit1(sf_dir: str):
+    """Edit-distance-<=1 fuzzy-match join over part names — the
+    record-linkage shape none of the hash/shingle dedup families can
+    express (one typo defeats exact hashing; 2-word names are too short
+    for minhash bands). Deletion-neighborhood candidates + exact
+    two-pointer verify; full scale story in
+    :mod:`webscraper_ray.functions.editdist`."""
+    from .functions.editdist import edit1_pairs
+
+    parts_ds = _read_sized(sf_dir, "part", ["p_partkey", "p_name"])
+    return edit1_pairs(parts_ds, "p_partkey", "p_name").sort(["id_a", "id_b"])
+
+
+SQL_DEDUP_EDIT1 = """
+WITH keys AS (
+  SELECT p_partkey AS id, p_name AS name,
+         CASE WHEN t.i = 0 THEN p_name
+              ELSE substr(p_name, 1, t.i - 1) || substr(p_name, t.i + 1) END AS k
+  FROM part CROSS JOIN LATERAL
+       (SELECT unnest(generate_series(0, length(p_name))) AS i) t
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS na, b.name AS nb
+  FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id
+)
+SELECT id_a, id_b FROM cand WHERE levenshtein(na, nb) <= 1
+ORDER BY id_a, id_b
+"""
+
+
+def q_source_trend(sf_dir: str):
+    """Per-group OLS trend line (slope + intercept of n_chars vs doc_id
+    per source) with EXACT-INTEGER moment accumulation — the grouped
+    regression shape, done the k-means/pagerank way: the five moments
+    (n, Σx, Σy, Σxy, Σx²) are int64 sums, associative under any
+    parallelism, so the distributed result is bit-identical to the
+    oracle's; floats appear only in the final source-cardinality-sized
+    driver step, where the division order exactly mirrors the SQL's
+    CAST-then-divide.
+
+    Scale shape: per-batch grouped moment partials -> one
+    source-cardinality groupby -> a bounded driver gather. Contract
+    (documented like the joins' overflow guard): Σx² must fit int64 —
+    at 10^10-row corpora normalize x first."""
+    docs = _read_sized(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("doc_id")
+        y = t.column("n_chars")
+        g = (
+            pa.table(
+                {
+                    "source": t.column("source"),
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "sx": x,
+                    "sy": y,
+                    "sxy": pc.multiply(x, y),
+                    "sxx": pc.multiply(x, x),
+                }
+            )
+            .group_by("source")
+            .aggregate(
+                [
+                    ("n", "sum"),
+                    ("sx", "sum"),
+                    ("sy", "sum"),
+                    ("sxy", "sum"),
+                    ("sxx", "sum"),
+                ]
+            )
+        )
+        return g.rename_columns(["source", "n", "sx", "sy", "sxy", "sxx"])
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()  # source-cardinality-sized
+        .sort_values("source")
+    )
+    slopes, intercepts = [], []
+    for _, r in agg.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx = int(r["sxy"]), int(r["sxx"])
+        # mirror the SQL exactly: exact-int numerator/denominator, each
+        # rounded to double once, then ONE IEEE division
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        slopes.append(slope)
+        intercepts.append((float(sy) - slope * float(sx)) / float(n))
+    return pa.table(
+        {
+            "source": pa.array(agg["source"].tolist(), pa.string()),
+            "n": pa.array(agg["n"].to_numpy(), pa.int64()),
+            "slope": pa.array(slopes, pa.float64()),
+            "intercept": pa.array(intercepts, pa.float64()),
+        }
+    )
+
+
+SQL_SOURCE_TREND = """
+WITH s AS (
+  SELECT source, count(*) AS n, sum(doc_id) AS sx, sum(n_chars) AS sy,
+         sum(doc_id * n_chars) AS sxy, sum(doc_id * doc_id) AS sxx
+  FROM documents GROUP BY source
+),
+sl AS (
+  SELECT source, n, sx, sy,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+  FROM s
+)
+SELECT source, CAST(n AS BIGINT) AS n, slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM sl ORDER BY source
+"""
+
+
+def q_link_triangles(sf_dir: str):
+    """Exact triangle count over the derived doc link graph (the same
+    md5 edge family PageRank crawls) — the graph-topology signal
+    (clustering structure) PageRank's importance scores don't carry.
+    Edge derivation is one streaming map + an output-sized
+    ``_hash_distinct`` orientation dedupe; the count itself is the
+    oriented two-exchange node-iterator in
+    :func:`webscraper_ray.functions.graph.triangle_count`."""
+    from .functions.dedup import _hash_distinct, md5_u64
+    from .functions.graph import triangle_count
+    from .functions.pagerank import OUT_DEGREE
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_nodes = pq.ParquetFile(path).metadata.num_rows
+    ids = _read_sized(sf_dir, "documents", ["doc_id"])
+
+    def emit_edges(t: pa.Table) -> pa.Table:
+        u = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(u, OUT_DEGREE)
+        dst = np.fromiter(
+            (
+                md5_u64(f"pr:{int(n)}:{j}") % n_nodes
+                for n in u
+                for j in range(OUT_DEGREE)
+            ),
+            dtype=np.int64,
+            count=len(u) * OUT_DEGREE,
+        )
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        keep = a != b
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    edges = _hash_distinct(
+        ids.map_batches(emit_edges, batch_format="pyarrow"), ["a", "b"], 16
+    )
+    n_tri = triangle_count(edges)
+    return pa.table({"n_triangles": pa.array([n_tri], pa.int64())})
+
+
+def _sql_link_triangles() -> str:
+    from .functions.pagerank import OUT_DEGREE
+
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT d.doc_id AS src,
+         CAST((('0x' || substr(md5('pr:' || CAST(d.doc_id AS VARCHAR) || ':'
+                || CAST(j.j AS VARCHAR)), 1, 16))::UBIGINT
+               % (SELECT n FROM nn)) AS BIGINT) AS dst
+  FROM documents d, (SELECT unnest(range({OUT_DEGREE})) AS j) j
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+)
+SELECT count(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -4905,6 +5469,13 @@ QUERIES = {
     "pca_power_component": q_pca_power_component,
     "user_growth": q_user_growth,
     "token_cooccurrence": q_token_cooccurrence,
+    "sampled_quantiles": q_sampled_quantiles,
+    "top_supplier": q_top_supplier,
+    "shipmode_priority": q_shipmode_priority,
+    "waiting_suppliers": q_waiting_suppliers,
+    "dedup_edit1": q_dedup_edit1,
+    "source_trend": q_source_trend,
+    "link_triangles": q_link_triangles,
 }
 
 ORACLE_SQL = {
@@ -4994,6 +5565,13 @@ ORACLE_SQL = {
     "pca_power_component": _sql_pca_power(),
     "user_growth": SQL_USER_GROWTH,
     "token_cooccurrence": _sql_token_cooccurrence(),
+    "sampled_quantiles": SQL_SAMPLED_QUANTILES,
+    "top_supplier": SQL_TOP_SUPPLIER,
+    "shipmode_priority": SQL_SHIPMODE_PRIORITY,
+    "waiting_suppliers": SQL_WAITING_SUPPLIERS,
+    "dedup_edit1": SQL_DEDUP_EDIT1,
+    "source_trend": SQL_SOURCE_TREND,
+    "link_triangles": _sql_link_triangles(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
