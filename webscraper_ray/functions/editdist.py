@@ -24,8 +24,11 @@ Scale shape:
 - ONE hash-partition exchange on the key hash (the ``_band_candidates``
   pattern, ``dedup.py:300`` — partition-wise lexsort + per-bucket loop
   over >=2-member buckets, never per-key ``map_groups`` dispatch);
-- verified (id_a < id_b) pairs dedupe locally, then one output-sized
-  ``_hash_distinct`` collapse.
+- the verify runs once per DISTINCT-name pair and expands duplicate-name
+  id cliques as vectorized cross products;
+- every pair is emitted EXACTLY ONCE — from the bucket of its minimum
+  shared key (both sides recompute the neighborhood intersection
+  locally), so no global distinct exchange follows the one shuffle.
 
 Bucket identity is the md5 of the exact deletion key; an md5 collision
 can only ADD candidates, which the exact verify then drops — the output
@@ -50,9 +53,14 @@ import pyarrow as pa
 
 import ray.data
 
-from .dedup import _hash_distinct, md5_u64
+from .dedup import md5_u64
 
 __all__ = ["EDIT1_BUCKET_CAP", "edit1_pairs", "edit_le1"]
+
+
+def _neighborhood(name: str) -> set:
+    """``{s} ∪ deletions1(s)`` — the key set ``emit_keys`` mirrors."""
+    return {name} | {name[:p] + name[p + 1 :] for p in range(len(name))}
 
 # Above this many members in one deletion-key bucket the exhaustive
 # in-bucket pairing is quadratic with no exact shortcut available; fail
@@ -139,8 +147,9 @@ def edit1_pairs(
         change = np.flatnonzero(key[1:] != key[:-1]) + 1
         starts = np.concatenate([[0], change])
         ends = np.concatenate([change, [len(ids)]])
-        out_a: list[int] = []
-        out_b: list[int] = []
+        names_arr = np.array(names, dtype=object)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
         for s, e in zip(starts, ends):
             m = int(e - s)
             if m < 2:
@@ -152,27 +161,51 @@ def edit1_pairs(
                     "there. Pre-block the input (length/prefix) or raise "
                     "bucket_cap explicitly."
                 )
-            for i in range(s, e - 1):
-                ni = names[i]
-                for j in range(i + 1, e):
-                    if ids[i] != ids[j] and edit_le1(ni, names[j]):
-                        a, b = ids[i], ids[j]
-                        if a > b:
-                            a, b = b, a
-                        out_a.append(int(a))
-                        out_b.append(int(b))
+            bucket_key = int(key[s])
+            # verify once per DISTINCT-name pair, then expand id cross
+            # products vectorized — duplicate-name cliques (the common
+            # case on real catalogs) cost C(u,2) string checks for u
+            # distinct names instead of C(m,2) for m member ids
+            gnames, inv = np.unique(names_arr[s:e], return_inverse=True)
+            gids = ids[s:e]
+            # unique ids per name group: one string can reach the same
+            # key via two different deletions (e.g. "aab" -> "ab"), so
+            # an id may repeat inside a bucket
+            groups = [np.unique(gids[inv == gi]) for gi in range(len(gnames))]
+            nbhd = [_neighborhood(nm) for nm in gnames]
+            for gi, ga in enumerate(groups):
+                # identical names (distance 0) share EVERY key; emit the
+                # clique only from the name's identity bucket so each
+                # pair fires exactly once globally
+                if len(ga) >= 2 and md5_u64(gnames[gi]) == bucket_key:
+                    ii, jj = np.triu_indices(len(ga), k=1)
+                    out_a.append(np.minimum(ga[ii], ga[jj]))
+                    out_b.append(np.maximum(ga[ii], ga[jj]))
+                for gj in range(gi + 1, len(gnames)):
+                    if not edit_le1(gnames[gi], gnames[gj]):
+                        continue
+                    # min-shared-key rule: a verified pair appears in
+                    # every bucket its neighborhoods share; both sides
+                    # can recompute that intersection locally, so only
+                    # the minimum-hash shared key's bucket emits — no
+                    # global distinct exchange is needed downstream
+                    shared = nbhd[gi] & nbhd[gj]
+                    if min(md5_u64(k) for k in shared) != bucket_key:
+                        continue
+                    xx, yy = np.meshgrid(ga, groups[gj], indexing="ij")
+                    xx, yy = xx.ravel(), yy.ravel()
+                    out_a.append(np.minimum(xx, yy))
+                    out_b.append(np.maximum(xx, yy))
         if not out_a:
             return empty
-        pairs_arr = np.unique(np.stack([out_a, out_b], axis=1), axis=0)
         return pa.table(
             {
-                "id_a": pa.array(pairs_arr[:, 0], pa.int64()),
-                "id_b": pa.array(pairs_arr[:, 1], pa.int64()),
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
             }
         )
 
     keyed = ds.map_batches(emit_keys, batch_format="pyarrow")
-    verified = keyed.groupby("_part").map_groups(
+    return keyed.groupby("_part").map_groups(
         emit_verified, batch_format="pyarrow"
     )
-    return _hash_distinct(verified, ["id_a", "id_b"], num_parts)

@@ -5205,7 +5205,7 @@ def q_dedup_edit1(sf_dir: str):
     from .functions.editdist import edit1_pairs
 
     parts_ds = _read_sized(sf_dir, "part", ["p_partkey", "p_name"])
-    return edit1_pairs(parts_ds, "p_partkey", "p_name").sort(["id_a", "id_b"])
+    return edit1_pairs(parts_ds, "p_partkey", "p_name")
 
 
 SQL_DEDUP_EDIT1 = """
