@@ -5382,6 +5382,86 @@ JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
 """
 
 
+def _docs_split(sf_dir: str, new: bool) -> "ray.data.Dataset":
+    """Deterministic corpus/increment split: doc_id % 10 == 0 is the
+    'new' batch, the rest is the indexed corpus."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        mod = t.column("doc_id").to_numpy(zero_copy_only=False) % 10
+        return t.filter(pa.array(mod == 0 if new else mod != 0))
+
+    return _read_sized(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+def _band_index_for(sf_dir: str) -> str:
+    """Build-or-reuse the bucket-partitioned minhash band index over the
+    'old' split of documents (doc_id % 10 != 0) — the ``_ann_index_for``
+    caching discipline: keyed by source identity, rebuilt when the table
+    changes, concurrent builders race benignly via rename."""
+    import tempfile
+
+    from .functions.increment import build_band_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:bandidx"
+    digest = __import__("hashlib").blake2b(key.encode(), digest_size=8).hexdigest()
+    dest = os.path.join(tempfile.gettempdir(), "webscraper_ray_bandidx", digest)
+    if os.path.isdir(dest):
+        return dest
+    build_dir = tempfile.mkdtemp(prefix=f"bandidx_{digest}_")
+    build_band_index(_docs_split(sf_dir, new=False), build_dir)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    try:
+        os.rename(build_dir, dest)
+    except OSError:
+        pass  # a concurrent builder won the rename; its index is identical
+    return dest
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental near-dup detection against a PERSISTED band index —
+    the 100-TB daily-increment pattern: the corpus (docs with
+    doc_id % 10 != 0) is indexed ONCE into bucket-partitioned band +
+    signature stores; the increment (doc_id % 10 == 0) probes only the
+    band buckets it hashes into (file-level pruning, pinned by a
+    spy-read test). Full scale story in
+    :mod:`webscraper_ray.functions.increment`. The sketch family is the
+    same md5/xor chain as ``dedup_minhash``, so the SQL oracle
+    recomputes the whole incremental chain exactly."""
+    from .functions.increment import incremental_near_dups
+
+    return incremental_near_dups(
+        _docs_split(sf_dir, new=True), _band_index_for(sf_dir)
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    from .functions.dedup import N_HASHES
+
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    return rf"""
+WITH {_sql_band_ctes()},
+ipairs AS (
+  SELECT DISTINCT a.doc_id AS doc_old, b.doc_id AS doc_new
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+),
+iest AS (
+  SELECT p.doc_old, p.doc_new, ({agree}) / 64.0 AS est_jaccard
+  FROM ipairs p
+  JOIN sig sa ON sa.doc_id = p.doc_old
+  JOIN sig sb ON sb.doc_id = p.doc_new
+)
+SELECT doc_old, doc_new, est_jaccard FROM iest WHERE est_jaccard >= 0.8
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -5476,6 +5556,7 @@ QUERIES = {
     "dedup_edit1": q_dedup_edit1,
     "source_trend": q_source_trend,
     "link_triangles": q_link_triangles,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLE_SQL = {
@@ -5572,6 +5653,7 @@ ORACLE_SQL = {
     "dedup_edit1": SQL_DEDUP_EDIT1,
     "source_trend": SQL_SOURCE_TREND,
     "link_triangles": _sql_link_triangles(),
+    "dedup_incremental": _sql_dedup_incremental(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
