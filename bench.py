@@ -58,6 +58,11 @@ BENCH_QUERIES = [
     "volume_shipping",
     "rolling_value_sum",
     "countmin_estimate",
+    "shipmode_priority",
+    "waiting_suppliers",
+    "dedup_edit1",
+    "dedup_incremental",
+    "link_triangles",
 ]
 
 

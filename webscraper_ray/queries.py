@@ -5462,6 +5462,165 @@ SELECT doc_old, doc_new, est_jaccard FROM iest WHERE est_jaccard >= 0.8
 """
 
 
+def q_bpe_train(sf_dir: str):
+    """BPE tokenizer training (first 6 merge rules) — the tokenizer IS
+    part of the training-data pipeline. One corpus pass reduces to a
+    weighted word-count vocab; every merge round is vocab-sized (full
+    scale story in :mod:`webscraper_ray.functions.bpe`). Deterministic
+    (integer counts, total tie-break, positional merge scan), so the
+    iterative algorithm is exactly SQL-gated via chained CTEs over a
+    boundary-safe string encoding of the symbol lists."""
+    from .functions.bpe import bpe_train
+
+    return bpe_train(_read_sized(sf_dir, "documents", ["text"]), n_merges=6)
+
+
+def _sql_bpe_train(n_merges: int = 6) -> str:
+    """Chained-CTE replay: each round recounts weighted adjacent pairs
+    from the current vocab encoding, picks the argmax with the same
+    (c DESC, l, r) tie-break, and applies the merge with plain
+    ``replace`` over the ``|sym|``/two-space encoding (bars kill
+    mid-symbol suffix matches; the separator is never shared between
+    adjacent occurrences, so left-to-right replace IS the textbook
+    merge scan)."""
+    parts = [
+        r"""wtoks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+),
+words AS (SELECT w AS word, count(*) AS cnt FROM wtoks WHERE w <> '' GROUP BY w),
+v0 AS MATERIALIZED (
+  SELECT '|' || array_to_string(string_split(word, ''), '|  |') || '|' AS sym,
+         cnt
+  FROM words
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT trim(t[u.i], '|') AS l, trim(t[u.i + 1], '|') AS r, sum(cnt) AS c
+  FROM (SELECT string_split(sym, '  ') AS t, cnt FROM v{i - 1}) s
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) u
+  GROUP BY 1, 2
+),
+m{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+v{i} AS MATERIALIZED (
+  SELECT replace(sym,
+                 '|' || (SELECT l FROM m{i}) || '|  |' || (SELECT r FROM m{i}) || '|',
+                 '|' || (SELECT l FROM m{i}) || (SELECT r FROM m{i}) || '|') AS sym,
+         cnt
+  FROM v{i - 1}
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f'SELECT {i} AS r, l AS "left", r AS "right", CAST(c AS BIGINT) AS pair_cnt FROM m{i}'
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions + "\nORDER BY r"
+
+
+_MASK_PATTERN = r"\b(the|a)\b"
+
+
+def q_redact_tokens(sf_dir: str):
+    """Span redaction/masking — the PII-scrub shape of a curation
+    pipeline (emails, phone numbers, names), exercised here on a
+    configured token set since the synthetic corpus carries no PII. One
+    streaming ``map_batches`` with two vectorized RE2 kernels
+    (``count_substring_regex`` + ``replace_substring_regex``) — no
+    shuffle, no state, no Python row loop. The gate pins the masked
+    BYTES, not just counts: both sides emit md5(masked_text), so a
+    single divergent replacement anywhere in any doc flips the hash
+    (DuckDB's regexp funcs are RE2 like Arrow's, so the pattern
+    semantics match exactly)."""
+    docs = _read_sized(sf_dir, "documents", ["doc_id", "text"])
+
+    def mask(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        n = pc.count_substring_regex(txt, pattern=_MASK_PATTERN)
+        masked = pc.replace_substring_regex(
+            txt, pattern=_MASK_PATTERN, replacement="<X>"
+        )
+        import hashlib as _h
+
+        md5s = pa.array(
+            [_h.md5((s or "").encode()).hexdigest() for s in masked.to_pylist()],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_masked": pc.cast(n, pa.int64()),
+                "masked_md5": md5s,
+            }
+        )
+
+    return docs.map_batches(mask, batch_format="pyarrow")
+
+
+SQL_REDACT_TOKENS = rf"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{_MASK_PATTERN}')) AS BIGINT)
+           AS n_masked,
+       md5(regexp_replace(text, '{_MASK_PATTERN}', '<X>', 'g')) AS masked_md5
+FROM documents
+"""
+
+
+_EPOCHS = {"src0": 1, "src1": 3, "src2": 2}  # unlisted sources: 1 epoch
+
+
+def q_upsample_mix(sf_dir: str):
+    """Epoch-based UPSAMPLING mix — the other half of domain mixing:
+    ``domain_mix`` downsamples to a target distribution; training
+    recipes also repeat scarce sources k epochs. Deterministic and
+    shuffle-free: one ``map_batches`` repeats each row source-wise via
+    ``np.repeat`` and stamps a 1-based epoch index, so output is a pure
+    function of the input rows at any parallelism."""
+    docs = _read_sized(sf_dir, "documents", ["doc_id", "source"])
+
+    def repeat(t: pa.Table) -> pa.Table:
+        src = t.column("source").combine_chunks()
+        uniq = pc.unique(src)
+        per_uniq = pa.array(
+            [_EPOCHS.get(u.as_py(), 1) for u in uniq], pa.int64()
+        )
+        reps = (
+            pc.take(per_uniq, pc.index_in(src, value_set=uniq))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = np.asarray(src.to_numpy(zero_copy_only=False), dtype=object)
+        out_ids = np.repeat(ids, reps)
+        out_src = np.repeat(srcs, reps)
+        # 1-based epoch index within each repeated row
+        ends = np.cumsum(reps)
+        epoch = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64)
+        epoch -= np.repeat(ends - reps, reps)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "source": pa.array(out_src, pa.string()),
+                "epoch": pa.array(epoch + 1, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(repeat, batch_format="pyarrow")
+
+
+def _sql_upsample_mix() -> str:
+    case = " ".join(
+        f"WHEN source = '{s}' THEN {k}" for s, k in sorted(_EPOCHS.items())
+    )
+    return f"""
+SELECT doc_id, source, CAST(e.epoch AS BIGINT) AS epoch
+FROM documents
+CROSS JOIN LATERAL (
+  SELECT unnest(generate_series(1, CASE {case} ELSE 1 END)) AS epoch
+) e
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -5557,6 +5716,9 @@ QUERIES = {
     "source_trend": q_source_trend,
     "link_triangles": q_link_triangles,
     "dedup_incremental": q_dedup_incremental,
+    "redact_tokens": q_redact_tokens,
+    "upsample_mix": q_upsample_mix,
+    "bpe_train": q_bpe_train,
 }
 
 ORACLE_SQL = {
@@ -5654,6 +5816,9 @@ ORACLE_SQL = {
     "source_trend": SQL_SOURCE_TREND,
     "link_triangles": _sql_link_triangles(),
     "dedup_incremental": _sql_dedup_incremental(),
+    "redact_tokens": SQL_REDACT_TOKENS,
+    "upsample_mix": _sql_upsample_mix(),
+    "bpe_train": _sql_bpe_train(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
