@@ -7,7 +7,15 @@ import pytest
 
 import ray.data
 
-from webscraper_ray.functions.graph import attach_cluster_ids, connected_components
+from webscraper_ray.functions.graph import (
+    attach_cluster_ids,
+    connected_components,
+)
+
+
+def _cc_dist(pairs, **kw):
+    """Force the distributed label-propagation plan (gate off)."""
+    return connected_components(pairs, small_gather_max=0, **kw)
 
 
 def _pairs(pairs):
@@ -28,7 +36,7 @@ def test_two_components_and_singleton_chain(ray_session):
     # component {1,2,3} (triangle), component {10,11,12,13} as a PATH —
     # diameter 3 exercises multiple propagation rounds
     got = _labels(
-        connected_components(
+        _cc_dist(
             _pairs([(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13)]),
             num_parts=4,
         )
@@ -39,22 +47,22 @@ def test_two_components_and_singleton_chain(ray_session):
 def test_long_path_converges_in_diameter_rounds(ray_session):
     # path 0-1-2-...-9: worst-case diameter for 10 nodes
     got = _labels(
-        connected_components(_pairs([(i, i + 1) for i in range(9)]), num_parts=3)
+        _cc_dist(_pairs([(i, i + 1) for i in range(9)]), num_parts=3)
     )
     assert got == {i: 0 for i in range(10)}
 
 
 def test_parallelism_invariance(ray_session):
     pairs = [(1, 5), (5, 9), (20, 21), (30, 31), (31, 32), (2, 9)]
-    lo = _labels(connected_components(_pairs(pairs), num_parts=1))
-    hi = _labels(connected_components(_pairs(pairs), num_parts=16))
+    lo = _labels(_cc_dist(_pairs(pairs), num_parts=1))
+    hi = _labels(_cc_dist(_pairs(pairs), num_parts=16))
     assert lo == hi == {1: 1, 5: 1, 9: 1, 2: 1, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
 
 
 def test_giant_star_single_round(ray_session):
     # the hot-band star shape the dedup caps emit: hub 0, 500 leaves
     got = _labels(
-        connected_components(_pairs([(0, i) for i in range(1, 501)]), num_parts=8)
+        _cc_dist(_pairs([(0, i) for i in range(1, 501)]), num_parts=8)
     )
     assert set(got.values()) == {0} and len(got) == 501
 
@@ -66,7 +74,7 @@ def test_empty_pairs(ray_session):
 
 def test_max_iters_guard(ray_session):
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_pairs([(i, i + 1) for i in range(9)]), max_iters=2)
+        _cc_dist(_pairs([(i, i + 1) for i in range(9)]), max_iters=2)
 
 
 def test_attach_cluster_ids_full_corpus(ray_session):
@@ -103,3 +111,18 @@ def test_attach_preserves_ids_above_2_53(ray_session):
     assert out["doc_id"].tolist() == [big, big + 1, big + 2]
     assert out["cluster_id"].tolist() == [big, big + 1, big]
     assert out["is_canonical"].tolist() == [1, 1, 0]
+
+def test_small_gate_matches_distributed_plan(ray_session):
+    """The union-find small-graph plan and the label-propagation plan
+    must produce identical labels on a random graph."""
+    rng = np.random.default_rng(5)
+    pairs = sorted(
+        {
+            (int(min(x, y)), int(max(x, y)))
+            for x, y in rng.integers(0, 60, (120, 2))
+            if x != y
+        }
+    )
+    small = _labels(connected_components(_pairs(pairs)))  # gated plan
+    dist = _labels(_cc_dist(_pairs(pairs), num_parts=8))
+    assert small == dist
