@@ -59,29 +59,35 @@ __all__ = ["BAND_BUCKETS", "build_band_index", "incremental_near_dups"]
 BAND_BUCKETS = 32
 
 
-def _band_table(batch: pa.Table, id_col: str, text_col: str, k: int) -> pa.Table:
-    ids = batch.column(id_col).to_pylist()
-    sigs, has = minhash_signatures_batch(batch.column(text_col).to_pylist())
+def _bands_from_sigs(ids: list, sig_rows: list, k: int) -> pa.Table:
+    """Band rows from ALREADY-COMPUTED signature rows — band hashing is
+    16 md5s per doc, negligible next to the shingle minhash, so callers
+    holding signatures never recompute them."""
     out_band: list[int] = []
     out_hash: list[int] = []
     out_id: list[int] = []
-    for i, (doc, ok) in enumerate(zip(ids, has)):
-        if not ok:
-            continue
-        for b, bh in enumerate(_band_hashes_u64(sigs[i])):
+    for doc, sig in zip(ids, sig_rows):
+        for b, bh in enumerate(_band_hashes_u64(sig)):
             out_band.append(b)
             out_hash.append(bh)
             out_id.append(doc)
-    # int64 view of the u64 band hash: joinable/partitionable everywhere
-    h = np.array(out_hash, dtype=np.uint64).view(np.int64)
+    hu = np.array(out_hash, dtype=np.uint64)
     return pa.table(
         {
-            "bucket": pa.array((np.array(out_hash, dtype=np.uint64) % k).astype(np.int64)),
+            "bucket": pa.array((hu % k).astype(np.int64)),
             "band_id": pa.array(out_band, pa.int32()),
-            "band_i64": pa.array(h),
+            # int64 view of the u64 band hash: joinable/partitionable
+            "band_i64": pa.array(hu.view(np.int64)),
             "doc_id": pa.array(out_id, pa.int64()),
         }
     )
+
+
+def _band_table(batch: pa.Table, id_col: str, text_col: str, k: int) -> pa.Table:
+    ids = batch.column(id_col).to_pylist()
+    sigs, has = minhash_signatures_batch(batch.column(text_col).to_pylist())
+    keep = np.flatnonzero(has)
+    return _bands_from_sigs([ids[i] for i in keep], [sigs[i] for i in keep], k)
 
 
 def _sig_table(batch: pa.Table, id_col: str, text_col: str, k: int) -> pa.Table:
@@ -151,8 +157,23 @@ def incremental_near_dups(
             "band index was built with a different n_hashes; rebuild it"
         )
 
-    new_bands = new_ds.map_batches(
-        lambda t: _band_table(t, id_col, text_col, k), batch_format="pyarrow"
+    # ONE signature pass over the increment; band rows derive from the
+    # materialized signatures (16 cheap md5s/doc), never a second
+    # shingle-minhash pass
+    new_core = new_ds.map_batches(
+        lambda t: _sig_table(t, id_col, text_col, k), batch_format="pyarrow"
+    ).materialize()
+
+    def bands_of(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        sig_rows = [
+            np.frombuffer(s, dtype=np.uint64)
+            for s in t.column("sig").to_pylist()
+        ]
+        return _bands_from_sigs(ids, sig_rows, k)
+
+    new_bands = new_core.map_batches(
+        bands_of, batch_format="pyarrow"
     ).materialize()  # increment-sized; reused for buckets + join
     empty = pa.table(
         {
@@ -227,10 +248,9 @@ def incremental_near_dups(
         .map_batches(keep_involved, batch_format="pyarrow")
         .rename_columns({"doc_id": "doc_old", "sig": "sig_old"})
     )
-    new_sigs = new_ds.map_batches(
-        lambda t: _sig_table(t, id_col, text_col, k).select(["doc_id", "sig"]),
-        batch_format="pyarrow",
-    ).rename_columns({"doc_id": "doc_new", "sig": "sig_new"})
+    new_sigs = new_core.select_columns(["doc_id", "sig"]).rename_columns(
+        {"doc_id": "doc_new", "sig": "sig_new"}
+    )
 
     # same floor-1 sizing as dedup._join_pair_sides: Ray's hash join
     # mishandles partitions with rows on only one side when starved
