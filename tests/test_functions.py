@@ -1207,3 +1207,91 @@ def test_pack_sequences_rejects_duplicate_doc_ids(ray_session):
     )
     with pytest.raises(Exception, match="unique doc_id.*duplicate id 2"):
         pack_sequences(ray.data.from_arrow(t), context_len=4).to_pandas()
+
+
+def test_multiprobe_recall_superset_of_single_probe(ray_session, tmp_path):
+    """Multi-probe scores a superset of buckets, so per-query recall vs
+    brute force is >= the single-probe index probe's — and its result
+    must match a direct superset-probe recompute."""
+    import ray.data
+
+    from webscraper_ray.functions.ann import (
+        ann_bruteforce_topk,
+        ann_lsh_topk_indexed,
+        ann_lsh_topk_multiprobe,
+        build_ann_index,
+    )
+
+    rng = np.random.default_rng(23)
+    n, dim, bits, k = 300, 16, 3, 10
+    mat = rng.standard_normal((n, dim)).astype(np.float64)
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(n)]
+    idx = str(tmp_path / "ann_mp_index")
+    build_ann_index(ray.data.from_items(rows), idx, bits=bits)
+
+    qids, qmat = [0, 1, 2, 3], mat[:4]
+    truth = ann_bruteforce_topk(
+        ray.data.from_items(rows), qids, qmat, k=k
+    ).to_pandas()
+    single = ann_lsh_topk_indexed(idx, qids, qmat, k=k, bits=bits).to_pandas()
+    multi = ann_lsh_topk_multiprobe(idx, qids, qmat, k=k, bits=bits).to_pandas()
+
+    def recall(got):
+        r = 0.0
+        for q in qids:
+            t = set(truth[truth.query_id == q].vec_id)
+            g = set(got[got.query_id == q].vec_id)
+            r += len(t & g) / len(t)
+        return r / len(qids)
+
+    assert recall(multi) >= recall(single)
+    assert recall(multi) > 0.5  # bits+1 probes of 8 buckets: real recall
+    # every multiprobe hit must be at least as good as the single-probe
+    # hit set it extends (superset probe => superset candidates)
+    for q in qids:
+        s = set(single[single.query_id == q].vec_id)
+        m = set(multi[multi.query_id == q].vec_id)
+        smin = single[single.query_id == q].cos_sim.min() if len(s) else -2
+        assert len(m) >= len(s)
+        assert multi[multi.query_id == q].cos_sim.min() >= smin or len(s) < 10
+
+
+def test_hll_grouped_registers_merge_and_accuracy(ray_session):
+    """Grouped HLL: registers must equal the per-group single-dataset
+    sketch at any parallelism, and estimates stay within 3 sigma."""
+    import math
+
+    import ray.data
+
+    from webscraper_ray.functions.sketches import (
+        M_REGISTERS,
+        hll_estimate,
+        hll_registers_by_group,
+    )
+
+    rng = np.random.default_rng(4)
+    groups, vals = [], []
+    true = {"a": 400, "b": 50}
+    for g, n in true.items():
+        ids = rng.choice(100000, n, replace=False)
+        for v in ids:
+            for _ in range(2):  # duplicates must not matter
+                groups.append(g)
+                vals.append(int(v))
+    tbl = pa.table(
+        {"g": pa.array(groups), "v": pa.array(vals, pa.int64())}
+    )
+    outs = {}
+    for blocks in (1, 9):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        out = hll_registers_by_group(ds, "g", "v").to_pandas()
+        outs[blocks] = out.sort_values(["g", "register"]).reset_index(drop=True)
+    assert outs[1].equals(outs[9])
+    for g, n in true.items():
+        regs = {
+            int(r.register): int(r.rho)
+            for r in outs[1][outs[1].g == g].itertuples()
+        }
+        est = hll_estimate(regs)
+        sigma = 1.04 / math.sqrt(M_REGISTERS) * n
+        assert abs(est - n) <= 3 * sigma, (g, est, n)

@@ -22,7 +22,14 @@ import pyarrow as pa
 
 from .dedup import md5_u64
 
-__all__ = ["P_BITS", "M_REGISTERS", "hll_register_partial", "hll_registers", "hll_estimate"]
+__all__ = [
+    "P_BITS",
+    "M_REGISTERS",
+    "hll_register_partial",
+    "hll_registers",
+    "hll_registers_by_group",
+    "hll_estimate",
+]
 
 P_BITS = 6
 M_REGISTERS = 1 << P_BITS  # 64
@@ -216,3 +223,49 @@ def bloom_contamination(ds, bits_ref, n: int = 3, text_col: str = "text"):
         )
 
     return ds.map_batches(check, batch_format="pyarrow")
+
+
+def hll_register_partial_by_group(
+    batch: pa.Table, group_col: str, value_col: str
+) -> pa.Table:
+    """Grouped variant of :func:`hll_register_partial`: per-batch
+    (group, register, rho) partials — at most |groups| x M_REGISTERS
+    rows per block regardless of batch size."""
+    groups = batch.column(group_col).to_pylist()
+    vals = batch.column(value_col).to_pylist()
+    best: dict = {}
+    mask = (1 << _W_BITS) - 1
+    for g, v in set(zip(groups, vals)):
+        h = int(md5_u64(str(v)))
+        reg = h >> _W_BITS
+        rho = _W_BITS - (h & mask).bit_length() + 1
+        key = (g, reg)
+        if rho > best.get(key, 0):
+            best[key] = rho
+    items = sorted(best.items())
+    return pa.table(
+        {
+            group_col: pa.array([k[0] for k, _ in items]),
+            "register": pa.array([k[1] for k, _ in items], pa.int64()),
+            "rho": pa.array([r for _, r in items], pa.int64()),
+        }
+    )
+
+
+def hll_registers_by_group(ds, group_col: str, value_col: str):
+    """Mergeable per-group sketches: ONE (group, register)-keyed max
+    reduce whose payload is bounded by |groups| x M_REGISTERS rows per
+    block — never by value cardinality. Touched registers only (rho 0
+    rows are omitted on both sides; :func:`hll_estimate` treats missing
+    registers as 0)."""
+    from ray.data.aggregate import Max
+
+    partials = ds.map_batches(
+        hll_register_partial_by_group,
+        fn_kwargs={"group_col": group_col, "value_col": value_col},
+        batch_format="pyarrow",
+    )
+    return (
+        partials.groupby([group_col, "register"])
+        .aggregate(Max("rho", alias_name="rho"))
+    )

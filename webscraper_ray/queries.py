@@ -2430,6 +2430,55 @@ LEFT JOIN regs USING (register)
 """
 
 
+def q_hll_users_by_type(sf_dir: str):
+    """Per-group HyperLogLog: distinct users per event type as mergeable
+    64-register sketches — the scale companion to the exact
+    `distinct_users_per_type` (whose shuffle carries every distinct
+    pair; this one carries <= |groups| x 64 register rows per block).
+    Integer-gated like the global sketch: the oracle recomputes the
+    grouped register table exactly."""
+    from .functions.sketches import hll_registers_by_group
+
+    return hll_registers_by_group(
+        _read_sized(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type",
+        "user_id",
+    )
+
+
+def _sql_hll_users_by_type() -> str:
+    from .functions.sketches import P_BITS
+
+    w_bits = 64 - P_BITS
+    two_w = 1 << w_bits
+    branches = "\n         ".join(
+        f"WHEN w >= {1 << (w_bits - r)}::UBIGINT THEN {r}"
+        for r in range(1, w_bits + 1)
+    )
+    return f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM du
+),
+rr AS (
+  SELECT event_type,
+         CAST(h // {two_w}::UBIGINT AS BIGINT) AS register,
+         h % {two_w}::UBIGINT AS w
+  FROM h
+),
+ranked AS (
+  SELECT event_type, register,
+         CASE {branches}
+         ELSE {w_bits + 1} END AS rho
+  FROM rr
+)
+SELECT event_type, register, CAST(max(rho) AS BIGINT) AS rho
+FROM ranked GROUP BY event_type, register
+"""
+
+
 def q_chunk_documents(sf_dir: str):
     """Fixed-window document chunking (window 64, stride 48): the
     preprocessing staple between raw docs and packed sequences. Pure
@@ -5462,6 +5511,67 @@ SELECT doc_old, doc_new, est_jaccard FROM iest WHERE est_jaccard >= 0.8
 """
 
 
+def q_ann_multiprobe(sf_dir: str):
+    """Multi-probe LSH ANN over the bucket-partitioned index: each query
+    probes its own bucket plus every 1-bit-flip neighbor (bits+1 dirs of
+    the store — still file-pruned, recall strictly >= single-probe on
+    the same index). Same deterministic hyperplanes, so exactly gated:
+    the oracle expands the probe set with xor() and recomputes the
+    per-query cosine top-k."""
+    from .functions.ann import ann_lsh_topk_multiprobe
+
+    ids, mat = _query_vectors(sf_dir)
+    return ann_lsh_topk_multiprobe(_ann_index_for(sf_dir), ids, mat, k=10)
+
+
+def _sql_ann_multiprobe(
+    dim: int = 64, bits: int = 4, n_queries: int = 5, k: int = 10
+) -> str:
+    from .functions.ann import _plane_matrix
+
+    planes = _plane_matrix(dim, bits)
+
+    def bucket_expr(col: str) -> str:
+        terms = []
+        for i in range(bits):
+            consts = ", ".join(repr(float(v)) for v in planes[:, i])
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, [{consts}]) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    flips = ", ".join(
+        f"xor(bucket::UBIGINT, {1 << i}::UBIGINT)::BIGINT" for i in range(bits)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+),
+qb AS (SELECT query_id, qe, {bucket_expr('qe')} AS bucket FROM q),
+probes AS (
+  SELECT query_id, qe, unnest([bucket, {flips}]) AS bucket FROM qb
+),
+eb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         {bucket_expr('embedding::DOUBLE[]')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT p.query_id, eb.vec_id,
+         round(list_cosine_similarity(eb.e, p.qe), 6) AS cos_sim
+  FROM eb JOIN probes p ON eb.bucket = p.bucket
+)
+SELECT query_id, vec_id, cos_sim
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
 def q_bpe_train(sf_dir: str):
     """BPE tokenizer training (first 6 merge rules) — the tokenizer IS
     part of the training-data pipeline. One corpus pass reduces to a
@@ -5719,6 +5829,8 @@ QUERIES = {
     "redact_tokens": q_redact_tokens,
     "upsample_mix": q_upsample_mix,
     "bpe_train": q_bpe_train,
+    "ann_multiprobe": q_ann_multiprobe,
+    "hll_users_by_type": q_hll_users_by_type,
 }
 
 ORACLE_SQL = {
@@ -5819,6 +5931,8 @@ ORACLE_SQL = {
     "redact_tokens": SQL_REDACT_TOKENS,
     "upsample_mix": _sql_upsample_mix(),
     "bpe_train": _sql_bpe_train(),
+    "ann_multiprobe": _sql_ann_multiprobe(),
+    "hll_users_by_type": _sql_hll_users_by_type(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
