@@ -2430,6 +2430,68 @@ LEFT JOIN regs USING (register)
 """
 
 
+_PHRASE = ("batch", "stream")
+
+
+def _pos_index_for(sf_dir: str, num_buckets: int = 64) -> str:
+    """Build-or-reuse the POSITIONAL postings index — same cache
+    discipline as `_text_index_for`."""
+    import tempfile
+
+    from .functions.textindex import build_positional_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:pos={num_buckets}"
+    digest = __import__("hashlib").blake2b(key.encode(), digest_size=8).hexdigest()
+    dest = os.path.join(tempfile.gettempdir(), "webscraper_ray_posidx", digest)
+    if os.path.isdir(dest):
+        return dest
+    build_dir = tempfile.mkdtemp(prefix=f"pidxbuild_{digest}_")
+    build_positional_index(
+        _read_sized(sf_dir, "documents", ["doc_id", "text"]),
+        build_dir,
+        num_buckets=num_buckets,
+    )
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    try:
+        os.rename(build_dir, dest)
+    except OSError:
+        pass
+    return dest
+
+
+def q_phrase_search(sf_dir: str):
+    """Two-token PHRASE query over the positional inverted index: reads
+    only the two terms' bucket files, one doc-keyed exchange, adjacency
+    counted by a vectorized searchsorted membership test (full scale
+    story at :func:`webscraper_ray.functions.textindex.phrase_search`).
+    The tf-only postings store cannot answer this — positions are the
+    point."""
+    from .functions.textindex import phrase_search
+
+    return phrase_search(_pos_index_for(sf_dir), *_PHRASE)
+
+
+def _sql_phrase_search() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, t[u.i] AS token, u.i AS pos
+  FROM toks CROSS JOIN LATERAL
+       (SELECT unnest(generate_series(1, len(t))) AS i) u
+  WHERE t[u.i] <> ''
+),
+p1 AS (SELECT doc_id, pos FROM pos WHERE token = '{_PHRASE[0]}'),
+p2 AS (SELECT doc_id, pos FROM pos WHERE token = '{_PHRASE[1]}')
+SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+GROUP BY p1.doc_id
+"""
+
+
 def q_hll_users_by_type(sf_dir: str):
     """Per-group HyperLogLog: distinct users per event type as mergeable
     64-register sketches — the scale companion to the exact
@@ -5831,6 +5893,7 @@ QUERIES = {
     "bpe_train": q_bpe_train,
     "ann_multiprobe": q_ann_multiprobe,
     "hll_users_by_type": q_hll_users_by_type,
+    "phrase_search": q_phrase_search,
 }
 
 ORACLE_SQL = {
@@ -5933,6 +5996,7 @@ ORACLE_SQL = {
     "bpe_train": _sql_bpe_train(),
     "ann_multiprobe": _sql_ann_multiprobe(),
     "hll_users_by_type": _sql_hll_users_by_type(),
+    "phrase_search": _sql_phrase_search(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
