@@ -1301,6 +1301,123 @@ FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
 """
 
 
+def q_cluster_representatives(sf_dir: str):
+    """The curation step AFTER duplicate clustering: pick ONE
+    representative per near-dup cluster (longest doc, ties to the
+    smallest id) — the 'keep one' decision every dedup recipe ends
+    with. Output is multi-member-cluster-sized.
+
+    Scale shape: verified pairs -> connected components (size-gated) ->
+    ONE partitioned join attaches n_chars to the output-sized member
+    set -> the argmax rides an ORDER-ENCODING int64 key
+    (n_chars * 2^32 - doc_id, so max(key) IS 'max chars, tie min id' —
+    a plain mergeable Max, no custom combiner) with per-batch partials
+    before the cluster-keyed groupby."""
+    from .functions.dedup import minhash_near_dups
+    from .functions.graph import connected_components
+
+    pairs = minhash_near_dups(_read_sized(sf_dir, "documents", ["doc_id", "text"]))
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    chars = _read_sized(sf_dir, "documents", ["doc_id", "n_chars"])
+    members = comps.join(
+        chars,
+        join_type="inner",
+        num_partitions=max(1, _join_partitions() // 2),
+        on=("node",),
+        right_on=("doc_id",),
+    )
+
+    _ENC = 1 << 32  # doc_id < 2^32 by contract (loudly wrong if not: key inversion)
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = pc.subtract(
+            pc.multiply(
+                pc.cast(t.column("n_chars"), pa.int64()), pa.scalar(_ENC, pa.int64())
+            ),
+            t.column("node"),
+        )
+        g = (
+            pa.table(
+                {
+                    "cluster_id": t.column("label"),
+                    "k": key,
+                    "n_members": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by("cluster_id")
+            .aggregate([("k", "max"), ("n_members", "sum")])
+        )
+        return g.rename_columns(["cluster_id", "k", "n_members"])
+
+    from ray.data.aggregate import Max
+
+    agg = (
+        members.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(
+            Max("k", alias_name="k"), Sum("n_members", alias_name="n_members")
+        )
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        chars_v = k // _ENC + (k % _ENC != 0)
+        rep = chars_v * _ENC - k
+        return pa.table(
+            {
+                "cluster_id": t.column("cluster_id"),
+                "rep_doc_id": pa.array(rep.astype(np.int64)),
+                "rep_chars": pa.array(chars_v.astype(np.int64)),
+                "n_members": t.column("n_members"),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+def _sql_cluster_representatives() -> str:
+    from .functions.dedup import N_HASHES
+
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    return rf"""
+WITH RECURSIVE {_sql_band_ctes()},
+est AS (
+  SELECT p.doc_a, p.doc_b, ({agree}) / 64.0 AS est_jaccard
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+),
+verified AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.8),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b, doc_a FROM verified
+),
+reach AS (
+  SELECT src AS id, dst AS r FROM edges
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+clusters AS (
+  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+),
+sel AS (
+  SELECT c.cluster_id, d.doc_id, d.n_chars,
+         row_number() OVER (
+             PARTITION BY c.cluster_id
+             ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS nm
+  FROM clusters c JOIN documents d ON d.doc_id = c.id
+)
+SELECT cluster_id, doc_id AS rep_doc_id,
+       CAST(n_chars AS BIGINT) AS rep_chars,
+       CAST(nm AS BIGINT) AS n_members
+FROM sel WHERE rn = 1
+"""
+
+
 def q_dedup_ngram(sf_dir: str):
     """Exact n-gram-Jaccard near-dup pairs — LSH band candidates, TRUE
     distinct-3-shingle Jaccard verify (the brief's ngram-Jaccard dedup as
@@ -5894,6 +6011,7 @@ QUERIES = {
     "ann_multiprobe": q_ann_multiprobe,
     "hll_users_by_type": q_hll_users_by_type,
     "phrase_search": q_phrase_search,
+    "cluster_representatives": q_cluster_representatives,
 }
 
 ORACLE_SQL = {
@@ -5997,6 +6115,7 @@ ORACLE_SQL = {
     "ann_multiprobe": _sql_ann_multiprobe(),
     "hll_users_by_type": _sql_hll_users_by_type(),
     "phrase_search": _sql_phrase_search(),
+    "cluster_representatives": _sql_cluster_representatives(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
