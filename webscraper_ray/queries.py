@@ -2609,6 +2609,180 @@ GROUP BY p1.doc_id
 """
 
 
+_ASSOC_MIN_SUPPORT = 5  # baskets
+
+
+def q_assoc_rules(sf_dir: str):
+    """Association-rule mining (A-priori's counting core) over per-user
+    event-type baskets: rules ``a -> b`` with basket support >=
+    {min_support}, confidence = support(a,b)/support(a), lift =
+    conf / (support(b)/n_baskets). Classic market-basket shape the
+    registry lacked; all counts are exact integers, the floats mirror
+    the SQL's CAST-then-divide, so the gate is exact.
+
+    Scale shape: per-batch DISTINCT (user, type) partials shrink events
+    before the ONE user-keyed exchange; per-partition kernels emit each
+    user's type pairs from sets bounded by the type cardinality (itemset
+    width, not corpus); pair/single supports reduce through
+    type-cardinality-sized groupbys; the rule table is |types|^2-bounded
+    driver work."""
+    from .functions.joins import _part_column as _pcol
+
+    ds = _read_sized(sf_dir, "events", ["user_id", "event_type"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([])
+        return g.append_column("_part", _pcol(g.column("user_id"), 16))
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def basket_pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return empty
+        users = part.column("user_id").to_numpy(zero_copy_only=False)
+        types = np.asarray(part.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((types, users))
+        users, types = users[order], types[order]
+        # fold cross-block (user, type) repeats
+        keep = np.ones(len(users), dtype=bool)
+        keep[1:] = (users[1:] != users[:-1]) | (types[1:] != types[:-1])
+        users, types = users[keep], types[keep]
+        chg = np.flatnonzero(users[1:] != users[:-1]) + 1
+        starts = np.concatenate([[0], chg])
+        ends = np.concatenate([chg, [len(users)]])
+        out_a: list = []
+        out_b: list = []
+        for s, e in zip(starts, ends):
+            ts = types[s:e]  # sorted, distinct
+            m = len(ts)
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            out_a.extend(ts[ii])
+            out_b.extend(ts[jj])
+        if not out_a:
+            return empty
+        g = (
+            pa.table(
+                {
+                    "a": pa.array(out_a, pa.string()),
+                    "b": pa.array(out_b, pa.string()),
+                    "n": pa.array(np.ones(len(out_a), np.int64)),
+                }
+            )
+            .group_by(["a", "b"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["a", "b", "n"])
+
+    dp = ds.map_batches(distinct_pairs, batch_format="pyarrow").materialize()
+    pair_support = (
+        dp.groupby("_part")
+        .map_groups(basket_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |types|^2-bounded
+    )
+
+    def singles_in_part(part: pa.Table) -> pa.Table:
+        # fold cross-block (user, type) repeats FIRST — users are
+        # co-located per _part, so the partition-local distinct is exact
+        g = part.select(["user_id", "event_type"]).group_by(
+            ["user_id", "event_type"]
+        ).aggregate([])
+        out = g.group_by("event_type").aggregate([("user_id", "count")])
+        return out.rename_columns(["event_type", "n"])
+
+    singles = (
+        dp.groupby("_part")
+        .map_groups(singles_in_part, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |types|-bounded
+    )
+    # exact basket count: users are co-located per _part group, so one
+    # np.unique per partition + a scalar sum is exact
+    n_baskets = int(
+        dp.groupby("_part")
+        .map_groups(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            len(
+                                np.unique(
+                                    t.column("user_id").to_numpy(
+                                        zero_copy_only=False
+                                    )
+                                )
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sum("n")
+    )
+    sup = dict(zip(singles["event_type"], singles["n"].astype(int)))
+    rows = []
+    for a, b, nab in zip(
+        pair_support["a"], pair_support["b"], pair_support["n"].astype(int)
+    ):
+        if nab < _ASSOC_MIN_SUPPORT:
+            continue
+        # both rule directions from the unordered pair
+        for x, y in ((a, b), (b, a)):
+            conf = float(nab) / float(sup[x])
+            lift = conf / (float(sup[y]) / float(n_baskets))
+            rows.append((x, y, nab, conf, lift))
+    rows.sort()
+    return pa.table(
+        {
+            "antecedent": pa.array([r[0] for r in rows], pa.string()),
+            "consequent": pa.array([r[1] for r in rows], pa.string()),
+            "support": pa.array([r[2] for r in rows], pa.int64()),
+            "confidence": pa.array([r[3] for r in rows], pa.float64()),
+            "lift": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _sql_assoc_rules() -> str:
+    return f"""
+WITH baskets AS (SELECT DISTINCT user_id, event_type FROM events),
+nb AS (SELECT count(DISTINCT user_id) AS n FROM baskets),
+singles AS (SELECT event_type, count(*) AS n FROM baskets GROUP BY event_type),
+pairs AS (
+  SELECT x.event_type AS a, y.event_type AS b, count(*) AS nab
+  FROM baskets x JOIN baskets y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT a AS antecedent, b AS consequent, nab FROM pairs
+  UNION ALL
+  SELECT b, a, nab FROM pairs
+)
+SELECT d.antecedent, d.consequent, CAST(d.nab AS BIGINT) AS support,
+       CAST(d.nab AS DOUBLE) / CAST(sa.n AS DOUBLE) AS confidence,
+       (CAST(d.nab AS DOUBLE) / CAST(sa.n AS DOUBLE))
+         / (CAST(sc.n AS DOUBLE) / CAST((SELECT n FROM nb) AS DOUBLE)) AS lift
+FROM directed d
+JOIN singles sa ON sa.event_type = d.antecedent
+JOIN singles sc ON sc.event_type = d.consequent
+WHERE d.nab >= {_ASSOC_MIN_SUPPORT}
+ORDER BY antecedent, consequent
+"""
+
+
 def q_hll_users_by_type(sf_dir: str):
     """Per-group HyperLogLog: distinct users per event type as mergeable
     64-register sketches — the scale companion to the exact
@@ -6012,6 +6186,7 @@ QUERIES = {
     "hll_users_by_type": q_hll_users_by_type,
     "phrase_search": q_phrase_search,
     "cluster_representatives": q_cluster_representatives,
+    "assoc_rules": q_assoc_rules,
 }
 
 ORACLE_SQL = {
@@ -6116,6 +6291,7 @@ ORACLE_SQL = {
     "hll_users_by_type": _sql_hll_users_by_type(),
     "phrase_search": _sql_phrase_search(),
     "cluster_representatives": _sql_cluster_representatives(),
+    "assoc_rules": _sql_assoc_rules(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
