@@ -2609,6 +2609,136 @@ GROUP BY p1.doc_id
 """
 
 
+_COLLOC_MIN_COUNT = 20
+_COLLOC_K = 15
+
+
+def q_collocations(sf_dir: str):
+    """Collocation detection: top adjacent bigrams by LIFT
+    ``N * c(ab) / (c(a) * c(b))`` — the association-strength core of PMI
+    without the log (kept log-free so both engines compute one exact
+    integer product per side and ONE float division; libm log ulps could
+    diverge). Complements `token_cooccurrence` (doc-level windows): this
+    one is POSITIONAL adjacency.
+
+    Scale shape: one streaming pass emits unigram ('' sentinel) and
+    bigram partial counts per batch; the groupby exchange is
+    distinct-(uni+bi)gram sized (the vocabulary discipline); the
+    min-count filter runs DISTRIBUTED before anything gathers, so the
+    driver sees heavy-hitter bigrams + their component unigrams only."""
+    from .functions.tfidf import flat_tokens
+
+    ds = _read_sized(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tok, parent, _ = flat_tokens(t)
+        if tok.size == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        same = parent[:-1] == parent[1:]
+        a2, b2 = tok[:-1][same], tok[1:][same]
+        g = (
+            pa.table(
+                {
+                    "a": pa.array(
+                        np.concatenate([tok, a2]), pa.string()
+                    ),
+                    # '' marks a unigram row; real tokens are never ''
+                    "b": pa.array(
+                        np.concatenate(
+                            [np.full(tok.size, "", dtype=object), b2]
+                        ),
+                        pa.string(),
+                    ),
+                    "n": pa.array(
+                        np.ones(tok.size + a2.size, np.int64)
+                    ),
+                }
+            )
+            .group_by(["a", "b"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["a", "b", "n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def only_uni(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("b"), ""))
+
+    def heavy_bi(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(
+                pc.not_equal(t.column("b"), ""),
+                pc.greater_equal(
+                    t.column("n"), pa.scalar(_COLLOC_MIN_COUNT, pa.int64())
+                ),
+            )
+        )
+
+    n_total = int(agg.map_batches(only_uni, batch_format="pyarrow").sum("n"))
+    bi = agg.map_batches(heavy_bi, batch_format="pyarrow").to_pandas()
+    needed = pa.array(sorted(set(bi["a"]) | set(bi["b"])), pa.string())
+
+    def needed_uni(t: pa.Table) -> pa.Table:
+        u = t.filter(pc.equal(t.column("b"), ""))
+        return u.filter(pc.is_in(u.column("a"), value_set=needed))
+
+    uni = agg.map_batches(needed_uni, batch_format="pyarrow").to_pandas()
+    cnt = dict(zip(uni["a"], uni["n"].astype(int)))
+    rows = []
+    for a, b, nab in zip(bi["a"], bi["b"], bi["n"].astype(int)):
+        lift = float(n_total * nab) / float(cnt[a] * cnt[b])
+        rows.append((a, b, nab, lift))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    rows = rows[:_COLLOC_K]
+    return pa.table(
+        {
+            "w1": pa.array([r[0] for r in rows], pa.string()),
+            "w2": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "lift": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _sql_collocations() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, t[u.i] AS token, u.i AS pos
+  FROM toks CROSS JOIN LATERAL
+       (SELECT unnest(generate_series(1, len(t))) AS i) u
+  WHERE t[u.i] <> ''
+),
+uni AS (SELECT token, count(*) AS n FROM pos GROUP BY token),
+nn AS (SELECT sum(n) AS n FROM uni),
+bi AS (
+  SELECT p1.token AS a, p2.token AS b, count(*) AS nab
+  FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+  GROUP BY 1, 2
+  HAVING count(*) >= {_COLLOC_MIN_COUNT}
+)
+SELECT bi.a AS w1, bi.b AS w2, CAST(bi.nab AS BIGINT) AS n,
+       CAST((SELECT n FROM nn) * bi.nab AS DOUBLE)
+         / CAST(ua.n * ub.n AS DOUBLE) AS lift
+FROM bi JOIN uni ua ON ua.token = bi.a JOIN uni ub ON ub.token = bi.b
+ORDER BY lift DESC, w1, w2
+LIMIT {_COLLOC_K}
+"""
+
+
 _ASSOC_MIN_SUPPORT = 5  # baskets
 
 
@@ -6187,6 +6317,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "cluster_representatives": q_cluster_representatives,
     "assoc_rules": q_assoc_rules,
+    "collocations": q_collocations,
 }
 
 ORACLE_SQL = {
@@ -6292,6 +6423,7 @@ ORACLE_SQL = {
     "phrase_search": _sql_phrase_search(),
     "cluster_representatives": _sql_cluster_representatives(),
     "assoc_rules": _sql_assoc_rules(),
+    "collocations": _sql_collocations(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
