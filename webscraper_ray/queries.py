@@ -2609,6 +2609,76 @@ GROUP BY p1.doc_id
 """
 
 
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts between a user's consecutive
+    events — the sequence-mining staple behind next-event prediction
+    features. ONE user-keyed exchange; per partition a single lexsort
+    orders every user's timeline and the transition pairs fall out of a
+    shifted compare (the sessionize kernel family). Exact integer counts;
+    output is |types|^2-bounded."""
+    from .functions.joins import _part_column as _pcol
+
+    ds = _read_sized(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", _pcol(t.column("user_id"), 16))
+
+    empty = pa.table(
+        {
+            "from_type": pa.array([], pa.string()),
+            "to_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def transitions(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return empty
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = part.column("ts").to_numpy(zero_copy_only=False).view("i8")
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        typ = np.asarray(part.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        uid, typ = uid[order], typ[order]
+        same = uid[1:] == uid[:-1]
+        g = (
+            pa.table(
+                {
+                    "from_type": pa.array(typ[:-1][same], pa.string()),
+                    "to_type": pa.array(typ[1:][same], pa.string()),
+                    "n": pa.array(np.ones(int(same.sum()), np.int64)),
+                }
+            )
+            .group_by(["from_type", "to_type"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["from_type", "to_type", "n"])
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(transitions, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["from_type", "to_type"])
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY from_type, to_type
+"""
+
+
 _COLLOC_MIN_COUNT = 20
 _COLLOC_K = 15
 
@@ -6318,6 +6388,7 @@ QUERIES = {
     "cluster_representatives": q_cluster_representatives,
     "assoc_rules": q_assoc_rules,
     "collocations": q_collocations,
+    "event_transitions": q_event_transitions,
 }
 
 ORACLE_SQL = {
@@ -6424,6 +6495,7 @@ ORACLE_SQL = {
     "cluster_representatives": _sql_cluster_representatives(),
     "assoc_rules": _sql_assoc_rules(),
     "collocations": _sql_collocations(),
+    "event_transitions": SQL_EVENT_TRANSITIONS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
