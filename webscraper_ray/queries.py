@@ -2609,6 +2609,103 @@ GROUP BY p1.doc_id
 """
 
 
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+]
+
+
+def q_lineitem_correlations(sf_dir: str):
+    """Pairwise Pearson correlations with EXACT-INTEGER moment
+    accumulation (the `source_trend` discipline as a matrix): every
+    moment (n, Σx, Σy, Σxy, Σx², Σy²) is an associative int64 sum, so
+    the distributed result is bit-identical at any parallelism; the
+    floats appear only in the final 3-row step, ordered exactly like the
+    SQL (CAST each exact product to double once, sqrt, one division).
+    Money columns quantize to WHOLE DOLLARS (not cents) so Σx² stays in
+    int64 headroom at 10^10 rows — quantization is part of the mirrored
+    contract, not a tolerance."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _read_sized(sf_dir, "lineitem", cols)
+
+    def quant(t: pa.Table, c: str) -> pa.ChunkedArray:
+        # per-column quantization, part of the mirrored contract:
+        # discount is 0-0.10 so whole units would zero it out -> cents;
+        # price in whole dollars keeps Σx² inside int64 at 10^10 rows
+        if c == "l_discount":
+            return _cents(t.column(c))
+        # SQL ROUND is half AWAY from zero; Arrow's is half-to-even, and
+        # whole-dollar quantization hits real .50 boundaries — mirror
+        # half-away explicitly (values are non-negative here)
+        return pc.floor(pc.add(t.column(c), pa.scalar(0.5))).cast(pa.int64())
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = {c: quant(t, c) for c in cols}
+        out = {"n": pa.array([t.num_rows], pa.int64())}
+        for c in cols:
+            out[f"s_{c}"] = pa.array([pc.sum(q[c]).as_py() or 0], pa.int64())
+            out[f"ss_{c}"] = pa.array(
+                [pc.sum(pc.multiply(q[c], q[c])).as_py() or 0], pa.int64()
+            )
+        for x, y in _CORR_PAIRS:
+            out[f"sp_{x}_{y}"] = pa.array(
+                [pc.sum(pc.multiply(q[x], q[y])).as_py() or 0], pa.int64()
+            )
+        return pa.table(out)
+
+    import math
+
+    agg = ds.map_batches(partial, batch_format="pyarrow")
+    sums = agg.sum([c for c in agg.schema().names])  # one scalar reduce
+    rows = []
+    n = int(sums["sum(n)"])
+    for x, y in _CORR_PAIRS:
+        sx, sy = int(sums[f"sum(s_{x})"]), int(sums[f"sum(s_{y})"])
+        sxx, syy = int(sums[f"sum(ss_{x})"]), int(sums[f"sum(ss_{y})"])
+        sxy = int(sums[f"sum(sp_{x}_{y})"])
+        num = float(n * sxy - sx * sy)
+        den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
+            float(n * syy - sy * sy)
+        )
+        rows.append((x, y, num / den))
+    return pa.table(
+        {
+            "col_x": pa.array([r[0] for r in rows], pa.string()),
+            "col_y": pa.array([r[1] for r in rows], pa.string()),
+            "pearson_r": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _sql_lineitem_correlations() -> str:
+    parts = []
+    for x, y in _CORR_PAIRS:
+        parts.append(
+            f"""SELECT '{x}' AS col_x, '{y}' AS col_y,
+       CAST(n * sp_{x}_{y} - s_{x} * s_{y} AS DOUBLE)
+         / (sqrt(CAST(n * ss_{x} - s_{x} * s_{x} AS DOUBLE))
+            * sqrt(CAST(n * ss_{y} - s_{y} * s_{y} AS DOUBLE))) AS pearson_r
+FROM m"""
+        )
+    def q(c: str) -> str:
+        if c == "l_discount":
+            return f"CAST(round({c} * 100) AS BIGINT)"
+        return f"CAST(round({c}) AS BIGINT)"
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    moms = ["count(*) AS n"]
+    for c in cols:
+        moms.append(f"sum({q(c)}) AS s_{c}")
+        moms.append(f"sum({q(c)} * {q(c)}) AS ss_{c}")
+    for x, y in _CORR_PAIRS:
+        moms.append(f"sum({q(x)} * {q(y)}) AS sp_{x}_{y}")
+    return (
+        "WITH m AS (SELECT " + ", ".join(moms) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
 def q_event_transitions(sf_dir: str):
     """First-order Markov transition counts between a user's consecutive
     events — the sequence-mining staple behind next-event prediction
@@ -6389,6 +6486,7 @@ QUERIES = {
     "assoc_rules": q_assoc_rules,
     "collocations": q_collocations,
     "event_transitions": q_event_transitions,
+    "lineitem_correlations": q_lineitem_correlations,
 }
 
 ORACLE_SQL = {
@@ -6496,6 +6594,7 @@ ORACLE_SQL = {
     "assoc_rules": _sql_assoc_rules(),
     "collocations": _sql_collocations(),
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "lineitem_correlations": _sql_lineitem_correlations(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
