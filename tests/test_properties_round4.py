@@ -1,0 +1,93 @@
+"""Property tests (hypothesis) for the round-4 kernels — pure functions
+only, no Ray."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webscraper_ray.functions.bpe import _merge_row
+from webscraper_ray.functions.editdist import _neighborhood, edit_le1
+from webscraper_ray.functions.graph import _unionfind_cc
+
+_SHORT = st.text(alphabet="abc", max_size=6)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1])
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+@given(_SHORT, _SHORT)
+@settings(max_examples=300)
+def test_edit_le1_equals_dp(a, b):
+    assert edit_le1(a, b) == (_lev(a, b) <= 1)
+
+
+@given(_SHORT, _SHORT)
+@settings(max_examples=300)
+def test_deletion_neighborhood_complete_for_distance_1(a, b):
+    """The SymSpell completeness property the candidate stage relies on:
+    distance <= 1 implies a shared key in {s} ∪ deletions1(s)."""
+    if _lev(a, b) <= 1:
+        assert _neighborhood(a) & _neighborhood(b)
+
+
+@given(st.lists(st.sampled_from("ab"), max_size=12), st.sampled_from("ab"), st.sampled_from("ab"))
+@settings(max_examples=300)
+def test_merge_row_equals_bar_encoding_replace(syms, left, right):
+    """The SQL oracle's |sym|/two-space replace() encoding must be the
+    SAME merge the Python scan performs, for any symbol sequence."""
+    got = _merge_row(syms, left, right)
+    enc = "|" + "|  |".join(syms) + "|" if syms else ""
+    enc = enc.replace(f"|{left}|  |{right}|", f"|{left}{right}|")
+    want = [s for s in enc.strip("|").split("|  |")] if syms else []
+    want = [w.strip("|") for w in want if w != ""]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=200)
+def test_unionfind_min_labels(pairs):
+    import pyarrow as pa
+
+    a = [min(p) for p in pairs]
+    b = [max(p) for p in pairs]
+    t = pa.table(
+        {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
+    )
+    got = _unionfind_cc([t], "a", "b")
+    labels = dict(zip(got["node"].to_pylist(), got["label"].to_pylist()))
+    # reference: BFS closure with min label
+    adj: dict = {}
+    for x, y in pairs:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    seen: set = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            n = stack.pop()
+            if n in comp:
+                continue
+            comp.add(n)
+            stack.extend(adj[n] - comp)
+        seen |= comp
+        root = min(comp)
+        for n in comp:
+            assert labels[n] == root
