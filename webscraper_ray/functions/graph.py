@@ -40,7 +40,12 @@ import ray.data
 
 from .joins import _part_column
 
-__all__ = ["connected_components", "attach_cluster_ids", "triangle_count"]
+__all__ = [
+    "connected_components",
+    "attach_cluster_ids",
+    "triangle_count",
+    "triangles_per_node",
+]
 
 _EMPTY_LABELS = pa.table(
     {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
@@ -391,3 +396,93 @@ def triangle_count(
         on=("a", "b"),
     )
     return closed.count()
+
+
+def triangles_per_node(
+    edges: "ray.data.Dataset",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """(node, n_tri) — per-node triangle membership counts over an
+    oriented (a < b, deduped) edge Dataset. Same two-exchange shape as
+    :func:`triangle_count`, but wedges CARRY their center so the closure
+    join yields full (center, a, b) triangles; each contributes one
+    count to all three vertices via a flat emission + one node-keyed
+    reduce."""
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "center": pa.array([], pa.int64()),
+        }
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", _part_column(t.column("a"), num_partitions))
+
+    def emit_wedges(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return empty
+        a = part.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = part.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        change = np.flatnonzero(a[1:] != a[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(a)]])
+        out_x: list[np.ndarray] = []
+        out_y: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            m = int(e - s)
+            if m < 2:
+                continue
+            g = b[s:e]
+            ii, jj = np.triu_indices(m, k=1)
+            out_x.append(g[ii])
+            out_y.append(g[jj])
+            out_c.append(np.full(len(ii), a[s], dtype=np.int64))
+        if not out_x:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_x)),
+                "b": pa.array(np.concatenate(out_y)),
+                "center": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    wedges = (
+        edges.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_wedges, batch_format="pyarrow")
+    )
+    closed = wedges.join(
+        edges,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a", "b"),
+    )
+
+    def per_node_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t.column("center").to_numpy(zero_copy_only=False),
+                t.column("a").to_numpy(zero_copy_only=False),
+                t.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(u.astype(np.int64)),
+                "n_tri": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        closed.map_batches(per_node_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("n_tri", alias_name="n_tri"))
+    )

@@ -6018,16 +6018,11 @@ FROM sl ORDER BY source
 """
 
 
-def q_link_triangles(sf_dir: str):
-    """Exact triangle count over the derived doc link graph (the same
-    md5 edge family PageRank crawls) — the graph-topology signal
-    (clustering structure) PageRank's importance scores don't carry.
-    Edge derivation is one streaming map + an output-sized
-    ``_hash_distinct`` orientation dedupe; the count itself is the
-    oriented two-exchange node-iterator in
-    :func:`webscraper_ray.functions.graph.triangle_count`."""
+def _derived_link_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Oriented (a < b) distinct edge set of the derived doc link graph
+    (the md5 family PageRank crawls): one streaming map + an
+    output-sized ``_hash_distinct`` orientation dedupe."""
     from .functions.dedup import _hash_distinct, md5_u64
-    from .functions.graph import triangle_count
     from .functions.pagerank import OUT_DEGREE
 
     path = os.path.join(sf_dir, "documents.parquet")
@@ -6051,11 +6046,125 @@ def q_link_triangles(sf_dir: str):
         keep = a != b
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
-    edges = _hash_distinct(
+    return _hash_distinct(
         ids.map_batches(emit_edges, batch_format="pyarrow"), ["a", "b"], 16
     )
-    n_tri = triangle_count(edges)
+
+
+def q_link_triangles(sf_dir: str):
+    """Exact triangle count over the derived doc link graph (the same
+    md5 edge family PageRank crawls) — the graph-topology signal
+    (clustering structure) PageRank's importance scores don't carry.
+    The count is the oriented two-exchange node-iterator in
+    :func:`webscraper_ray.functions.graph.triangle_count`."""
+    from .functions.graph import triangle_count
+
+    n_tri = triangle_count(_derived_link_edges(sf_dir))
     return pa.table({"n_triangles": pa.array([n_tri], pa.int64())})
+
+
+def q_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient ``2T / d(d-1)`` over the
+    derived link graph — the node-level topology signal (how clique-like
+    each doc's neighborhood is). Triangles per node come from the
+    center-carrying wedge closure
+    (:func:`webscraper_ray.functions.graph.triangles_per_node`); degrees
+    are one endpoint-flat groupby; ONE node-keyed outer join stitches
+    them; the float mirrors the SQL's cast-then-divide."""
+    from .functions.graph import triangles_per_node
+
+    edges = _derived_link_edges(sf_dir).materialize()  # reused 3x
+    tri = triangles_per_node(edges)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t.column("a").to_numpy(zero_copy_only=False),
+                t.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(u.astype(np.int64)),
+                "degree": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("degree", alias_name="degree"))
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("degree"), pa.scalar(2, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = deg.join(
+        tri.rename_columns({"node": "tnode"}),
+        join_type="left_outer",
+        num_partitions=max(1, _join_partitions() // 2),
+        on=("node",),
+        right_on=("tnode",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.column("degree").to_numpy(zero_copy_only=False)
+        nt = pc.fill_null(t.column("n_tri"), 0).to_numpy(zero_copy_only=False)
+        coeff = (2.0 * nt.astype(np.float64)) / (d * (d - 1)).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t.column("node"),
+                "degree": pa.array(d.astype(np.int64)),
+                "n_tri": pa.array(nt.astype(np.int64)),
+                "coeff": pa.array(coeff, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def _sql_clustering_coeff() -> str:
+    from .functions.pagerank import OUT_DEGREE
+
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT d.doc_id AS src,
+         CAST((('0x' || substr(md5('pr:' || CAST(d.doc_id AS VARCHAR) || ':'
+                || CAST(j.j AS VARCHAR)), 1, 16))::UBIGINT
+               % (SELECT n FROM nn)) AS BIGINT) AS dst
+  FROM documents d, (SELECT unnest(range({OUT_DEGREE})) AS j) j
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+),
+tri AS (
+  SELECT node, count(*) AS n_tri
+  FROM (
+    SELECT unnest([e1.a, e1.b, e2.b]) AS node
+    FROM e e1
+    JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+  )
+  GROUP BY node
+)
+SELECT d.node AS doc_id, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+         / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS coeff
+FROM deg d LEFT JOIN tri t USING (node)
+WHERE d.degree >= 2
+ORDER BY doc_id
+"""
 
 
 def _sql_link_triangles() -> str:
@@ -6487,6 +6596,7 @@ QUERIES = {
     "collocations": q_collocations,
     "event_transitions": q_event_transitions,
     "lineitem_correlations": q_lineitem_correlations,
+    "clustering_coeff": q_clustering_coeff,
 }
 
 ORACLE_SQL = {
@@ -6595,6 +6705,7 @@ ORACLE_SQL = {
     "collocations": _sql_collocations(),
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "lineitem_correlations": _sql_lineitem_correlations(),
+    "clustering_coeff": _sql_clustering_coeff(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
