@@ -46,6 +46,7 @@ __all__ = [
     "DecodeImage",
     "FrameSample",
     "ImageStats",
+    "ImageAHash",
     "ResizeImage",
     "fake_media_table",
     "FAKE_IMG_MAGIC",
@@ -483,3 +484,36 @@ class ResizeImage:
         t = batch.drop_columns([c for c in ("height", "width") if c in batch.column_names])
         t = t.append_column("height", pa.array(out_h, pa.int32()))
         return t.append_column("width", pa.array(out_w, pa.int32()))
+
+
+class ImageAHash:
+    """Actor-pool stage: PNG payload -> 64-bit average hash (aHash).
+
+    The perceptual-dedup fingerprint: decode with the REAL from-scratch
+    codec, then bit k = (pixel_k * n > pixel_sum) — the strict integer
+    form of 'above the mean', exact on both engines. Contract: 64-pixel
+    images (8x8, the classic aHash raster) so the hash is one bit per
+    pixel; anything else raises loudly."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .png import decode_png
+
+        ids = batch.column("media_id").to_pylist()
+        out: list[str] = []
+        for payload in batch.column("payload").to_pylist():
+            img = decode_png(bytes(payload))
+            v = np.asarray(img, dtype=np.int64).ravel()
+            if v.size != 64:
+                raise ValueError(
+                    f"ImageAHash expects 64-pixel images, got {v.size}"
+                )
+            s = int(v.sum())
+            bits = (v * 64 > s).astype(np.uint64)
+            h = int((bits << np.arange(64, dtype=np.uint64)).sum())
+            out.append(f"{h:016x}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "ahash": pa.array(out, pa.string()),
+            }
+        )

@@ -3080,6 +3080,165 @@ ORDER BY antecedent, consequent
 """
 
 
+_AHASH_MAX_HAMMING = 8
+_AHASH_TABLES = 4
+
+
+def q_image_dedup(sf_dir: str):
+    """Image near-dup detection through the REAL PNG codec — perceptual
+    dedup, the multimodal counterpart of the text families: synthesize
+    one genuine 8x8 grayscale PNG per doc (pixels a pure function of
+    doc_id with a planted class structure: docs sharing ``doc_id // 7``
+    differ in ONE perturbed pixel), decode in an actor pool, compute the
+    64-bit average hash (strict-integer 'above the mean' bits), and pair
+    by hamming <= {max_hamming} with the rotated-prefix LSH the simhash
+    family uses. The oracle recomputes pixels, hash bits, prefixes and
+    hamming arithmetically — a single wrong decode byte flips the gate.
+
+    Scale shape: synth+decode+hash are one streaming actor-pool map
+    (24 B hash rows are all that leaves it); candidates AND verify run
+    inside the (table, prefix) groupby like ``simhash_near_dups``; the
+    pair table dedupes through a Min aggregate."""
+    from .functions.multimodal import ImageAHash
+    from .functions.png import encode_png
+
+    from .functions.dedup import md5_u64
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        k = np.arange(64, dtype=np.int64)
+        _cls_cache: dict = {}
+        for i in ids:
+            cls = i // 7
+            # md5 per (class, pixel) — the repo's DuckDB-reproducible
+            # family: unrelated classes land ~32 hamming bits apart, so
+            # only the planted 1-pixel variants pair
+            base = _cls_cache.get(cls)
+            if base is None:
+                base = np.array(
+                    [md5_u64(f"img:{cls}:{j}") % 256 for j in range(64)],
+                    dtype=np.int64,
+                )
+                _cls_cache[cls] = base
+            v = (base + np.where(k == i % 64, 40, 0)) % 256
+            payloads.append(encode_png(v.reshape(8, 8).astype(np.uint8)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    hashes = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(
+            ImageAHash, batch_format="pyarrow", batch_size=128, concurrency=2
+        )
+    )
+
+    def rot_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        hx = t.column("ahash").to_pylist()
+        t_ids, prefixes, out_ids, out_h = [], [], [], []
+        for doc, h in zip(ids, hx):
+            rolled = h + h
+            for tb in range(_AHASH_TABLES):
+                t_ids.append(tb)
+                prefixes.append(rolled[4 * tb : 4 * tb + 4])
+                out_ids.append(doc)
+                out_h.append(h)
+        return pa.table(
+            {
+                "table_id": pa.array(t_ids, pa.int32()),
+                "prefix": pa.array(prefixes, pa.string()),
+                "media_id": pa.array(out_ids, pa.int64()),
+                "ahash": pa.array(out_h, pa.string()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+
+    def emit_verified(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2:
+            return empty
+        ids_raw = np.asarray(group.column("media_id").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids_raw)
+        ids = ids_raw[order]
+        sk = np.array(
+            [int(h, 16) for h in group.column("ahash").to_pylist()],
+            dtype=np.uint64,
+        )[order]
+        ii, jj = np.triu_indices(m, k=1)
+        diff = np.bitwise_xor(sk[ii], sk[jj])
+        ham = np.unpackbits(diff.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = ham <= _AHASH_MAX_HAMMING
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ii[keep]], pa.int64()),
+                "doc_b": pa.array(ids[jj[keep]], pa.int64()),
+                "hamming": pa.array(ham[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    return (
+        hashes.map_batches(rot_rows, batch_format="pyarrow")
+        .groupby(["table_id", "prefix"])
+        .map_groups(emit_verified, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+def _sql_image_dedup() -> str:
+    tables = ", ".join(f"({t})" for t in range(_AHASH_TABLES))
+    return rf"""
+WITH px AS (
+  SELECT doc_id AS media_id, u.k,
+         (('0x' || substr(md5('img:' || CAST(doc_id // 7 AS VARCHAR)
+                || ':' || CAST(u.k AS VARCHAR)), 1, 16))::UBIGINT % 256
+          + CASE WHEN u.k = doc_id % 64 THEN 40 ELSE 0 END) % 256 AS v
+  FROM documents, UNNEST(range(0, 64)) AS u(k)
+),
+sums AS (SELECT media_id, sum(v) AS s FROM px GROUP BY media_id),
+hashes AS (
+  SELECT p.media_id,
+         lpad(lower(hex(CAST(sum(
+             CASE WHEN p.v * 64 > t.s
+                  THEN (CAST(1 AS UBIGINT) << CAST(p.k AS INTEGER))
+                  ELSE CAST(0 AS UBIGINT) END) AS UBIGINT))), 16, '0')
+           AS ahash
+  FROM px p JOIN sums t USING (media_id)
+  GROUP BY p.media_id
+),
+rot AS (
+  SELECT media_id, ahash, t.table_id,
+         substr(ahash || ahash, 1 + 4 * t.table_id, 4) AS prefix
+  FROM hashes, (VALUES {tables}) t(table_id)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b,
+         bit_count(xor(('0x' || a.ahash)::UBIGINT,
+                       ('0x' || b.ahash)::UBIGINT)) AS hamming
+  FROM rot a
+  JOIN rot b ON a.table_id = b.table_id AND a.prefix = b.prefix
+            AND a.media_id < b.media_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= {_AHASH_MAX_HAMMING}
+"""
+
+
 def q_hll_users_by_type(sf_dir: str):
     """Per-group HyperLogLog: distinct users per event type as mergeable
     64-register sketches — the scale companion to the exact
@@ -6597,6 +6756,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "lineitem_correlations": q_lineitem_correlations,
     "clustering_coeff": q_clustering_coeff,
+    "image_dedup": q_image_dedup,
 }
 
 ORACLE_SQL = {
@@ -6706,6 +6866,7 @@ ORACLE_SQL = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "lineitem_correlations": _sql_lineitem_correlations(),
     "clustering_coeff": _sql_clustering_coeff(),
+    "image_dedup": _sql_image_dedup(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
