@@ -3080,6 +3080,102 @@ ORDER BY antecedent, consequent
 """
 
 
+def _roundtrip_dir(sf_dir: str, kind: str) -> str:
+    """Scratch dir for a format round-trip, keyed by source identity so
+    repeat runs reuse the written files (the `_ann_index_for` cache
+    discipline)."""
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{kind}"
+    digest = __import__("hashlib").blake2b(key.encode(), digest_size=8).hexdigest()
+    return os.path.join(tempfile.gettempdir(), f"webscraper_ray_{kind}", digest)
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source + sink: the documents projection streams out through
+    ``write_json`` (one file per block — the resumable-output
+    discipline) and back in through ``read_json``, then aggregates
+    per-source counts and exact integer sums. The oracle computes the
+    same aggregate from the PARQUET table, so any serialization or
+    parse loss in the round-trip flips the value hash. S7's JSONL
+    surface as a first-class distributed source, not just a log
+    sink."""
+    out_dir = _roundtrip_dir(sf_dir, "jsonl")
+    if not os.path.isdir(out_dir):
+        _read_sized(sf_dir, "documents", ["doc_id", "source", "n_chars"]).write_json(
+            out_dir
+        )
+    back = ray.data.read_json(out_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("doc_id", "count"), ("n_chars", "sum"), ("doc_id", "sum")]
+        )
+        return g.rename_columns(["source", "n_docs", "sum_chars", "sum_ids"])
+
+    return (
+        back.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("sum_ids", alias_name="sum_ids"),
+        )
+        .sort("source")
+    )
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV source + sink round-trip over the events projection (integer
+    columns + a comma-free enum string — the honest CSV subset; typed
+    columns like timestamps belong in parquet). Write with ``write_csv``,
+    read with ``read_csv``, aggregate per event type; the oracle
+    recomputes from parquet, gating the full serialize/parse cycle."""
+    import ray.data as _rd
+
+    out_dir = _roundtrip_dir(sf_dir, "csv")
+    if not os.path.isdir(out_dir):
+        _read_sized(
+            sf_dir, "events", ["event_id", "user_id", "event_type"]
+        ).write_csv(out_dir)
+    back = _rd.read_csv(out_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("event_id", "count"), ("event_id", "sum"), ("user_id", "sum")]
+        )
+        return g.rename_columns(["event_type", "n_events", "sum_ids", "sum_users"])
+
+    return (
+        back.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_ids", alias_name="sum_ids"),
+            Sum("sum_users", alias_name="sum_users"),
+        )
+        .sort("event_type")
+    )
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+       CAST(sum(user_id) AS BIGINT) AS sum_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 _AHASH_MAX_HAMMING = 8
 _AHASH_TABLES = 4
 
@@ -6757,6 +6853,8 @@ QUERIES = {
     "lineitem_correlations": q_lineitem_correlations,
     "clustering_coeff": q_clustering_coeff,
     "image_dedup": q_image_dedup,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "csv_roundtrip": q_csv_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -6867,6 +6965,8 @@ ORACLE_SQL = {
     "lineitem_correlations": _sql_lineitem_correlations(),
     "clustering_coeff": _sql_clustering_coeff(),
     "image_dedup": _sql_image_dedup(),
+    "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+    "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
