@@ -3080,6 +3080,86 @@ ORDER BY antecedent, consequent
 """
 
 
+def q_running_distinct(sf_dir: str):
+    """Running DISTINCT count per user timeline (how many distinct event
+    types the user has seen up to each event) — the windowed aggregate
+    SQL cannot express with a plain frame (COUNT(DISTINCT) OVER is
+    unsupported) and engines implement as first-occurrence flags + a
+    running sum. ONE user-keyed exchange; per partition two lexsorts
+    flag first occurrences and cumulative-sum them per user — no per-row
+    Python."""
+    from .functions.joins import _part_column as _pcol
+
+    ds = _read_sized(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", _pcol(t.column("user_id"), 16))
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "n_distinct_types": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return empty
+        import pandas as pd
+
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        ts = part.column("ts").to_numpy(zero_copy_only=False).view("i8")
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        code, _ = pd.factorize(
+            np.asarray(part.column("event_type").to_pylist(), dtype=object)
+        )
+        # first-occurrence flags per (user, type), earliest (ts, eid)
+        o1 = np.lexsort((eid, ts, code, uid))
+        first_sorted = np.ones(len(uid), dtype=np.int64)
+        first_sorted[1:] = (uid[o1][1:] != uid[o1][:-1]) | (
+            code[o1][1:] != code[o1][:-1]
+        )
+        flags = np.empty(len(uid), dtype=np.int64)
+        flags[o1] = first_sorted
+        # running sum per user in time order
+        o2 = np.lexsort((eid, ts, uid))
+        u2, f2 = uid[o2], flags[o2]
+        cum = np.cumsum(f2)
+        starts = np.flatnonzero(np.diff(u2, prepend=u2[0] - 1))
+        base = np.repeat(
+            cum[starts] - f2[starts], np.diff(np.append(starts, len(u2)))
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid[o2].astype(np.int64)),
+                "user_id": pa.array(u2.astype(np.int64)),
+                "n_distinct_types": pa.array((cum - base).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_RUNNING_DISTINCT = """
+WITH seq AS (
+  SELECT event_id, user_id, ts,
+         row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
+FROM seq
+"""
+
+
 def _roundtrip_dir(sf_dir: str, kind: str) -> str:
     """Scratch dir for a format round-trip, keyed by source identity so
     repeat runs reuse the written files (the `_ann_index_for` cache
@@ -6855,6 +6935,7 @@ QUERIES = {
     "image_dedup": q_image_dedup,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "csv_roundtrip": q_csv_roundtrip,
+    "running_distinct": q_running_distinct,
 }
 
 ORACLE_SQL = {
@@ -6967,6 +7048,7 @@ ORACLE_SQL = {
     "image_dedup": _sql_image_dedup(),
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
+    "running_distinct": SQL_RUNNING_DISTINCT,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
