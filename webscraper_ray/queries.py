@@ -3080,6 +3080,105 @@ ORDER BY antecedent, consequent
 """
 
 
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (recency / frequency / monetary — the
+    classic CRM cube): per-customer aggregates bucket into a 4x4x4 grid
+    and the query returns segment populations. All-integer: recency in
+    whole years from the GLOBAL max order date (one scalar reduce,
+    broadcast in the closure), frequency and exact-cents monetary with
+    fixed thresholds — no float can disagree between engines.
+
+    Scale shape: per-batch customer partials -> one custkey groupby ->
+    a streaming bucket map -> a 64-cell groupby. Nothing larger than the
+    customer aggregate ever shuffles."""
+    from ray.data.aggregate import Max
+
+    orders = _read_sized(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    gmax = orders.max("o_orderdate")  # numpy datetime64[us]
+    gmax_us = int(np.datetime64(gmax, "us").view("i8"))
+    _YEAR_US = 365 * 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "o_custkey": t.column("o_custkey"),
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "cents": _cents(t.column("o_totalprice")),
+                    "last_us": t.column("o_orderdate").cast(pa.int64()),
+                }
+            )
+            .group_by("o_custkey")
+            .aggregate([("n", "sum"), ("cents", "sum"), ("last_us", "max")])
+        )
+        return g.rename_columns(["o_custkey", "n", "cents", "last_us"])
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("cents", alias_name="cents"),
+            Max("last_us", alias_name="last_us"),
+        )
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        last = t.column("last_us").to_numpy(zero_copy_only=False)
+        r_b = np.minimum((gmax_us - last) // _YEAR_US, 3)
+        f_b = np.minimum(n // 5, 3)
+        m_b = np.minimum(cents // 50_000_000, 3)
+        g = (
+            pa.table(
+                {
+                    "r_bucket": pa.array(r_b.astype(np.int64)),
+                    "f_bucket": pa.array(f_b.astype(np.int64)),
+                    "m_bucket": pa.array(m_b.astype(np.int64)),
+                    "n_customers": pa.array(np.ones(len(n), np.int64)),
+                }
+            )
+            .group_by(["r_bucket", "f_bucket", "m_bucket"])
+            .aggregate([("n_customers", "sum")])
+        )
+        return g.rename_columns(
+            ["r_bucket", "f_bucket", "m_bucket", "n_customers"]
+        )
+
+    return (
+        agg.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["r_bucket", "f_bucket", "m_bucket"])
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+        .sort(["r_bucket", "f_bucket", "m_bucket"])
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH g AS (SELECT max(epoch_us(o_orderdate)) AS mx FROM orders),
+cust AS (
+  SELECT o_custkey, count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+         max(epoch_us(o_orderdate)) AS last_us
+  FROM orders GROUP BY o_custkey
+),
+b AS (
+  SELECT least(((SELECT mx FROM g) - last_us) // 31536000000000, 3) AS r_bucket,
+         least(n // 5, 3) AS f_bucket,
+         least(cents // 50000000, 3) AS m_bucket
+  FROM cust
+)
+SELECT CAST(r_bucket AS BIGINT) AS r_bucket,
+       CAST(f_bucket AS BIGINT) AS f_bucket,
+       CAST(m_bucket AS BIGINT) AS m_bucket,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM b GROUP BY 1, 2, 3
+ORDER BY r_bucket, f_bucket, m_bucket
+"""
+
+
 def q_running_distinct(sf_dir: str):
     """Running DISTINCT count per user timeline (how many distinct event
     types the user has seen up to each event) — the windowed aggregate
@@ -6936,6 +7035,7 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "csv_roundtrip": q_csv_roundtrip,
     "running_distinct": q_running_distinct,
+    "rfm_segments": q_rfm_segments,
 }
 
 ORACLE_SQL = {
@@ -7049,6 +7149,7 @@ ORACLE_SQL = {
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "running_distinct": SQL_RUNNING_DISTINCT,
+    "rfm_segments": SQL_RFM_SEGMENTS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
