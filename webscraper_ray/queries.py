@@ -3259,13 +3259,13 @@ FROM seq
 """
 
 
-def _roundtrip_dir(sf_dir: str, kind: str) -> str:
-    """Scratch dir for a format round-trip, keyed by source identity so
-    repeat runs reuse the written files (the `_ann_index_for` cache
-    discipline)."""
+def _roundtrip_dir(sf_dir: str, kind: str, table: str) -> str:
+    """Scratch dir for a format round-trip, keyed by the SOURCE TABLE's
+    identity so repeat runs reuse the written files and a changed table
+    invalidates them (the `_ann_index_for` cache discipline)."""
     import tempfile
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     st = os.stat(src)
     key = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{kind}"
     digest = __import__("hashlib").blake2b(key.encode(), digest_size=8).hexdigest()
@@ -3281,7 +3281,7 @@ def q_jsonl_roundtrip(sf_dir: str):
     parse loss in the round-trip flips the value hash. S7's JSONL
     surface as a first-class distributed source, not just a log
     sink."""
-    out_dir = _roundtrip_dir(sf_dir, "jsonl")
+    out_dir = _roundtrip_dir(sf_dir, "jsonl", "documents")
     if not os.path.isdir(out_dir):
         _read_sized(sf_dir, "documents", ["doc_id", "source", "n_chars"]).write_json(
             out_dir
@@ -3322,7 +3322,7 @@ def q_csv_roundtrip(sf_dir: str):
     recomputes from parquet, gating the full serialize/parse cycle."""
     import ray.data as _rd
 
-    out_dir = _roundtrip_dir(sf_dir, "csv")
+    out_dir = _roundtrip_dir(sf_dir, "csv", "events")
     if not os.path.isdir(out_dir):
         _read_sized(
             sf_dir, "events", ["event_id", "user_id", "event_type"]
