@@ -55,3 +55,13 @@ def test_bpe_train_matches_reference_and_parallelism(ray_session):
         got = bpe_train(ds, n_merges=5).to_pylist()
         got_t = [(g["r"], g["left"], g["right"], g["pair_cnt"]) for g in got]
         assert got_t == want, f"blocks={blocks}"
+
+
+def test_bpe_rejects_bar_tokens(ray_session):
+    import pytest
+
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(["normal words here", "bad|token too"])})
+    )
+    with pytest.raises(Exception, match=r"\|"):
+        bpe_train(ds, n_merges=1)

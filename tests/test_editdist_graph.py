@@ -134,3 +134,30 @@ def test_triangle_count_parallelism_invariant(ray_session):
         m[x, y] = m[y, x] = 1
     want = int(np.trace(m @ m @ m) // 6)
     assert c1 == want
+
+
+def test_triangle_count_no_wedges_returns_zero(ray_session):
+    # matching-shaped graph: no node has out-degree >= 2 in any partition
+    matching = [(1, 2), (3, 4), (5, 6)]
+    assert triangle_count(_edges_ds(matching), num_partitions=4) == 0
+
+
+def test_triangles_per_node_no_wedges_empty(ray_session):
+    from webscraper_ray.functions.graph import triangles_per_node
+
+    out = triangles_per_node(_edges_ds([(1, 2), (3, 4)]), num_partitions=4)
+    assert out.count() == 0
+
+
+def test_edit1_null_names_join_nothing(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "name": pa.array([None, None, "abc", "abd"], pa.string()),
+            }
+        )
+    )
+    got = edit1_pairs(ds, "id", "name").to_pandas()
+    # nulls pair with nothing (the SQL contract); only the real pair stays
+    assert sorted(zip(got["id_a"], got["id_b"])) == [(3, 4)]

@@ -137,3 +137,20 @@ def test_incremental_nhash_mismatch_guard(ray_session, tmp_path):
     json.dump(meta, open(os.path.join(idx, "meta.json"), "w"))
     with pytest.raises(ValueError, match="n_hashes"):
         incremental_near_dups(ray.data.from_arrow(tbl), idx)
+
+
+def test_incremental_empty_increment_returns_empty(ray_session, tmp_path):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d e", "f g h i j", "k l m n o"]),
+        }
+    )
+    idx = str(tmp_path / "bandidx_e")
+    build_band_index(ray.data.from_arrow(tbl), idx)
+    # increment with only a too-short doc: no signatures, no band rows
+    short = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([9], pa.int64()), "text": pa.array(["x y"])})
+    )
+    out = incremental_near_dups(short, idx)
+    assert out.count() == 0

@@ -312,15 +312,9 @@ def ann_lsh_topk_indexed(
     dim = np.asarray(query_matrix).shape[1]
     planes = _plane_matrix(dim, bits, salt=salt)
     refs = _queries_by_bucket(query_ids, query_matrix, planes)
-    paths: list[str] = []  # explicit read_parquet path lists must be files
-    for b in sorted(refs):
-        d = os.path.join(index_dir, f"bucket={b}")
-        if os.path.isdir(d):
-            paths.extend(
-                os.path.join(d, f)
-                for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
+    from .textindex import bucket_files
+
+    paths = bucket_files(index_dir, refs.keys())
     empty = pa.table(
         {
             "query_id": pa.array([], pa.int64()),
@@ -543,15 +537,9 @@ def ann_lsh_topk_multiprobe(
     dim = np.asarray(query_matrix).shape[1]
     planes = _plane_matrix(dim, bits, salt=salt)
     refs = _queries_by_bucket_multiprobe(query_ids, query_matrix, planes)
-    paths: list[str] = []
-    for b in sorted(refs):
-        d = os.path.join(index_dir, f"bucket={b}")
-        if os.path.isdir(d):
-            paths.extend(
-                os.path.join(d, f)
-                for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
+    from .textindex import bucket_files
+
+    paths = bucket_files(index_dir, refs.keys())
     if not paths:
         return ray.data.from_arrow(_EMPTY_TOPK)
     ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])

@@ -130,6 +130,18 @@ def bpe_train(
 
     def to_syms(t: pa.Table) -> pa.Table:
         words = t.column("word").to_pylist()
+        for w in words:
+            if "|" in w:
+                # the SQL oracle's boundary-safe encoding reserves '|'
+                # as the symbol delimiter; a bar INSIDE a token would
+                # silently corrupt its trim/replace steps while the
+                # Python scan handled it fine — fail loudly instead of
+                # letting the two engines diverge (the exact_quantiles
+                # guard discipline). Pre-strip bars upstream if needed.
+                raise ValueError(
+                    f"bpe_train: token {w!r} contains '|', which the "
+                    "oracle encoding reserves; normalize the corpus first"
+                )
         return pa.table(
             {
                 "syms": pa.array(

@@ -112,7 +112,12 @@ def edit1_pairs(
         out_i: list[int] = []
         out_n: list[str] = []
         for i, nm in zip(ids, names):
-            nm = nm or ""
+            if nm is None:
+                # mirror the SQL oracle exactly: generate_series over a
+                # NULL length yields no key rows and levenshtein(NULL, x)
+                # is NULL, so null names join NOTHING — coercing to ''
+                # would instead clique every null row together
+                continue
             # identity key + every single-char deletion
             out_h.append(md5_u64(nm))
             out_i.append(i)

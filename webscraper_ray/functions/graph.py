@@ -319,6 +319,75 @@ def attach_cluster_ids(
     )
 
 
+
+def _closed_wedges(
+    edges: "ray.data.Dataset", num_partitions: int
+) -> "ray.data.Dataset | None":
+    """Shared wedge builder for the triangle family: hash-partition the
+    oriented edge list on ``a``, emit each center's ``triu`` pairs WITH
+    the center column, and close them against the edge list with one
+    partitioned two-key join. Returns None when no wedges exist (a
+    matching-shaped or empty graph) — Ray normalizes an all-empty
+    dataset to schema-less blocks that would crash the join."""
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "center": pa.array([], pa.int64()),
+        }
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", _part_column(t.column("a"), num_partitions))
+
+    def emit_wedges(part: pa.Table) -> pa.Table:
+        if part.num_rows < 2:
+            return empty
+        a = part.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = part.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        change = np.flatnonzero(a[1:] != a[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(a)]])
+        out_x: list[np.ndarray] = []
+        out_y: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            m = int(e - s)
+            if m < 2:
+                continue
+            g = b[s:e]  # ascending (lexsort), so x < y holds per pair
+            ii, jj = np.triu_indices(m, k=1)
+            out_x.append(g[ii])
+            out_y.append(g[jj])
+            out_c.append(np.full(len(ii), a[s], dtype=np.int64))
+        if not out_x:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_x)),
+                "b": pa.array(np.concatenate(out_y)),
+                "center": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    wedges = (
+        edges.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_wedges, batch_format="pyarrow")
+        .materialize()  # wedge-volume sized; the join would hold it anyway
+    )
+    if wedges.count() == 0:
+        return None
+    return wedges.join(
+        edges,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a", "b"),
+    )
+
+
 def triangle_count(
     edges: "ray.data.Dataset",
     num_partitions: int = 16,
@@ -348,54 +417,8 @@ def triangle_count(
     Callers with power-law graphs should relabel ids by ascending degree
     first (one extra exchange) to restore the O(E^{3/2}) bound.
     """
-    empty = pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-    )
-
-    def add_part(t: pa.Table) -> pa.Table:
-        return t.append_column("_part", _part_column(t.column("a"), num_partitions))
-
-    def emit_wedges(part: pa.Table) -> pa.Table:
-        if part.num_rows < 2:
-            return empty
-        a = part.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = part.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        change = np.flatnonzero(a[1:] != a[:-1]) + 1
-        starts = np.concatenate([[0], change])
-        ends = np.concatenate([change, [len(a)]])
-        out_x: list[np.ndarray] = []
-        out_y: list[np.ndarray] = []
-        for s, e in zip(starts, ends):
-            m = int(e - s)
-            if m < 2:
-                continue
-            g = b[s:e]  # ascending (lexsort), so x < y holds per pair
-            ii, jj = np.triu_indices(m, k=1)
-            out_x.append(g[ii])
-            out_y.append(g[jj])
-        if not out_x:
-            return empty
-        return pa.table(
-            {
-                "a": pa.array(np.concatenate(out_x)),
-                "b": pa.array(np.concatenate(out_y)),
-            }
-        )
-
-    wedges = (
-        edges.map_batches(add_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(emit_wedges, batch_format="pyarrow")
-    )
-    closed = wedges.join(
-        edges,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("a", "b"),
-    )
-    return closed.count()
+    closed = _closed_wedges(edges, num_partitions)
+    return 0 if closed is None else closed.count()
 
 
 def triangles_per_node(
@@ -408,60 +431,12 @@ def triangles_per_node(
     join yields full (center, a, b) triangles; each contributes one
     count to all three vertices via a flat emission + one node-keyed
     reduce."""
-    empty = pa.table(
-        {
-            "a": pa.array([], pa.int64()),
-            "b": pa.array([], pa.int64()),
-            "center": pa.array([], pa.int64()),
-        }
+    empty_out = pa.table(
+        {"node": pa.array([], pa.int64()), "n_tri": pa.array([], pa.int64())}
     )
-
-    def add_part(t: pa.Table) -> pa.Table:
-        return t.append_column("_part", _part_column(t.column("a"), num_partitions))
-
-    def emit_wedges(part: pa.Table) -> pa.Table:
-        if part.num_rows < 2:
-            return empty
-        a = part.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = part.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        change = np.flatnonzero(a[1:] != a[:-1]) + 1
-        starts = np.concatenate([[0], change])
-        ends = np.concatenate([change, [len(a)]])
-        out_x: list[np.ndarray] = []
-        out_y: list[np.ndarray] = []
-        out_c: list[np.ndarray] = []
-        for s, e in zip(starts, ends):
-            m = int(e - s)
-            if m < 2:
-                continue
-            g = b[s:e]
-            ii, jj = np.triu_indices(m, k=1)
-            out_x.append(g[ii])
-            out_y.append(g[jj])
-            out_c.append(np.full(len(ii), a[s], dtype=np.int64))
-        if not out_x:
-            return empty
-        return pa.table(
-            {
-                "a": pa.array(np.concatenate(out_x)),
-                "b": pa.array(np.concatenate(out_y)),
-                "center": pa.array(np.concatenate(out_c)),
-            }
-        )
-
-    wedges = (
-        edges.map_batches(add_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(emit_wedges, batch_format="pyarrow")
-    )
-    closed = wedges.join(
-        edges,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("a", "b"),
-    )
+    closed = _closed_wedges(edges, num_partitions)
+    if closed is None:
+        return ray.data.from_arrow(empty_out)
 
     def per_node_partial(t: pa.Table) -> pa.Table:
         nodes = np.concatenate(

@@ -128,16 +128,9 @@ def build_band_index(
 
 
 def _bucket_files(root: str, buckets: "set[int]") -> list[str]:
-    paths: list[str] = []
-    for b in sorted(buckets):
-        d = os.path.join(root, f"bucket={b}")
-        if os.path.isdir(d):
-            paths.extend(
-                os.path.join(d, f)
-                for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
-    return paths
+    from .textindex import bucket_files
+
+    return bucket_files(root, buckets)
 
 
 def incremental_near_dups(
@@ -182,6 +175,11 @@ def incremental_near_dups(
             "est_jaccard": pa.array([], pa.float64()),
         }
     )
+    if new_bands.count() == 0:
+        # empty increment (or all-too-short docs): Ray normalizes the
+        # all-empty dataset to schema-less blocks that would crash the
+        # group_by below — return the documented empty pair table
+        return ray.data.from_arrow(empty)
     # the increment's touched buckets: a <=K-element driver set
     touched = {
         int(r["bucket"])

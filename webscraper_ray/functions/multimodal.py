@@ -410,6 +410,10 @@ class FrameSample:
         ):
             frames = parse_fvid(payload)
             nf = len(frames)
+            if nf == 0:
+                raise ValueError(
+                    f"FVID container for media {mid} has zero frames"
+                )
             for k in range(self.n_frames):
                 j = k * nf // self.n_frames
                 img = decode_png(frames[j])

@@ -29,6 +29,7 @@ from .joins import _part_column
 from .tfidf import doc_term_freqs
 
 __all__ = [
+    "bucket_files",
     "build_text_index",
     "build_positional_index",
     "phrase_search",
@@ -47,6 +48,24 @@ def token_bucket(tokens: np.ndarray, num_buckets: int) -> np.ndarray:
         .to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
+
+
+
+def bucket_files(root: str, buckets) -> list[str]:
+    """Sorted parquet file list of the given ``bucket=<b>`` dirs — THE
+    shared probe-pruning listing for every bucket-partitioned store
+    (text postings, positional postings, band index, ANN index).
+    ``read_parquet`` wants explicit files when handed a path list."""
+    paths: list[str] = []
+    for b in sorted(int(x) for x in buckets):
+        d = os.path.join(root, f"bucket={b}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    return paths
 
 
 def build_text_index(
@@ -92,15 +111,7 @@ def term_postings(
     if not terms:
         return ray.data.from_arrow(empty)
     buckets = np.unique(token_bucket(np.array(sorted(set(terms))), num_buckets))
-    paths: list[str] = []  # explicit file lists, like the ANN probe
-    for b in buckets:
-        d = os.path.join(index_dir, f"bucket={b}")
-        if os.path.isdir(d):
-            paths.extend(
-                os.path.join(d, f)
-                for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
+    paths = bucket_files(index_dir, buckets)
     if not paths:
         return ray.data.from_arrow(empty)
     wanted = pa.array(sorted(set(terms)), pa.string())
@@ -190,15 +201,7 @@ def phrase_search(
     else:
         terms = [first, second]
     buckets = np.unique(token_bucket(np.array(sorted(terms)), num_buckets))
-    paths: list[str] = []
-    for b in buckets:
-        d = os.path.join(index_dir, f"bucket={b}")
-        if os.path.isdir(d):
-            paths.extend(
-                os.path.join(d, f)
-                for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
+    paths = bucket_files(index_dir, buckets)
     if not paths:
         return ray.data.from_arrow(empty)
     wanted = pa.array(terms, pa.string())

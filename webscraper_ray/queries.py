@@ -1930,35 +1930,44 @@ FROM (
 """
 
 
-def _ann_index_for(sf_dir: str, bits: int = 4) -> str:
-    """Build-or-reuse the bucket-partitioned embedding index for a table.
 
-    The index is the one-time write half of the LSH scale path (see
-    ``functions/ann.py``): keyed by the source file's identity (path +
-    mtime + size + bits) so test and bench runs reuse it across calls,
-    invalidated automatically when the table changes. Concurrent builders
-    race benignly: each builds into its own tmp dir, first rename wins.
-    """
+def _source_cached_dir(sf_dir: str, table: str, kind: str, key_suffix: str, build):
+    """Build-or-reuse cache dir keyed by the source TABLE's identity
+    (path + mtime + size + parameters) — THE shared cache discipline for
+    every derived store (ANN/text/positional/band indexes, format
+    round-trips): invalidated automatically when the table changes;
+    ``build(tmp_dir)`` populates a private tmp dir and an atomic rename
+    publishes it, so concurrent builders race benignly and a crashed
+    build can never leave a half-written dir that later runs trust."""
     import tempfile
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     st = os.stat(src)
-    key = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:bits={bits}"
+    key = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{key_suffix}"
     digest = __import__("hashlib").blake2b(key.encode(), digest_size=8).hexdigest()
-    dest = os.path.join(tempfile.gettempdir(), "webscraper_ray_ann", digest)
+    dest = os.path.join(tempfile.gettempdir(), f"webscraper_ray_{kind}", digest)
     if os.path.isdir(dest):
         return dest
-    build_dir = tempfile.mkdtemp(prefix=f"annbuild_{digest}_")
-    build_ann_index(
-        _read_sized(sf_dir, "embeddings", ["vec_id", "embedding"]), build_dir, bits=bits
-    )
+    build_dir = tempfile.mkdtemp(prefix=f"{kind}build_{digest}_")
+    build(build_dir)
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     try:
         os.rename(build_dir, dest)
     except OSError:
-        pass  # another builder won the race; its index is identical
+        pass  # a concurrent builder won the rename; its dir is identical
     return dest
 
+
+def _ann_index_for(sf_dir: str, bits: int = 4) -> str:
+    """Build-or-reuse the bucket-partitioned embedding index
+    (`_source_cached_dir` discipline)."""
+
+    def build(d: str) -> None:
+        build_ann_index(
+            _read_sized(sf_dir, "embeddings", ["vec_id", "embedding"]), d, bits=bits
+        )
+
+    return _source_cached_dir(sf_dir, "embeddings", "ann", f"bits={bits}", build)
 
 def q_ann_lsh(sf_dir: str):
     """LSH-bucketed ANN over the bucket-partitioned index: the probe
@@ -2551,32 +2560,19 @@ _PHRASE = ("batch", "stream")
 
 
 def _pos_index_for(sf_dir: str, num_buckets: int = 64) -> str:
-    """Build-or-reuse the POSITIONAL postings index — same cache
-    discipline as `_text_index_for`."""
-    import tempfile
-
+    """Build-or-reuse the POSITIONAL postings index."""
     from .functions.textindex import build_positional_index
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:pos={num_buckets}"
-    digest = __import__("hashlib").blake2b(key.encode(), digest_size=8).hexdigest()
-    dest = os.path.join(tempfile.gettempdir(), "webscraper_ray_posidx", digest)
-    if os.path.isdir(dest):
-        return dest
-    build_dir = tempfile.mkdtemp(prefix=f"pidxbuild_{digest}_")
-    build_positional_index(
-        _read_sized(sf_dir, "documents", ["doc_id", "text"]),
-        build_dir,
-        num_buckets=num_buckets,
-    )
-    os.makedirs(os.path.dirname(dest), exist_ok=True)
-    try:
-        os.rename(build_dir, dest)
-    except OSError:
-        pass
-    return dest
+    def build(d: str) -> None:
+        build_positional_index(
+            _read_sized(sf_dir, "documents", ["doc_id", "text"]),
+            d,
+            num_buckets=num_buckets,
+        )
 
+    return _source_cached_dir(
+        sf_dir, "documents", "posidx", f"pos={num_buckets}", build
+    )
 
 def q_phrase_search(sf_dir: str):
     """Two-token PHRASE query over the positional inverted index: reads
@@ -3259,19 +3255,6 @@ FROM seq
 """
 
 
-def _roundtrip_dir(sf_dir: str, kind: str, table: str) -> str:
-    """Scratch dir for a format round-trip, keyed by the SOURCE TABLE's
-    identity so repeat runs reuse the written files and a changed table
-    invalidates them (the `_ann_index_for` cache discipline)."""
-    import tempfile
-
-    src = os.path.join(sf_dir, f"{table}.parquet")
-    st = os.stat(src)
-    key = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{kind}"
-    digest = __import__("hashlib").blake2b(key.encode(), digest_size=8).hexdigest()
-    return os.path.join(tempfile.gettempdir(), f"webscraper_ray_{kind}", digest)
-
-
 def q_jsonl_roundtrip(sf_dir: str):
     """JSONL source + sink: the documents projection streams out through
     ``write_json`` (one file per block — the resumable-output
@@ -3281,11 +3264,12 @@ def q_jsonl_roundtrip(sf_dir: str):
     parse loss in the round-trip flips the value hash. S7's JSONL
     surface as a first-class distributed source, not just a log
     sink."""
-    out_dir = _roundtrip_dir(sf_dir, "jsonl", "documents")
-    if not os.path.isdir(out_dir):
-        _read_sized(sf_dir, "documents", ["doc_id", "source", "n_chars"]).write_json(
-            out_dir
-        )
+    def build(d: str) -> None:
+        _read_sized(
+            sf_dir, "documents", ["doc_id", "source", "n_chars"]
+        ).write_json(d)
+
+    out_dir = _source_cached_dir(sf_dir, "documents", "jsonl", "jsonl", build)
     back = ray.data.read_json(out_dir)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -3322,11 +3306,12 @@ def q_csv_roundtrip(sf_dir: str):
     recomputes from parquet, gating the full serialize/parse cycle."""
     import ray.data as _rd
 
-    out_dir = _roundtrip_dir(sf_dir, "csv", "events")
-    if not os.path.isdir(out_dir):
+    def build(d: str) -> None:
         _read_sized(
             sf_dir, "events", ["event_id", "user_id", "event_type"]
-        ).write_csv(out_dir)
+        ).write_csv(d)
+
+    out_dir = _source_cached_dir(sf_dir, "events", "csv", "csv", build)
     back = _rd.read_csv(out_dir)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -3689,32 +3674,19 @@ _TERM_LOOKUP_TERMS = ["hash", "window", "customer"]
 
 
 def _text_index_for(sf_dir: str, num_buckets: int = 64) -> str:
-    """Build-or-reuse the token-bucket postings index for a documents
-    table — same source-identity cache discipline as `_ann_index_for`."""
-    import tempfile
-
+    """Build-or-reuse the token-bucket postings index."""
     from .functions.textindex import build_text_index
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:nb={num_buckets}"
-    digest = __import__("hashlib").blake2b(key.encode(), digest_size=8).hexdigest()
-    dest = os.path.join(tempfile.gettempdir(), "webscraper_ray_textidx", digest)
-    if os.path.isdir(dest):
-        return dest
-    build_dir = tempfile.mkdtemp(prefix=f"tidxbuild_{digest}_")
-    build_text_index(
-        _read_sized(sf_dir, "documents", ["doc_id", "text"]),
-        build_dir,
-        num_buckets=num_buckets,
-    )
-    os.makedirs(os.path.dirname(dest), exist_ok=True)
-    try:
-        os.rename(build_dir, dest)
-    except OSError:
-        pass  # concurrent builder won; identical index
-    return dest
+    def build(d: str) -> None:
+        build_text_index(
+            _read_sized(sf_dir, "documents", ["doc_id", "text"]),
+            d,
+            num_buckets=num_buckets,
+        )
 
+    return _source_cached_dir(
+        sf_dir, "documents", "textidx", f"nb={num_buckets}", build
+    )
 
 def q_term_lookup(sf_dir: str):
     """Inverted-index term lookup over the bucket-partitioned postings
@@ -6638,30 +6610,14 @@ def _docs_split(sf_dir: str, new: bool) -> "ray.data.Dataset":
 
 
 def _band_index_for(sf_dir: str) -> str:
-    """Build-or-reuse the bucket-partitioned minhash band index over the
-    'old' split of documents (doc_id % 10 != 0) — the ``_ann_index_for``
-    caching discipline: keyed by source identity, rebuilt when the table
-    changes, concurrent builders race benignly via rename."""
-    import tempfile
-
+    """Build-or-reuse the minhash band index over the 'old' split of
+    documents (doc_id % 10 != 0)."""
     from .functions.increment import build_band_index
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:bandidx"
-    digest = __import__("hashlib").blake2b(key.encode(), digest_size=8).hexdigest()
-    dest = os.path.join(tempfile.gettempdir(), "webscraper_ray_bandidx", digest)
-    if os.path.isdir(dest):
-        return dest
-    build_dir = tempfile.mkdtemp(prefix=f"bandidx_{digest}_")
-    build_band_index(_docs_split(sf_dir, new=False), build_dir)
-    os.makedirs(os.path.dirname(dest), exist_ok=True)
-    try:
-        os.rename(build_dir, dest)
-    except OSError:
-        pass  # a concurrent builder won the rename; its index is identical
-    return dest
+    def build(d: str) -> None:
+        build_band_index(_docs_split(sf_dir, new=False), d)
 
+    return _source_cached_dir(sf_dir, "documents", "bandidx", "bandidx", build)
 
 def q_dedup_incremental(sf_dir: str):
     """Incremental near-dup detection against a PERSISTED band index —
