@@ -3076,6 +3076,129 @@ ORDER BY antecedent, consequent
 """
 
 
+def q_bloom_join_revenue(sf_dir: str):
+    """Bloom-prefiltered BIG-BIG join — the runtime-filter pushdown every
+    warehouse engine applies at volume: the selective side's join keys
+    fold into a constant-size Bloom bit array (one broadcast, never a
+    key-list), the fact side drops non-matching rows MAP-SIDE before the
+    exchange, and the exact partitioned join removes the false
+    positives. Correctness is join-invariant (the filter only prunes
+    true negatives), so the gate is the PLAIN join SQL — any bloom bug
+    that dropped a matching row would flip the value hash.
+
+    Scale shape: urgent-order keys reduce to 4096 bits via mergeable
+    per-batch partials (an OR is a max on ints); the fact exchange then
+    carries only surviving rows (~selectivity x corpus + the bounded
+    false-positive mass) instead of everything."""
+    from ray.data.aggregate import Max
+
+    from .functions.sketches import BLOOM_K, BLOOM_M_BITS
+
+    from .functions.dedup import md5_u64
+
+    orders = _read_sized(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+        bits = np.zeros(BLOOM_M_BITS, dtype=bool)
+        for k in kept.column("o_orderkey").to_pylist():
+            for i in range(BLOOM_K):
+                bits[md5_u64(f"{i}|{k}") % BLOOM_M_BITS] = True
+        idx = np.flatnonzero(bits)
+        return pa.table(
+            {
+                "pos": pa.array(idx.astype(np.int64)),
+                "one": pa.array(np.ones(len(idx), np.int64)),
+            }
+        )
+
+    bit_rows = (
+        orders.map_batches(bloom_partial, batch_format="pyarrow")
+        .groupby("pos")
+        .aggregate(Max("one", alias_name="one"))
+        .take_all()
+    )  # <= 4096 rows, the constant-size sketch
+    bits = np.zeros(BLOOM_M_BITS, dtype=bool)
+    for r in bit_rows:
+        bits[int(r["pos"])] = True
+    bits_ref = ray.put(bits)
+
+    line = _read_sized(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def prefilter(t: pa.Table, _cache={}) -> pa.Table:  # noqa: B006
+        b = _cache.get("b")
+        if b is None:
+            _cache["b"] = b = ray.get(bits_ref)
+        keys = t.column("l_orderkey").to_pylist()
+        keep = np.fromiter(
+            (
+                all(
+                    b[md5_u64(f"{i}|{k}") % BLOOM_M_BITS]
+                    for i in range(BLOOM_K)
+                )
+                for k in keys
+            ),
+            dtype=bool,
+            count=len(keys),
+        )
+        kept = t.filter(pa.array(keep))
+        rev = pc.multiply(
+            _cents(kept.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), _cents(kept.column("l_discount"))
+            ),
+        )
+        g = (
+            pa.table({"l_orderkey": kept.column("l_orderkey"), "rev_c": rev})
+            .group_by("l_orderkey")
+            .aggregate([("rev_c", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "rev_c"])
+
+    urgent = orders.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("o_orderpriority"), "1-URGENT")
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    joined = (
+        line.map_batches(prefilter, batch_format="pyarrow")
+        .groupby("l_orderkey")  # bloom-filtered-sized global fold: one
+        .aggregate(Sum("rev_c", alias_name="rev_c"))  # row per order
+        .join(
+            urgent,
+            join_type="inner",
+            num_partitions=_join_partitions(),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+    )
+    total = joined.sum("rev_c")
+    n_orders = joined.count()
+    return pa.table(
+        {
+            "n_order_lines": pa.array([n_orders], pa.int64()),
+            "urgent_revenue": pa.array([(total or 0) / 10000.0], pa.float64()),
+        }
+    )
+
+
+SQL_BLOOM_JOIN_REVENUE = """
+WITH pre AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_order_lines,
+       COALESCE(sum(rev_c), 0) / 10000.0 AS urgent_revenue
+FROM pre JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 def q_rfm_segments(sf_dir: str):
     """RFM customer segmentation (recency / frequency / monetary — the
     classic CRM cube): per-customer aggregates bucket into a 4x4x4 grid
@@ -6992,6 +7115,7 @@ QUERIES = {
     "csv_roundtrip": q_csv_roundtrip,
     "running_distinct": q_running_distinct,
     "rfm_segments": q_rfm_segments,
+    "bloom_join_revenue": q_bloom_join_revenue,
 }
 
 ORACLE_SQL = {
@@ -7106,6 +7230,7 @@ ORACLE_SQL = {
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "running_distinct": SQL_RUNNING_DISTINCT,
     "rfm_segments": SQL_RFM_SEGMENTS,
+    "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
