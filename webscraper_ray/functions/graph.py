@@ -328,6 +328,9 @@ def _closed_wedges(
     partitioned two-key join. Returns None when no wedges exist (a
     matching-shaped or empty graph) — Ray normalizes an all-empty
     dataset to schema-less blocks that would crash the join."""
+    # the edge list is consumed twice (wedge emission + closure probe);
+    # materialize so a lazy upstream derivation never executes twice
+    edges = edges.materialize()
     empty = pa.table(
         {
             "a": pa.array([], pa.int64()),

@@ -3092,18 +3092,26 @@ def q_bloom_join_revenue(sf_dir: str):
     false-positive mass) instead of everything."""
     from ray.data.aggregate import Max
 
-    from .functions.sketches import BLOOM_K, BLOOM_M_BITS
+    from .functions.sketches import BLOOM_M_BITS
 
-    from .functions.dedup import md5_u64
+    # the gate is join-invariant (the bloom only prunes true negatives),
+    # so the hash family is free to be FULLY VECTORIZED: one Knuth
+    # multiply per key, three bit windows — no per-row Python anywhere
+    _KNUTH = np.uint64(0x9E3779B97F4A7C15)
+    _M = np.uint64(BLOOM_M_BITS)
+
+    def _positions(keys: np.ndarray) -> tuple:
+        h = keys.astype(np.uint64) * _KNUTH
+        return (h % _M, (h >> np.uint64(16)) % _M, (h >> np.uint64(32)) % _M)
 
     orders = _read_sized(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
 
     def bloom_partial(t: pa.Table) -> pa.Table:
         kept = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
         bits = np.zeros(BLOOM_M_BITS, dtype=bool)
-        for k in kept.column("o_orderkey").to_pylist():
-            for i in range(BLOOM_K):
-                bits[md5_u64(f"{i}|{k}") % BLOOM_M_BITS] = True
+        keys = kept.column("o_orderkey").to_numpy(zero_copy_only=False)
+        for pos in _positions(keys):
+            bits[pos.astype(np.int64)] = True
         idx = np.flatnonzero(bits)
         return pa.table(
             {
@@ -3131,17 +3139,12 @@ def q_bloom_join_revenue(sf_dir: str):
         b = _cache.get("b")
         if b is None:
             _cache["b"] = b = ray.get(bits_ref)
-        keys = t.column("l_orderkey").to_pylist()
-        keep = np.fromiter(
-            (
-                all(
-                    b[md5_u64(f"{i}|{k}") % BLOOM_M_BITS]
-                    for i in range(BLOOM_K)
-                )
-                for k in keys
-            ),
-            dtype=bool,
-            count=len(keys),
+        keys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p0, p1, p2 = _positions(keys)
+        keep = (
+            b[p0.astype(np.int64)]
+            & b[p1.astype(np.int64)]
+            & b[p2.astype(np.int64)]
         )
         kept = t.filter(pa.array(keep))
         rev = pc.multiply(
@@ -3163,10 +3166,25 @@ def q_bloom_join_revenue(sf_dir: str):
         ).select(["o_orderkey"]),
         batch_format="pyarrow",
     )
+    from .functions.joins import _part_column as _pcol
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", _pcol(t.column("l_orderkey"), 16))
+
+    def fold(part: pa.Table) -> pa.Table:
+        g = part.select(["l_orderkey", "rev_c"]).group_by(
+            "l_orderkey"
+        ).aggregate([("rev_c", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_c"])
+
     joined = (
         line.map_batches(prefilter, batch_format="pyarrow")
-        .groupby("l_orderkey")  # bloom-filtered-sized global fold: one
-        .aggregate(Sum("rev_c", alias_name="rev_c"))  # row per order
+        # bloom-filtered-sized global fold, one row per order — via
+        # hash-partition + one vectorized arrow group_by per partition
+        # (Ray's sort-based Aggregate pays seconds on 10^5 keys)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
         .join(
             urgent,
             join_type="inner",
@@ -3174,6 +3192,7 @@ def q_bloom_join_revenue(sf_dir: str):
             on=("l_orderkey",),
             right_on=("o_orderkey",),
         )
+        .materialize()  # matched-order-sized; two reductions follow
     )
     total = joined.sum("rev_c")
     n_orders = joined.count()
