@@ -3076,6 +3076,107 @@ ORDER BY antecedent, consequent
 """
 
 
+def q_late_events(sf_dir: str):
+    """Streaming-semantics LATE-DATA detection: an event is late if its
+    event time is behind the user's running watermark (the max event
+    time seen so far in ARRIVAL order). The synthetic corpus's event_id
+    sequence is already time-ordered, so the arrival schedule is a
+    deterministic md5 permutation of it — the adversarial reordering
+    both engines share exactly. The per-user late count + max lateness
+    drives watermark tuning in any streaming pipeline. ONE user-keyed
+    exchange; per partition a lexsort by (user, arrival) and a C-level
+    grouped cummax."""
+    from .functions.joins import _part_column as _pcol
+
+    ds = _read_sized(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", _pcol(t.column("user_id"), 16))
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_late": pa.array([], pa.int64()),
+            "max_lateness_us": pa.array([], pa.int64()),
+        }
+    )
+
+    from .functions.dedup import md5_u64
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return empty
+        uid = part.column("user_id").to_numpy(zero_copy_only=False)
+        eid = part.column("event_id").to_numpy(zero_copy_only=False)
+        ts = part.column("ts").to_numpy(zero_copy_only=False).view("i8")
+        arr = np.fromiter(
+            (md5_u64(f"arr:{int(e)}") for e in eid),
+            dtype=np.uint64,
+            count=len(eid),
+        )
+        import pandas as pd
+
+        order = np.lexsort((eid, arr, uid))
+        uid, ts = uid[order], ts[order]
+        starts = np.flatnonzero(np.diff(uid, prepend=uid[0] - 1))
+        # per-user running max in arrival order (C-level grouped cummax)
+        user_cummax = (
+            pd.Series(ts).groupby(uid, sort=False).cummax().to_numpy()
+        )
+        # watermark BEFORE event i = the user's cummax at i-1
+        wm = np.empty_like(user_cummax)
+        wm[1:] = user_cummax[:-1]
+        wm[starts] = ts[starts]  # first arrival is never late
+        late = ts < wm
+        lateness = np.where(late, wm - ts, 0)
+        g = (
+            pa.table(
+                {
+                    "user_id": pa.array(uid.astype(np.int64)),
+                    "n_late": pa.array(late.astype(np.int64)),
+                    "max_lateness_us": pa.array(lateness.astype(np.int64)),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("n_late", "sum"), ("max_lateness_us", "max")])
+        )
+        g = g.rename_columns(["user_id", "n_late", "max_lateness_us"])
+        return g.filter(pc.greater(g.column("n_late"), pa.scalar(0, pa.int64())))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_LATE_EVENTS = """
+WITH arr AS (
+  SELECT user_id, ts, event_id,
+         ('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT
+           AS arrival
+  FROM events
+),
+wm AS (
+  SELECT user_id, ts,
+         max(ts) OVER (
+           PARTITION BY user_id ORDER BY arrival, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS watermark
+  FROM arr
+),
+late AS (
+  SELECT user_id,
+         CASE WHEN ts < watermark THEN 1 ELSE 0 END AS is_late,
+         CASE WHEN ts < watermark
+              THEN epoch_us(watermark) - epoch_us(ts) ELSE 0 END AS lateness
+  FROM wm
+)
+SELECT user_id, CAST(sum(is_late) AS BIGINT) AS n_late,
+       CAST(max(lateness) AS BIGINT) AS max_lateness_us
+FROM late GROUP BY user_id HAVING sum(is_late) > 0
+"""
+
+
 def q_bloom_join_revenue(sf_dir: str):
     """Bloom-prefiltered BIG-BIG join — the runtime-filter pushdown every
     warehouse engine applies at volume: the selective side's join keys
@@ -7135,6 +7236,7 @@ QUERIES = {
     "running_distinct": q_running_distinct,
     "rfm_segments": q_rfm_segments,
     "bloom_join_revenue": q_bloom_join_revenue,
+    "late_events": q_late_events,
 }
 
 ORACLE_SQL = {
@@ -7250,6 +7352,7 @@ ORACLE_SQL = {
     "running_distinct": SQL_RUNNING_DISTINCT,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
+    "late_events": SQL_LATE_EVENTS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
