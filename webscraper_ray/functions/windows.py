@@ -22,6 +22,7 @@ __all__ = [
     "sessionize",
     "funnel_stages",
     "rolling_sum",
+    "range_rolling",
     "event_gaps",
 ]
 
@@ -403,6 +404,82 @@ def event_gaps(
                     np.ma.masked_array(gaps, mask=first), pa.int64(),
                     from_pandas=True,
                 ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+def range_rolling(
+    ds: "ray.data.Dataset",
+    window_us: int = 3_600_000_000,
+    num_parts: int = _SESSION_PARTS,
+) -> "ray.data.Dataset":
+    """Value-based window frame: per event, count + sum of ``value`` over
+    the user's events with ``ts`` in ``[ts_i - window, ts_i]`` — SQL's
+    ``RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT ROW`` (both frame
+    ends by VALUE, so ts peers are included), which the row-frame
+    :func:`rolling_sum` cannot express.
+
+    ONE hash-partition shuffle on user_id, then every user of a
+    partition in one vectorized pass. The frame bounds come from a
+    single global ``np.searchsorted`` over a segment-shifted timestamp
+    axis: each user's timestamps are translated onto disjoint
+    monotonically increasing ranges (segment k starts at
+    ``base_k + window``, where ``base_{k+1} = base_k + span_k + window
+    + 1``), so one sorted array answers every per-user range probe —
+    no Python dispatch per user. The shift domain is int64-guarded
+    loudly (total span of a partition must fit), the same discipline
+    as the temporal joins' overflow guard.
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_p", pa.array(((u * _KNUTH) % np.uint64(num_parts)).astype(np.int32))
+        )
+
+    w = np.int64(window_us)
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "win_n": pa.array([], pa.int64()),
+                    "win_sum": pa.array([], pa.float64()),
+                }
+            )
+        order, u, ts, eid = _user_sorted(t)
+        v = t.column("value").to_numpy(zero_copy_only=False)[order]
+        vm = np.round(v * 1000.0).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], u.size]
+        group = np.zeros(u.size, dtype=np.int64)
+        group[starts] = 1
+        group = np.cumsum(group) - 1
+        seg_min = ts[starts]
+        spans = (ts[ends - 1] - seg_min).astype(np.float64)
+        if (spans + float(w) + 1.0).sum() >= float(np.iinfo(np.int64).max):
+            raise OverflowError(
+                "range_rolling: partition time spans overflow the int64 "
+                "shift domain; shrink window_us or raise num_parts"
+            )
+        bases = np.r_[0, np.cumsum((ts[ends - 1] - seg_min) + w + 1)[:-1]]
+        shifted = (ts - seg_min[group]) + w + bases[group]
+        lo = np.searchsorted(shifted, shifted - w, side="left")
+        hi = np.searchsorted(shifted, shifted, side="right")
+        cs = np.r_[0, np.cumsum(vm)]
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(u),
+                "win_n": pa.array(hi - lo),
+                "win_sum": pa.array((cs[hi] - cs[lo]).astype(np.float64) / 1000.0),
             }
         )
 

@@ -3177,6 +3177,32 @@ FROM late GROUP BY user_id HAVING sum(is_late) > 0
 """
 
 
+def q_time_range_sum(sf_dir: str):
+    """Value-based window frame (RANGE BETWEEN INTERVAL '1 hour'
+    PRECEDING AND CURRENT ROW): per event, the user's event count and
+    value sum over the trailing hour BY TIMESTAMP VALUE (ts peers
+    included) — rate limiting / trailing-revenue features that the
+    row-frame ``rolling_value_sum`` cannot express. One user-keyed
+    shuffle; frame bounds from a single segment-shifted searchsorted
+    per partition (see ``windows.range_rolling``)."""
+    from .functions.windows import range_rolling
+
+    return range_rolling(
+        _read_sized(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        window_us=3_600_000_000,
+    )
+
+
+SQL_TIME_RANGE_SUM = """
+SELECT event_id, user_id,
+       count(*) OVER w AS win_n,
+       sum(CAST(round(value * 1000) AS BIGINT)) OVER w / 1000.0 AS win_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_bloom_join_revenue(sf_dir: str):
     """Bloom-prefiltered BIG-BIG join — the runtime-filter pushdown every
     warehouse engine applies at volume: the selective side's join keys
@@ -7237,6 +7263,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "bloom_join_revenue": q_bloom_join_revenue,
     "late_events": q_late_events,
+    "time_range_sum": q_time_range_sum,
 }
 
 ORACLE_SQL = {
@@ -7353,6 +7380,7 @@ ORACLE_SQL = {
     "rfm_segments": SQL_RFM_SEGMENTS,
     "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
     "late_events": SQL_LATE_EVENTS,
+    "time_range_sum": SQL_TIME_RANGE_SUM,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
