@@ -3203,6 +3203,54 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_skyline_orders(sf_dir: str):
+    """2-D skyline (Pareto frontier): orders not dominated on
+    (totalprice, recency) — multi-criteria "best offers" selection.
+    The classic local-prune → tiny-merge distribution: each batch
+    keeps only its LOCAL skyline (~log n points of a random batch),
+    and only survivors reach the single merge group — the exchange is
+    survivor-sized at any corpus size. Dominance over exact
+    (cents, epoch-µs) int64 pairs; duplicates of a skyline point all
+    survive (neither dominates)."""
+    from .functions.skyline import skyline_2d
+
+    orders = _read_sized(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column("_xc", _cents(t.column("o_totalprice"))).append_column(
+            "_yd", t.column("o_orderdate").cast(pa.int64())
+        )
+
+    return skyline_2d(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "_xc",
+        "_yd",
+        ["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+
+SQL_SKYLINE_ORDERS = """
+WITH pts AS (
+  SELECT DISTINCT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         epoch_us(o_orderdate) AS y
+  FROM orders
+),
+sk AS (
+  SELECT x, y,
+         max(y) OVER (ORDER BY x DESC, y DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM pts
+)
+SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+FROM orders o
+JOIN sk ON CAST(round(o.o_totalprice * 100) AS BIGINT) = sk.x
+       AND epoch_us(o.o_orderdate) = sk.y
+WHERE sk.mx IS NULL OR sk.mx < sk.y
+"""
+
+
 def q_bloom_join_revenue(sf_dir: str):
     """Bloom-prefiltered BIG-BIG join — the runtime-filter pushdown every
     warehouse engine applies at volume: the selective side's join keys
@@ -7264,6 +7312,7 @@ QUERIES = {
     "bloom_join_revenue": q_bloom_join_revenue,
     "late_events": q_late_events,
     "time_range_sum": q_time_range_sum,
+    "skyline_orders": q_skyline_orders,
 }
 
 ORACLE_SQL = {
@@ -7381,6 +7430,7 @@ ORACLE_SQL = {
     "bloom_join_revenue": SQL_BLOOM_JOIN_REVENUE,
     "late_events": SQL_LATE_EVENTS,
     "time_range_sum": SQL_TIME_RANGE_SUM,
+    "skyline_orders": SQL_SKYLINE_ORDERS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
