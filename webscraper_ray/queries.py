@@ -3251,6 +3251,46 @@ WHERE sk.mx IS NULL OR sk.mx < sk.y
 """
 
 
+def _events_split(sf_dir: str, new: bool) -> "ray.data.Dataset":
+    """Deterministic base/delta split of the event log: event_id % 10
+    == 0 is the delta batch, the rest is the persisted-state base."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        mod = t.column("event_id").to_numpy(zero_copy_only=False) % 10
+        return t.filter(pa.array(mod == 0 if new else mod != 0))
+
+    return _read_sized(
+        sf_dir, "events", ["event_id", "event_type", "value"]
+    ).map_batches(keep, batch_format="pyarrow")
+
+
+def q_incremental_agg(sf_dir: str):
+    """Incremental aggregate maintenance — the daily-delta pattern: the
+    base events (event_id % 10 != 0) were aggregated ONCE into a
+    persisted group-count-sized combine-form state
+    (count + exact int64 milli-sum per event_type); absorbing the delta
+    (event_id % 10 == 0) scans ONLY the delta plus that state — the
+    base corpus is unreachable from the merge by construction. The
+    result is value-hash identical to a from-scratch aggregate over
+    base ∪ delta, which is exactly what the oracle computes."""
+    from .functions.incragg import build_agg_state, merge_agg_state
+
+    def build(d: str) -> None:
+        build_agg_state(_events_split(sf_dir, new=False), d)
+
+    state = _source_cached_dir(sf_dir, "events", "aggstate", "aggstate", build)
+    return merge_agg_state(state, _events_split(sf_dir, new=True))
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 1000) AS BIGINT)) / 1000.0 AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_bloom_join_revenue(sf_dir: str):
     """Bloom-prefiltered BIG-BIG join — the runtime-filter pushdown every
     warehouse engine applies at volume: the selective side's join keys
@@ -7313,6 +7353,7 @@ QUERIES = {
     "late_events": q_late_events,
     "time_range_sum": q_time_range_sum,
     "skyline_orders": q_skyline_orders,
+    "incremental_agg": q_incremental_agg,
 }
 
 ORACLE_SQL = {
@@ -7431,6 +7472,7 @@ ORACLE_SQL = {
     "late_events": SQL_LATE_EVENTS,
     "time_range_sum": SQL_TIME_RANGE_SUM,
     "skyline_orders": SQL_SKYLINE_ORDERS,
+    "incremental_agg": SQL_INCREMENTAL_AGG,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
