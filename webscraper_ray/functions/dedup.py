@@ -737,30 +737,67 @@ def ngram_near_dups(
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ray.data.from_arrow(empty)
+    return exact_jaccard_verify(
+        pairs,
+        ds,
+        id_col,
+        text_col,
+        a_col,
+        b_col,
+        n_pairs,
+        jaccard_threshold,
+        involved_broadcast_max,
+    ).sort(["doc_a", "doc_b"])
+
+
+def shingle_hash_table(
+    kept: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """(id, sorted md5-u64 shingle hashes as binary) per doc — the
+    per-doc payload the exact-Jaccard verify joins against."""
+    ids, arrays = [], []
+    for doc, text in zip(
+        kept.column(id_col).to_pylist(), kept.column(text_col).to_pylist()
+    ):
+        sh = _shingles(text or "")
+        if not sh:
+            continue
+        ids.append(doc)
+        arrays.append(
+            np.sort(np.fromiter((md5_u64(s) for s in sh), dtype=np.uint64))
+        )
+    return pa.table(
+        {
+            id_col: pa.array(ids, pa.int64()),
+            "hashes": pa.array([a.tobytes() for a in arrays], pa.binary()),
+        }
+    )
+
+
+def exact_jaccard_verify(
+    pairs: "ray.data.Dataset",
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    a_col: str,
+    b_col: str,
+    n_pairs: int,
+    jaccard_threshold: float,
+    involved_broadcast_max: int = INVOLVED_BROADCAST_MAX,
+) -> "ray.data.Dataset":
+    """TRUE distinct-shingle Jaccard of each candidate pair, distributed:
+    involved docs (broadcast-filter or semi-join, by id count) supply
+    sorted shingle-hash arrays; the pair set joins both sides
+    (:func:`_join_pair_sides`) and verifies in one vectorized-per-pair
+    pass. Shared by the LSH-candidate ``ngram_near_dups`` and the
+    exact prefix-filter ``setjoin.similarity_join``."""
     involved = _involved_docs(
         ds, pairs, id_col, text_col, a_col, b_col, involved_broadcast_max
     )
-
-    def shingle_arrays(kept: pa.Table) -> pa.Table:
-        ids, arrays = [], []
-        for doc, text in zip(
-            kept.column(id_col).to_pylist(), kept.column(text_col).to_pylist()
-        ):
-            sh = _shingles(text or "")
-            if not sh:
-                continue
-            ids.append(doc)
-            arrays.append(
-                np.sort(np.fromiter((md5_u64(s) for s in sh), dtype=np.uint64))
-            )
-        return pa.table(
-            {
-                id_col: pa.array(ids, pa.int64()),
-                "hashes": pa.array([a.tobytes() for a in arrays], pa.binary()),
-            }
-        )
-
-    hash_ds = involved.map_batches(shingle_arrays, batch_format="pyarrow").materialize()
+    hash_ds = involved.map_batches(
+        lambda t: shingle_hash_table(t, id_col, text_col),
+        batch_format="pyarrow",
+    ).materialize()
 
     def verify(t: pa.Table) -> pa.Table:
         # per-pair loop is fine here: the candidate set is output-sized
@@ -787,6 +824,6 @@ def ngram_near_dups(
             }
         )
 
-    return _join_pair_sides(pairs, hash_ds, id_col, a_col, b_col, "hashes", n_pairs).map_batches(
-        verify, batch_format="pyarrow"
-    ).sort(["doc_a", "doc_b"])
+    return _join_pair_sides(
+        pairs, hash_ds, id_col, a_col, b_col, "hashes", n_pairs
+    ).map_batches(verify, batch_format="pyarrow")

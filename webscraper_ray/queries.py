@@ -3291,6 +3291,49 @@ GROUP BY event_type
 """
 
 
+def q_similarity_join(sf_dir: str):
+    """EXACT set-similarity self-join (prefix filtering, PPJoin-style):
+    every doc pair with distinct-3-shingle Jaccard >= 0.5 — guaranteed
+    recall, unlike the LSH dedup families whose band candidates can
+    miss true pairs. The md5 hash order is the global prefix order, so
+    the candidate stage is one prefix-row exchange with NO corpus-wide
+    frequency pass; the oracle is algorithm-independent (true pairwise
+    Jaccard via the shingle equi-join)."""
+    from .functions.setjoin import similarity_join
+
+    return similarity_join(
+        _read_sized(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+
+
+SQL_SIMILARITY_JOIN = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT x.doc_a, x.doc_b,
+       x.i * 1.0 / (ca.n + cb.n - x.i) AS jaccard
+FROM inter x
+JOIN counts ca ON ca.doc_id = x.doc_a
+JOIN counts cb ON cb.doc_id = x.doc_b
+WHERE x.i * 1.0 / (ca.n + cb.n - x.i) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_bloom_join_revenue(sf_dir: str):
     """Bloom-prefiltered BIG-BIG join — the runtime-filter pushdown every
     warehouse engine applies at volume: the selective side's join keys
@@ -7354,6 +7397,7 @@ QUERIES = {
     "time_range_sum": q_time_range_sum,
     "skyline_orders": q_skyline_orders,
     "incremental_agg": q_incremental_agg,
+    "similarity_join": q_similarity_join,
 }
 
 ORACLE_SQL = {
@@ -7473,6 +7517,7 @@ ORACLE_SQL = {
     "time_range_sum": SQL_TIME_RANGE_SUM,
     "skyline_orders": SQL_SKYLINE_ORDERS,
     "incremental_agg": SQL_INCREMENTAL_AGG,
+    "similarity_join": SQL_SIMILARITY_JOIN,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
