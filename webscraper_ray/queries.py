@@ -3334,6 +3334,62 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_zorder_orders(sf_dir: str):
+    """Z-order (Morton) clustering values over orders on
+    (totalprice-cents, orderdate-µs) — the multi-dimensional layout key
+    behind warehouse OPTIMIZE ZORDER: rows close in BOTH dims get close
+    z-values, so a bucketed write yields tight per-bucket min/max boxes
+    and 2-D range probes prune whole files (spy-pinned in
+    tests/test_zorder.py). Exact integer quantization
+    (divide-by-width, overflow-safe) + bit interleave, so the 32-bit
+    z-value is value-hash reproducible in SQL."""
+    from .functions.zorder import add_zvalues, global_bounds
+
+    orders = _read_sized(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "x": _cents(t.column("o_totalprice")),
+                "y": t.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    src = orders.map_batches(prep, batch_format="pyarrow")
+    bounds = global_bounds(src, "x", "y")
+    return add_zvalues(src, "x", "y", bounds).select_columns(
+        ["o_orderkey", "zval"]
+    )
+
+
+def _sql_zorder_orders() -> str:
+    terms = []
+    for i in range(16):
+        terms.append(f"(((qx >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((qy >> {i}) & 1) << {2 * i + 1})")
+    interleave = " + ".join(terms)
+    return f"""
+WITH src AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         epoch_us(o_orderdate) AS y
+  FROM orders
+),
+b AS (SELECT min(x) AS xmin, max(x) AS xmax,
+             min(y) AS ymin, max(y) AS ymax FROM src),
+q AS (
+  SELECT o_orderkey,
+         (x - xmin) // ((xmax - xmin) // 65536 + 1) AS qx,
+         (y - ymin) // ((ymax - ymin) // 65536 + 1) AS qy
+  FROM src, b
+)
+SELECT o_orderkey, {interleave} AS zval FROM q
+"""
+
+
 def q_bloom_join_revenue(sf_dir: str):
     """Bloom-prefiltered BIG-BIG join — the runtime-filter pushdown every
     warehouse engine applies at volume: the selective side's join keys
@@ -7398,6 +7454,7 @@ QUERIES = {
     "skyline_orders": q_skyline_orders,
     "incremental_agg": q_incremental_agg,
     "similarity_join": q_similarity_join,
+    "zorder_orders": q_zorder_orders,
 }
 
 ORACLE_SQL = {
@@ -7518,6 +7575,7 @@ ORACLE_SQL = {
     "skyline_orders": SQL_SKYLINE_ORDERS,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "similarity_join": SQL_SIMILARITY_JOIN,
+    "zorder_orders": _sql_zorder_orders(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
