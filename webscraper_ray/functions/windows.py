@@ -24,6 +24,7 @@ __all__ = [
     "rolling_sum",
     "range_rolling",
     "event_gaps",
+    "session_paths",
 ]
 
 
@@ -487,4 +488,106 @@ def range_rolling(
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("_p")
         .map_groups(per_part, batch_format="pyarrow")
+    )
+
+def session_paths(
+    ds: "ray.data.Dataset",
+    gap_minutes: int = 30,
+    max_len: int = 5,
+    num_parts: int = _SESSION_PARTS,
+) -> "ray.data.Dataset":
+    """(path, n_sessions): top-of-session navigation paths — each
+    session's first ``max_len`` event types joined with ``>``
+    (clickstream path mining). ONE user-keyed exchange; per partition
+    every session is ENCODED, not string-built: event types map to
+    small ints (the distinct-type list is a constant-sized broadcast),
+    and a session's path becomes one base-(k+1) integer via a single
+    ``np.bincount`` over positional digit weights — no Python loop per
+    session. Only the DISTINCT path codes (<= (k+1)^max_len, a few
+    thousand) are decoded back to strings in the final tiny pass, so
+    string assembly never touches corpus-sized data.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    gap_us = np.int64(gap_minutes * 60_000_000)
+
+    # constant-sized: the distinct event-type vocabulary (k values)
+    types = sorted(
+        r["event_type"]
+        for r in ds.groupby("event_type").count().take_all()
+    )
+    base = len(types) + 1
+    type_arr = pa.array(types, pa.string())
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_p", pa.array(((u * _KNUTH) % np.uint64(num_parts)).astype(np.int32))
+        )
+
+    empty = pa.table(
+        {
+            "path_code": pa.array([], pa.int64()),
+            "n_sessions": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        order, u, ts, eid = _user_sorted(t)
+        code = (
+            pc.index_in(t.column("event_type"), type_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[order]
+        )
+        user_start = np.r_[True, u[1:] != u[:-1]]
+        gaps = np.empty(u.size, dtype=np.int64)
+        gaps[0] = 0
+        gaps[1:] = ts[1:] - ts[:-1]
+        new_session = user_start | (gaps > gap_us)
+        sid = np.cumsum(new_session) - 1
+        sess_start = np.flatnonzero(new_session)[sid]
+        pos = np.arange(u.size) - sess_start
+        keep = pos < max_len
+        w = (code[keep] + 1).astype(np.float64) * np.power(
+            float(base), pos[keep].astype(np.float64)
+        )
+        codes = np.bincount(sid[keep], weights=w).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "path_code": pa.array(codes),
+                    "n_sessions": pa.array(np.ones(codes.size, dtype=np.int64)),
+                }
+            )
+            .group_by("path_code")
+            .aggregate([("n_sessions", "sum")])
+        )
+        return g.rename_columns(["path_code", "n_sessions"])
+
+    def decode(t: pa.Table) -> pa.Table:
+        paths = []
+        for c in t.column("path_code").to_pylist():
+            parts = []
+            while c:
+                c, d = divmod(c, base)
+                parts.append(types[d - 1])
+            paths.append(">".join(parts))
+        return pa.table(
+            {
+                "path": pa.array(paths, pa.string()),
+                "n_sessions": t.column("n_sessions"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby("path_code")
+        .aggregate(Sum("n_sessions", alias_name="n_sessions"))
+        .map_batches(decode, batch_format="pyarrow")
     )

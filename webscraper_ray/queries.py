@@ -3390,6 +3390,195 @@ SELECT o_orderkey, {interleave} AS zval FROM q
 """
 
 
+def q_mode_per_user(sf_dir: str):
+    """Exact per-group MODE with deterministic tie-break: each user's
+    most frequent event type (ties -> lexicographically smallest). Two
+    shuffles, both pre-shrunk: per-batch (user, type) count partials
+    make the first carry distinct pairs, and the argmax exchange
+    carries one row per (user, type) — never events. The argmax itself
+    is one vectorized lexsort + first-per-user pass per partition, no
+    per-user dispatch."""
+    from .functions.joins import _part_column as _pcol
+    from ray.data.aggregate import Sum
+
+    ds = _read_sized(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")]
+        )
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_p", _pcol(t.column("user_id"), 16))
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "mode_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+
+    def argmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist())
+        order = np.lexsort((et, -n, u))
+        u, n, et = u[order], n[order], et[order]
+        first = np.r_[True, u[1:] != u[:-1]]
+        return pa.table(
+            {
+                "user_id": pa.array(u[first]),
+                "mode_type": pa.array(et[first]),
+                "n_events": pa.array(n[first]),
+            }
+        )
+
+    return (
+        counts.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(argmax, batch_format="pyarrow")
+    )
+
+
+SQL_MODE_PER_USER = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS mode_type, n AS n_events
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) AS rn
+      FROM c)
+WHERE rn = 1
+"""
+
+
+def q_percent_rank_values(sf_dir: str):
+    """percent_rank() + cume_dist() per event over value within the
+    user's history — the relative-rank window family (outlier scoring /
+    per-entity normalization). ONE user-keyed exchange; each partition
+    ranks ALL its users in one lexsort + run-boundary pass (ties get
+    min-rank / last-peer cume, the SQL semantics), no per-user
+    dispatch. Division is the single float op, identical in both
+    engines."""
+    from .functions.joins import _part_column as _pcol
+
+    ds = _read_sized(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_p", _pcol(t.column("user_id"), 16))
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "pr": pa.array([], pa.float64()),
+            "cd": pa.array([], pa.float64()),
+        }
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, v, u))
+        u, v, eid = u[order], v[order], eid[order]
+        n = u.size
+        idx = np.arange(n)
+        user_start = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(user_start)
+        seg = np.cumsum(user_start) - 1
+        seg_start = starts[seg]
+        seg_len = np.diff(np.r_[starts, n])[seg]
+        # tie runs: new run at a user boundary or a value change
+        run_start_mask = user_start | np.r_[False, v[1:] != v[:-1]]
+        run_starts = np.flatnonzero(run_start_mask)
+        run = np.cumsum(run_start_mask) - 1
+        run_first = run_starts[run]
+        run_last = np.r_[run_starts[1:], n][run] - 1
+        rank = run_first - seg_start + 1  # min-rank of the tie run
+        cnt_le = run_last - seg_start + 1  # peers <= current
+        denom = np.maximum(seg_len - 1, 1)
+        pr = np.where(seg_len > 1, (rank - 1) / denom, 0.0)
+        cd = cnt_le / seg_len
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(u),
+                "pr": pa.array(pr),
+                "cd": pa.array(cd),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_PERCENT_RANK_VALUES = """
+SELECT event_id, user_id,
+       percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pr,
+       cume_dist()   OVER (PARTITION BY user_id ORDER BY value) AS cd
+FROM events
+"""
+
+
+def q_session_paths(sf_dir: str):
+    """Clickstream path mining: count of each session-opening
+    navigation path (first 5 event types of a 30-min-gap session,
+    joined with '>'). Paths are integer-encoded per partition (one
+    bincount per block, no per-session string building); only the
+    distinct-path tail decodes to strings. See
+    ``windows.session_paths``."""
+    from .functions.windows import session_paths
+
+    return session_paths(
+        _read_sized(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    )
+
+
+SQL_SESSION_PATHS = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+),
+numbered AS (
+  SELECT user_id, sid, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM numbered WHERE rn <= 5 GROUP BY user_id, sid
+)
+SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+"""
+
+
 def q_bloom_join_revenue(sf_dir: str):
     """Bloom-prefiltered BIG-BIG join — the runtime-filter pushdown every
     warehouse engine applies at volume: the selective side's join keys
@@ -7455,6 +7644,9 @@ QUERIES = {
     "incremental_agg": q_incremental_agg,
     "similarity_join": q_similarity_join,
     "zorder_orders": q_zorder_orders,
+    "mode_per_user": q_mode_per_user,
+    "percent_rank_values": q_percent_rank_values,
+    "session_paths": q_session_paths,
 }
 
 ORACLE_SQL = {
@@ -7576,6 +7768,9 @@ ORACLE_SQL = {
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "similarity_join": SQL_SIMILARITY_JOIN,
     "zorder_orders": _sql_zorder_orders(),
+    "mode_per_user": SQL_MODE_PER_USER,
+    "percent_rank_values": SQL_PERCENT_RANK_VALUES,
+    "session_paths": SQL_SESSION_PATHS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
