@@ -218,3 +218,59 @@ def percentile_rank(
         )
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+def exact_quantiles_cont(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: Sequence[float],
+    max_distinct: int = MAX_DISTINCT_GATHER,
+) -> pa.Table:
+    """Exact INTERPOLATED quantiles (``quantile_cont``): same
+    distinct-value-histogram distribution as :func:`exact_quantiles`,
+    but the readoff linearly interpolates between the two straddling
+    ranks with DuckDB's own formula — ``RN = q*(n-1)`` (0-indexed),
+    ``(CRN-RN)*v[FRN] + (RN-FRN)*v[CRN]`` — op-for-op, so the float
+    output is bit-reproducible against the SQL oracle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([col]).group_by(col).aggregate([(col, "count")])
+        return g.rename_columns([col, "cnt"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    parts = _gather_histogram(agg, f"column {col!r}", max_distinct)
+    if not parts:
+        return pa.table(
+            {"q": pa.array(list(qs), pa.float64()), col: pa.nulls(len(qs))}
+        )
+    t = pa.concat_tables(parts)
+    values = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    counts = t.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(values, kind="stable")
+    values, counts = values[order], counts[order]
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if cum.size else 0
+
+    def value_at(idx0: int) -> float:
+        # value at 0-indexed overall rank idx0 via the cumulative counts
+        return float(values[np.searchsorted(cum, idx0 + 1, side="left")])
+
+    picks = []
+    for q in qs:
+        rn = q * (n - 1)
+        frn, crn = math.floor(rn), math.ceil(rn)
+        if frn == crn:
+            picks.append(value_at(frn))
+        else:
+            picks.append(
+                (crn - rn) * value_at(frn) + (rn - frn) * value_at(crn)
+            )
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            col: pa.array(picks, pa.float64()),
+        }
+    )

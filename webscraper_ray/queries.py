@@ -3579,6 +3579,115 @@ SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
 """
 
 
+def q_length_quantiles_cont(sf_dir: str):
+    """Interpolated (quantile_cont) document-length percentiles — the
+    continuous counterpart of ``length_quantiles``: same
+    distinct-value-histogram distribution (gather bounded by length
+    cardinality, never rows), readoff interpolates with DuckDB's exact
+    ``(CRN-RN)*v[FRN] + (RN-FRN)*v[CRN]`` formula so the float output
+    is bit-reproducible."""
+    from .functions.stats import exact_quantiles_cont
+
+    return exact_quantiles_cont(
+        _read_sized(sf_dir, "documents", ["n_chars"]),
+        "n_chars",
+        [0.25, 0.5, 0.9, 0.99],
+    )
+
+
+SQL_LENGTH_QUANTILES_CONT = """
+WITH qd AS (
+  SELECT quantile_cont(n_chars, [0.25, 0.5, 0.9, 0.99]) AS l FROM documents
+)
+SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q, unnest(l) AS n_chars FROM qd
+"""
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic WEIGHTED sampling: each doc kept with probability
+    proportional to its length (min(1, n_chars/4000)) decided by an
+    md5 acceptance hash — no RNG, no shuffle, one streaming filter, and
+    identical keep decisions at any parallelism. The curation move for
+    length-balanced subcorpora; the hash-to-double and the weight
+    division are the same IEEE ops in both engines."""
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "n_chars"])
+    from .functions.dedup import md5_u64
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = t.column("n_chars").to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (md5_u64(f"ws:{int(i)}") for i in ids),
+            dtype=np.uint64,
+            count=ids.size,
+        )
+        w = np.minimum(1.0, n / 4000.0)
+        return t.filter(pa.array(h.astype(np.float64) / 18446744073709551616.0 < w))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+           AS DOUBLE) / 18446744073709551616.0
+      < least(1.0, n_chars / 4000.0)
+"""
+
+
+def q_kwic_spark(sf_dir: str):
+    """Keyword-in-context (concordance): every occurrence of the term
+    'spark' with its 1-token position and neighbors — the search-result
+    snippet / corpus-linguistics primitive. Pure streaming map (no
+    shuffle at any corpus size); tokenization is the shared
+    ``[a-z0-9_]+`` contract."""
+    from .functions.dedup import _tokens
+
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
+
+    def kwic(t: pa.Table) -> pa.Table:
+        out_id, out_pos, out_prev, out_next = [], [], [], []
+        for doc, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = _tokens(text or "")
+            if not toks:
+                continue
+            arr = np.asarray(toks)
+            hits = np.flatnonzero(arr == "spark")
+            for i in hits.tolist():
+                out_id.append(doc)
+                out_pos.append(i + 1)  # 1-indexed, the SQL convention
+                out_prev.append(toks[i - 1] if i > 0 else None)
+                out_next.append(toks[i + 1] if i + 1 < len(toks) else None)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+                "prev_tok": pa.array(out_prev, pa.string()),
+                "next_tok": pa.array(out_next, pa.string()),
+            }
+        )
+
+    return ds.map_batches(kwic, batch_format="pyarrow")
+
+
+SQL_KWIC_SPARK = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id, i AS pos,
+       CASE WHEN i > 1 THEN t[i-1] ELSE NULL END AS prev_tok,
+       CASE WHEN i < len(t) THEN t[i+1] ELSE NULL END AS next_tok
+FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+WHERE t[i] = 'spark'
+"""
+
+
 def q_bloom_join_revenue(sf_dir: str):
     """Bloom-prefiltered BIG-BIG join — the runtime-filter pushdown every
     warehouse engine applies at volume: the selective side's join keys
@@ -7647,6 +7756,9 @@ QUERIES = {
     "mode_per_user": q_mode_per_user,
     "percent_rank_values": q_percent_rank_values,
     "session_paths": q_session_paths,
+    "length_quantiles_cont": q_length_quantiles_cont,
+    "weighted_sample": q_weighted_sample,
+    "kwic_spark": q_kwic_spark,
 }
 
 ORACLE_SQL = {
@@ -7771,6 +7883,9 @@ ORACLE_SQL = {
     "mode_per_user": SQL_MODE_PER_USER,
     "percent_rank_values": SQL_PERCENT_RANK_VALUES,
     "session_paths": SQL_SESSION_PATHS,
+    "length_quantiles_cont": SQL_LENGTH_QUANTILES_CONT,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "kwic_spark": SQL_KWIC_SPARK,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
