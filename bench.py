@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "dedup_edit1",
     "dedup_incremental",
     "link_triangles",
+    "similarity_join",
+    "session_paths",
+    "time_range_sum",
 ]
 
 

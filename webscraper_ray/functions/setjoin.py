@@ -48,7 +48,7 @@ def _prefix_rows(
 ) -> pa.Table:
     """(prefix_hash, doc_id, n_shingles) rows — prefix = the smallest
     ``n - ceil(t*n) + 1`` hashes of each doc's sorted shingle-hash set."""
-    ph, ids, sizes = [], [], []
+    ph, ids, sizes, poss = [], [], [], []
     for doc, text in zip(
         t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
     ):
@@ -60,12 +60,14 @@ def _prefix_rows(
         ph.append(h[:p])
         ids.append(np.full(p, doc, dtype=np.int64))
         sizes.append(np.full(p, h.size, dtype=np.int64))
+        poss.append(np.arange(p, dtype=np.int64))
     if not ph:
         return pa.table(
             {
                 "ph": pa.array([], pa.int64()),
                 "doc_id": pa.array([], pa.int64()),
                 "n_sh": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
             }
         )
     return pa.table(
@@ -74,26 +76,47 @@ def _prefix_rows(
             "ph": pa.array(np.concatenate(ph).view(np.int64)),
             "doc_id": pa.array(np.concatenate(ids)),
             "n_sh": pa.array(np.concatenate(sizes)),
+            "pos": pa.array(np.concatenate(poss)),
         }
     )
 
 
-def _group_pairs(t: pa.Table, threshold: float) -> pa.Table:
-    """All (a, b) doc pairs of one prefix-hash group passing the size
-    filter ``n_small >= t * n_large`` — vectorized searchsorted emission,
-    no per-pair Python loop."""
+def _partition_pairs(t: pa.Table, threshold: float) -> pa.Table:
+    """All (a, b) doc pairs sharing a prefix hash within one hash
+    partition, passing the size filter ``n_small >= t * n_large`` —
+    every prefix-hash group of the partition is processed in ONE
+    lexsort + per-group searchsorted emission (Ray's sort-based
+    groupby pays seconds on the ~corpus-shingle-count key space;
+    hash-partitioning + in-partition run grouping does not)."""
     empty = pa.table(
         {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
     )
     if t.num_rows < 2:
         return empty
+    ph = t.column("ph").to_numpy(zero_copy_only=False)
     ids = t.column("doc_id").to_numpy(zero_copy_only=False)
     ns = t.column("n_sh").to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, ns))
-    ids, ns = ids[order], ns[order]
-    # for each j, partners i < j need ns[i] >= t * ns[j] (epsilon keeps a
-    # borderline float product from dropping a true candidate)
-    lo = np.searchsorted(ns, threshold * ns - 1e-9, side="left")
+    pos = t.column("pos").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, ns, ph))
+    ph, ids, ns, pos = ph[order], ids[order], ns[order], pos[order]
+    grp_start = np.r_[True, ph[1:] != ph[:-1]]
+    starts = np.flatnonzero(grp_start)
+    seg = np.cumsum(grp_start) - 1
+    seg_start = starts[seg]
+    # for each j, partners i in [lo_j, j) of the SAME group need
+    # ns[i] >= t * ns[j]; the group-offset trick from range_rolling makes
+    # one global searchsorted answer every per-group probe: shift each
+    # group's sizes onto disjoint ranges (sizes are < 2^32, so
+    # group_index << 33 never collides)
+    if seg[-1] >= (1 << 29):
+        raise OverflowError(
+            "similarity_join: too many prefix-hash groups in one "
+            "partition for the int64 shift domain; raise num_parts"
+        )
+    base = seg.astype(np.int64) << np.int64(33)
+    shifted = ns + base
+    tgt_n = np.ceil(threshold * ns - 1e-9).astype(np.int64)
+    lo = np.maximum(np.searchsorted(shifted, tgt_n + base, side="left"), seg_start)
     counts = np.maximum(np.arange(ns.size) - lo, 0)
     total = int(counts.sum())
     if total == 0:
@@ -104,6 +127,18 @@ def _group_pairs(t: pa.Table, threshold: float) -> pa.Table:
     a, b = ids[i_idx], ids[j_idx]
     doc_a, doc_b = np.minimum(a, b), np.maximum(a, b)
     keep = doc_a != doc_b  # same doc twice can't happen; equal ids can't
+    # POSITIONAL filter (PPJoin): at this shared hash the overlap can't
+    # exceed 1 + min(remaining suffix of either side); a TRUE pair's
+    # occurrence at its minimum common element always passes (its
+    # position precedes all other common elements on both sides), so
+    # pruning failing occurrences never loses a pair — it only stops
+    # junk collisions from reaching the verify join.
+    na, nb = ns[i_idx], ns[j_idx]
+    alpha = np.ceil(
+        threshold / (1.0 + threshold) * (na + nb) - 1e-9
+    ).astype(np.int64)
+    ub = 1 + np.minimum(na - pos[i_idx] - 1, nb - pos[j_idx] - 1)
+    keep &= ub >= alpha
     return pa.table(
         {"doc_a": pa.array(doc_a[keep]), "doc_b": pa.array(doc_b[keep])}
     )
@@ -121,12 +156,20 @@ def similarity_join(
     exact-Jaccard machinery."""
     import ray  # noqa: F401
 
+    from .joins import _part_column
+
     prefix = ds.map_batches(
         lambda t: _prefix_rows(t, id_col, text_col, threshold),
         batch_format="pyarrow",
     )
-    cands = prefix.groupby("ph").map_groups(
-        lambda t: _group_pairs(t, threshold), batch_format="pyarrow"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_p", _part_column(t.column("ph"), 32))
+
+    cands = (
+        prefix.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(lambda t: _partition_pairs(t, threshold), batch_format="pyarrow")
     )
     pairs = _hash_distinct(cands, ["doc_a", "doc_b"]).materialize()
     n_pairs = pairs.count()

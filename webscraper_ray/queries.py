@@ -3688,6 +3688,170 @@ WHERE t[i] = 'spark'
 """
 
 
+def q_covered_time(sf_dir: str):
+    """Interval-union coverage: total ACTIVE time per user when every
+    event opens a 10-minute activity window — overlapping windows must
+    merge, the classic interval-union aggregate (uptime / attention
+    metrics). ONE user-keyed exchange; per partition the sweep is a
+    lexsort + exclusive grouped cummax of interval ends: each
+    interval contributes ``max(0, e - max(s, prev_cummax_end))``, and
+    one bincount-by-segment sums per user. No per-user dispatch."""
+    from .functions.joins import _part_column as _pcol
+
+    win_us = np.int64(600_000_000)
+    ds = _read_sized(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_p", _pcol(t.column("user_id"), 16))
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "covered_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        s = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        e = s + win_us
+        order = np.lexsort((e, s, u))
+        u, s, e = u[order], s[order], e[order]
+        user_start = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(user_start)
+        seg = np.cumsum(user_start) - 1
+        # per-user running max of interval ends (C-level grouped cummax)
+        import pandas as pd
+
+        cm = pd.Series(e).groupby(seg, sort=False).cummax().to_numpy()
+        prev = np.empty_like(cm)
+        prev[1:] = cm[:-1]
+        prev[starts] = np.iinfo(np.int64).min
+        contrib = np.maximum(e - np.maximum(s, prev), 0)
+        covered = np.bincount(seg, weights=contrib.astype(np.float64))
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "covered_us": pa.array(covered.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_COVERED_TIME = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+)
+SELECT user_id,
+       CAST(sum(greatest(e - greatest(s, coalesce(prev_max, s)), 0)) AS BIGINT)
+         AS covered_us
+FROM m GROUP BY user_id
+"""
+
+
+def q_activity_streaks(sf_dir: str):
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days (retention/habit metrics). Distinct (user, day) pairs are the
+    only shuffled payload (per-batch dedup first); per partition one
+    sorted pass splits islands where the day difference exceeds 1 and
+    takes the max island length per user — all run-boundary
+    vectorization, no per-user dispatch."""
+    from .functions.joins import _part_column as _pcol
+    from ray.data.aggregate import Max
+
+    ds = _read_sized(sf_dir, "events", ["user_id", "ts"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        days = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .view(np.int64)
+        )
+        tt = pa.table({"user_id": t.column("user_id"), "day": pa.array(days)})
+        return tt.group_by(["user_id", "day"]).aggregate([])
+
+    distinct = (
+        ds.map_batches(day_pairs, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .count()
+        .select_columns(["user_id", "day"])
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_p", _pcol(t.column("user_id"), 16))
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "max_streak": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        new_island = np.r_[True, (u[1:] != u[:-1]) | (d[1:] - d[:-1] > 1)]
+        isl = np.cumsum(new_island) - 1
+        isl_len = np.bincount(isl)
+        isl_user = u[np.flatnonzero(new_island)]
+        g = (
+            pa.table(
+                {
+                    "user_id": pa.array(isl_user),
+                    "max_streak": pa.array(isl_len.astype(np.int64)),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("max_streak", "max")])
+        )
+        return g.rename_columns(["user_id", "max_streak"])
+
+    return (
+        distinct.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+r AS (
+  SELECT user_id, d,
+         row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM days
+),
+g AS (SELECT user_id, d - CAST(rn AS INTEGER) AS grp FROM r)
+SELECT user_id, max(cnt) AS max_streak
+FROM (SELECT user_id, grp, count(*) AS cnt FROM g GROUP BY user_id, grp)
+GROUP BY user_id
+"""
+
+
 def q_bloom_join_revenue(sf_dir: str):
     """Bloom-prefiltered BIG-BIG join — the runtime-filter pushdown every
     warehouse engine applies at volume: the selective side's join keys
