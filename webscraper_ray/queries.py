@@ -7923,6 +7923,8 @@ QUERIES = {
     "length_quantiles_cont": q_length_quantiles_cont,
     "weighted_sample": q_weighted_sample,
     "kwic_spark": q_kwic_spark,
+    "covered_time": q_covered_time,
+    "activity_streaks": q_activity_streaks,
 }
 
 ORACLE_SQL = {
@@ -8050,6 +8052,8 @@ ORACLE_SQL = {
     "length_quantiles_cont": SQL_LENGTH_QUANTILES_CONT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "kwic_spark": SQL_KWIC_SPARK,
+    "covered_time": SQL_COVERED_TIME,
+    "activity_streaks": SQL_ACTIVITY_STREAKS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
