@@ -3852,6 +3852,192 @@ GROUP BY user_id
 """
 
 
+def q_reachable_docs(sf_dir: str):
+    """Bounded-depth BFS closure: every doc within 3 directed link hops
+    of the seed set (doc_id % 97 == 0) over the derived md5 link graph,
+    with its first-reach depth — the analytic form of the crawl
+    frontier's own expansion (pipelines/crawl.py keeps the visited set
+    DISTRIBUTED for unbounded crawls; here depth<=3 makes frontier and
+    closure output-sized, so the per-wave frontier broadcast is the
+    documented involved-ids-class bound). Each wave is one streaming
+    semi-join of the edge set against the broadcast frontier. Gated by
+    a recursive-CTE oracle."""
+    from .functions.dedup import _hash_distinct, md5_u64
+    from .functions.pagerank import OUT_DEGREE
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_nodes = pq.ParquetFile(path).metadata.num_rows
+    ids = _read_sized(sf_dir, "documents", ["doc_id"])
+
+    def emit_directed(t: pa.Table) -> pa.Table:
+        u = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(u, OUT_DEGREE)
+        dst = np.fromiter(
+            (
+                md5_u64(f"pr:{int(n)}:{j}") % n_nodes
+                for n in u
+                for j in range(OUT_DEGREE)
+            ),
+            dtype=np.int64,
+            count=len(u) * OUT_DEGREE,
+        )
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
+        )
+
+    edges = _hash_distinct(
+        ids.map_batches(emit_directed, batch_format="pyarrow"), ["src", "dst"], 16
+    ).materialize()
+
+    import ray as _ray
+
+    seeds = np.arange(0, n_nodes, 97, dtype=np.int64)
+    depth_of = {int(s): 0 for s in seeds}
+    frontier = seeds
+    for depth in range(1, 4):
+        ref = _ray.put(np.sort(frontier))
+
+        def expand(t: pa.Table, _ref=ref) -> pa.Table:
+            fr = _ray.get(_ref)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(fr, src)
+            pos = np.minimum(pos, fr.size - 1)
+            hit = fr[pos] == src
+            return pa.table({"dst": pa.array(t.column("dst").to_numpy(
+                zero_copy_only=False)[hit])})
+
+        reached = _hash_distinct(
+            edges.map_batches(expand, batch_format="pyarrow"), ["dst"], 8
+        ).take_all()
+        nxt = [r["dst"] for r in reached if r["dst"] not in depth_of]
+        for d in nxt:
+            depth_of[int(d)] = depth
+        if not nxt:
+            break
+        frontier = np.array(nxt, dtype=np.int64)
+
+    items = sorted(depth_of.items())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([k for k, _ in items], pa.int64()),
+                "depth": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+    )
+
+
+def _sql_reachable_docs() -> str:
+    from .functions.pagerank import OUT_DEGREE
+
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT d.doc_id AS src,
+           CAST((('0x' || substr(md5('pr:' || CAST(d.doc_id AS VARCHAR) || ':'
+                  || CAST(j.j AS VARCHAR)), 1, 16))::UBIGINT
+                 % (SELECT count(*) FROM documents)) AS BIGINT) AS dst
+    FROM documents d, (SELECT unnest(range({OUT_DEGREE})) AS j) j
+  ) WHERE src <> dst
+),
+bfs(doc, depth) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.dst, b.depth + 1 FROM bfs b JOIN e ON e.src = b.doc
+  WHERE b.depth < 3
+)
+SELECT doc AS doc_id, min(depth) AS depth FROM bfs GROUP BY doc
+"""
+
+
+def q_global_price_rank(sf_dir: str):
+    """GLOBAL dense_rank over all orders by totalprice (no partition
+    key) — the global-window pattern: exact ranks without any global
+    sort or driver-side value gather. Distinct cents shuffle once; a
+    BOUNDED coarse-bucket count table (price-domain / $10k rows)
+    gathers driver-side and its suffix-sums become each bucket's rank
+    offset (the pack_sequences prefix trick, descending); per bucket
+    the dense index is one vectorized sort; ranks reach orders through
+    a distributed hash join on cents."""
+    from ray.data.aggregate import Sum
+
+    W = pa.scalar(1_000_000, pa.int64())  # $10k coarse buckets
+    orders = _read_sized(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def with_cents(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("o_totalprice"))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": c,
+                "bucket": pc.divide(c, W),
+            }
+        )
+
+    keyed = orders.map_batches(with_cents, batch_format="pyarrow").materialize()
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["bucket", "cents"]).group_by(["bucket", "cents"]).aggregate([])
+        )
+
+    distinct = (
+        keyed.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["bucket", "cents"])
+        .count()
+        .select_columns(["bucket", "cents"])
+        .materialize()
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("bucket").aggregate([("cents", "count")])
+        return g.rename_columns(["bucket", "n"])
+
+    bucket_rows = (
+        distinct.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    # rank offset of bucket b = distinct values in HIGHER buckets
+    bucket_rows.sort(key=lambda r: -r["bucket"])
+    offset, offsets = 0, {}
+    for r in bucket_rows:
+        offsets[int(r["bucket"])] = offset
+        offset += int(r["n"])
+
+    def rank_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cents": pa.array([], pa.int64()),
+                    "price_rank": pa.array([], pa.int64()),
+                }
+            )
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        b = int(t.column("bucket")[0].as_py())
+        order = np.argsort(-c, kind="stable")
+        ranks = np.empty(c.size, dtype=np.int64)
+        ranks[order] = np.arange(1, c.size + 1) + offsets[b]
+        return pa.table({"cents": pa.array(c), "price_rank": pa.array(ranks)})
+
+    mapping = distinct.groupby("bucket").map_groups(
+        rank_bucket, batch_format="pyarrow"
+    )
+    joined = keyed.select_columns(["o_orderkey", "cents"]).join(
+        mapping, "inner", num_partitions=8, on=("cents",)
+    )
+    return joined.select_columns(["o_orderkey", "price_rank"])
+
+
+SQL_GLOBAL_PRICE_RANK = """
+SELECT o_orderkey,
+       dense_rank() OVER (ORDER BY o_totalprice DESC) AS price_rank
+FROM orders
+"""
+
+
 def q_bloom_join_revenue(sf_dir: str):
     """Bloom-prefiltered BIG-BIG join — the runtime-filter pushdown every
     warehouse engine applies at volume: the selective side's join keys
@@ -7925,6 +8111,8 @@ QUERIES = {
     "kwic_spark": q_kwic_spark,
     "covered_time": q_covered_time,
     "activity_streaks": q_activity_streaks,
+    "reachable_docs": q_reachable_docs,
+    "global_price_rank": q_global_price_rank,
 }
 
 ORACLE_SQL = {
@@ -8054,6 +8242,8 @@ ORACLE_SQL = {
     "kwic_spark": SQL_KWIC_SPARK,
     "covered_time": SQL_COVERED_TIME,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
+    "reachable_docs": _sql_reachable_docs(),
+    "global_price_rank": SQL_GLOBAL_PRICE_RANK,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
