@@ -3852,16 +3852,11 @@ GROUP BY user_id
 """
 
 
-def q_reachable_docs(sf_dir: str):
-    """Bounded-depth BFS closure: every doc within 3 directed link hops
-    of the seed set (doc_id % 97 == 0) over the derived md5 link graph,
-    with its first-reach depth — the analytic form of the crawl
-    frontier's own expansion (pipelines/crawl.py keeps the visited set
-    DISTRIBUTED for unbounded crawls; here depth<=3 makes frontier and
-    closure output-sized, so the per-wave frontier broadcast is the
-    documented involved-ids-class bound). Each wave is one streaming
-    semi-join of the edge set against the broadcast frontier. Gated by
-    a recursive-CTE oracle."""
+def _link_edges(sf_dir: str):
+    """Distinct directed md5 link graph over documents (the derivation
+    `pagerank_docs` / `link_triangles` established): per-batch edge
+    emission, distinct via hash-partitioned `_hash_distinct` — the only
+    corpus-proportional payload is the (src, dst) int64 pairs."""
     from .functions.dedup import _hash_distinct, md5_u64
     from .functions.pagerank import OUT_DEGREE
 
@@ -3888,7 +3883,38 @@ def q_reachable_docs(sf_dir: str):
 
     edges = _hash_distinct(
         ids.map_batches(emit_directed, batch_format="pyarrow"), ["src", "dst"], 16
-    ).materialize()
+    )
+    return edges, n_nodes
+
+
+def _sql_link_edges() -> str:
+    from .functions.pagerank import OUT_DEGREE
+
+    return f"""
+  SELECT DISTINCT src, dst FROM (
+    SELECT d.doc_id AS src,
+           CAST((('0x' || substr(md5('pr:' || CAST(d.doc_id AS VARCHAR) || ':'
+                  || CAST(j.j AS VARCHAR)), 1, 16))::UBIGINT
+                 % (SELECT count(*) FROM documents)) AS BIGINT) AS dst
+    FROM documents d, (SELECT unnest(range({OUT_DEGREE})) AS j) j
+  ) WHERE src <> dst
+"""
+
+
+def q_reachable_docs(sf_dir: str):
+    """Bounded-depth BFS closure: every doc within 3 directed link hops
+    of the seed set (doc_id % 97 == 0) over the derived md5 link graph,
+    with its first-reach depth — the analytic form of the crawl
+    frontier's own expansion (pipelines/crawl.py keeps the visited set
+    DISTRIBUTED for unbounded crawls; here depth<=3 makes frontier and
+    closure output-sized, so the per-wave frontier broadcast is the
+    documented involved-ids-class bound). Each wave is one streaming
+    semi-join of the edge set against the broadcast frontier. Gated by
+    a recursive-CTE oracle."""
+    from .functions.dedup import _hash_distinct
+
+    edges, n_nodes = _link_edges(sf_dir)
+    edges = edges.materialize()
 
     import ray as _ray
 
@@ -3929,17 +3955,9 @@ def q_reachable_docs(sf_dir: str):
 
 
 def _sql_reachable_docs() -> str:
-    from .functions.pagerank import OUT_DEGREE
-
     return f"""
 WITH RECURSIVE e AS (
-  SELECT DISTINCT src, dst FROM (
-    SELECT d.doc_id AS src,
-           CAST((('0x' || substr(md5('pr:' || CAST(d.doc_id AS VARCHAR) || ':'
-                  || CAST(j.j AS VARCHAR)), 1, 16))::UBIGINT
-                 % (SELECT count(*) FROM documents)) AS BIGINT) AS dst
-    FROM documents d, (SELECT unnest(range({OUT_DEGREE})) AS j) j
-  ) WHERE src <> dst
+{_sql_link_edges()}
 ),
 bfs(doc, depth) AS (
   SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
@@ -4035,6 +4053,535 @@ SQL_GLOBAL_PRICE_RANK = """
 SELECT o_orderkey,
        dense_rank() OVER (ORDER BY o_totalprice DESC) AS price_rank
 FROM orders
+"""
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: correlated avg-quantity subquery — revenue from
+    lineitems whose quantity is below 1/5 of their part's average
+    (semantics defined integer-exactly on quantity cents:
+    ``5 * n * qc < sum_qc``, which both sides compute identically).
+
+    Scale shape: per-batch partial (partkey → sum_qc, n) shrinks the
+    fact table to |parts| rows before ONE groupby; the per-part table
+    rejoins lineitem through a partitioned `Dataset.join` (both sides
+    big — no broadcast); the kept rows reduce to ONE scalar partial per
+    block, summed driver-side. Nothing corpus-sized gathers."""
+    line = _read_sized(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def with_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "qc": _cents(t.column("l_quantity")),
+                "pc_": _cents(t.column("l_extendedprice")),
+            }
+        )
+
+    keyed = line.map_batches(with_cents, batch_format="pyarrow").materialize()
+
+    def part_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_partkey").aggregate([("qc", "sum"), ("qc", "count")])
+        return g.rename_columns(["l_partkey", "sum_qc", "n"])
+
+    per_part = (
+        keyed.map_batches(part_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("sum_qc", alias_name="sum_qc"), Sum("n", alias_name="n"))
+    )
+
+    joined = keyed.join(
+        per_part, "inner", num_partitions=16, on=("l_partkey",)
+    )
+
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        qc = t.column("qc").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        sq = t.column("sum_qc").to_numpy(zero_copy_only=False)
+        keep = 5 * n * qc < sq
+        price = t.column("pc_").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "lines": pa.array([np.int64(keep.sum())]),
+                "rev_c": pa.array([np.int64(price.sum())]),
+            }
+        )
+
+    parts = joined.map_batches(scalar_partial, batch_format="pyarrow").take_all()
+    lines = sum(int(r["lines"]) for r in parts)
+    rev_c = sum(int(r["rev_c"]) for r in parts)
+    return pa.table(
+        {
+            "small_lines": pa.array([lines], pa.int64()),
+            "avg_yearly": pa.array(
+                [float(rev_c) / 700.0 if lines else None], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH pq AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qc,
+         count(*) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT count(*) AS small_lines,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 700.0 AS avg_yearly
+FROM lineitem l JOIN pq USING (l_partkey)
+WHERE 5 * pq.n * CAST(round(l.l_quantity * 100) AS BIGINT) < pq.sum_qc
+"""
+
+
+def q_cntrycode_balance(sf_dir: str):
+    """TPC-H Q22 shape: per-nation count + balance of ABOVE-AVERAGE
+    customers with no order since 2000 (global scalar subquery +
+    anti-join on a filtered right side). The average compare is exact:
+    ``bal_c * n > sum_c`` in int64.
+
+    Scale shape: the global (sum, n) is a per-block scalar partial (two
+    ints per block, no shuffle); the anti-join is the partitioned
+    `Dataset.join(left_anti)` with the orders side filtered AND
+    projected to its key column before the exchange; the final rollup
+    is |nations|-sized."""
+    cut = pa.scalar(np.datetime64("2000-01-01", "us"), pa.timestamp("us"))
+    cust = _read_sized(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("c_acctbal"))
+        pos = pc.greater(c, pa.scalar(0, pa.int64()))
+        kept = pc.filter(c, pos)
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(kept).as_py() or 0], pa.int64()),
+                "n": pa.array([len(kept)], pa.int64()),
+            }
+        )
+
+    parts = cust.map_batches(bal_partial, batch_format="pyarrow").take_all()
+    s = sum(int(r["s"]) for r in parts)
+    n = sum(int(r["n"]) for r in parts)
+
+    def rich_only(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("c_acctbal"))
+        keep = pc.greater(
+            pc.multiply(c, pa.scalar(n, pa.int64())), pa.scalar(s, pa.int64())
+        )
+        kept = t.filter(keep)
+        return pa.table(
+            {
+                "c_custkey": kept.column("c_custkey"),
+                "c_nationkey": pc.cast(kept.column("c_nationkey"), pa.int64()),
+                "bal_c": _cents(kept.column("c_acctbal")),
+            }
+        )
+
+    rich = cust.map_batches(rich_only, batch_format="pyarrow")
+    orders = _read_sized(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("o_orderdate"), cut)
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    never = rich.join(
+        orders,
+        join_type="left_anti",
+        num_partitions=16,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_nationkey").aggregate(
+            [("bal_c", "count"), ("bal_c", "sum")]
+        )
+        return g.rename_columns(["nation", "numcust", "bal_c"])
+
+    out = (
+        never.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("nation")
+        .aggregate(Sum("numcust", alias_name="numcust"), Sum("bal_c", alias_name="bal_c"))
+        .to_pandas()  # |nations|-bounded
+    )
+    if "bal_c" not in out.columns:  # all-empty upstream loses the schema
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "nation": pd.Series([], dtype="int64"),
+                "numcust": pd.Series([], dtype="int64"),
+                "totacctbal": pd.Series([], dtype="float64"),
+            }
+        )
+    out["totacctbal"] = out.pop("bal_c").astype("float64") / 100.0
+    return out
+
+
+SQL_CNTRYCODE_BALANCE = """
+WITH avg_bal AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s, count(*) AS n
+  FROM customer WHERE round(c_acctbal * 100) > 0
+)
+SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+       count(*) AS numcust,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS totacctbal
+FROM customer c, avg_bal
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * avg_bal.n > avg_bal.s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c.c_nationkey
+"""
+
+
+def q_copurchase_pairs(sf_dir: str):
+    """Market-basket co-occurrence over the BIG-domain item space: top
+    20 part pairs appearing in the same order (assoc_rules mined the
+    5-type event domain; here the itemset domain is |parts|, so the
+    pair table cannot gather driver-side).
+
+    Scale shape: per-batch DISTINCT (order, part) shrinks the fact
+    table first; ONE order-keyed exchange co-locates baskets; pair
+    emission is fully vectorized across ALL groups in a partition (the
+    repeat/cumsum triangular trick — no per-order Python loop) with a
+    partition-local pre-aggregate; the global pair rollup shuffles
+    (pair, count) rows; top-20 is a per-block partial merged
+    driver-side (20 rows per block, never the pair table)."""
+    from .functions.joins import _part_column as _pcol
+
+    ds = _read_sized(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        return g.append_column("_part", _pcol(g.column("l_orderkey"), 16))
+
+    empty = pa.table(
+        {
+            "part_a": pa.array([], pa.int64()),
+            "part_b": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def emit_pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return empty
+        okey = part.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pkey = part.column("l_partkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pkey, okey))
+        okey, pkey = okey[order], pkey[order]
+        # fold cross-block (order, part) repeats
+        keep = np.ones(len(okey), dtype=bool)
+        keep[1:] = (okey[1:] != okey[:-1]) | (pkey[1:] != pkey[:-1])
+        okey, pkey = okey[keep], pkey[keep]
+        new_grp = np.ones(len(okey), dtype=bool)
+        new_grp[1:] = okey[1:] != okey[:-1]
+        grp_start = np.flatnonzero(new_grp)
+        # local index of each element within its (sorted) group
+        start_of = np.repeat(grp_start, np.diff(np.append(grp_start, len(okey))))
+        local = np.arange(len(okey)) - start_of
+        total = int(local.sum())
+        if total == 0:
+            return empty
+        # element j (local index l) pairs with the l elements before it
+        dst_idx = np.repeat(np.arange(len(okey)), local)
+        block_start = np.concatenate([[0], np.cumsum(local)[:-1]])
+        k = np.arange(total) - np.repeat(block_start, local)
+        src_idx = np.repeat(start_of, local) + k
+        g = (
+            pa.table(
+                {
+                    "part_a": pa.array(pkey[src_idx]),
+                    "part_b": pa.array(pkey[dst_idx]),
+                    "n": pa.array(np.ones(total, np.int64)),
+                }
+            )
+            .group_by(["part_a", "part_b"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["part_a", "part_b", "n"])
+
+    pair_counts = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .materialize()
+        .groupby("_part")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("n", "descending"),
+                ("part_a", "ascending"),
+                ("part_b", "ascending"),
+            ],
+        )[:20]
+        return t.take(idx)
+
+    blocks = pair_counts.map_batches(topk_partial, batch_format="pyarrow").take_all()
+    tbl = pa.Table.from_pylist(
+        blocks,
+        schema=pa.schema(
+            [("part_a", pa.int64()), ("part_b", pa.int64()), ("n", pa.int64())]
+        ),
+    )
+    return topk_partial(tbl)
+
+
+SQL_COPURCHASE_PAIRS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+def q_revenue_autocorr(sf_dir: str):
+    """Lag-k autocorrelation (k = 1, 2, 3) of the gap-filled daily
+    revenue series — the seasonality probe a forecasting pipeline runs.
+    Moments are exact arbitrary-precision integers (cents² overflows
+    int64 at warehouse scale; SQL uses HUGEINT, Python uses int), and
+    the single float expression is mirrored op-for-op.
+
+    Scale shape: the fact table reduces per batch to (day → cents)
+    partials; ONE day-keyed groupby leaves a day-domain-bounded series
+    (~10³ rows for decades), which is the documented bounded driver
+    gather (same contract as `daily_revenue_filled`'s spine)."""
+    import math
+
+    ds = _read_sized(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("o_orderdate"), unit="day")
+        c = _cents(t.column("o_totalprice"))
+        g = (
+            pa.table({"day": day, "c": c})
+            .group_by("day")
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["day", "rev_c"])
+
+    daily = (
+        ds.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .take_all()  # day-domain-bounded
+    )
+    days = np.array([r["day"] for r in daily], dtype="datetime64[us]")
+    revs = np.array([int(r["rev_c"]) for r in daily], dtype=np.int64)
+    order = np.argsort(days)
+    days, revs = days[order], revs[order]
+    d0, d1 = days[0], days[-1]
+    n_days = int((d1 - d0) / np.timedelta64(1, "D")) + 1
+    series = np.zeros(n_days, dtype=np.int64)
+    series[((days - d0) / np.timedelta64(1, "D")).astype(np.int64)] = revs
+
+    out_lag, out_r = [], []
+    for lag in (1, 2, 3):
+        x = [int(v) for v in series[:-lag]]
+        y = [int(v) for v in series[lag:]]
+        cnt = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sx2 = sum(a * a for a in x)
+        sy2 = sum(b * b for b in y)
+        num = cnt * sxy - sx * sy
+        dx = cnt * sx2 - sx * sx
+        dy = cnt * sy2 - sy * sy
+        out_lag.append(lag)
+        out_r.append(
+            float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+            if dx and dy
+            else None
+        )
+    return pa.table(
+        {
+            "lag": pa.array(out_lag, pa.int64()),
+            "autocorr": pa.array(out_r, pa.float64()),
+        }
+    )
+
+
+SQL_REVENUE_AUTOCORR = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series(
+    (SELECT min(day) FROM daily),
+    (SELECT max(day) FROM daily),
+    INTERVAL 1 DAY
+  )) AS day
+),
+s AS (
+  SELECT row_number() OVER (ORDER BY sp.day) - 1 AS i,
+         coalesce(d.rev_c, 0) AS rev_c
+  FROM spine sp LEFT JOIN daily d USING (day)
+),
+j AS (
+  SELECT l.lag, a.rev_c AS x, b.rev_c AS y
+  FROM (SELECT unnest([1, 2, 3]) AS lag) l
+  JOIN s a ON TRUE
+  JOIN s b ON b.i = a.i + l.lag
+),
+m AS (
+  SELECT lag, count(*) AS cnt,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sx2,
+         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS sy2
+  FROM j GROUP BY lag
+)
+SELECT lag,
+       CAST(cnt * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(cnt * sx2 - sx * sx AS DOUBLE))
+            * sqrt(CAST(cnt * sy2 - sy * sy AS DOUBLE))) AS autocorr
+FROM m
+"""
+
+
+def q_users_both_types(sf_dir: str):
+    """Set-operation shape (INTERSECT / EXCEPT): the high-value cohort —
+    users with a >= $95 purchase AND a >= $95 click but no >= $95 error
+    (the value predicate compares exact cents on both sides).
+
+    Scale shape: the read filters to the three relevant types and the
+    value band; per-batch DISTINCT (user, type) shrinks before the ONE
+    user-keyed exchange; per partition one arrow group_by
+    (max-of-indicator) evaluates the set expression — payload is
+    distinct (user, type) rows only."""
+    from .functions.joins import _part_column as _pcol
+
+    ds = _read_sized(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def distinct_flags(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(
+                t.column("event_type"),
+                value_set=pa.array(["click", "purchase", "error"]),
+            ),
+            pc.greater_equal(
+                _cents(t.column("value")), pa.scalar(9500, pa.int64())
+            ),
+        )
+        t = t.filter(m).select(["user_id", "event_type"])
+        g = t.group_by(["user_id", "event_type"]).aggregate([])
+        return g.append_column("_part", _pcol(g.column("user_id"), 16))
+
+    def eval_sets(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64())})
+        et = part.column("event_type")
+        flags = pa.table(
+            {
+                "user_id": part.column("user_id"),
+                "clk": pc.cast(pc.equal(et, "click"), pa.int8()),
+                "pur": pc.cast(pc.equal(et, "purchase"), pa.int8()),
+                "err": pc.cast(pc.equal(et, "error"), pa.int8()),
+            }
+        )
+        g = flags.group_by("user_id").aggregate(
+            [("clk", "max"), ("pur", "max"), ("err", "max")]
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.equal(g.column("clk_max"), pa.scalar(1, pa.int8())),
+                pc.equal(g.column("pur_max"), pa.scalar(1, pa.int8())),
+            ),
+            pc.equal(g.column("err_max"), pa.scalar(0, pa.int8())),
+        )
+        return g.filter(keep).select(["user_id"])
+
+    return (
+        ds.map_batches(distinct_flags, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(eval_sets, batch_format="pyarrow")
+    )
+
+
+SQL_USERS_BOTH_TYPES = """
+SELECT user_id FROM events
+WHERE event_type = 'click' AND round(value * 100) >= 9500
+INTERSECT
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND round(value * 100) >= 9500
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'error' AND round(value * 100) >= 9500
+"""
+
+
+def q_degree_distribution(sf_dir: str):
+    """In-degree histogram of the derived link graph (the crawl-side
+    popularity profile: how many pages are linked from k places).
+
+    Scale shape: edge emission + distinct via `_link_edges`; per-batch
+    partial count by dst → node-sized groupby → per-batch histogram
+    partial → degree-domain-bounded rollup. The zero-degree row is
+    computed from two scalar counts, not a node scan."""
+    edges, n_nodes = _link_edges(sf_dir)
+
+    def dst_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("dst").aggregate([("src", "count")])
+        return g.rename_columns(["dst", "deg"])
+
+    indeg = (
+        edges.map_batches(dst_partial, batch_format="pyarrow")
+        .groupby("dst")
+        .aggregate(Sum("deg", alias_name="deg"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("deg").aggregate([("dst", "count")])
+        return g.rename_columns(["indegree", "n_nodes"])
+
+    hist = (
+        indeg.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("indegree")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+        .take_all()  # degree-domain-bounded
+    )
+    rows = sorted((int(r["indegree"]), int(r["n_nodes"])) for r in hist)
+    linked = sum(n for _, n in rows)
+    if n_nodes - linked > 0:
+        rows.insert(0, (0, n_nodes - linked))
+    return pa.table(
+        {
+            "indegree": pa.array([d for d, _ in rows], pa.int64()),
+            "n_nodes": pa.array([n for _, n in rows], pa.int64()),
+        }
+    )
+
+
+def _sql_degree_distribution() -> str:
+    return f"""
+WITH e AS (
+{_sql_link_edges()}
+),
+ind AS (SELECT dst, count(*) AS deg FROM e GROUP BY dst)
+SELECT deg AS indegree, count(*) AS n_nodes FROM ind GROUP BY deg
+UNION ALL
+SELECT 0 AS indegree,
+       (SELECT count(*) FROM documents) - (SELECT count(*) FROM ind) AS n_nodes
+WHERE (SELECT count(*) FROM documents) > (SELECT count(*) FROM ind)
 """
 
 
@@ -8113,6 +8660,12 @@ QUERIES = {
     "activity_streaks": q_activity_streaks,
     "reachable_docs": q_reachable_docs,
     "global_price_rank": q_global_price_rank,
+    "small_qty_revenue": q_small_qty_revenue,
+    "cntrycode_balance": q_cntrycode_balance,
+    "copurchase_pairs": q_copurchase_pairs,
+    "revenue_autocorr": q_revenue_autocorr,
+    "users_both_types": q_users_both_types,
+    "degree_distribution": q_degree_distribution,
 }
 
 ORACLE_SQL = {
@@ -8244,6 +8797,12 @@ ORACLE_SQL = {
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "reachable_docs": _sql_reachable_docs(),
     "global_price_rank": SQL_GLOBAL_PRICE_RANK,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "cntrycode_balance": SQL_CNTRYCODE_BALANCE,
+    "copurchase_pairs": SQL_COPURCHASE_PAIRS,
+    "revenue_autocorr": SQL_REVENUE_AUTOCORR,
+    "users_both_types": SQL_USERS_BOTH_TYPES,
+    "degree_distribution": _sql_degree_distribution(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
