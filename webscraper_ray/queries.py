@@ -4585,6 +4585,341 @@ WHERE (SELECT count(*) FROM documents) > (SELECT count(*) FROM ind)
 """
 
 
+def q_value_outliers(sf_dir: str):
+    """3-sigma outlier detection on event values, integer-exact: the
+    global mean/variance come from exact integer moments, and the
+    per-row test ``(n*x - sx)^2 > 9*(n*sx2 - sx^2)`` is evaluated as
+    ``|n*x - sx| > isqrt(9*(n*sx2 - sx^2))`` — ``isqrt`` makes the
+    square-root compare exactly equivalent to the quadratic one, so
+    the SQL HUGEINT quadratic and the int64 Ray filter agree on every
+    boundary row.
+
+    Scale shape: pass 1 ships 3 ints per block (n, sum, sum-of-squares
+    partials, summed driver-side in arbitrary-precision Python ints —
+    no int64 overflow at any corpus size); pass 2 is one streaming
+    filter against three broadcast ints. Nothing shuffles."""
+    ev = _read_sized(sf_dir, "events", ["event_id", "value"])
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(c)], pa.int64()),
+                "sx": pa.array([int(c.sum())], pa.int64()),
+                "sx2": pa.array([int((c * c).sum())], pa.int64()),
+            }
+        )
+
+    parts = ev.map_batches(moment_partial, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    sx2 = sum(int(r["sx2"]) for r in parts)
+    import math
+
+    bound = math.isqrt(9 * (n * sx2 - sx * sx))
+
+    def flag(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        d = n * c - sx
+        keep = np.abs(d) > bound
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    t.column("event_id").to_numpy(zero_copy_only=False)[keep]
+                ),
+                "value": pa.array(
+                    t.column("value").to_numpy(zero_copy_only=False)[keep]
+                ),
+            }
+        )
+
+    return ev.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_VALUE_OUTLIERS = """
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS sx,
+         sum(CAST(round(value * 100) AS HUGEINT)
+             * CAST(round(value * 100) AS HUGEINT)) AS sx2
+  FROM events
+)
+SELECT e.event_id, e.value
+FROM events e, m
+WHERE (CAST(m.n AS HUGEINT) * CAST(round(e.value * 100) AS BIGINT) - m.sx)
+      * (CAST(m.n AS HUGEINT) * CAST(round(e.value * 100) AS BIGINT) - m.sx)
+      > 9 * (CAST(m.n AS HUGEINT) * m.sx2 - CAST(m.sx AS HUGEINT) * m.sx)
+"""
+
+
+def q_dq_checks(sf_dir: str):
+    """Data-quality audit — the constraint sweep a pipeline runs before
+    promoting a snapshot: FK orphans (two directions), duplicate keys,
+    range violations, nulls. One row per check with its violation count.
+
+    Scale shape: each FK check is a partitioned `Dataset.join
+    (left_anti)` with both sides projected to key columns before the
+    exchange, reduced to per-block count partials; the duplicate-key
+    check pre-aggregates (key, count) per batch before its one
+    groupby; range/null checks are pure streaming scalar partials.
+    Every check's driver artifact is one integer."""
+
+    def count_ds(ds) -> int:
+        parts = ds.map_batches(
+            lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+            batch_format="pyarrow",
+        ).take_all()
+        return sum(int(r["n"]) for r in parts)
+
+    # (a) orders whose customer is missing
+    orders_k = _read_sized(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust_k = _read_sized(sf_dir, "customer", ["c_custkey"])
+    orphan_orders = count_ds(
+        orders_k.join(
+            cust_k,
+            join_type="left_anti",
+            num_partitions=16,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+    )
+    # (b) lineitems whose order is missing
+    line_k = _read_sized(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    orphan_lines = count_ds(
+        line_k.join(
+            orders_k.select_columns(["o_orderkey"]),
+            join_type="left_anti",
+            num_partitions=16,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+    )
+    # (c) duplicate doc ids: rows minus distinct keys
+    docs = _read_sized(sf_dir, "documents", ["doc_id"])
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("doc_id", "count")])
+        return g.rename_columns(["doc_id", "n"])
+
+    dup_parts = (
+        docs.map_batches(key_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "rows": pa.array(
+                        [int(pc.sum(t.column("n")).as_py() or 0)], pa.int64()
+                    ),
+                    "keys": pa.array([t.num_rows], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    dup_docs = sum(int(r["rows"]) for r in dup_parts) - sum(
+        int(r["keys"]) for r in dup_parts
+    )
+    # (d) lineitem quantity outside (0, 100]
+    line_q = _read_sized(sf_dir, "lineitem", ["l_quantity"])
+    bad_qty = count_ds(
+        line_q.map_batches(
+            lambda t: t.filter(
+                pc.or_(
+                    pc.less_equal(
+                        _cents(t.column("l_quantity")), pa.scalar(0, pa.int64())
+                    ),
+                    pc.greater(
+                        _cents(t.column("l_quantity")),
+                        pa.scalar(10_000, pa.int64()),
+                    ),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # (e) negative customer balances
+    bal = _read_sized(sf_dir, "customer", ["c_acctbal"])
+    neg_bal = count_ds(
+        bal.map_batches(
+            lambda t: t.filter(
+                pc.less(_cents(t.column("c_acctbal")), pa.scalar(0, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # (f) null event props
+    props = _read_sized(sf_dir, "events", ["props"])
+    null_props = count_ds(
+        props.map_batches(
+            lambda t: t.filter(pc.is_null(t.column("props"))),
+            batch_format="pyarrow",
+        )
+    )
+    checks = [
+        ("dup_doc_ids", dup_docs),
+        ("neg_acctbal", neg_bal),
+        ("null_props", null_props),
+        ("orphan_lineitems", orphan_lines),
+        ("orphan_orders", orphan_orders),
+        ("qty_out_of_range", bad_qty),
+    ]
+    return pa.table(
+        {
+            "check_name": pa.array([c for c, _ in checks], pa.string()),
+            "n_violations": pa.array([int(v) for _, v in checks], pa.int64()),
+        }
+    )
+
+
+SQL_DQ_CHECKS = """
+SELECT 'dup_doc_ids' AS check_name,
+       count(*) - count(DISTINCT doc_id) AS n_violations FROM documents
+UNION ALL
+SELECT 'neg_acctbal', count(*) FROM customer WHERE round(c_acctbal * 100) < 0
+UNION ALL
+SELECT 'null_props', count(*) FROM events WHERE props IS NULL
+UNION ALL
+SELECT 'orphan_lineitems', count(*) FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orphan_orders', count(*) FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'qty_out_of_range', count(*) FROM lineitem
+WHERE round(l_quantity * 100) <= 0 OR round(l_quantity * 100) > 10000
+"""
+
+
+def q_segment_share(sf_dir: str):
+    """Percent-of-total contribution: each market segment's share of
+    all order revenue — the BI ratio shape (no window function, no
+    second scan: the total is the sum of the |segments|-sized rollup).
+
+    Scale shape: orders project to (custkey, cents) per batch; ONE
+    partitioned big-big `Dataset.join` attaches the segment; per-batch
+    partials shrink to |segments| rows before the final groupby; the
+    share division happens on the 5-row driver table, float mirrored
+    CAST-then-divide."""
+    orders = _read_sized(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "rev_c": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    cust = _read_sized(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.map_batches(o_proj, batch_format="pyarrow").join(
+        cust,
+        "inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_mktsegment").aggregate([("rev_c", "sum")])
+        return g.rename_columns(["c_mktsegment", "rev_c"])
+
+    rows = (
+        joined.map_batches(seg_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .take_all()  # |segments|-bounded
+    )
+    rows.sort(key=lambda r: r["c_mktsegment"])
+    total = sum(int(r["rev_c"]) for r in rows)
+    return pa.table(
+        {
+            "c_mktsegment": pa.array([r["c_mktsegment"] for r in rows]),
+            "revenue": pa.array(
+                [float(int(r["rev_c"])) / 100.0 for r in rows], pa.float64()
+            ),
+            "share": pa.array(
+                [float(int(r["rev_c"])) / float(total) for r in rows],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_SEGMENT_SHARE = """
+WITH seg AS (
+  SELECT c.c_mktsegment,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment
+)
+SELECT c_mktsegment,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(rev_c AS DOUBLE) / CAST((SELECT sum(rev_c) FROM seg) AS DOUBLE)
+         AS share
+FROM seg
+"""
+
+
+def q_orders_per_customer_hist(sf_dir: str):
+    """Profiling histogram: how many customers placed k orders —
+    including the zero-order bucket (computed from two scalar counts,
+    never a customer scan).
+
+    Scale shape: per-batch (custkey → count) partials → customer-sized
+    groupby → per-batch histogram partials → count-domain-bounded
+    rollup. Same two-phase shape as `degree_distribution` on the
+    relational side."""
+    orders = _read_sized(sf_dir, "orders", ["o_custkey"])
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return g.rename_columns(["o_custkey", "n"])
+
+    per_cust = (
+        orders.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("n").aggregate([("o_custkey", "count")])
+        return g.rename_columns(["n_orders", "n_customers"])
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+        .take_all()  # count-domain-bounded
+    )
+    rows = sorted((int(r["n_orders"]), int(r["n_customers"])) for r in hist)
+    n_cust = pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")
+    ).metadata.num_rows
+    with_orders = sum(n for _, n in rows)
+    if n_cust - with_orders > 0:
+        rows.insert(0, (0, n_cust - with_orders))
+    return pa.table(
+        {
+            "n_orders": pa.array([k for k, _ in rows], pa.int64()),
+            "n_customers": pa.array([n for _, n in rows], pa.int64()),
+        }
+    )
+
+
+SQL_ORDERS_PER_CUSTOMER_HIST = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+)
+SELECT n AS n_orders, count(*) AS n_customers FROM per_cust GROUP BY n
+UNION ALL
+SELECT 0 AS n_orders,
+       (SELECT count(*) FROM customer) - (SELECT count(*) FROM per_cust)
+WHERE (SELECT count(*) FROM customer) > (SELECT count(*) FROM per_cust)
+"""
+
+
 def q_bloom_join_revenue(sf_dir: str):
     """Bloom-prefiltered BIG-BIG join — the runtime-filter pushdown every
     warehouse engine applies at volume: the selective side's join keys
@@ -8666,6 +9001,10 @@ QUERIES = {
     "revenue_autocorr": q_revenue_autocorr,
     "users_both_types": q_users_both_types,
     "degree_distribution": q_degree_distribution,
+    "value_outliers": q_value_outliers,
+    "dq_checks": q_dq_checks,
+    "segment_share": q_segment_share,
+    "orders_per_customer_hist": q_orders_per_customer_hist,
 }
 
 ORACLE_SQL = {
@@ -8803,6 +9142,10 @@ ORACLE_SQL = {
     "revenue_autocorr": SQL_REVENUE_AUTOCORR,
     "users_both_types": SQL_USERS_BOTH_TYPES,
     "degree_distribution": _sql_degree_distribution(),
+    "value_outliers": SQL_VALUE_OUTLIERS,
+    "dq_checks": SQL_DQ_CHECKS,
+    "segment_share": SQL_SEGMENT_SHARE,
+    "orders_per_customer_hist": SQL_ORDERS_PER_CUSTOMER_HIST,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
