@@ -4920,6 +4920,208 @@ WHERE (SELECT count(*) FROM customer) > (SELECT count(*) FROM per_cust)
 """
 
 
+def q_knn_classify(sf_dir: str):
+    """k-NN label prediction: each query vector takes the majority
+    label of its exact top-10 cosine neighbors (tie-break: higher vote
+    count, then lower label) — the classification eval every
+    embedding-quality pipeline runs.
+
+    Scale shape: neighbor search is the shared `ann_bruteforce_topk`
+    (broadcast query matrix, per-batch partial top-k); the vote joins
+    labels to the k·|queries|-bounded neighbor table via a broadcast
+    id-set filter over embeddings (output-sized, never a corpus
+    shuffle); the vote itself is driver work on ≤ 50 rows."""
+    ids, mat = _query_vectors(sf_dir)
+    topk = ann_bruteforce_topk(
+        _read_sized(sf_dir, "embeddings", ["vec_id", "embedding"]), ids, mat, k=10
+    ).take_all()  # k x |queries|-bounded
+    import ray as _ray
+
+    wanted = sorted({int(r["vec_id"]) for r in topk})
+    wanted_ref = _ray.put(np.asarray(wanted, dtype=np.int64))
+
+    def label_of(t: pa.Table) -> pa.Table:
+        w = _ray.get(wanted_ref)
+        v = t.column("vec_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(w, v)
+        pos = np.minimum(pos, w.size - 1)
+        hit = w[pos] == v
+        kept = t.filter(pa.array(hit))
+        return pa.table(
+            {
+                "vec_id": kept.column("vec_id"),
+                "label": pc.cast(kept.column("label"), pa.int64()),
+            }
+        )
+
+    labels = {
+        int(r["vec_id"]): int(r["label"])
+        for r in _read_sized(sf_dir, "embeddings", ["vec_id", "label"])
+        .map_batches(label_of, batch_format="pyarrow")
+        .take_all()
+    }
+    votes: dict[int, dict[int, int]] = {}
+    for r in topk:
+        q = int(r["query_id"])
+        votes.setdefault(q, {})
+        lab = labels[int(r["vec_id"])]
+        votes[q][lab] = votes[q].get(lab, 0) + 1
+    out_q, out_l, out_n = [], [], []
+    for q in sorted(votes):
+        lab, n = min(votes[q].items(), key=lambda kv: (-kv[1], kv[0]))
+        out_q.append(q)
+        out_l.append(lab)
+        out_n.append(n)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "pred_label": pa.array(out_l, pa.int64()),
+            "votes": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+SQL_KNN_CLASSIFY = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, CAST(e.label AS BIGINT) AS label,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6)
+           AS cos_sim
+  FROM embeddings e CROSS JOIN q
+),
+topk AS (
+  SELECT query_id, label FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+),
+tally AS (
+  SELECT query_id, label, count(*) AS n FROM topk GROUP BY query_id, label
+)
+SELECT query_id, label AS pred_label, n AS votes FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY n DESC, label) AS rk
+  FROM tally
+) WHERE rk = 1
+"""
+
+
+def q_mutual_links(sf_dir: str):
+    """Reciprocal-edge detection: (a, b) pairs linked in BOTH
+    directions — the mutual-citation signal a link-graph pipeline
+    extracts.
+
+    Scale shape: the distinct edge set self-joins through ONE
+    partitioned composite-key `Dataset.join` (left on (src, dst),
+    right on (dst, src)); the a<b filter emits each mutual pair once.
+    No driver artifact beyond the result."""
+    edges, _ = _link_edges(sf_dir)
+    edges = edges.materialize()
+    rev = edges.map_batches(
+        lambda t: pa.table({"r_src": t.column("src"), "r_dst": t.column("dst")}),
+        batch_format="pyarrow",
+    )
+    both = edges.join(
+        rev,
+        "inner",
+        num_partitions=16,
+        on=("src", "dst"),
+        right_on=("r_dst", "r_src"),
+    )
+    return both.map_batches(
+        lambda t: (
+            lambda kept: pa.table(
+                {"a": kept.column("src"), "b": kept.column("dst")}
+            )
+        )(t.filter(pc.less(t.column("src"), t.column("dst")))),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_mutual_links() -> str:
+    return f"""
+WITH e AS (
+{_sql_link_edges()}
+)
+SELECT a.src AS a, a.dst AS b
+FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+WHERE a.src < a.dst
+"""
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10 by md5 of the doc
+    id — the split assignment every training-data pipeline needs to be
+    reproducible across runs and engines), reported as per-split doc
+    and char counts.
+
+    Scale shape: the split decision is a pure vectorized map (the
+    shared md5 kernel); per-batch partials ship 3 rows per block; the
+    rollup is 3-row driver work. Shuffle-free, parallelism-invariant."""
+    from .functions.dedup import md5_u64
+
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def split_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (md5_u64(f"split:{int(i)}") for i in ids),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        bucket = (h % np.uint64(100)).astype(np.int64)
+        split = np.where(bucket < 80, "train", np.where(bucket < 90, "val", "test"))
+        chars = t.column("n_chars").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "split": pa.array(split),
+                    "n_docs": pa.array(np.ones(len(ids), np.int64)),
+                    "n_chars": pa.array(chars),
+                }
+            )
+            .group_by("split")
+            .aggregate([("n_docs", "sum"), ("n_chars", "sum")])
+        )
+        return g.rename_columns(["split", "n_docs", "n_chars"])
+
+    rows = (
+        ds.map_batches(split_partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
+        .take_all()  # 3-row-bounded
+    )
+    rows.sort(key=lambda r: r["split"])
+    return pa.table(
+        {
+            "split": pa.array([r["split"] for r in rows]),
+            "n_docs": pa.array([int(r["n_docs"]) for r in rows], pa.int64()),
+            "n_chars": pa.array([int(r["n_chars"]) for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_DATASET_SPLIT = """
+WITH assigned AS (
+  SELECT n_chars,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+           AS split
+  FROM (
+    SELECT n_chars,
+           ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 16))
+             ::UBIGINT % 100 AS b
+    FROM documents
+  )
+)
+SELECT split, count(*) AS n_docs, sum(n_chars) AS n_chars
+FROM assigned GROUP BY split
+"""
+
+
 def q_bloom_join_revenue(sf_dir: str):
     """Bloom-prefiltered BIG-BIG join — the runtime-filter pushdown every
     warehouse engine applies at volume: the selective side's join keys
@@ -9005,6 +9207,9 @@ QUERIES = {
     "dq_checks": q_dq_checks,
     "segment_share": q_segment_share,
     "orders_per_customer_hist": q_orders_per_customer_hist,
+    "knn_classify": q_knn_classify,
+    "mutual_links": q_mutual_links,
+    "dataset_split": q_dataset_split,
 }
 
 ORACLE_SQL = {
@@ -9146,6 +9351,9 @@ ORACLE_SQL = {
     "dq_checks": SQL_DQ_CHECKS,
     "segment_share": SQL_SEGMENT_SHARE,
     "orders_per_customer_hist": SQL_ORDERS_PER_CUSTOMER_HIST,
+    "knn_classify": SQL_KNN_CLASSIFY,
+    "mutual_links": _sql_mutual_links(),
+    "dataset_split": SQL_DATASET_SPLIT,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
