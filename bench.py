@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "similarity_join",
     "session_paths",
     "time_range_sum",
+    "copurchase_pairs",
+    "global_price_rank",
+    "small_qty_revenue",
 ]
 
 

@@ -3993,7 +3993,10 @@ def q_global_price_rank(sf_dir: str):
             }
         )
 
-    keyed = orders.map_batches(with_cents, batch_format="pyarrow").materialize()
+    # left lazy on purpose: the three consumers (distinct pass, bucket
+    # counts via `distinct`, final join probe) re-stream the pruned
+    # 2-column read rather than pin a corpus-sized intermediate
+    keyed = orders.map_batches(with_cents, batch_format="pyarrow")
 
     def distinct_partial(t: pa.Table) -> pa.Table:
         return (
@@ -4066,7 +4069,10 @@ def q_small_qty_revenue(sf_dir: str):
     fact table to |parts| rows before ONE groupby; the per-part table
     rejoins lineitem through a partitioned `Dataset.join` (both sides
     big — no broadcast); the kept rows reduce to ONE scalar partial per
-    block, summed driver-side. Nothing corpus-sized gathers."""
+    block, summed driver-side. Nothing corpus-sized gathers or
+    materializes: the projected fact table is deliberately left lazy,
+    so its two consumers each stream a fresh column-pruned read rather
+    than pin a corpus-sized intermediate in the object store."""
     line = _read_sized(
         sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
     )
@@ -4080,7 +4086,7 @@ def q_small_qty_revenue(sf_dir: str):
             }
         )
 
-    keyed = line.map_batches(with_cents, batch_format="pyarrow").materialize()
+    keyed = line.map_batches(with_cents, batch_format="pyarrow")
 
     def part_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("l_partkey").aggregate([("qc", "sum"), ("qc", "count")])
@@ -4241,6 +4247,37 @@ GROUP BY c.c_nationkey
 """
 
 
+def basket_pair_arrays(
+    group_key: np.ndarray, item: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered distinct-item pairs within each group, emitted
+    fully vectorized across ALL groups (repeat/cumsum triangular
+    indexing — no per-group Python loop). Returns (a, b) with a < b
+    per pair; duplicate (group, item) rows are folded first."""
+    order = np.lexsort((item, group_key))
+    gk, it = group_key[order], item[order]
+    keep = np.ones(len(gk), dtype=bool)
+    keep[1:] = (gk[1:] != gk[:-1]) | (it[1:] != it[:-1])
+    gk, it = gk[keep], it[keep]
+    if len(gk) == 0:
+        return np.empty(0, item.dtype), np.empty(0, item.dtype)
+    new_grp = np.ones(len(gk), dtype=bool)
+    new_grp[1:] = gk[1:] != gk[:-1]
+    grp_start = np.flatnonzero(new_grp)
+    # local index of each element within its (sorted) group
+    start_of = np.repeat(grp_start, np.diff(np.append(grp_start, len(gk))))
+    local = np.arange(len(gk)) - start_of
+    total = int(local.sum())
+    if total == 0:
+        return np.empty(0, item.dtype), np.empty(0, item.dtype)
+    # element j (local index l) pairs with the l elements before it
+    dst_idx = np.repeat(np.arange(len(gk)), local)
+    block_start = np.concatenate([[0], np.cumsum(local)[:-1]])
+    k = np.arange(total) - np.repeat(block_start, local)
+    src_idx = np.repeat(start_of, local) + k
+    return it[src_idx], it[dst_idx]
+
+
 def q_copurchase_pairs(sf_dir: str):
     """Market-basket co-occurrence over the BIG-domain item space: top
     20 part pairs appearing in the same order (assoc_rules mined the
@@ -4251,9 +4288,11 @@ def q_copurchase_pairs(sf_dir: str):
     table first; ONE order-keyed exchange co-locates baskets; pair
     emission is fully vectorized across ALL groups in a partition (the
     repeat/cumsum triangular trick — no per-order Python loop) with a
-    partition-local pre-aggregate; the global pair rollup shuffles
-    (pair, count) rows; top-20 is a per-block partial merged
-    driver-side (20 rows per block, never the pair table)."""
+    partition-local pre-aggregate; the pair rollup hash-partitions on
+    the pair key and finishes with one arrow group_by + top-20 partial
+    per partition (NOT Ray's sort-based Aggregate — the same
+    large-key-domain lesson `_hash_distinct` records, A/B'd 39.5 s →
+    4.1 s at sf0.1); the driver merge sees ≤ 20 rows per partition."""
     from .functions.joins import _part_column as _pcol
 
     ds = _read_sized(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -4267,59 +4306,52 @@ def q_copurchase_pairs(sf_dir: str):
             "part_a": pa.array([], pa.int64()),
             "part_b": pa.array([], pa.int64()),
             "n": pa.array([], pa.int64()),
+            "_pp": pa.array([], pa.int32()),
         }
     )
 
     def emit_pairs(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:
             return empty
-        okey = part.column("l_orderkey").to_numpy(zero_copy_only=False)
-        pkey = part.column("l_partkey").to_numpy(zero_copy_only=False)
-        order = np.lexsort((pkey, okey))
-        okey, pkey = okey[order], pkey[order]
-        # fold cross-block (order, part) repeats
-        keep = np.ones(len(okey), dtype=bool)
-        keep[1:] = (okey[1:] != okey[:-1]) | (pkey[1:] != pkey[:-1])
-        okey, pkey = okey[keep], pkey[keep]
-        new_grp = np.ones(len(okey), dtype=bool)
-        new_grp[1:] = okey[1:] != okey[:-1]
-        grp_start = np.flatnonzero(new_grp)
-        # local index of each element within its (sorted) group
-        start_of = np.repeat(grp_start, np.diff(np.append(grp_start, len(okey))))
-        local = np.arange(len(okey)) - start_of
-        total = int(local.sum())
-        if total == 0:
+        a, b = basket_pair_arrays(
+            part.column("l_orderkey").to_numpy(zero_copy_only=False),
+            part.column("l_partkey").to_numpy(zero_copy_only=False),
+        )
+        if a.size == 0:
             return empty
-        # element j (local index l) pairs with the l elements before it
-        dst_idx = np.repeat(np.arange(len(okey)), local)
-        block_start = np.concatenate([[0], np.cumsum(local)[:-1]])
-        k = np.arange(total) - np.repeat(block_start, local)
-        src_idx = np.repeat(start_of, local) + k
         g = (
             pa.table(
                 {
-                    "part_a": pa.array(pkey[src_idx]),
-                    "part_b": pa.array(pkey[dst_idx]),
-                    "n": pa.array(np.ones(total, np.int64)),
+                    "part_a": pa.array(a),
+                    "part_b": pa.array(b),
+                    "n": pa.array(np.ones(a.size, np.int64)),
                 }
             )
             .group_by(["part_a", "part_b"])
             .aggregate([("n", "sum")])
         )
-        return g.rename_columns(["part_a", "part_b", "n"])
-
-    pair_counts = (
-        ds.map_batches(distinct_pairs, batch_format="pyarrow")
-        .materialize()
-        .groupby("_part")
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["part_a", "part_b"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
+        g = g.rename_columns(["part_a", "part_b", "n"])
+        # hash-partition key for the pair rollup (the _hash_distinct
+        # xor-mix; Ray's sort-based Aggregate over the large pair
+        # domain measured 10x slower)
+        ha = g.column("part_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        hb = g.column("part_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ha + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15) ^ (
+            hb + np.uint64(2)
+        ) * np.uint64(0xC2B2AE3D27D4EB4F)
+        return g.append_column(
+            "_pp", pa.array((h % np.uint64(16)).astype(np.int32))
+        )
 
     def topk_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t
+            return empty.select(["part_a", "part_b", "n"])
+        t = (
+            t.select(["part_a", "part_b", "n"])
+            .group_by(["part_a", "part_b"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["part_a", "part_b", "n"])
+        )
         idx = pc.sort_indices(
             t,
             sort_keys=[
@@ -4330,7 +4362,14 @@ def q_copurchase_pairs(sf_dir: str):
         )[:20]
         return t.take(idx)
 
-    blocks = pair_counts.map_batches(topk_partial, batch_format="pyarrow").take_all()
+    blocks = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby("_pp")
+        .map_groups(topk_partial, batch_format="pyarrow")
+        .take_all()
+    )
     tbl = pa.Table.from_pylist(
         blocks,
         schema=pa.schema(
