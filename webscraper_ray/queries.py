@@ -4003,13 +4003,16 @@ def q_global_price_rank(sf_dir: str):
             t.select(["bucket", "cents"]).group_by(["bucket", "cents"]).aggregate([])
         )
 
-    distinct = (
-        keyed.map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby(["bucket", "cents"])
-        .count()
-        .select_columns(["bucket", "cents"])
-        .materialize()
-    )
+    from .functions.dedup import _hash_distinct
+
+    # hash-partitioned distinct, not Ray's sort-based Aggregate: the
+    # ~|distinct prices| key domain measured 6.3 s sort vs 0.7 s hashed
+    # at sf0.1 (BASELINE sixth-batch point)
+    distinct = _hash_distinct(
+        keyed.map_batches(distinct_partial, batch_format="pyarrow"),
+        ["bucket", "cents"],
+        16,
+    ).materialize()
 
     def count_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("bucket").aggregate([("cents", "count")])
