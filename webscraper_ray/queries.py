@@ -4909,28 +4909,43 @@ def q_orders_per_customer_hist(sf_dir: str):
     including the zero-order bucket (computed from two scalar counts,
     never a customer scan).
 
-    Scale shape: per-batch (custkey → count) partials → customer-sized
-    groupby → per-batch histogram partials → count-domain-bounded
-    rollup. Same two-phase shape as `degree_distribution` on the
-    relational side."""
+    Scale shape: per-batch (custkey → count) partials, ONE custkey
+    hash-partition exchange, then per partition a single arrow
+    group_by folds BOTH the final per-customer count and the local
+    histogram (the per-customer table never leaves its partition —
+    Ray's sort-based Aggregate on the |customers| key domain measured
+    5.4 s at sf1 where this shape is sub-second); the
+    count-domain-bounded rollup finishes."""
+    from .functions.joins import _part_column as _pcol
+
     orders = _read_sized(sf_dir, "orders", ["o_custkey"])
 
     def cust_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
-        return g.rename_columns(["o_custkey", "n"])
+        g = g.rename_columns(["o_custkey", "n"])
+        return g.append_column("_pp", _pcol(g.column("o_custkey"), 16))
 
-    per_cust = (
-        orders.map_batches(cust_partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("n").aggregate([("o_custkey", "count")])
-        return g.rename_columns(["n_orders", "n_customers"])
+    def hist_in_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_orders": pa.array([], pa.int64()),
+                    "n_customers": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            t.select(["o_custkey", "n"])
+            .group_by("o_custkey")
+            .aggregate([("n", "sum")])
+            .rename_columns(["o_custkey", "n"])
+        )
+        h = g.group_by("n").aggregate([("o_custkey", "count")])
+        return h.rename_columns(["n_orders", "n_customers"])
 
     hist = (
-        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        orders.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("_pp")
+        .map_groups(hist_in_part, batch_format="pyarrow")
         .groupby("n_orders")
         .aggregate(Sum("n_customers", alias_name="n_customers"))
         .take_all()  # count-domain-bounded
