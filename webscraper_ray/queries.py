@@ -4977,6 +4977,148 @@ WHERE (SELECT count(*) FROM customer) > (SELECT count(*) FROM per_cust)
 """
 
 
+def q_price_percentiles(sf_dir: str):
+    """Exact deciles (p10..p90, ``quantile_disc`` semantics: the value
+    at 1-based rank ``ceil(p*n)``) of the HIGH-cardinality price column
+    — the scalable complement to `exact_quantiles`, whose distinct-value
+    histogram is guarded against exactly this column class
+    (functions/stats.py cardinality guard).
+
+    Scale shape: two streaming passes. Pass A ships per-batch $100
+    bucket-count partials (driver histogram bounded by price-domain/W ≈
+    10^3-10^4 rows, never by row count); the driver locates each
+    decile's bucket + local rank by cumulative sum. Pass B gathers ONLY
+    the ≤ 9 target buckets' values (expected 9/|buckets| of the corpus;
+    a second refine level would bound it further — documented contract)
+    and picks each boundary value by local sort. Values returned are
+    the ORIGINAL doubles, selected by rank — never re-derived from
+    cents, so float identity with the oracle is exact."""
+    W = pa.scalar(10_000, pa.int64())  # $100 buckets
+    orders = _read_sized(sf_dir, "orders", ["o_totalprice"])
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        b = pc.divide(_cents(t.column("o_totalprice")), W)
+        g = pa.table({"bucket": b}).group_by("bucket").aggregate([([], "count_all")])
+        return g.rename_columns(["bucket", "n"])
+
+    hist = (
+        orders.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # price-domain/W-bounded
+    )
+    hist.sort(key=lambda r: r["bucket"])
+    buckets = [int(r["bucket"]) for r in hist]
+    counts = [int(r["n"]) for r in hist]
+    n = sum(counts)
+    cum = np.cumsum([0] + counts)
+    targets: dict[int, list[tuple[int, int]]] = {}
+    for k in range(1, 10):
+        rank = (k * n + 9) // 10  # ceil(k*n/10), 1-based
+        i = int(np.searchsorted(cum[1:], rank))
+        targets.setdefault(buckets[i], []).append((k, rank - int(cum[i])))
+
+    import ray as _ray
+
+    tset_ref = _ray.put(np.asarray(sorted(targets), dtype=np.int64))
+
+    def in_targets(t: pa.Table) -> pa.Table:
+        ts = _ray.get(tset_ref)
+        b = pc.divide(_cents(t.column("o_totalprice")), W).to_numpy(
+            zero_copy_only=False
+        )
+        pos = np.minimum(np.searchsorted(ts, b), ts.size - 1)
+        keep = ts[pos] == b
+        return pa.table(
+            {
+                "bucket": pa.array(b[keep]),
+                "v": pa.array(
+                    t.column("o_totalprice").to_numpy(zero_copy_only=False)[keep]
+                ),
+            }
+        )
+
+    rows = orders.map_batches(in_targets, batch_format="pyarrow").take_all()
+    by_bucket: dict[int, list[float]] = {}
+    for r in rows:
+        by_bucket.setdefault(int(r["bucket"]), []).append(float(r["v"]))
+    out_p, out_v = [], []
+    for b, specs in sorted(targets.items()):
+        vals = sorted(by_bucket[b])
+        for k, local_rank in specs:
+            out_p.append(10 * k)
+            out_v.append(vals[local_rank - 1])
+    order = np.argsort(out_p)
+    return pa.table(
+        {
+            "pct": pa.array(np.asarray(out_p, dtype=np.int64)[order]),
+            "value": pa.array(np.asarray(out_v, dtype=np.float64)[order]),
+        }
+    )
+
+
+SQL_PRICE_PERCENTILES = """
+SELECT 10 AS pct, quantile_disc(o_totalprice, 0.1) AS value FROM orders
+UNION ALL
+SELECT 20, quantile_disc(o_totalprice, 0.2) FROM orders
+UNION ALL
+SELECT 30, quantile_disc(o_totalprice, 0.3) FROM orders
+UNION ALL
+SELECT 40, quantile_disc(o_totalprice, 0.4) FROM orders
+UNION ALL
+SELECT 50, quantile_disc(o_totalprice, 0.5) FROM orders
+UNION ALL
+SELECT 60, quantile_disc(o_totalprice, 0.6) FROM orders
+UNION ALL
+SELECT 70, quantile_disc(o_totalprice, 0.7) FROM orders
+UNION ALL
+SELECT 80, quantile_disc(o_totalprice, 0.8) FROM orders
+UNION ALL
+SELECT 90, quantile_disc(o_totalprice, 0.9) FROM orders
+"""
+
+
+def q_ann_recall_eval(sf_dir: str):
+    """ANN quality eval: recall@10 of the IVF index against the exact
+    brute-force baseline, per query — the self-measurement harness an
+    embedding pipeline runs before trusting an approximate index. Both
+    sides are the registry's own deterministic pipelines, so even this
+    eval is value-hash gated.
+
+    Scale shape: both operand pipelines keep their own scale shapes;
+    the eval itself joins two k·|queries|-bounded result sets
+    driver-side (≤ 50 rows each)."""
+    exact = {
+        (int(r["query_id"]), int(r["vec_id"])) for r in q_ann_bruteforce(sf_dir).take_all()
+    }
+    approx = {
+        (int(r["query_id"]), int(r["vec_id"])) for r in q_ann_ivf(sf_dir).take_all()
+    }
+    qids = sorted({q for q, _ in exact})
+    hits = {q: 0 for q in qids}
+    for q, v in exact:
+        if (q, v) in approx:
+            hits[q] += 1
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "recall": pa.array(
+                [float(hits[q]) / 10.0 for q in qids], pa.float64()
+            ),
+        }
+    )
+
+
+def _sql_ann_recall_eval() -> str:
+    return f"""
+SELECT b.query_id, CAST(count(i.vec_id) AS DOUBLE) / 10.0 AS recall
+FROM ({SQL_ANN_BRUTEFORCE}) b
+LEFT JOIN ({_sql_ann_ivf()}) i
+  ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+GROUP BY b.query_id
+"""
+
+
 def q_knn_classify(sf_dir: str):
     """k-NN label prediction: each query vector takes the majority
     label of its exact top-10 cosine neighbors (tie-break: higher vote
@@ -9267,6 +9409,8 @@ QUERIES = {
     "knn_classify": q_knn_classify,
     "mutual_links": q_mutual_links,
     "dataset_split": q_dataset_split,
+    "price_percentiles": q_price_percentiles,
+    "ann_recall_eval": q_ann_recall_eval,
 }
 
 ORACLE_SQL = {
@@ -9411,6 +9555,8 @@ ORACLE_SQL = {
     "knn_classify": SQL_KNN_CLASSIFY,
     "mutual_links": _sql_mutual_links(),
     "dataset_split": SQL_DATASET_SPLIT,
+    "price_percentiles": SQL_PRICE_PERCENTILES,
+    "ann_recall_eval": _sql_ann_recall_eval(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
