@@ -68,3 +68,15 @@ def test_basket_pairs_single_item_groups():
     it = np.zeros(10, dtype=np.int64)
     a, b = basket_pair_arrays(gk, it)
     assert a.size == 0 and b.size == 0
+
+
+def test_basket_pairs_giant_basket_guard():
+    import pytest
+
+    gk = np.zeros(100, dtype=np.int64)
+    it = np.arange(100, dtype=np.int64)
+    with pytest.raises(ValueError, match="group 0 has 100 distinct items"):
+        basket_pair_arrays(gk, it, max_basket=50)
+    # at the cap: no raise
+    a, b = basket_pair_arrays(gk, it, max_basket=100)
+    assert a.size == 100 * 99 // 2

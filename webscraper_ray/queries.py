@@ -4250,13 +4250,22 @@ GROUP BY c.c_nationkey
 """
 
 
+MAX_BASKET = 10_000  # pair emission is O(m^2) per basket — guard, don't OOM
+
+
 def basket_pair_arrays(
-    group_key: np.ndarray, item: np.ndarray
+    group_key: np.ndarray, item: np.ndarray, max_basket: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """All unordered distinct-item pairs within each group, emitted
     fully vectorized across ALL groups (repeat/cumsum triangular
     indexing — no per-group Python loop). Returns (a, b) with a < b
-    per pair; duplicate (group, item) rows are folded first."""
+    per pair; duplicate (group, item) rows are folded first.
+
+    ``max_basket`` is the loud-guard contract (the joins' overflow /
+    dedup star-cap discipline): a group with more distinct items than
+    this raises, naming the group — pair emission is O(m²) per group,
+    and a pathological million-item basket must fail loudly, not OOM
+    the worker."""
     order = np.lexsort((item, group_key))
     gk, it = group_key[order], item[order]
     keep = np.ones(len(gk), dtype=bool)
@@ -4270,6 +4279,12 @@ def basket_pair_arrays(
     # local index of each element within its (sorted) group
     start_of = np.repeat(grp_start, np.diff(np.append(grp_start, len(gk))))
     local = np.arange(len(gk)) - start_of
+    if max_basket is not None and local.size and int(local.max()) + 1 > max_basket:
+        worst = int(gk[int(np.argmax(local))])
+        raise ValueError(
+            f"group {worst} has {int(local.max()) + 1} distinct items "
+            f"(> max_basket={max_basket}); refusing O(m^2) pair emission"
+        )
     total = int(local.sum())
     if total == 0:
         return np.empty(0, item.dtype), np.empty(0, item.dtype)
@@ -4319,6 +4334,7 @@ def q_copurchase_pairs(sf_dir: str):
         a, b = basket_pair_arrays(
             part.column("l_orderkey").to_numpy(zero_copy_only=False),
             part.column("l_partkey").to_numpy(zero_copy_only=False),
+            max_basket=MAX_BASKET,
         )
         if a.size == 0:
             return empty
