@@ -200,6 +200,18 @@ _KN1 = np.uint64(0x9E3779B97F4A7C15)
 _KN2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
+def xor_mix_parts(cols: list[np.ndarray], num_parts: int) -> np.ndarray:
+    """Partition ids (int32) from the xor-mix of integer key columns —
+    THE multi-column hash-partition family (`_hash_distinct`, the pair
+    rollups): change it here and every consumer moves together."""
+    h = np.zeros(len(cols[0]), dtype=np.uint64)
+    for j, v in enumerate(cols):
+        h ^= (v.astype(np.uint64) + np.uint64(j + 1)) * (
+            _KN1 if j % 2 == 0 else _KN2
+        )
+    return (h % np.uint64(num_parts)).astype(np.int32)
+
+
 def _hash_distinct(
     ds: "ray.data.Dataset", cols: list[str], num_parts: int = _BAND_PARTS
 ) -> "ray.data.Dataset":
@@ -213,13 +225,11 @@ def _hash_distinct(
     """
 
     def add_p(t: pa.Table) -> pa.Table:
-        h = np.zeros(t.num_rows, dtype=np.uint64)
-        for j, c in enumerate(cols):
-            v = t.column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
-            h ^= (v + np.uint64(j + 1)) * (_KN1 if j % 2 == 0 else _KN2)
-        return t.append_column(
-            "_dp", pa.array((h % np.uint64(num_parts)).astype(np.int32))
+        parts = xor_mix_parts(
+            [t.column(c).to_numpy(zero_copy_only=False) for c in cols],
+            num_parts,
         )
+        return t.append_column("_dp", pa.array(parts))
 
     def uniq(t: pa.Table) -> pa.Table:
         mat = np.stack(

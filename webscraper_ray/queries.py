@@ -3853,12 +3853,14 @@ GROUP BY user_id
 
 
 def _link_edges(sf_dir: str):
-    """Distinct directed md5 link graph over documents (the derivation
-    `pagerank_docs` / `link_triangles` established): per-batch edge
-    emission, distinct via hash-partitioned `_hash_distinct` — the only
-    corpus-proportional payload is the (src, dst) int64 pairs."""
-    from .functions.dedup import _hash_distinct, md5_u64
-    from .functions.pagerank import OUT_DEGREE
+    """Distinct DIRECTED md5 link graph over documents. The out-link
+    derivation is pagerank's `_out_links` kernel — the ONE
+    implementation of the md5 edge family (also behind the oriented
+    `_derived_link_edges`); distinct via hash-partitioned
+    `_hash_distinct`. The only corpus-proportional payload is the
+    (src, dst) int64 pairs."""
+    from .functions.dedup import _hash_distinct
+    from .functions.pagerank import OUT_DEGREE, _out_links
 
     path = os.path.join(sf_dir, "documents.parquet")
     n_nodes = pq.ParquetFile(path).metadata.num_rows
@@ -3866,16 +3868,8 @@ def _link_edges(sf_dir: str):
 
     def emit_directed(t: pa.Table) -> pa.Table:
         u = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        src = np.repeat(u, OUT_DEGREE)
-        dst = np.fromiter(
-            (
-                md5_u64(f"pr:{int(n)}:{j}") % n_nodes
-                for n in u
-                for j in range(OUT_DEGREE)
-            ),
-            dtype=np.int64,
-            count=len(u) * OUT_DEGREE,
-        )
+        src = np.concatenate([u] * OUT_DEGREE)
+        dst = np.concatenate(_out_links(u, n_nodes))
         keep = src != dst
         return pa.table(
             {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
@@ -3925,11 +3919,9 @@ def q_reachable_docs(sf_dir: str):
         ref = _ray.put(np.sort(frontier))
 
         def expand(t: pa.Table, _ref=ref) -> pa.Table:
-            fr = _ray.get(_ref)
-            src = t.column("src").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(fr, src)
-            pos = np.minimum(pos, fr.size - 1)
-            hit = fr[pos] == src
+            hit = _isin_sorted(
+                t.column("src").to_numpy(zero_copy_only=False), _ray.get(_ref)
+            )
             return pa.table({"dst": pa.array(t.column("dst").to_numpy(
                 zero_copy_only=False)[hit])})
 
@@ -4091,14 +4083,35 @@ def q_small_qty_revenue(sf_dir: str):
 
     keyed = line.map_batches(with_cents, batch_format="pyarrow")
 
+    from .functions.joins import _part_column as _pcol
+
     def part_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("l_partkey").aggregate([("qc", "sum"), ("qc", "count")])
+        g = g.rename_columns(["l_partkey", "sum_qc", "n"])
+        return g.append_column("_pp", _pcol(g.column("l_partkey"), 16))
+
+    def part_final(t: pa.Table) -> pa.Table:
+        # per-partition arrow group_by, not Ray's sort Aggregate over
+        # the |parts| key domain
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_partkey": pa.array([], pa.int64()),
+                    "sum_qc": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            t.select(["l_partkey", "sum_qc", "n"])
+            .group_by("l_partkey")
+            .aggregate([("sum_qc", "sum"), ("n", "sum")])
+        )
         return g.rename_columns(["l_partkey", "sum_qc", "n"])
 
     per_part = (
         keyed.map_batches(part_partial, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("sum_qc", alias_name="sum_qc"), Sum("n", alias_name="n"))
+        .groupby("_pp")
+        .map_groups(part_final, batch_format="pyarrow")
     )
 
     joined = keyed.join(
@@ -4250,7 +4263,20 @@ GROUP BY c.c_nationkey
 """
 
 
-MAX_BASKET = 10_000  # pair emission is O(m^2) per basket — guard, don't OOM
+def _isin_sorted(values: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Membership mask of ``values`` against a SORTED reference array —
+    the broadcast semi-join kernel (ray.put a sorted id set once, test
+    per batch). One shared implementation for every site, including the
+    empty-reference edge."""
+    if ref.size == 0:
+        return np.zeros(len(values), dtype=bool)
+    pos = np.minimum(np.searchsorted(ref, values), ref.size - 1)
+    return ref[pos] == values
+
+
+# pair emission is O(m^2) per basket: at this cap one basket emits
+# ~500k pairs (~8 MB of transient index arrays) — bounded, loud above
+MAX_BASKET = 1_000
 
 
 def basket_pair_arrays(
@@ -4350,16 +4376,22 @@ def q_copurchase_pairs(sf_dir: str):
             .aggregate([("n", "sum")])
         )
         g = g.rename_columns(["part_a", "part_b", "n"])
-        # hash-partition key for the pair rollup (the _hash_distinct
-        # xor-mix; Ray's sort-based Aggregate over the large pair
-        # domain measured 10x slower)
-        ha = g.column("part_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        hb = g.column("part_b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (ha + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15) ^ (
-            hb + np.uint64(2)
-        ) * np.uint64(0xC2B2AE3D27D4EB4F)
+        # hash-partition key for the pair rollup (the shared
+        # `xor_mix_parts` family; Ray's sort-based Aggregate over the
+        # large pair domain measured 10x slower)
+        from .functions.dedup import xor_mix_parts
+
         return g.append_column(
-            "_pp", pa.array((h % np.uint64(16)).astype(np.int32))
+            "_pp",
+            pa.array(
+                xor_mix_parts(
+                    [
+                        g.column("part_a").to_numpy(zero_copy_only=False),
+                        g.column("part_b").to_numpy(zero_copy_only=False),
+                    ],
+                    16,
+                )
+            ),
         )
 
     def topk_partial(t: pa.Table) -> pa.Table:
@@ -4454,6 +4486,10 @@ def q_revenue_autocorr(sf_dir: str):
         x = [int(v) for v in series[:-lag]]
         y = [int(v) for v in series[lag:]]
         cnt = len(x)
+        if cnt == 0:
+            # mirror the oracle: a lag >= the series length produces NO
+            # joined rows, so the GROUP BY emits no row for it at all
+            continue
         sx, sy = sum(x), sum(y)
         sxy = sum(a * b for a, b in zip(x, y))
         sx2 = sum(a * a for a in x)
@@ -4592,27 +4628,42 @@ def q_degree_distribution(sf_dir: str):
     popularity profile: how many pages are linked from k places).
 
     Scale shape: edge emission + distinct via `_link_edges`; per-batch
-    partial count by dst → node-sized groupby → per-batch histogram
-    partial → degree-domain-bounded rollup. The zero-degree row is
+    partial count by dst, ONE dst hash-partition exchange, then per
+    partition one arrow group_by folds BOTH the final per-node count
+    and the local histogram (the node-sized table never leaves its
+    partition — not Ray's sort-based Aggregate over the node domain);
+    the degree-domain-bounded rollup finishes. The zero-degree row is
     computed from two scalar counts, not a node scan."""
+    from .functions.joins import _part_column as _pcol
+
     edges, n_nodes = _link_edges(sf_dir)
 
     def dst_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("dst").aggregate([("src", "count")])
-        return g.rename_columns(["dst", "deg"])
+        g = g.rename_columns(["dst", "deg"])
+        return g.append_column("_pp", _pcol(g.column("dst"), 16))
 
-    indeg = (
-        edges.map_batches(dst_partial, batch_format="pyarrow")
-        .groupby("dst")
-        .aggregate(Sum("deg", alias_name="deg"))
-    )
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("deg").aggregate([("dst", "count")])
-        return g.rename_columns(["indegree", "n_nodes"])
+    def hist_in_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "indegree": pa.array([], pa.int64()),
+                    "n_nodes": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            t.select(["dst", "deg"])
+            .group_by("dst")
+            .aggregate([("deg", "sum")])
+            .rename_columns(["dst", "deg"])
+        )
+        h = g.group_by("deg").aggregate([("dst", "count")])
+        return h.rename_columns(["indegree", "n_nodes"])
 
     hist = (
-        indeg.map_batches(hist_partial, batch_format="pyarrow")
+        edges.map_batches(dst_partial, batch_format="pyarrow")
+        .groupby("_pp")
+        .map_groups(hist_in_part, batch_format="pyarrow")
         .groupby("indegree")
         .aggregate(Sum("n_nodes", alias_name="n_nodes"))
         .take_all()  # degree-domain-bounded
@@ -4718,9 +4769,10 @@ def q_dq_checks(sf_dir: str):
     Scale shape: each FK check is a partitioned `Dataset.join
     (left_anti)` with both sides projected to key columns before the
     exchange, reduced to per-block count partials; the duplicate-key
-    check pre-aggregates (key, count) per batch before its one
-    groupby; range/null checks are pure streaming scalar partials.
-    Every check's driver artifact is one integer."""
+    check is rows-minus-`_hash_distinct` (hash-partitioned, never a
+    sort Aggregate over the key domain); range/null checks are pure
+    streaming scalar partials. Every check's driver artifact is one
+    integer."""
 
     def count_ds(ds) -> int:
         parts = ds.map_batches(
@@ -4729,11 +4781,12 @@ def q_dq_checks(sf_dir: str):
         ).take_all()
         return sum(int(r["n"]) for r in parts)
 
-    # (a) orders whose customer is missing
-    orders_k = _read_sized(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    # (a) orders whose customer is missing — key column ONLY through
+    # the exchange
+    orders_cust = _read_sized(sf_dir, "orders", ["o_custkey"])
     cust_k = _read_sized(sf_dir, "customer", ["c_custkey"])
     orphan_orders = count_ds(
-        orders_k.join(
+        orders_cust.join(
             cust_k,
             join_type="left_anti",
             num_partitions=16,
@@ -4742,43 +4795,22 @@ def q_dq_checks(sf_dir: str):
         )
     )
     # (b) lineitems whose order is missing
-    line_k = _read_sized(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    line_k = _read_sized(sf_dir, "lineitem", ["l_orderkey"])
     orphan_lines = count_ds(
         line_k.join(
-            orders_k.select_columns(["o_orderkey"]),
+            _read_sized(sf_dir, "orders", ["o_orderkey"]),
             join_type="left_anti",
             num_partitions=16,
             on=("l_orderkey",),
             right_on=("o_orderkey",),
         )
     )
-    # (c) duplicate doc ids: rows minus distinct keys
+    # (c) duplicate doc ids: rows minus distinct keys (hash-partition
+    # distinct, not a sort Aggregate over the |documents| key domain)
+    from .functions.dedup import _hash_distinct
+
     docs = _read_sized(sf_dir, "documents", ["doc_id"])
-
-    def key_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("doc_id").aggregate([("doc_id", "count")])
-        return g.rename_columns(["doc_id", "n"])
-
-    dup_parts = (
-        docs.map_batches(key_partial, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "rows": pa.array(
-                        [int(pc.sum(t.column("n")).as_py() or 0)], pa.int64()
-                    ),
-                    "keys": pa.array([t.num_rows], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .take_all()
-    )
-    dup_docs = sum(int(r["rows"]) for r in dup_parts) - sum(
-        int(r["keys"]) for r in dup_parts
-    )
+    dup_docs = count_ds(docs) - count_ds(_hash_distinct(docs, ["doc_id"], 16))
     # (d) lineitem quantity outside (0, 100]
     line_q = _read_sized(sf_dir, "lineitem", ["l_quantity"])
     bad_qty = count_ds(
@@ -5039,12 +5071,10 @@ def q_price_percentiles(sf_dir: str):
     tset_ref = _ray.put(np.asarray(sorted(targets), dtype=np.int64))
 
     def in_targets(t: pa.Table) -> pa.Table:
-        ts = _ray.get(tset_ref)
         b = pc.divide(_cents(t.column("o_totalprice")), W).to_numpy(
             zero_copy_only=False
         )
-        pos = np.minimum(np.searchsorted(ts, b), ts.size - 1)
-        keep = ts[pos] == b
+        keep = _isin_sorted(b, _ray.get(tset_ref))
         return pa.table(
             {
                 "bucket": pa.array(b[keep]),
@@ -5156,11 +5186,10 @@ def q_knn_classify(sf_dir: str):
     wanted_ref = _ray.put(np.asarray(wanted, dtype=np.int64))
 
     def label_of(t: pa.Table) -> pa.Table:
-        w = _ray.get(wanted_ref)
-        v = t.column("vec_id").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(w, v)
-        pos = np.minimum(pos, w.size - 1)
-        hit = w[pos] == v
+        hit = _isin_sorted(
+            t.column("vec_id").to_numpy(zero_copy_only=False),
+            _ray.get(wanted_ref),
+        )
         kept = t.filter(pa.array(hit))
         return pa.table(
             {
@@ -8830,9 +8859,10 @@ FROM sl ORDER BY source
 def _derived_link_edges(sf_dir: str) -> "ray.data.Dataset":
     """Oriented (a < b) distinct edge set of the derived doc link graph
     (the md5 family PageRank crawls): one streaming map + an
-    output-sized ``_hash_distinct`` orientation dedupe."""
-    from .functions.dedup import _hash_distinct, md5_u64
-    from .functions.pagerank import OUT_DEGREE
+    output-sized ``_hash_distinct`` orientation dedupe. Shares
+    pagerank's `_out_links` kernel with `_link_edges`."""
+    from .functions.dedup import _hash_distinct
+    from .functions.pagerank import OUT_DEGREE, _out_links
 
     path = os.path.join(sf_dir, "documents.parquet")
     n_nodes = pq.ParquetFile(path).metadata.num_rows
@@ -8840,16 +8870,8 @@ def _derived_link_edges(sf_dir: str) -> "ray.data.Dataset":
 
     def emit_edges(t: pa.Table) -> pa.Table:
         u = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        src = np.repeat(u, OUT_DEGREE)
-        dst = np.fromiter(
-            (
-                md5_u64(f"pr:{int(n)}:{j}") % n_nodes
-                for n in u
-                for j in range(OUT_DEGREE)
-            ),
-            dtype=np.int64,
-            count=len(u) * OUT_DEGREE,
-        )
+        src = np.concatenate([u] * OUT_DEGREE)
+        dst = np.concatenate(_out_links(u, n_nodes))
         a = np.minimum(src, dst)
         b = np.maximum(src, dst)
         keep = a != b
