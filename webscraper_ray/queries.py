@@ -5165,6 +5165,143 @@ GROUP BY b.query_id
 """
 
 
+def q_hourly_heatmap(sf_dir: str):
+    """Activity heatmap: event count + exact value sum per (ISO day of
+    week, hour of day) — the 168-cell profiling matrix every operations
+    dashboard draws.
+
+    Scale shape: per-batch partials reduce each block to ≤ 168 rows
+    before the one bounded groupby; driver artifact is the 168-row
+    result itself."""
+    ev = _read_sized(sf_dir, "events", ["ts", "value"])
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        g = (
+            pa.table(
+                {
+                    "dow": pc.cast(pc.day_of_week(ts), pa.int64()),
+                    "hour": pc.cast(pc.hour(ts), pa.int64()),
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "value_c": _cents(t.column("value")),
+                }
+            )
+            .group_by(["dow", "hour"])
+            .aggregate([("n", "sum"), ("value_c", "sum")])
+        )
+        return g.rename_columns(["dow", "hour", "n", "value_c"])
+
+    rows = (
+        ev.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_c", alias_name="value_c"))
+        .take_all()  # 168-bounded
+    )
+    rows.sort(key=lambda r: (r["dow"], r["hour"]))
+    return pa.table(
+        {
+            # pyarrow day_of_week: Monday=0 -> ISO Monday=1
+            "dow": pa.array([int(r["dow"]) + 1 for r in rows], pa.int64()),
+            "hour": pa.array([int(r["hour"]) for r in rows], pa.int64()),
+            "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+            "total_value": pa.array(
+                [float(int(r["value_c"])) / 100.0 for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_HOURLY_HEATMAP = """
+SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hour,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_nation_top_customers(sf_dir: str):
+    """Per-nation top-3 customers by account balance (deterministic
+    tie-break on custkey), joined to the nation name — the grouped
+    top-k ⨝ dimension composition.
+
+    Scale shape: per-batch partial top-3-per-nation bounds every block's
+    contribution at 3·|nations| rows BEFORE the one nation-keyed
+    exchange (the `ranking.py` discipline); the 25-row nation table is
+    a driver-side broadcast lookup, no join shuffle."""
+    cust = _read_sized(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        # bal_c is the deterministic sort key; c_acctbal rides along so
+        # the output is the ORIGINAL double, never re-derived from cents
+        return pa.table(
+            {
+                "nation": pc.cast(t.column("c_nationkey"), pa.int64()),
+                "c_custkey": t.column("c_custkey"),
+                "bal_c": _cents(t.column("c_acctbal")),
+                "c_acctbal": t.column("c_acctbal"),
+            }
+        )
+
+    def topk(tt: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            tt,
+            sort_keys=[
+                ("nation", "ascending"),
+                ("bal_c", "descending"),
+                ("c_custkey", "ascending"),
+            ],
+        )
+        tt = tt.take(idx)
+        nat = tt.column("nation").to_numpy(zero_copy_only=False)
+        if len(nat) == 0:
+            return tt
+        new = np.ones(len(nat), dtype=bool)
+        new[1:] = nat[1:] != nat[:-1]
+        start_of = np.repeat(
+            np.flatnonzero(new), np.diff(np.append(np.flatnonzero(new), len(nat)))
+        )
+        local = np.arange(len(nat)) - start_of
+        return tt.filter(pa.array(local < 3))
+
+    rows = (
+        cust.map_batches(norm, batch_format="pyarrow")
+        .map_batches(topk, batch_format="pyarrow")
+        .groupby("nation")
+        .map_groups(topk, batch_format="pyarrow")
+        .take_all()  # 3 x |nations|-bounded
+    )
+    names = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+        ).to_pylist()
+    }
+    rows.sort(key=lambda r: (r["nation"], -int(r["bal_c"]), int(r["c_custkey"])))
+    return pa.table(
+        {
+            "n_name": pa.array([names[int(r["nation"])] for r in rows]),
+            "c_custkey": pa.array([int(r["c_custkey"]) for r in rows], pa.int64()),
+            "c_acctbal": pa.array(
+                [float(r["c_acctbal"]) for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_NATION_TOP_CUSTOMERS = """
+SELECT n.n_name, c.c_custkey, c.c_acctbal
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY c_nationkey ORDER BY round(c_acctbal * 100) DESC, c_custkey
+  ) AS rk
+  FROM customer
+) c JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.rk <= 3
+"""
+
+
 def q_knn_classify(sf_dir: str):
     """k-NN label prediction: each query vector takes the majority
     label of its exact top-10 cosine neighbors (tie-break: higher vote
@@ -9449,6 +9586,8 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "price_percentiles": q_price_percentiles,
     "ann_recall_eval": q_ann_recall_eval,
+    "hourly_heatmap": q_hourly_heatmap,
+    "nation_top_customers": q_nation_top_customers,
 }
 
 ORACLE_SQL = {
@@ -9595,6 +9734,8 @@ ORACLE_SQL = {
     "dataset_split": SQL_DATASET_SPLIT,
     "price_percentiles": SQL_PRICE_PERCENTILES,
     "ann_recall_eval": _sql_ann_recall_eval(),
+    "hourly_heatmap": SQL_HOURLY_HEATMAP,
+    "nation_top_customers": SQL_NATION_TOP_CUSTOMERS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
