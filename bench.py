@@ -198,18 +198,27 @@ def run_crawl_bench(store):
     }
 
 
-def run_query_bench():
+def run_query_bench(trials: int = 2):
+    """Best-of-``trials`` per query: this shared host shows multi-x
+    neighbor-steal spread (a full suite run measured uniformly 2-7x its
+    quiet numbers in one bad phase, BASELINE sixth-batch point), and the
+    min per query is the least-stolen observation — the same protocol
+    the crawl headline uses."""
     from webscraper_ray.queries import QUERIES
 
     timings = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        res = QUERIES[name](SF_DIR)
-        # consume: aggregates/top-k are small -> to_pandas; big outputs
-        # are counted (streamed) instead of materialized
-        if hasattr(res, "count"):
-            res.count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(1, trials)):
+            t0 = time.time()
+            res = QUERIES[name](SF_DIR)
+            # consume: aggregates/top-k are small -> to_pandas; big
+            # outputs are counted (streamed) instead of materialized
+            if hasattr(res, "count"):
+                res.count()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
     return timings
 
 
