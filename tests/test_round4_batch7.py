@@ -70,6 +70,34 @@ def test_basket_pairs_single_item_groups():
     assert a.size == 0 and b.size == 0
 
 
+def test_isin_sorted_edges():
+    from webscraper_ray.queries import _isin_sorted
+
+    v = np.array([1, 5, 9], dtype=np.int64)
+    # empty reference: all False, no out-of-bounds index
+    assert not _isin_sorted(v, np.array([], dtype=np.int64)).any()
+    ref = np.array([0, 5, 7], dtype=np.int64)
+    assert _isin_sorted(v, ref).tolist() == [False, True, False]
+    # value beyond the last reference element (the clamp branch)
+    assert _isin_sorted(np.array([100], dtype=np.int64), ref).tolist() == [False]
+    assert _isin_sorted(np.array([7], dtype=np.int64), ref).tolist() == [True]
+
+
+def test_xor_mix_parts_properties():
+    from webscraper_ray.functions.dedup import xor_mix_parts
+
+    a = np.arange(10_000, dtype=np.int64)
+    b = (a * 7 + 3) % 9973
+    p = xor_mix_parts([a, b], 16)
+    assert p.dtype == np.int32 and p.min() >= 0 and p.max() < 16
+    # deterministic
+    assert np.array_equal(p, xor_mix_parts([a, b], 16))
+    # column order matters (asymmetric mix) and spread is balanced
+    assert not np.array_equal(p, xor_mix_parts([b, a], 16))
+    counts = np.bincount(p, minlength=16)
+    assert counts.min() > 0.5 * counts.mean()
+
+
 def test_basket_pairs_giant_basket_guard():
     import pytest
 
