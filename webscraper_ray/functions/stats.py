@@ -31,7 +31,12 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-__all__ = ["exact_quantiles", "exact_quantiles_by_group", "MAX_DISTINCT_GATHER"]
+__all__ = [
+    "exact_quantiles",
+    "exact_quantiles_by_group",
+    "exact_quantile_disc_unbounded",
+    "MAX_DISTINCT_GATHER",
+]
 
 # The driver gather is sized by the column's distinct-value count. The
 # algorithm's contract is integer-ish/bounded-cardinality columns; a
@@ -274,3 +279,168 @@ def exact_quantiles_cont(
             col: pa.array(picks, pa.float64()),
         }
     )
+
+
+def exact_quantile_disc_unbounded(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    fractions: Sequence[float],
+    *,
+    w0: int = 10_000,
+    cap: int = 100_000,
+    shrink: int = 100,
+) -> list[tuple[float, float]]:
+    """Exact ``quantile_disc`` (value at 1-based rank ``ceil(q*n)``)
+    over an UNBOUNDED-cardinality money column — the scalable
+    complement to :func:`exact_quantiles`' guarded distinct-value
+    histogram.
+
+    Iterative bucket refinement: each level streams ONE histogram pass
+    counting rows per ``cents // W`` bucket, restricted to the still-
+    unresolved target intervals (broadcast bounds, vectorized interval
+    test); the driver narrows every target rank to a child interval and
+    shrinks ``W`` by ``shrink`` until each target interval holds at
+    most ``cap`` rows (or W == 1, where a residual interval is a
+    single cent value — its row count is the value's multiplicity,
+    gathered regardless and documented as the one data-dependent
+    bound). The final pass gathers ONLY resolved-interval rows and
+    selects each boundary by local sort of the ORIGINAL doubles (cents
+    order is a monotone coarsening of double order, so within-interval
+    double sort is globally correct and float identity with a SQL
+    oracle is exact).
+
+    Driver artifacts per level: <= shrink x |intervals| count rows.
+    Total scans: 1 + ceil(log_shrink(w0)) histogram passes + 1 gather.
+    """
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    def cents_of(t: pa.Table) -> np.ndarray:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        return np.where(
+            v >= 0, np.floor(v * 100.0 + 0.5), np.ceil(v * 100.0 - 0.5)
+        ).astype(np.int64)
+
+    LO, HI = np.int64(-(1 << 62)), np.int64(1 << 62)
+
+    # ---- level passes -------------------------------------------------
+    # intervals: sorted disjoint [lo, hi) cent ranges still unresolved;
+    # alongside each, the (fraction_index, local_rank) targets inside it
+    w = int(w0)
+    n_total: int | None = None
+    pending: list[tuple[int, int, list[tuple[int, int]]]] | None = None
+    resolved: list[tuple[int, int, list[tuple[int, int]]]] = []
+    while True:
+        if pending is None:
+            bounds = None  # first pass: whole domain
+        else:
+            bounds = (
+                np.asarray([p[0] for p in pending], dtype=np.int64),
+                np.asarray([p[1] for p in pending], dtype=np.int64),
+            )
+        bounds_ref = _ray.put(bounds)
+        w_scal = np.int64(w)
+
+        def hist_partial(t: pa.Table, _ref=bounds_ref, _w=w_scal) -> pa.Table:
+            c = cents_of(t)
+            b = _ray.get(_ref)
+            if b is not None:
+                los, his = b
+                idx = np.searchsorted(los, c, side="right") - 1
+                idx = np.maximum(idx, 0)
+                keep = (c >= los[idx]) & (c < his[idx])
+                c = c[keep]
+            bk = c // _w
+            if bk.size == 0:
+                return pa.table(
+                    {"bucket": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64())}
+                )
+            u, cnt = np.unique(bk, return_counts=True)
+            return pa.table(
+                {"bucket": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
+            )
+
+        hist_rows = (
+            ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )
+        hist_rows.sort(key=lambda r: r["bucket"])
+        hbuckets = np.asarray([int(r["bucket"]) for r in hist_rows], dtype=np.int64)
+        hcounts = np.asarray([int(r["n"]) for r in hist_rows], dtype=np.int64)
+
+        if pending is None:
+            n_total = int(hcounts.sum())
+            if n_total == 0:
+                return [(float(f), float("nan")) for f in fractions]
+            from fractions import Fraction
+
+            def _rank(f) -> int:  # exact ceil(f*n), immune to float error
+                fr = Fraction(str(f))
+                return max(1, -((-fr.numerator * n_total) // fr.denominator))
+
+            pending = [
+                (
+                    int(LO),
+                    int(HI),
+                    [(fi, _rank(f)) for fi, f in enumerate(fractions)],
+                )
+            ]
+
+        nxt: list[tuple[int, int, list[tuple[int, int]]]] = []
+        for lo, hi, targs in pending:
+            sel = (hbuckets * w >= lo) & (hbuckets * w < hi)
+            bks, cnts = hbuckets[sel], hcounts[sel]
+            cum = np.concatenate([[0], np.cumsum(cnts)])
+            children: dict[int, list[tuple[int, int]]] = {}
+            for fi, r in targs:
+                i = int(np.searchsorted(cum[1:], r))
+                children.setdefault(i, []).append((fi, r - int(cum[i])))
+            for i, sub in children.items():
+                c_lo = max(lo, int(bks[i]) * w)
+                c_hi = min(hi, (int(bks[i]) + 1) * w)
+                item = (c_lo, c_hi, sub)
+                if int(cnts[i]) <= cap or w == 1:
+                    resolved.append(item)
+                else:
+                    nxt.append(item)
+        if not nxt:
+            break
+        pending = sorted(nxt)
+        w = max(1, w // shrink)
+
+    # ---- final gather -------------------------------------------------
+    resolved.sort()
+    los = np.asarray([r[0] for r in resolved], dtype=np.int64)
+    his = np.asarray([r[1] for r in resolved], dtype=np.int64)
+    fin_ref = _ray.put((los, his))
+
+    def in_final(t: pa.Table, _ref=fin_ref) -> pa.Table:
+        c = cents_of(t)
+        flos, fhis = _ray.get(_ref)
+        idx = np.searchsorted(flos, c, side="right") - 1
+        idx = np.maximum(idx, 0)
+        keep = (c >= flos[idx]) & (c < fhis[idx])
+        return pa.table(
+            {
+                "iv": pa.array(idx[keep].astype(np.int64)),
+                "v": pa.array(
+                    t.column(value_col).to_numpy(zero_copy_only=False)[keep]
+                ),
+            }
+        )
+
+    rows = ds.map_batches(in_final, batch_format="pyarrow").take_all()
+    by_iv: dict[int, list[float]] = {}
+    for r in rows:
+        by_iv.setdefault(int(r["iv"]), []).append(float(r["v"]))
+    out: list[tuple[float, float]] = []
+    for i, (_lo, _hi, targs) in enumerate(resolved):
+        vals = sorted(by_iv[i])
+        for fi, local_rank in targs:
+            out.append((float(fractions[fi]), vals[local_rank - 1]))
+    out.sort()
+    return out

@@ -5032,73 +5032,28 @@ def q_price_percentiles(sf_dir: str):
     histogram is guarded against exactly this column class
     (functions/stats.py cardinality guard).
 
-    Scale shape: two streaming passes. Pass A ships per-batch $100
-    bucket-count partials (driver histogram bounded by price-domain/W ≈
-    10^3-10^4 rows, never by row count); the driver locates each
-    decile's bucket + local rank by cumulative sum. Pass B gathers ONLY
-    the ≤ 9 target buckets' values (expected 9/|buckets| of the corpus;
-    a second refine level would bound it further — documented contract)
-    and picks each boundary value by local sort. Values returned are
-    the ORIGINAL doubles, selected by rank — never re-derived from
-    cents, so float identity with the oracle is exact."""
-    W = pa.scalar(10_000, pa.int64())  # $100 buckets
+    Scale shape: `stats.exact_quantile_disc_unbounded` — iterative
+    bucket refinement: each level streams ONE histogram pass over the
+    still-unresolved target intervals ($100 buckets, then /100 per
+    level), so the final gather is bounded by ``cap`` rows per target
+    (never a corpus fraction); driver artifacts per level are
+    shrink × |intervals| count rows. Values returned are the ORIGINAL
+    doubles, selected by rank — never re-derived from cents, so float
+    identity with the oracle is exact."""
+    from .functions.stats import exact_quantile_disc_unbounded
+
     orders = _read_sized(sf_dir, "orders", ["o_totalprice"])
-
-    def bucket_partial(t: pa.Table) -> pa.Table:
-        b = pc.divide(_cents(t.column("o_totalprice")), W)
-        g = pa.table({"bucket": b}).group_by("bucket").aggregate([([], "count_all")])
-        return g.rename_columns(["bucket", "n"])
-
-    hist = (
-        orders.map_batches(bucket_partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()  # price-domain/W-bounded
+    pairs = exact_quantile_disc_unbounded(
+        orders,
+        "o_totalprice",
+        [k / 10 for k in range(1, 10)],
     )
-    hist.sort(key=lambda r: r["bucket"])
-    buckets = [int(r["bucket"]) for r in hist]
-    counts = [int(r["n"]) for r in hist]
-    n = sum(counts)
-    cum = np.cumsum([0] + counts)
-    targets: dict[int, list[tuple[int, int]]] = {}
-    for k in range(1, 10):
-        rank = (k * n + 9) // 10  # ceil(k*n/10), 1-based
-        i = int(np.searchsorted(cum[1:], rank))
-        targets.setdefault(buckets[i], []).append((k, rank - int(cum[i])))
-
-    import ray as _ray
-
-    tset_ref = _ray.put(np.asarray(sorted(targets), dtype=np.int64))
-
-    def in_targets(t: pa.Table) -> pa.Table:
-        b = pc.divide(_cents(t.column("o_totalprice")), W).to_numpy(
-            zero_copy_only=False
-        )
-        keep = _isin_sorted(b, _ray.get(tset_ref))
-        return pa.table(
-            {
-                "bucket": pa.array(b[keep]),
-                "v": pa.array(
-                    t.column("o_totalprice").to_numpy(zero_copy_only=False)[keep]
-                ),
-            }
-        )
-
-    rows = orders.map_batches(in_targets, batch_format="pyarrow").take_all()
-    by_bucket: dict[int, list[float]] = {}
-    for r in rows:
-        by_bucket.setdefault(int(r["bucket"]), []).append(float(r["v"]))
-    out_p, out_v = [], []
-    for b, specs in sorted(targets.items()):
-        vals = sorted(by_bucket[b])
-        for k, local_rank in specs:
-            out_p.append(10 * k)
-            out_v.append(vals[local_rank - 1])
-    order = np.argsort(out_p)
     return pa.table(
         {
-            "pct": pa.array(np.asarray(out_p, dtype=np.int64)[order]),
-            "value": pa.array(np.asarray(out_v, dtype=np.float64)[order]),
+            "pct": pa.array(
+                [int(round(f * 100)) for f, _ in pairs], pa.int64()
+            ),
+            "value": pa.array([v for _, v in pairs], pa.float64()),
         }
     )
 
