@@ -58,8 +58,10 @@ def _gather_histogram(agg: "ray.data.Dataset", what: str, max_distinct: int):
         raise ValueError(
             f"exact_quantiles: {what} has {n_distinct} distinct values "
             f"(> {max_distinct}); the exact histogram gather would be "
-            "driver-unbounded. Round/bucket the column first or raise "
-            "max_distinct explicitly."
+            "driver-unbounded. Round/bucket the column first, raise "
+            "max_distinct explicitly, or use "
+            "exact_quantile_disc_unbounded (iterative bucket "
+            "refinement, cap-bounded gather at any cardinality)."
         )
     # Ray's sort emits zero-SCHEMA blocks for empty range partitions —
     # drop them before concat
