@@ -314,8 +314,6 @@ def exact_quantile_disc_unbounded(
     Driver artifacts per level: <= shrink x |intervals| count rows.
     Total scans: 1 + ceil(log_shrink(w0)) histogram passes + 1 gather.
     """
-    import pyarrow.compute as pc
-
     import ray as _ray
 
     def cents_of(t: pa.Table) -> np.ndarray:
