@@ -5257,6 +5257,108 @@ WHERE c.rk <= 3
 """
 
 
+def q_length_outliers_by_source(sf_dir: str):
+    """GROUPED 3σ outlier counts: per source, how many docs have a
+    length more than three standard deviations from that source's own
+    mean — `value_outliers`' integer-exact isqrt discipline applied per
+    group (each group's moments and bound are its own).
+
+    Scale shape: pass 1 ships ≤ |sources| moment partials per block
+    (n, Σx, Σx² per source, summed driver-side in Python ints); pass 2
+    is one streaming filter against a broadcast per-source (n, sx,
+    bound) table; the result is |sources|-sized."""
+    import math
+
+    docs = _read_sized(sf_dir, "documents", ["source", "n_chars"])
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        x = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "source": t.column("source"),
+                    "n": pa.array(np.ones(len(x), np.int64)),
+                    "sx": pa.array(x),
+                    "sx2": pa.array(x * x),
+                }
+            )
+            .group_by("source")
+            .aggregate([("n", "sum"), ("sx", "sum"), ("sx2", "sum")])
+        )
+        return g.rename_columns(["source", "n", "sx", "sx2"])
+
+    parts = docs.map_batches(moment_partial, batch_format="pyarrow").take_all()
+    mom: dict[str, list[int]] = {}
+    for r in parts:
+        m = mom.setdefault(str(r["source"]), [0, 0, 0])
+        m[0] += int(r["n"])
+        m[1] += int(r["sx"])
+        m[2] += int(r["sx2"])
+    import ray as _ray
+
+    thresholds = {
+        s: (n, sx, math.isqrt(9 * (n * sx2 - sx * sx)))
+        for s, (n, sx, sx2) in mom.items()
+    }
+    thr_ref = _ray.put(thresholds)
+
+    def flag_partial(t: pa.Table) -> pa.Table:
+        thr = _ray.get(thr_ref)
+        src = t.column("source").to_pylist()
+        out: dict[str, int] = {}
+        # per-distinct-source vectorized pass (|sources| is tiny)
+        src_arr = np.asarray(src, dtype=object)
+        xv = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        for s in set(src):
+            n, sx, bound = thr[s]
+            sel = src_arr == s
+            d = n * xv[sel] - sx
+            out[s] = int((np.abs(d) > bound).sum())
+        g = pa.table(
+            {
+                "source": pa.array(list(out.keys())),
+                "n_outliers": pa.array(
+                    np.asarray(list(out.values()), dtype=np.int64)
+                ),
+            }
+        )
+        return g
+
+    rows = (
+        docs.map_batches(flag_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_outliers", alias_name="n_outliers"))
+        .take_all()  # |sources|-bounded
+    )
+    rows.sort(key=lambda r: r["source"])
+    return pa.table(
+        {
+            "source": pa.array([r["source"] for r in rows]),
+            "n_outliers": pa.array(
+                [int(r["n_outliers"]) for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_LENGTH_OUTLIERS_BY_SOURCE = """
+WITH m AS (
+  SELECT source, count(*) AS n,
+         sum(CAST(n_chars AS HUGEINT)) AS sx,
+         sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sx2
+  FROM documents GROUP BY source
+)
+SELECT d.source,
+       count(*) FILTER (WHERE
+         (CAST(m.n AS HUGEINT) * d.n_chars - m.sx)
+         * (CAST(m.n AS HUGEINT) * d.n_chars - m.sx)
+         > 9 * (m.n * m.sx2 - m.sx * m.sx)
+       ) AS n_outliers
+FROM documents d JOIN m ON m.source = d.source
+GROUP BY d.source
+"""
+
+
 def q_knn_classify(sf_dir: str):
     """k-NN label prediction: each query vector takes the majority
     label of its exact top-10 cosine neighbors (tie-break: higher vote
@@ -9543,6 +9645,7 @@ QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "hourly_heatmap": q_hourly_heatmap,
     "nation_top_customers": q_nation_top_customers,
+    "length_outliers_by_source": q_length_outliers_by_source,
 }
 
 ORACLE_SQL = {
@@ -9691,6 +9794,7 @@ ORACLE_SQL = {
     "ann_recall_eval": _sql_ann_recall_eval(),
     "hourly_heatmap": SQL_HOURLY_HEATMAP,
     "nation_top_customers": SQL_NATION_TOP_CUSTOMERS,
+    "length_outliers_by_source": SQL_LENGTH_OUTLIERS_BY_SOURCE,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
