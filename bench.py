@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "copurchase_pairs",
     "global_price_rank",
     "small_qty_revenue",
+    "price_percentiles",
+    "value_outliers",
+    "hourly_heatmap",
 ]
 
 
