@@ -5257,6 +5257,112 @@ WHERE c.rk <= 3
 """
 
 
+def q_revenue_concentration(sf_dir: str):
+    """Revenue concentration (Pareto probe): the per-customer revenue
+    value at the 90th customer percentile, and the share of ALL
+    revenue held by customers at or above it — operator COMPOSITION:
+    `exact_quantile_disc_unbounded` runs over a DERIVED dataset (the
+    per-customer rollup), not a base table.
+
+    Scale shape: per-customer revenue via per-batch partials + ONE
+    custkey hash-partition arrow group_by (the
+    `orders_per_customer_hist` shape), materialized ONCE (output-sized
+    — the documented intermediate class); the unbounded-quantile
+    refinement streams it per level with a cap-bounded gather; the
+    share is one more streaming scalar pass. Floats mirror
+    CAST-then-divide on exact integer sums."""
+    from .functions.joins import _part_column as _pcol
+    from .functions.stats import exact_quantile_disc_unbounded
+
+    orders = _read_sized(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "o_custkey": t.column("o_custkey"),
+                    "rev_c": _cents(t.column("o_totalprice")),
+                }
+            )
+            .group_by("o_custkey")
+            .aggregate([("rev_c", "sum")])
+            .rename_columns(["o_custkey", "rev_c"])
+        )
+        return g.append_column("_pp", _pcol(g.column("o_custkey"), 16))
+
+    def cust_final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"rev": pa.array([], pa.float64())})
+        g = (
+            t.select(["o_custkey", "rev_c"])
+            .group_by("o_custkey")
+            .aggregate([("rev_c", "sum")])
+            .rename_columns(["o_custkey", "rev_c"])
+        )
+        # dollars double: exact round-trip of the integer cents
+        return pa.table(
+            {
+                "rev": pa.array(
+                    g.column("rev_c").to_numpy(zero_copy_only=False) / 100.0
+                )
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("_pp")
+        .map_groups(cust_final, batch_format="pyarrow")
+        .materialize()  # |customers|-sized (output class), reused 3x
+    )
+    [(_, threshold)] = exact_quantile_disc_unbounded(per_cust, "rev", [0.9])
+    thr_c = int(round(threshold * 100))
+
+    def share_partial(t: pa.Table) -> pa.Table:
+        rev = t.column("rev").to_numpy(zero_copy_only=False)
+        c = np.where(
+            rev >= 0, np.floor(rev * 100.0 + 0.5), np.ceil(rev * 100.0 - 0.5)
+        ).astype(np.int64)
+        top = c >= thr_c
+        return pa.table(
+            {
+                "total": pa.array([int(c.sum())], pa.int64()),
+                "top": pa.array([int(c[top].sum())], pa.int64()),
+                "n_top": pa.array([int(top.sum())], pa.int64()),
+            }
+        )
+
+    parts = per_cust.map_batches(share_partial, batch_format="pyarrow").take_all()
+    total = sum(int(r["total"]) for r in parts)
+    top = sum(int(r["top"]) for r in parts)
+    n_top = sum(int(r["n_top"]) for r in parts)
+    return pa.table(
+        {
+            "p90_revenue": pa.array([threshold], pa.float64()),
+            "n_top": pa.array([n_top], pa.int64()),
+            "top_share": pa.array([float(top) / float(total)], pa.float64()),
+        }
+    )
+
+
+SQL_REVENUE_CONCENTRATION = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+thr AS (
+  SELECT quantile_disc(rev_c / 100.0, 0.9) AS t FROM per_cust
+)
+SELECT thr.t AS p90_revenue,
+       count(*) FILTER (WHERE per_cust.rev_c / 100.0 >= thr.t) AS n_top,
+       CAST(sum(rev_c) FILTER (WHERE per_cust.rev_c / 100.0 >= thr.t)
+            AS DOUBLE)
+         / CAST(sum(rev_c) AS DOUBLE) AS top_share
+FROM per_cust, thr
+GROUP BY thr.t
+"""
+
+
 def q_length_outliers_by_source(sf_dir: str):
     """GROUPED 3σ outlier counts: per source, how many docs have a
     length more than three standard deviations from that source's own
@@ -9646,6 +9752,7 @@ QUERIES = {
     "hourly_heatmap": q_hourly_heatmap,
     "nation_top_customers": q_nation_top_customers,
     "length_outliers_by_source": q_length_outliers_by_source,
+    "revenue_concentration": q_revenue_concentration,
 }
 
 ORACLE_SQL = {
@@ -9795,6 +9902,7 @@ ORACLE_SQL = {
     "hourly_heatmap": SQL_HOURLY_HEATMAP,
     "nation_top_customers": SQL_NATION_TOP_CUSTOMERS,
     "length_outliers_by_source": SQL_LENGTH_OUTLIERS_BY_SOURCE,
+    "revenue_concentration": SQL_REVENUE_CONCENTRATION,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
