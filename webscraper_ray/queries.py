@@ -5363,6 +5363,96 @@ GROUP BY thr.t
 """
 
 
+def q_source_dup_rate(sf_dir: str):
+    """Curation report composition: per-source document count,
+    near-duplicate-involved count, and dup rate — the MinHash pipeline's
+    OUTPUT joined back to a dimension, the number a data-mixing decision
+    actually consumes.
+
+    Scale shape: the pair set is the shared `minhash_near_dups`
+    pipeline (band-key-only shuffle, star-capped); involved ids gather
+    output-sized (the documented involved-ids class) and broadcast as a
+    sorted array through `_isin_sorted`; per-source totals and dup
+    counts are ≤ |sources| partial rows per block. Floats mirror
+    CAST-then-divide."""
+    import ray as _ray
+
+    pairs = minhash_near_dups(
+        _read_sized(sf_dir, "documents", ["doc_id", "text"])
+    ).take_all()  # output-sized
+    involved = np.array(
+        sorted(
+            {int(r["doc_a"]) for r in pairs} | {int(r["doc_b"]) for r in pairs}
+        ),
+        dtype=np.int64,
+    )
+    inv_ref = _ray.put(involved)
+
+    docs = _read_sized(sf_dir, "documents", ["doc_id", "source"])
+
+    def per_source(t: pa.Table) -> pa.Table:
+        dup = _isin_sorted(
+            t.column("doc_id").to_numpy(zero_copy_only=False), _ray.get(inv_ref)
+        )
+        g = (
+            pa.table(
+                {
+                    "source": t.column("source"),
+                    "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+                    "n_dup_docs": pa.array(dup.astype(np.int64)),
+                }
+            )
+            .group_by("source")
+            .aggregate([("n_docs", "sum"), ("n_dup_docs", "sum")])
+        )
+        return g.rename_columns(["source", "n_docs", "n_dup_docs"])
+
+    rows = (
+        docs.map_batches(per_source, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_dup_docs", alias_name="n_dup_docs"),
+        )
+        .take_all()  # |sources|-bounded
+    )
+    rows.sort(key=lambda r: r["source"])
+    return pa.table(
+        {
+            "source": pa.array([r["source"] for r in rows]),
+            "n_docs": pa.array([int(r["n_docs"]) for r in rows], pa.int64()),
+            "n_dup_docs": pa.array(
+                [int(r["n_dup_docs"]) for r in rows], pa.int64()
+            ),
+            "dup_rate": pa.array(
+                [
+                    float(int(r["n_dup_docs"])) / float(int(r["n_docs"]))
+                    for r in rows
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _sql_source_dup_rate() -> str:
+    return f"""
+SELECT d.source,
+       count(*) AS n_docs,
+       count(inv.doc_id) AS n_dup_docs,
+       CAST(count(inv.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS dup_rate
+FROM documents d
+LEFT JOIN (
+  SELECT DISTINCT doc_id FROM (
+    SELECT unnest([doc_a, doc_b]) AS doc_id
+    FROM ({_sql_dedup_minhash()})
+  )
+) inv ON inv.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
 def q_length_outliers_by_source(sf_dir: str):
     """GROUPED 3σ outlier counts: per source, how many docs have a
     length more than three standard deviations from that source's own
@@ -9753,6 +9843,7 @@ QUERIES = {
     "nation_top_customers": q_nation_top_customers,
     "length_outliers_by_source": q_length_outliers_by_source,
     "revenue_concentration": q_revenue_concentration,
+    "source_dup_rate": q_source_dup_rate,
 }
 
 ORACLE_SQL = {
@@ -9903,6 +9994,7 @@ ORACLE_SQL = {
     "nation_top_customers": SQL_NATION_TOP_CUSTOMERS,
     "length_outliers_by_source": SQL_LENGTH_OUTLIERS_BY_SOURCE,
     "revenue_concentration": SQL_REVENUE_CONCENTRATION,
+    "source_dup_rate": _sql_source_dup_rate(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
