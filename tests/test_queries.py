@@ -145,6 +145,22 @@ def test_volume_shipping_join_plan_matches_broadcast_plan(ray_session, duck):
     pd.testing.assert_frame_equal(joined, want, check_dtype=False, atol=1e-9)
 
 
+def test_market_share_join_plan_matches_broadcast_plan(ray_session, duck):
+    from webscraper_ray.queries import ORACLE_SQL, q_market_share
+
+    joined = _normalize(q_market_share(SF, broadcast_max_rows=0).to_pandas())
+    want = _normalize(duck.execute(ORACLE_SQL["market_share"]).df())
+    pd.testing.assert_frame_equal(joined, want, check_dtype=False, atol=1e-9)
+
+
+def test_brand_qty_join_plan_matches_broadcast_plan(ray_session, duck):
+    from webscraper_ray.queries import ORACLE_SQL, q_brand_qty_revenue
+
+    joined = _normalize(q_brand_qty_revenue(SF, broadcast_max_rows=0).to_pandas())
+    want = _normalize(duck.execute(ORACLE_SQL["brand_qty_revenue"]).df())
+    pd.testing.assert_frame_equal(joined, want, check_dtype=False, atol=1e-9)
+
+
 def test_read_sized_falls_through_on_large_files(monkeypatch):
     """Above a 64-block data-sized count, sized reads must pass NO
     override so large files keep Ray's own target-block-size scaling

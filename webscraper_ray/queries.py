@@ -7886,6 +7886,459 @@ GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
 """
 
 
+MKT_REGION = "ASIA"
+MKT_NATION = "NATION_2"
+MKT_PART_TYPE = "PROMO"
+
+
+def q_market_share(sf_dir: str, broadcast_max_rows: int | None = None):
+    """TPC-H Q8 shape: one nation's market share per order year, within
+    one region's customer market, for one part type — the fact needs
+    THREE dimension paths at once (part filter, supplier nation,
+    order year gated by the customer's region).
+
+    Scale shape: under the broadcast threshold all three key maps ship
+    once (sorted partkey set; suppkey->nation; region-filtered
+    orderkey->year) and the fact makes ONE streaming pass emitting
+    (year, nation) partials — at most |years|x|nations| rows per block.
+    Above it, the plan is partitioned joins with the part join acting
+    as a semi-join (key column only) and orders pre-filtered to the
+    region through the customer join. The share division happens on the
+    |years|x|nations|-bounded driver table in exact ints, mirroring the
+    oracle's CAST-then-divide."""
+    import ray
+
+    nparts = _join_partitions()
+    limit = BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
+    line = _read_sized(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).combine_chunks()
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    rkey = region.filter(pc.equal(region.column("r_name"), MKT_REGION)).column(
+        "r_regionkey"
+    )[0]
+    nkeys = nation.column("n_nationkey").chunk(0).cast(pa.int32())
+    nnames = nation.column("n_name").chunk(0)
+    region_nations = np.sort(
+        nation.filter(pc.equal(nation.column("n_regionkey"), rkey))
+        .column("n_nationkey")
+        .to_numpy(zero_copy_only=False)
+    )
+
+    n_supp = pq.read_metadata(os.path.join(sf_dir, "supplier.parquet")).num_rows
+    n_orders = pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+    n_cust = pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
+    n_part = pq.read_metadata(os.path.join(sf_dir, "part.parquet")).num_rows
+
+    def rev_of(t: pa.Table) -> pa.ChunkedArray:
+        return pc.multiply(
+            _cents(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t.column("l_discount"))),
+        )
+
+    if max(n_supp, n_orders, n_cust, n_part) <= limit:
+        pt = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+        )
+        part_keys = np.sort(
+            pt.filter(pc.equal(pt.column("p_type"), MKT_PART_TYPE))
+            .column("p_partkey")
+            .to_numpy(zero_copy_only=False)
+        )
+
+        st = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"],
+        ).combine_chunks()
+        supp_nation = _vector_lookup(st.column("s_nationkey"), nkeys, nnames)
+        skeys = st.column("s_suppkey").to_numpy(zero_copy_only=False)
+        ssort = np.argsort(skeys)
+
+        ct = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        )
+        in_region = _isin_sorted(
+            ct.column("c_nationkey").to_numpy(zero_copy_only=False), region_nations
+        )
+        cust_keys = np.sort(
+            ct.column("c_custkey").to_numpy(zero_copy_only=False)[in_region]
+        )
+
+        ot = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+        okeep = _isin_sorted(
+            ot.column("o_custkey").to_numpy(zero_copy_only=False), cust_keys
+        )
+        ot = ot.filter(pa.array(okeep)).combine_chunks()
+        okeys = ot.column("o_orderkey").to_numpy(zero_copy_only=False)
+        osort = np.argsort(okeys)
+        oyears = (
+            pc.year(ot.column("o_orderdate"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        maps_ref = ray.put(
+            (
+                part_keys,
+                skeys[ssort],
+                pc.take(supp_nation, pa.array(ssort)),
+                okeys[osort],
+                oyears[osort],
+            )
+        )
+
+        def partial(t: pa.Table, ref=maps_ref) -> pa.Table:
+            import ray as _ray
+
+            pk, sk, sn, ok, oy = _ray.get(ref)
+            lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            lo = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            keep = _isin_sorted(lp, pk) & _isin_sorted(lo, ok)
+            t = t.filter(pa.array(keep))
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "o_year": pa.array([], pa.int64()),
+                        "nation": pa.array([], pa.string()),
+                        "rev_c4": pa.array([], pa.int64()),
+                    }
+                )
+            spos = np.searchsorted(
+                sk, t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            )
+            opos = np.searchsorted(
+                ok, t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            )
+            tt = pa.table(
+                {
+                    "o_year": pa.array(oy[opos]),
+                    "nation": pc.take(sn, pa.array(spos)),
+                    "rev_c4": rev_of(t),
+                }
+            )
+            return (
+                tt.group_by(["o_year", "nation"])
+                .aggregate([("rev_c4", "sum")])
+                .rename_columns(["o_year", "nation", "rev_c4"])
+            )
+
+        partials = line.map_batches(partial, batch_format="pyarrow")
+    else:
+        part_side = _read_sized(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+            lambda t: t.filter(pc.equal(t.column("p_type"), MKT_PART_TYPE)).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        supp = _read_sized(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        region_ref = ray.put(region_nations)
+
+        def cust_filter(t: pa.Table, ref=region_ref) -> pa.Table:
+            import ray as _ray
+
+            keep = _isin_sorted(
+                t.column("c_nationkey").to_numpy(zero_copy_only=False), _ray.get(ref)
+            )
+            return t.filter(pa.array(keep)).select(["c_custkey"])
+
+        cust = _read_sized(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            cust_filter, batch_format="pyarrow"
+        )
+
+        def order_year(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_orderkey": t.column("o_orderkey"),
+                    "o_custkey": t.column("o_custkey"),
+                    "o_year": pc.year(t.column("o_orderdate")).cast(pa.int64()),
+                }
+            )
+
+        orders = (
+            _read_sized(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+            .map_batches(order_year, batch_format="pyarrow")
+            .join(
+                cust,
+                "inner",
+                num_partitions=nparts,
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
+        )
+
+        def pre(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "l_partkey": t.column("l_partkey"),
+                    "l_suppkey": t.column("l_suppkey"),
+                    "rev_c4": rev_of(t),
+                }
+            )
+
+        nation_ref = ray.put((nkeys, nnames))
+        joined = (
+            line.map_batches(pre, batch_format="pyarrow")
+            .join(
+                part_side,
+                "inner",
+                num_partitions=nparts,
+                on=("l_partkey",),
+                right_on=("p_partkey",),
+            )
+            .join(
+                supp,
+                "inner",
+                num_partitions=nparts,
+                on=("l_suppkey",),
+                right_on=("s_suppkey",),
+            )
+            .join(
+                orders,
+                "inner",
+                num_partitions=nparts,
+                on=("l_orderkey",),
+                right_on=("o_orderkey",),
+            )
+        )
+
+        def to_partial(t: pa.Table, ref=nation_ref) -> pa.Table:
+            import ray as _ray
+
+            keys, names = _ray.get(ref)
+            tt = pa.table(
+                {
+                    "o_year": t.column("o_year"),
+                    "nation": _vector_lookup(t.column("s_nationkey"), keys, names),
+                    "rev_c4": t.column("rev_c4"),
+                }
+            )
+            return (
+                tt.group_by(["o_year", "nation"])
+                .aggregate([("rev_c4", "sum")])
+                .rename_columns(["o_year", "nation", "rev_c4"])
+            )
+
+        partials = joined.map_batches(to_partial, batch_format="pyarrow")
+
+    rows = (
+        partials.groupby(["o_year", "nation"])
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+        .take_all()  # |years| x |nations| bounded
+    )
+    by_year: dict[int, list[int]] = {}
+    for r in rows:
+        num, den = by_year.setdefault(int(r["o_year"]), [0, 0])
+        rev = int(r["rev_c4"])
+        if r["nation"] == MKT_NATION:
+            num += rev
+        by_year[int(r["o_year"])] = [num, den + rev]
+    years = sorted(by_year)
+    return pa.table(
+        {
+            "o_year": pa.array(years, pa.int64()),
+            "mkt_share": pa.array(
+                [float(by_year[y][0]) / float(by_year[y][1]) for y in years],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_MARKET_SHARE = f"""
+SELECT o_year,
+       CAST(sum(CASE WHEN nation = '{MKT_NATION}' THEN rev_c4 ELSE 0 END) AS DOUBLE)
+         / CAST(sum(rev_c4) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         ns.n_name AS nation,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_c4
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{MKT_PART_TYPE}'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = '{MKT_REGION}'
+)
+GROUP BY o_year
+"""
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — the three OR branches
+QTY_BRANCHES = (
+    ("Brand#1", 1, 10, 1.0, 11.0),
+    ("Brand#2", 1, 20, 10.0, 20.0),
+    ("Brand#3", 1, 30, 20.0, 30.0),
+)
+
+
+def q_brand_qty_revenue(sf_dir: str, broadcast_max_rows: int | None = None):
+    """TPC-H Q19 shape: revenue under DISJUNCTIVE join predicates — each
+    OR branch couples part attributes (brand + size band) with a fact
+    attribute (quantity band), so neither side can evaluate the filter
+    alone.
+
+    Scale shape: the part side evaluates its half of every branch ONCE,
+    producing per-branch sorted partkey sets. Under the broadcast
+    threshold those ship once and the fact makes one streaming pass
+    (per-branch membership AND quantity mask, vectorized); above it,
+    the fact joins the union of candidate partkeys (key+attrs only,
+    partitioned) and the branch predicate is evaluated vectorized after
+    the join. Partials are |branches| rows per block either way."""
+    import ray
+
+    nparts = _join_partitions()
+    limit = BROADCAST_MAX_ROWS if broadcast_max_rows is None else broadcast_max_rows
+    line = _read_sized(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    n_part = pq.read_metadata(os.path.join(sf_dir, "part.parquet")).num_rows
+
+    def rev_of(t: pa.Table) -> pa.ChunkedArray:
+        return pc.multiply(
+            _cents(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t.column("l_discount"))),
+        )
+
+    if n_part <= limit:
+        pt = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand", "p_size"],
+        )
+        pkeys = pt.column("p_partkey").to_numpy(zero_copy_only=False)
+        psize = pt.column("p_size").to_numpy(zero_copy_only=False)
+        branch_sets = []
+        for brand, slo, shi, _, _ in QTY_BRANCHES:
+            mask = (
+                pc.equal(pt.column("p_brand"), brand).to_numpy(zero_copy_only=False)
+                & (psize >= slo)
+                & (psize <= shi)
+            )
+            branch_sets.append(np.sort(pkeys[mask]))
+        sets_ref = ray.put(branch_sets)
+
+        def partial(t: pa.Table, ref=sets_ref) -> pa.Table:
+            import ray as _ray
+
+            sets = _ray.get(ref)
+            lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+            rev = rev_of(t).to_numpy(zero_copy_only=False)
+            brands, revs = [], []
+            for (brand, _, _, qlo, qhi), keys in zip(QTY_BRANCHES, sets):
+                m = _isin_sorted(lp, keys) & (qty >= qlo) & (qty <= qhi)
+                if m.any():
+                    brands.append(brand)
+                    revs.append(int(rev[m].sum()))
+            return pa.table(
+                {
+                    "brand": pa.array(brands, pa.string()),
+                    "rev_c4": pa.array(revs, pa.int64()),
+                }
+            )
+
+        partials = line.map_batches(partial, batch_format="pyarrow")
+    else:
+        wanted = pa.array([b for b, *_ in QTY_BRANCHES])
+
+        def part_filter(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column("p_brand"), value_set=wanted))
+
+        part_side = _read_sized(
+            sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+        ).map_batches(part_filter, batch_format="pyarrow")
+
+        def pre(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_partkey": t.column("l_partkey"),
+                    "l_quantity": t.column("l_quantity"),
+                    "rev_c4": rev_of(t),
+                }
+            )
+
+        joined = line.map_batches(pre, batch_format="pyarrow").join(
+            part_side,
+            "inner",
+            num_partitions=nparts,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+
+        def branch_partial(t: pa.Table) -> pa.Table:
+            qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+            size = t.column("p_size").to_numpy(zero_copy_only=False)
+            rev = t.column("rev_c4").to_numpy(zero_copy_only=False)
+            pb = t.column("p_brand")
+            brands, revs = [], []
+            for brand, slo, shi, qlo, qhi in QTY_BRANCHES:
+                m = (
+                    pc.equal(pb, brand).to_numpy(zero_copy_only=False)
+                    & (size >= slo)
+                    & (size <= shi)
+                    & (qty >= qlo)
+                    & (qty <= qhi)
+                )
+                if m.any():
+                    brands.append(brand)
+                    revs.append(int(rev[m].sum()))
+            return pa.table(
+                {
+                    "brand": pa.array(brands, pa.string()),
+                    "rev_c4": pa.array(revs, pa.int64()),
+                }
+            )
+
+        partials = joined.map_batches(branch_partial, batch_format="pyarrow")
+
+    agg = partials.groupby("brand").aggregate(Sum("rev_c4", alias_name="rev_c4"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "brand": t.column("brand"),
+                "revenue": pc.divide(t.column("rev_c4").cast(pa.float64()), 10_000.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_brand_qty_revenue() -> str:
+    branches = " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+        f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in QTY_BRANCHES
+    )
+    return f"""
+SELECT p.p_brand AS brand,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE {branches}
+GROUP BY p.p_brand
+"""
+
+
+SQL_BRAND_QTY_REVENUE = _sql_brand_qty_revenue()
+
+
 def q_export_manifest(sf_dir: str):
     """Resumable partitioned-parquet SINK, gated through its manifest:
     one directory per lang with a per-partition _SUCCESS marker written
@@ -9844,6 +10297,8 @@ QUERIES = {
     "length_outliers_by_source": q_length_outliers_by_source,
     "revenue_concentration": q_revenue_concentration,
     "source_dup_rate": q_source_dup_rate,
+    "market_share": q_market_share,
+    "brand_qty_revenue": q_brand_qty_revenue,
 }
 
 ORACLE_SQL = {
@@ -9995,6 +10450,8 @@ ORACLE_SQL = {
     "length_outliers_by_source": SQL_LENGTH_OUTLIERS_BY_SOURCE,
     "revenue_concentration": SQL_REVENUE_CONCENTRATION,
     "source_dup_rate": _sql_source_dup_rate(),
+    "market_share": SQL_MARKET_SHARE,
+    "brand_qty_revenue": SQL_BRAND_QTY_REVENUE,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
