@@ -59,3 +59,58 @@ def test_parallelism_invariance():
         ray.data.from_arrow(t).repartition(13), "v", [0.25, 0.75], cap=100
     )
     assert a == b == _numpy_disc(vals, [0.25, 0.75])
+
+
+def _numpy_grouped(groups: np.ndarray, vals: np.ndarray, fracs):
+    out = []
+    for g in sorted(set(groups.tolist())):
+        sel = np.sort(vals[groups == g])
+        for f in fracs:
+            rank = max(1, math.ceil(f * len(sel)))
+            out.append((g, float(f), float(sel[rank - 1])))
+    out.sort(key=lambda x: (str(x[0]), x[1]))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_refinement_matches_numpy_and_is_invariant():
+    from webscraper_ray.functions.stats import grouped_quantile_disc_unbounded
+
+    rng = np.random.default_rng(3)
+    groups = rng.choice(np.array(["a", "b", "c"], dtype=object), size=12_000)
+    # skewed sizes + disjoint ranges per group so refinement paths differ
+    vals = np.round(rng.uniform(0, 3000, size=12_000), 2)
+    vals[groups == "b"] += 50_000.0
+    t = pa.table(
+        {"g": pa.array(groups, pa.string()), "v": pa.array(vals, pa.float64())}
+    )
+    fracs = [0.5, 0.9]
+    want = _numpy_grouped(groups, vals, fracs)
+    # tiny cap forces multi-level refinement in every group
+    a = grouped_quantile_disc_unbounded(
+        ray.data.from_arrow(t).repartition(3), "g", "v", fracs, cap=40
+    )
+    b = grouped_quantile_disc_unbounded(
+        ray.data.from_arrow(t).repartition(11), "g", "v", fracs, cap=40
+    )
+    assert a == b == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_refinement_guards():
+    from webscraper_ray.functions.stats import grouped_quantile_disc_unbounded
+
+    t = pa.table(
+        {
+            "g": pa.array([str(i) for i in range(40)], pa.string()),
+            "v": pa.array(np.arange(40, dtype=np.float64)),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="max_groups"):
+        grouped_quantile_disc_unbounded(ds, "g", "v", [0.5], max_groups=10)
+    neg = ray.data.from_arrow(
+        pa.table({"g": pa.array(["x"] * 4), "v": pa.array([-1.0, 1, 2, 3])})
+    )
+    with pytest.raises(Exception, match="cent domain"):
+        grouped_quantile_disc_unbounded(neg, "g", "v", [0.5])

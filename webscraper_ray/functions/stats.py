@@ -35,6 +35,7 @@ __all__ = [
     "exact_quantiles",
     "exact_quantiles_by_group",
     "exact_quantile_disc_unbounded",
+    "grouped_quantile_disc_unbounded",
     "MAX_DISTINCT_GATHER",
 ]
 
@@ -443,4 +444,194 @@ def exact_quantile_disc_unbounded(
         for fi, local_rank in targs:
             out.append((float(fractions[fi]), vals[local_rank - 1]))
     out.sort()
+    return out
+
+# Per-group cent domain for grouped unbounded refinement: a multiple of
+# every bucket width in the w0 -> w0/shrink -> ... -> 1 chain (powers of
+# 10), so no bucket ever straddles a group boundary. 10^12 cents =
+# $10 billion per value; ~9.2e6 groups fit below int64.
+_GROUP_DOMAIN = 10**12
+
+
+def grouped_quantile_disc_unbounded(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    fractions: Sequence[float],
+    *,
+    w0: int = 10_000,
+    cap: int = 100_000,
+    shrink: int = 100,
+    max_groups: int = 10_000,
+) -> list[tuple[object, float, float]]:
+    """Exact per-GROUP ``quantile_disc`` over an unbounded-cardinality
+    money column — :func:`exact_quantile_disc_unbounded` generalized to
+    a bounded group domain (the per-group twin of the global iterative
+    bucket refinement).
+
+    One distinct-(group)->count pass sizes every group's rank targets
+    (group-cardinality-bounded gather, guarded by ``max_groups``); each
+    group then refines inside its own disjoint composite cent domain
+    ``gidx * 10^12 + cents``, so ALL groups share every histogram pass —
+    the level passes stream the corpus once each regardless of group
+    count, and the driver artifact per level stays
+    <= shrink x |unresolved intervals| rows. The final gather is
+    cap-bounded per target exactly like the global variant, and within
+    a group cents order is a monotone coarsening of double order, so
+    the returned doubles are float-identical to a SQL
+    ``quantile_disc(...) GROUP BY`` oracle.
+
+    Returns ``(group, fraction, value)`` sorted, one row per non-empty
+    group per fraction.
+    """
+    import pyarrow.compute as pc
+
+    import ray as _ray
+    from fractions import Fraction
+
+    # ---- group universe + per-group counts (bounded gather) ----------
+    def gcounts(t: pa.Table) -> pa.Table:
+        g = t.select([group_col]).group_by([group_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "n"])
+
+    rows = (
+        ds.map_batches(gcounts, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    rows = [r for r in rows if r["n"]]
+    if not rows:
+        return []
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"grouped_quantile_disc_unbounded: {len(rows)} groups "
+            f"(> max_groups={max_groups}); the per-group interval table "
+            "would be driver-unbounded. Bucket the group column first."
+        )
+    rows.sort(key=lambda r: r[group_col])
+    groups_sorted = [r[group_col] for r in rows]
+    n_by_gidx = [int(r["n"]) for r in rows]
+    gset_ref = _ray.put(pa.array(groups_sorted))
+    GOFF = np.int64(_GROUP_DOMAIN)
+
+    def comp_of(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """Composite int64 key gidx*GOFF + cents, plus original doubles."""
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        c = np.where(
+            v >= 0, np.floor(v * 100.0 + 0.5), np.ceil(v * 100.0 - 0.5)
+        ).astype(np.int64)
+        if c.size and (c.min() < 0 or c.max() >= _GROUP_DOMAIN):
+            raise ValueError(
+                "grouped_quantile_disc_unbounded: value outside the "
+                "[0, $10^10) per-group cent domain"
+            )
+        gidx = pc.index_in(
+            t.column(group_col), value_set=_ray.get(gset_ref)
+        ).to_numpy(zero_copy_only=False)
+        return gidx.astype(np.int64) * GOFF + c, v
+
+    # ---- rank targets per group: out index = (gidx, fraction index) ---
+    def _rank(f: float, n: int) -> int:  # exact ceil(f*n)
+        fr = Fraction(str(f))
+        return max(1, -((-fr.numerator * n) // fr.denominator))
+
+    pending: list[tuple[int, int, list[tuple[int, int]]]] = []
+    for gi, n_g in enumerate(n_by_gidx):
+        targs = [
+            (gi * len(fractions) + fi, _rank(f, n_g))
+            for fi, f in enumerate(fractions)
+        ]
+        pending.append((gi * _GROUP_DOMAIN, (gi + 1) * _GROUP_DOMAIN, targs))
+
+    # ---- level passes (the exact_quantile_disc_unbounded loop over the
+    # composite domain; all groups refine in the same corpus pass) ------
+    resolved: list[tuple[int, int, list[tuple[int, int]]]] = []
+    w = int(w0)
+    while True:
+        bounds = (
+            np.asarray([p[0] for p in pending], dtype=np.int64),
+            np.asarray([p[1] for p in pending], dtype=np.int64),
+        )
+        bounds_ref = _ray.put(bounds)
+        w_scal = np.int64(w)
+
+        def hist_partial(t: pa.Table, _ref=bounds_ref, _w=w_scal) -> pa.Table:
+            c, _ = comp_of(t)
+            los, his = _ray.get(_ref)
+            idx = np.searchsorted(los, c, side="right") - 1
+            idx = np.maximum(idx, 0)
+            keep = (c >= los[idx]) & (c < his[idx])
+            bk = c[keep] // _w
+            if bk.size == 0:
+                return pa.table(
+                    {"bucket": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64())}
+                )
+            u, cnt = np.unique(bk, return_counts=True)
+            return pa.table(
+                {"bucket": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
+            )
+
+        hist_rows = (
+            ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )
+        hist_rows.sort(key=lambda r: r["bucket"])
+        hbuckets = np.asarray([int(r["bucket"]) for r in hist_rows], dtype=np.int64)
+        hcounts = np.asarray([int(r["n"]) for r in hist_rows], dtype=np.int64)
+
+        nxt: list[tuple[int, int, list[tuple[int, int]]]] = []
+        for lo, hi, targs in pending:
+            sel = (hbuckets * w >= lo) & (hbuckets * w < hi)
+            bks, cnts = hbuckets[sel], hcounts[sel]
+            cum = np.concatenate([[0], np.cumsum(cnts)])
+            children: dict[int, list[tuple[int, int]]] = {}
+            for oi, r in targs:
+                i = int(np.searchsorted(cum[1:], r))
+                children.setdefault(i, []).append((oi, r - int(cum[i])))
+            for i, sub in children.items():
+                c_lo = max(lo, int(bks[i]) * w)
+                c_hi = min(hi, (int(bks[i]) + 1) * w)
+                item = (c_lo, c_hi, sub)
+                if int(cnts[i]) <= cap or w == 1:
+                    resolved.append(item)
+                else:
+                    nxt.append(item)
+        if not nxt:
+            break
+        pending = sorted(nxt)
+        w = max(1, w // shrink)
+
+    # ---- final gather (cap-bounded per target) ------------------------
+    resolved.sort()
+    los = np.asarray([r[0] for r in resolved], dtype=np.int64)
+    his = np.asarray([r[1] for r in resolved], dtype=np.int64)
+    fin_ref = _ray.put((los, his))
+
+    def in_final(t: pa.Table, _ref=fin_ref) -> pa.Table:
+        c, v = comp_of(t)
+        flos, fhis = _ray.get(_ref)
+        idx = np.searchsorted(flos, c, side="right") - 1
+        idx = np.maximum(idx, 0)
+        keep = (c >= flos[idx]) & (c < fhis[idx])
+        return pa.table(
+            {"iv": pa.array(idx[keep].astype(np.int64)), "v": pa.array(v[keep])}
+        )
+
+    frows = ds.map_batches(in_final, batch_format="pyarrow").take_all()
+    by_iv: dict[int, list[float]] = {}
+    for r in frows:
+        by_iv.setdefault(int(r["iv"]), []).append(float(r["v"]))
+    out: list[tuple[object, float, float]] = []
+    for i, (_lo, _hi, targs) in enumerate(resolved):
+        vals = sorted(by_iv[i])
+        for oi, local_rank in targs:
+            gi, fi = divmod(oi, len(fractions))
+            out.append(
+                (groups_sorted[gi], float(fractions[fi]), vals[local_rank - 1])
+            )
+    out.sort(key=lambda x: (str(x[0]), x[1]))
     return out

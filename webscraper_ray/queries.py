@@ -10148,6 +10148,105 @@ CROSS JOIN LATERAL (
 """
 
 
+def q_priority_median_price(sf_dir: str):
+    """Per-GROUP exact median/p90 over the HIGH-cardinality price column
+    (``quantile_disc`` semantics) — the grouped twin of
+    ``price_percentiles``: every group refines inside its own disjoint
+    composite cent domain, so all groups share each histogram pass (the
+    level passes stream the corpus once each regardless of group count)
+    and the final gather stays cap-bounded per target. Returns the
+    ORIGINAL doubles, float-identical to the SQL GROUP BY oracle."""
+    from .functions.stats import grouped_quantile_disc_unbounded
+
+    ds = _read_sized(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    rows = grouped_quantile_disc_unbounded(
+        ds, "o_orderpriority", "o_totalprice", [0.5, 0.9]
+    )
+    by_g: dict[str, dict[float, float]] = {}
+    for g, f, v in rows:
+        by_g.setdefault(str(g), {})[f] = v
+    gs = sorted(by_g)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(gs, pa.string()),
+            "p50": pa.array([by_g[g][0.5] for g in gs], pa.float64()),
+            "p90": pa.array([by_g[g][0.9] for g in gs], pa.float64()),
+        }
+    )
+
+
+SQL_PRIORITY_MEDIAN_PRICE = """
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.5) AS p50,
+       quantile_disc(o_totalprice, 0.9) AS p90
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_winsorized_price_stats(sf_dir: str):
+    """Robust (winsorized) mean — operator COMPOSITION: the unbounded
+    exact-quantile refinement supplies p05/p95, then ONE streaming pass
+    clamps prices to [p05, p95] in exact cents and reduces scalar
+    partials (sum cents, n, n_low, n_high). Nothing corpus-proportional
+    ever gathers; the mean mirrors the oracle's CAST-then-divide chain
+    op-for-op."""
+    from .functions.stats import exact_quantile_disc_unbounded
+
+    ds = _read_sized(sf_dir, "orders", ["o_totalprice"])
+    qs = dict(exact_quantile_disc_unbounded(ds, "o_totalprice", [0.05, 0.95]))
+    lo, hi = qs[0.05], qs[0.95]
+    lo_c = np.int64(round(lo * 100))
+    hi_c = np.int64(round(hi * 100))
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)  # prices >= 0
+        n_low = int((v < lo).sum())
+        n_high = int((v > hi).sum())
+        s = int(np.clip(c, lo_c, hi_c).sum())
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "sum_c": pa.array([s], pa.int64()),
+                "n_low": pa.array([n_low], pa.int64()),
+                "n_high": pa.array([n_high], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sum(["n", "sum_c", "n_low", "n_high"])
+    )
+    n, sum_c = int(agg["sum(n)"]), int(agg["sum(sum_c)"])
+    return pa.table(
+        {
+            "p05": pa.array([lo], pa.float64()),
+            "p95": pa.array([hi], pa.float64()),
+            "n": pa.array([n], pa.int64()),
+            "mean_w": pa.array([float(sum_c) / 100.0 / n], pa.float64()),
+            "n_low": pa.array([int(agg["sum(n_low)"])], pa.int64()),
+            "n_high": pa.array([int(agg["sum(n_high)"])], pa.int64()),
+        }
+    )
+
+
+SQL_WINSORIZED_PRICE_STATS = """
+WITH q AS (
+  SELECT quantile_disc(o_totalprice, 0.05) AS lo,
+         quantile_disc(o_totalprice, 0.95) AS hi
+  FROM orders
+)
+SELECT q.lo AS p05, q.hi AS p95, count(*) AS n,
+       CAST(sum(CAST(round(least(greatest(o_totalprice, q.lo), q.hi) * 100)
+                     AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS mean_w,
+       CAST(sum(CASE WHEN o_totalprice < q.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low,
+       CAST(sum(CASE WHEN o_totalprice > q.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high
+FROM orders, q GROUP BY q.lo, q.hi
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -10299,6 +10398,8 @@ QUERIES = {
     "source_dup_rate": q_source_dup_rate,
     "market_share": q_market_share,
     "brand_qty_revenue": q_brand_qty_revenue,
+    "priority_median_price": q_priority_median_price,
+    "winsorized_price_stats": q_winsorized_price_stats,
 }
 
 ORACLE_SQL = {
@@ -10452,6 +10553,8 @@ ORACLE_SQL = {
     "source_dup_rate": _sql_source_dup_rate(),
     "market_share": SQL_MARKET_SHARE,
     "brand_qty_revenue": SQL_BRAND_QTY_REVENUE,
+    "priority_median_price": SQL_PRIORITY_MEDIAN_PRICE,
+    "winsorized_price_stats": SQL_WINSORIZED_PRICE_STATS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
