@@ -36,6 +36,7 @@ __all__ = [
     "exact_quantiles_by_group",
     "exact_quantile_disc_unbounded",
     "grouped_quantile_disc_unbounded",
+    "rank_weighted_sum_cents",
     "MAX_DISTINCT_GATHER",
 ]
 
@@ -635,3 +636,140 @@ def grouped_quantile_disc_unbounded(
             )
     out.sort(key=lambda x: (str(x[0]), x[1]))
     return out
+
+
+def rank_weighted_sum_cents(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    *,
+    bucket_w: int = 1_000,
+    num_partitions: int = 16,
+    max_buckets: int = 2_000_000,
+) -> tuple[int, int, int]:
+    """Exact ``(n, sum_v, sum_i*v)`` over a non-negative money column,
+    where ``i`` is the 1-based ascending rank of each row's value (any
+    order among ties — the tied values are equal, so ``sum i*v`` is
+    invariant). This is the distributed core of rank statistics such as
+    the Gini coefficient, without ever sorting the corpus globally on
+    the driver or gathering a distinct-value histogram.
+
+    Two passes, both corpus-streaming:
+
+    1. A coarse ``cents // bucket_w`` histogram (per-batch partial →
+       one small groupby) gives per-bucket counts driver-side; the
+       gather is VALUE-DOMAIN-bounded (``range/bucket_w`` rows, guarded
+       by ``max_buckets``), independent of row count. Prefix sums give
+       each bucket its global rank offset ``C_b``.
+    2. Rows pre-reduce per batch to distinct ``(cents, count)`` pairs,
+       take ONE hash-partition shuffle keyed by bucket (all rows of a
+       bucket co-locate; bucket order == cents order, so within-bucket
+       ranks complete locally), and each partition computes
+       ``sum_j v_j * (k_j*(C_b + K_<j) + k_j*(k_j+1)/2)`` in exact
+       Python ints (the moment exceeds int64 at warehouse scale —
+       per-partition partials ship as decimal STRINGS, the established
+       beyond-int64 discipline).
+
+    Skew: a single hot value lands in one partition as one big
+    vectorized combine + a distinct-value-sized exact reduce — graceful
+    degradation, not OOM (hash-join caveat, as in ``joins``).
+    """
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    def to_cents(t: pa.Table) -> np.ndarray:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        if c.size and c.min() < 0:
+            raise ValueError("rank_weighted_sum_cents: negative value")
+        return c
+
+    # ---- pass 1: coarse bucket histogram (domain-bounded gather) ------
+    def hist(t: pa.Table) -> pa.Table:
+        c = to_cents(t)
+        u, k = np.unique(c // bucket_w, return_counts=True)
+        return pa.table(
+            {"b": pa.array(u), "n": pa.array(k.astype(np.int64))}
+        )
+
+    rows = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    if not rows:
+        return 0, 0, 0
+    if len(rows) > max_buckets:
+        raise ValueError(
+            f"rank_weighted_sum_cents: {len(rows)} buckets "
+            f"(> max_buckets={max_buckets}); raise bucket_w."
+        )
+    rows.sort(key=lambda r: int(r["b"]))
+    bks = np.asarray([int(r["b"]) for r in rows], dtype=np.int64)
+    cnts = [int(r["n"]) for r in rows]
+    n_total = sum(cnts)
+    # prefix counts can exceed int64 only beyond 9e18 rows; int64 is fine,
+    # but the OFFSET enters the >int64 Python-int reduce below anyway.
+    pref = np.concatenate([[0], np.cumsum(cnts)])[:-1].astype(np.int64)
+    pref_ref = _ray.put((bks, pref))
+
+    # ---- pass 2: distinct-(cents,count) partials, bucket-keyed shuffle -
+    def partial(t: pa.Table) -> pa.Table:
+        c = to_cents(t)
+        u, k = np.unique(c, return_counts=True)
+        part = (
+            ((u // bucket_w).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "c": pa.array(u),
+                "k": pa.array(k.astype(np.int64)),
+                "_p": pa.array(part),
+            }
+        )
+
+    def reduce_part(t: pa.Table, ref=pref_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"siv": pa.array([], pa.string()), "sv": pa.array([], pa.string())}
+            )
+        b_sorted, p_sorted = _ray.get(ref)
+        gt = t.group_by("c").aggregate([("k", "sum")])
+        c = gt.column("c").to_numpy(zero_copy_only=False)
+        k = gt.column("k_sum").to_numpy(zero_copy_only=False)
+        order = np.argsort(c)
+        c, k = c[order], k[order]
+        b = c // bucket_w
+        # within-bucket exclusive prefix of counts (K_<j), vectorized
+        csum = np.cumsum(k) - k
+        starts = np.concatenate([[True], b[1:] != b[:-1]])
+        base = np.repeat(csum[starts], np.diff(np.flatnonzero(
+            np.concatenate([starts, [True]]))))
+        k_before = csum - base
+        cb = p_sorted[np.searchsorted(b_sorted, b)]
+        # exact Python-int dot: terms exceed int64 at warehouse scale
+        total = 0
+        sum_v = 0
+        for vi, ki, kb, cbi in zip(
+            c.tolist(), k.tolist(), k_before.tolist(), cb.tolist()
+        ):
+            total += vi * (ki * (cbi + kb) + ki * (ki + 1) // 2)
+            sum_v += vi * ki
+        return pa.table(
+            {
+                "siv": pa.array([str(total)], pa.string()),
+                "sv": pa.array([str(sum_v)], pa.string()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(reduce_part, batch_format="pyarrow")
+        .take_all()  # num_partitions rows
+    )
+    sum_iv = sum(int(r["siv"]) for r in parts)
+    sum_v = sum(int(r["sv"]) for r in parts)
+    return n_total, sum_v, sum_iv

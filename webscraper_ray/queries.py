@@ -10247,6 +10247,273 @@ FROM orders, q GROUP BY q.lo, q.hi
 """
 
 
+def q_event_entropy(sf_dir: str):
+    """Shannon surprisal per event type — the distribution-shape probe a
+    corpus-mix audit runs (share + information content per class).
+
+    Scale shape: one streaming pass of per-batch type counts (rows per
+    block = |types|) -> one tiny groupby -> the float terms computed
+    driver-side on the |types|-bounded table, each term mirroring the
+    oracle bit-for-bit (double division, libm log2, negate-multiply —
+    verified bit-identical against DuckDB's log2)."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["event_type"])
+            .group_by("event_type")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "n"])
+
+    rows = (
+        _read_sized(sf_dir, "events", ["event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # |types|-bounded
+    )
+    rows.sort(key=lambda r: r["event_type"])
+    total = sum(int(r["n"]) for r in rows)
+    types = [r["event_type"] for r in rows]
+    ns = [int(r["n"]) for r in rows]
+    shares = [n / total for n in ns]
+    infos = [-s * math.log2(s) for s in shares]
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "share": pa.array(shares, pa.float64()),
+            "info": pa.array(infos, pa.float64()),
+        }
+    )
+
+
+SQL_EVENT_ENTROPY = """
+WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+     t AS (SELECT sum(n) AS total FROM c),
+     s AS (SELECT event_type, n,
+                  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+           FROM c, t)
+SELECT event_type, n, share, -(share) * log2(share) AS info
+FROM s ORDER BY event_type
+"""
+
+
+def q_equidepth_price_bins(sf_dir: str):
+    """Equi-depth (quartile) binning — operator COMPOSITION: the exact
+    unbounded-cardinality quantile refinement supplies the three
+    boundaries, then ONE streaming pass bins every row with a vectorized
+    searchsorted and reduces to four counts. Nothing corpus-proportional
+    gathers; counts are exact ints so the gate is hash-exact."""
+    from .functions.stats import exact_quantile_disc_unbounded
+
+    ds = _read_sized(sf_dir, "orders", ["o_totalprice"])
+    qs = dict(exact_quantile_disc_unbounded(ds, "o_totalprice", [0.25, 0.5, 0.75]))
+    bounds = np.array([qs[0.25], qs[0.5], qs[0.75]], dtype=np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(bounds, v, side="left")  # v <= bounds[i] -> i
+        cnt = np.bincount(b, minlength=4).astype(np.int64)
+        return pa.table(
+            {"bin": pa.array(np.arange(4, dtype=np.int64)), "n": pa.array(cnt)}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # 4 rows
+    )
+    rows.sort(key=lambda r: int(r["bin"]))
+    # the oracle's GROUP BY emits no row for an empty bin (possible when
+    # boundaries tie on a heavily-duplicated value)
+    rows = [r for r in rows if int(r["n"])]
+    return pa.table(
+        {
+            "bin": pa.array([int(r["bin"]) for r in rows], pa.int64()),
+            "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_EQUIDEPTH_PRICE_BINS = """
+WITH q AS (SELECT quantile_disc(o_totalprice, 0.25) AS b1,
+                  quantile_disc(o_totalprice, 0.5)  AS b2,
+                  quantile_disc(o_totalprice, 0.75) AS b3
+           FROM orders)
+SELECT CASE WHEN o_totalprice <= q.b1 THEN 0
+            WHEN o_totalprice <= q.b2 THEN 1
+            WHEN o_totalprice <= q.b3 THEN 2
+            ELSE 3 END AS bin,
+       count(*) AS n
+FROM orders, q GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dense_topk_prices(sf_dir: str):
+    """DENSE_RANK-with-ties top-k per group: every order row whose price
+    is among its priority's 3 highest DISTINCT prices (grouped as
+    (priority, price, count) rows) — the ties-inclusive variant of
+    ``topk_events_per_user``'s row_number semantics.
+
+    Scale shape: ONE streaming pass emits each batch's top-3 distinct
+    values per group with their in-batch counts. Cover argument: if a
+    value is globally top-3 distinct for its group, then no batch
+    containing it holds 3 distinct larger values (those would also be
+    global), so it is ALWAYS in the batch-local top-3 and its count is
+    never lost. The combine groupby is bounded by 3 x |groups| x
+    |blocks| rows; the driver keeps the global top-3 per group."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        out_g: list = []
+        out_v: list = []
+        out_n: list = []
+        for grp in np.unique(g):  # |priorities|-bounded loop
+            uniq, cnt = np.unique(v[g == grp], return_counts=True)
+            out_g += [grp] * min(3, len(uniq))
+            out_v += uniq[-3:].tolist()
+            out_n += cnt[-3:].astype(np.int64).tolist()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(out_g, pa.string()),
+                "o_totalprice": pa.array(out_v, pa.float64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    rows = (
+        _read_sized(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_totalprice"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # <= 3 x |groups| x |blocks|, partials-sized
+    )
+    by_g: dict[str, list] = {}
+    for r in rows:
+        by_g.setdefault(r["o_orderpriority"], []).append(r)
+    out = []
+    for g in sorted(by_g):
+        top = sorted(by_g[g], key=lambda r: -r["o_totalprice"])[:3]
+        out += top
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(
+                [r["o_orderpriority"] for r in out], pa.string()
+            ),
+            "o_totalprice": pa.array([r["o_totalprice"] for r in out], pa.float64()),
+            "n": pa.array([int(r["n"]) for r in out], pa.int64()),
+        }
+    )
+
+
+SQL_DENSE_TOPK_PRICES = """
+SELECT o_orderpriority, o_totalprice, count(*) AS n
+FROM orders
+GROUP BY o_orderpriority, o_totalprice
+QUALIFY dense_rank() OVER (
+  PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) <= 3
+ORDER BY o_orderpriority, o_totalprice DESC
+"""
+
+
+def q_yoy_revenue_growth(sf_dir: str):
+    """Year-over-year revenue growth — LAG over an aggregate: the fact
+    table reduces per batch to (year, cents) partials, one tiny groupby
+    leaves a |years|-bounded series, and the growth ratio is computed
+    driver-side mirroring the oracle's CAST-then-divide (first year
+    NULL, like SQL LAG)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "o_year": pc.year(t.column("o_orderdate")).cast(pa.int64()),
+                "rev_c": _cents(t.column("o_totalprice")),
+            }
+        ).group_by("o_year").aggregate([("rev_c", "sum")])
+        return g.rename_columns(["o_year", "rev_c"])
+
+    rows = (
+        _read_sized(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .take_all()  # |years|-bounded
+    )
+    rows.sort(key=lambda r: int(r["o_year"]))
+    years = [int(r["o_year"]) for r in rows]
+    revs = [int(r["rev_c"]) for r in rows]
+    yoy = [None] + [
+        (float(revs[i]) - float(revs[i - 1])) / float(revs[i - 1])
+        for i in range(1, len(revs))
+    ]
+    return pa.table(
+        {
+            "o_year": pa.array(years, pa.int64()),
+            "rev_c": pa.array(revs, pa.int64()),
+            "yoy": pa.array(yoy, pa.float64()),
+        }
+    )
+
+
+SQL_YOY_REVENUE_GROWTH = """
+WITH r AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT o_year, rev_c,
+       (CAST(rev_c AS DOUBLE)
+          - CAST(lag(rev_c) OVER (ORDER BY o_year) AS DOUBLE))
+         / CAST(lag(rev_c) OVER (ORDER BY o_year) AS DOUBLE) AS yoy
+FROM r ORDER BY o_year
+"""
+
+
+def q_gini_order_value(sf_dir: str):
+    """Gini coefficient of order value — revenue-inequality, the
+    complement of `revenue_concentration`'s top-share. The rank-weighted
+    moment sum(i * v_i) comes from :func:`rank_weighted_sum_cents`: a
+    domain-bounded coarse histogram fixes every bucket's global rank
+    offset, then ONE bucket-keyed shuffle of per-batch distinct-(cents,
+    count) partials completes within-bucket ranks locally — no global
+    sort, no corpus-sized gather, exact Python-int moments (>int64 at
+    warehouse scale; the oracle uses HUGEINT). Single float expression
+    mirrored op-for-op."""
+    from .functions.stats import rank_weighted_sum_cents
+
+    n, sv, siv = rank_weighted_sum_cents(
+        _read_sized(sf_dir, "orders", ["o_totalprice"]), "o_totalprice"
+    )
+    gini = (2.0 * float(siv)) / (float(n) * float(sv)) - (
+        float(n) + 1.0
+    ) / float(n)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }
+    )
+
+
+SQL_GINI_ORDER_VALUE = """
+WITH s AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         row_number() OVER (ORDER BY o_totalprice) AS i
+  FROM orders
+)
+SELECT count(*) AS n,
+       (2.0 * CAST(sum(CAST(i AS HUGEINT) * CAST(v AS HUGEINT)) AS DOUBLE))
+         / (CAST(count(*) AS DOUBLE)
+              * CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE))
+         - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE) AS gini
+FROM s
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -10400,6 +10667,11 @@ QUERIES = {
     "brand_qty_revenue": q_brand_qty_revenue,
     "priority_median_price": q_priority_median_price,
     "winsorized_price_stats": q_winsorized_price_stats,
+    "event_entropy": q_event_entropy,
+    "equidepth_price_bins": q_equidepth_price_bins,
+    "dense_topk_prices": q_dense_topk_prices,
+    "yoy_revenue_growth": q_yoy_revenue_growth,
+    "gini_order_value": q_gini_order_value,
 }
 
 ORACLE_SQL = {
@@ -10555,6 +10827,11 @@ ORACLE_SQL = {
     "brand_qty_revenue": SQL_BRAND_QTY_REVENUE,
     "priority_median_price": SQL_PRIORITY_MEDIAN_PRICE,
     "winsorized_price_stats": SQL_WINSORIZED_PRICE_STATS,
+    "event_entropy": SQL_EVENT_ENTROPY,
+    "equidepth_price_bins": SQL_EQUIDEPTH_PRICE_BINS,
+    "dense_topk_prices": SQL_DENSE_TOPK_PRICES,
+    "yoy_revenue_growth": SQL_YOY_REVENUE_GROWTH,
+    "gini_order_value": SQL_GINI_ORDER_VALUE,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
