@@ -10514,6 +10514,129 @@ FROM s
 """
 
 
+def q_sample_k_per_group(sf_dir: str):
+    """Deterministic FIXED-K per-group sample (the k-per-stratum twin of
+    `stratified_sample`'s fraction cut): keep each language's 5 docs
+    with the smallest md5(doc_id) — hash-order selection is
+    parallelism-invariant, rerun-stable, and exactly reproducible in
+    SQL via the repo's md5-prefix-int family.
+
+    Scale shape: per-batch partial bottom-k per group, ONE
+    group-hash-keyed shuffle of the (k x groups x blocks)-bounded
+    partials, same kernel per partition (`topk_per_group`)."""
+    from .functions.dedup import md5_u64
+    from .functions.ranking import topk_per_group
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        h = np.fromiter(
+            (md5_u64(str(i)) for i in ids), dtype=np.uint64, count=len(ids)
+        )
+        return t.append_column("h", pa.array(h, pa.uint64()))
+
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        add_hash, batch_format="pyarrow"
+    )
+    out = topk_per_group(
+        ds, key="lang", order_col="h", tie_col="doc_id", k=5, ascending=True
+    )
+    return out.to_pandas()[["lang", "doc_id", "h"]]
+
+
+SQL_SAMPLE_K_PER_GROUP = """
+SELECT lang, doc_id, h FROM (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS h,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+                    doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
+def q_acctbal_theta_count(sf_dir: str):
+    """Inequality THETA-join cardinality — ``count(c, s) pairs with
+    s_acctbal > c_acctbal`` — via order statistics instead of the
+    quadratic nested loop: the dimension side's sorted balances
+    broadcast once (dimension-table-bounded, the repo's small-side
+    contract), each customer batch counts its strictly-greater
+    suppliers with ONE vectorized searchsorted, and per-batch int
+    partials reduce to a scalar. O(n log m) total, zero shuffle."""
+    import ray
+
+    st = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_acctbal"]
+    )
+    s_sorted = np.sort(st.column("s_acctbal").to_numpy(zero_copy_only=False))
+    ref = ray.put(s_sorted)
+    n_s = len(s_sorted)
+
+    def partial(t: pa.Table, _ref=ref) -> pa.Table:
+        import ray as _ray
+
+        ss = _ray.get(_ref)
+        c = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        above = n_s - np.searchsorted(ss, c, side="right")
+        return pa.table({"n_pairs": pa.array([int(above.sum())], pa.int64())})
+
+    agg = (
+        _read_sized(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .sum("n_pairs")
+    )
+    return pa.table({"n_pairs": pa.array([int(agg)], pa.int64())})
+
+
+SQL_ACCTBAL_THETA_COUNT = """
+SELECT count(*) AS n_pairs
+FROM customer c JOIN supplier s ON s.s_acctbal > c.c_acctbal
+"""
+
+
+def q_price_mad(sf_dir: str):
+    """Median absolute deviation — a SECOND-ORDER composition of the
+    unbounded exact-quantile refinement: the median comes off the raw
+    price column, then the refinement runs again over the LAZY derived
+    |price - median| column (recomputed per pass — two streaming pruned
+    reads beat pinning a corpus-sized intermediate). The derived doubles
+    are produced by the same IEEE subtract/abs the oracle runs, so the
+    returned MAD is float-identical to SQL."""
+    from .functions.stats import exact_quantile_disc_unbounded
+
+    ds = _read_sized(sf_dir, "orders", ["o_totalprice"])
+    med = exact_quantile_disc_unbounded(ds, "o_totalprice", [0.5])[0][1]
+
+    def dev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "d": pc.abs(
+                    pc.subtract(
+                        t.column("o_totalprice"), pa.scalar(med, pa.float64())
+                    )
+                )
+            }
+        )
+
+    derived = ds.map_batches(dev, batch_format="pyarrow")
+    mad = exact_quantile_disc_unbounded(derived, "d", [0.5])[0][1]
+    return pa.table(
+        {
+            "med": pa.array([med], pa.float64()),
+            "mad": pa.array([mad], pa.float64()),
+        }
+    )
+
+
+SQL_PRICE_MAD = """
+WITH m AS (SELECT quantile_disc(o_totalprice, 0.5) AS med FROM orders)
+SELECT m.med AS med,
+       quantile_disc(abs(o_totalprice - m.med), 0.5) AS mad
+FROM orders, m GROUP BY m.med
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -10672,6 +10795,9 @@ QUERIES = {
     "dense_topk_prices": q_dense_topk_prices,
     "yoy_revenue_growth": q_yoy_revenue_growth,
     "gini_order_value": q_gini_order_value,
+    "sample_k_per_group": q_sample_k_per_group,
+    "acctbal_theta_count": q_acctbal_theta_count,
+    "price_mad": q_price_mad,
 }
 
 ORACLE_SQL = {
@@ -10832,6 +10958,9 @@ ORACLE_SQL = {
     "dense_topk_prices": SQL_DENSE_TOPK_PRICES,
     "yoy_revenue_growth": SQL_YOY_REVENUE_GROWTH,
     "gini_order_value": SQL_GINI_ORDER_VALUE,
+    "sample_k_per_group": SQL_SAMPLE_K_PER_GROUP,
+    "acctbal_theta_count": SQL_ACCTBAL_THETA_COUNT,
+    "price_mad": SQL_PRICE_MAD,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
