@@ -364,11 +364,8 @@ def exact_quantile_disc_unbounded(
                 {"bucket": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
             )
 
-        hist_rows = (
-            ds.map_batches(hist_partial, batch_format="pyarrow")
-            .groupby("bucket")
-            .aggregate(Sum("n", alias_name="n"))
-            .take_all()
+        hist_rows = _hash_sum_rows(
+            ds.map_batches(hist_partial, batch_format="pyarrow"), "bucket", "n"
         )
         hist_rows.sort(key=lambda r: r["bucket"])
         hbuckets = np.asarray([int(r["bucket"]) for r in hist_rows], dtype=np.int64)
@@ -446,6 +443,36 @@ def exact_quantile_disc_unbounded(
             out.append((float(fractions[fi]), vals[local_rank - 1]))
     out.sort()
     return out
+
+def _hash_sum_rows(
+    partials: "ray.data.Dataset", key: str, val: str, num_partitions: int = 16
+) -> list[dict]:
+    """Sum ``val`` per ``key`` over already-pre-reduced partial tables
+    via the repo's hash-partition discipline: Ray's sort-based groupby
+    pays seconds on 10^4+ distinct keys (BASELINE-measured 6-40x),
+    while a ``num_partitions``-key groupby + one arrow group_by per
+    partition costs O(distinct). Keys must be non-negative ints.
+    Returns the combined rows (distinct-key-sized driver gather — the
+    callers' bucket domains are bounded by construction)."""
+
+    def add_p(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = (
+            (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("_p", pa.array(p))
+
+    def comb(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["_p"]).group_by(key).aggregate([(val, "sum")])
+        return g.rename_columns([key, val])
+
+    return (
+        partials.map_batches(add_p, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(comb, batch_format="pyarrow")
+        .take_all()
+    )
+
 
 # Per-group cent domain for grouped unbounded refinement: a multiple of
 # every bucket width in the w0 -> w0/shrink -> ... -> 1 chain (powers of
@@ -574,11 +601,8 @@ def grouped_quantile_disc_unbounded(
                 {"bucket": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
             )
 
-        hist_rows = (
-            ds.map_batches(hist_partial, batch_format="pyarrow")
-            .groupby("bucket")
-            .aggregate(Sum("n", alias_name="n"))
-            .take_all()
+        hist_rows = _hash_sum_rows(
+            ds.map_batches(hist_partial, batch_format="pyarrow"), "bucket", "n"
         )
         hist_rows.sort(key=lambda r: r["bucket"])
         hbuckets = np.asarray([int(r["bucket"]) for r in hist_rows], dtype=np.int64)
@@ -692,12 +716,7 @@ def rank_weighted_sum_cents(
             {"b": pa.array(u), "n": pa.array(k.astype(np.int64))}
         )
 
-    rows = (
-        ds.map_batches(hist, batch_format="pyarrow")
-        .groupby("b")
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )
+    rows = _hash_sum_rows(ds.map_batches(hist, batch_format="pyarrow"), "b", "n")
     if not rows:
         return 0, 0, 0
     if len(rows) > max_buckets:
