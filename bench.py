@@ -72,6 +72,12 @@ BENCH_QUERIES = [
     "price_percentiles",
     "value_outliers",
     "hourly_heatmap",
+    "event_entropy",
+    "gini_order_value",
+    "price_mad",
+    "dense_topk_prices",
+    "sample_k_per_group",
+    "acctbal_theta_count",
 ]
 
 

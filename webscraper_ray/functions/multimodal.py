@@ -57,6 +57,7 @@ __all__ = [
     "synth_jpeg_payload",
     "synth_png_payload",
     "synth_video_payload",
+    "synth_avi_payload",
     "synth_wav_payload",
     "parse_fake_image",
 ]
@@ -244,6 +245,44 @@ def synth_video_payload(media_id: int) -> bytes:
     )
 
 
+# --- REAL deterministic MJPEG-AVI corpus --------------------------------------
+#
+# Genuine RIFF-AVI files (functions/avi.py) whose frames are baseline
+# JPEGs from the from-scratch T.81 codec — the one real-world VIDEO
+# format decodable here with no codec library. Frames use the same
+# exact-decode discipline as the JPEG corpus (constant 8x8 blocks, DC
+# step 8 => lossless roundtrip), so a SQL oracle recomputes pixel sums
+# arithmetically. All frames of a video share its dimensions (an AVI
+# stream has one frame size):
+#
+#   n_frames = 2 + id % 5;  hb = 1 + id % 3, wb = 1 + id % 4
+#   height = 8*hb, width = 8*wb, grayscale
+#   frame j, block k (row-major): value = (id*13 + j*17 + k*29) % 256
+
+
+def synth_avi_payload(media_id: int) -> bytes:
+    """Deterministic REAL MJPEG-AVI bytes (formulas above)."""
+    from .avi import encode_avi_mjpeg
+    from .jpeg import encode_jpeg
+
+    hb = 1 + media_id % 3
+    wb = 1 + media_id % 4
+    n_frames = 2 + media_id % 5
+    q = np.full(64, 16, dtype=np.int64)
+    q[0] = 8  # DC step 8 => exact decode of constant blocks
+    frames = []
+    for j in range(n_frames):
+        k = np.arange(hb * wb, dtype=np.int64)
+        vals = (
+            ((np.int64(media_id) * 13 + j * 17 + k * 29) % 256)
+            .astype(np.uint8)
+            .reshape(hb, wb)
+        )
+        img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        frames.append(encode_jpeg(img, quant=q))
+    return encode_avi_mjpeg(frames, width=8 * wb, height=8 * hb)
+
+
 class ImageStats:
     """Actor-pool stage: REAL PNG payload -> dims + integer pixel stats.
 
@@ -402,21 +441,30 @@ class FrameSample:
         self.decode_stub = decode_stub
 
     def _real(self, batch: pa.Table) -> pa.Table:
+        from .avi import parse_avi_mjpeg
+        from .jpeg import decode_jpeg
         from .png import decode_png
 
         ids, ks, fidx, hs, ws, chs, sums = [], [], [], [], [], [], []
         for mid, payload in zip(
             batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
         ):
-            frames = parse_fvid(payload)
+            # container dispatch on signature: RIFF-AVI (MJPEG frames,
+            # from-scratch T.81 decode) or FVID (PNG frames)
+            if payload[:4] == b"RIFF":
+                frames = parse_avi_mjpeg(payload)
+                frame_decode = decode_jpeg
+            else:
+                frames = parse_fvid(payload)
+                frame_decode = decode_png
             nf = len(frames)
             if nf == 0:
                 raise ValueError(
-                    f"FVID container for media {mid} has zero frames"
+                    f"video container for media {mid} has zero frames"
                 )
             for k in range(self.n_frames):
                 j = k * nf // self.n_frames
-                img = decode_png(frames[j])
+                img = frame_decode(frames[j])
                 ids.append(mid)
                 ks.append(k)
                 fidx.append(j)

@@ -1097,6 +1097,64 @@ def q_video_frame_stats(sf_dir: str):
     )
 
 
+def q_video_mjpeg_stats(sf_dir: str):
+    """REAL-WORLD video container decode: one RIFF-AVI (MJPEG) file per
+    ``documents`` row — the industry layout OpenCV/ffmpeg write for
+    MJPG — sampled and decoded end-to-end with NO codec library: the
+    from-scratch RIFF walker (functions/avi.py) extracts '00dc' frames
+    and the from-scratch T.81 baseline codec decodes each sampled JPEG
+    exactly (constant-block/DC-step-8 discipline), so the DuckDB oracle
+    recomputes every pixel sum arithmetically. Same actor-pool stage as
+    the FVID path (`FrameSample` dispatches on the file signature)."""
+    from .functions.multimodal import FrameSample, synth_avi_payload
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "payload": pa.array(
+                    [synth_avi_payload(i) for i in ids], pa.large_binary()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(
+            FrameSample,
+            fn_constructor_kwargs={"n_frames": 4, "decode_stub": "real"},
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=2,
+        )
+    )
+
+
+SQL_VIDEO_MJPEG_STATS = """
+WITH vids AS (
+  SELECT doc_id AS media_id, 2 + doc_id % 5 AS nf,
+         1 + doc_id % 3 AS hb, 1 + doc_id % 4 AS wb
+  FROM documents
+),
+frames AS (
+  SELECT media_id, hb, wb, u.k AS sample_k, (u.k * nf) // 4 AS frame_idx
+  FROM vids, UNNEST(range(0, 4)) AS u(k)
+),
+px AS (
+  SELECT media_id, sample_k, frame_idx,
+         8 * hb AS height, 8 * wb AS width,
+         (media_id * 13 + frame_idx * 17 + u.m * 29) % 256 AS v
+  FROM frames, UNNEST(range(0, hb * wb)) AS u(m)
+)
+SELECT media_id, sample_k, frame_idx, height, width,
+       1 AS channels, CAST(64 * sum(v) AS BIGINT) AS pixel_sum
+FROM px
+GROUP BY media_id, sample_k, frame_idx, height, width, channels
+"""
+
+
 SQL_VIDEO_FRAME_STATS = """
 WITH vids AS (
   SELECT doc_id AS media_id, 2 + doc_id % 5 AS nf FROM documents
@@ -10798,6 +10856,7 @@ QUERIES = {
     "sample_k_per_group": q_sample_k_per_group,
     "acctbal_theta_count": q_acctbal_theta_count,
     "price_mad": q_price_mad,
+    "video_mjpeg_stats": q_video_mjpeg_stats,
 }
 
 ORACLE_SQL = {
@@ -10961,6 +11020,7 @@ ORACLE_SQL = {
     "sample_k_per_group": SQL_SAMPLE_K_PER_GROUP,
     "acctbal_theta_count": SQL_ACCTBAL_THETA_COUNT,
     "price_mad": SQL_PRICE_MAD,
+    "video_mjpeg_stats": SQL_VIDEO_MJPEG_STATS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
