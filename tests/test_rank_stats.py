@@ -117,3 +117,57 @@ def test_dense_topk_cover_under_adversarial_batching():
         import pandas as pd
 
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _brute_grouped(groups: np.ndarray, vals: np.ndarray):
+    out = []
+    for g in sorted(set(groups.tolist())):
+        n, sv, siv = _brute(vals[groups == g])
+        out.append((g, n, sv, siv))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_matches_brute_and_is_invariant():
+    from webscraper_ray.functions.stats import grouped_rank_weighted_sum_cents
+
+    rng = np.random.default_rng(23)
+    groups = rng.choice(np.array(["a", "b", "c"], dtype=object), size=8_000)
+    vals = np.round(rng.uniform(0, 4000, size=8_000), 2)
+    vals[groups == "b"] += 70_000.0  # disjoint ranges stress the prefix math
+    t = pa.table(
+        {"g": pa.array(groups, pa.string()), "v": pa.array(vals, pa.float64())}
+    )
+    want = _brute_grouped(groups, vals)
+    a = grouped_rank_weighted_sum_cents(
+        ray.data.from_arrow(t).repartition(3), "g", "v", bucket_w=100
+    )
+    b = grouped_rank_weighted_sum_cents(
+        ray.data.from_arrow(t).repartition(13), "g", "v", bucket_w=10_000
+    )
+    assert a == b == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_guards():
+    from webscraper_ray.functions.stats import grouped_rank_weighted_sum_cents
+
+    t = pa.table(
+        {
+            "g": pa.array([str(i) for i in range(30)], pa.string()),
+            "v": pa.array(np.arange(30, dtype=np.float64)),
+        }
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        grouped_rank_weighted_sum_cents(
+            ray.data.from_arrow(t), "g", "v", max_groups=5
+        )
+    with pytest.raises(ValueError, match="divide the group domain"):
+        grouped_rank_weighted_sum_cents(
+            ray.data.from_arrow(t), "g", "v", bucket_w=7
+        )
+    neg = ray.data.from_arrow(
+        pa.table({"g": pa.array(["x"] * 3), "v": pa.array([-0.5, 1.0, 2.0])})
+    )
+    with pytest.raises(Exception, match="cent domain"):
+        grouped_rank_weighted_sum_cents(neg, "g", "v")

@@ -37,6 +37,7 @@ __all__ = [
     "exact_quantile_disc_unbounded",
     "grouped_quantile_disc_unbounded",
     "rank_weighted_sum_cents",
+    "grouped_rank_weighted_sum_cents",
     "MAX_DISTINCT_GATHER",
 ]
 
@@ -792,3 +793,170 @@ def rank_weighted_sum_cents(
     sum_iv = sum(int(r["siv"]) for r in parts)
     sum_v = sum(int(r["sv"]) for r in parts)
     return n_total, sum_v, sum_iv
+
+
+def grouped_rank_weighted_sum_cents(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    *,
+    bucket_w: int = 1_000,
+    num_partitions: int = 16,
+    max_groups: int = 10_000,
+    max_buckets: int = 2_000_000,
+) -> "list[tuple[object, int, int, int]]":
+    """Per-GROUP ``(group, n, sum_v, sum_i*v)`` with ``i`` the 1-based
+    WITHIN-GROUP ascending value rank — :func:`rank_weighted_sum_cents`
+    generalized the same way :func:`grouped_quantile_disc_unbounded`
+    generalizes the global refinement: each group owns a disjoint
+    composite cent domain ``gidx * 10^12 + cents``, so ALL groups share
+    both corpus passes (coarse histogram, then ONE bucket-keyed shuffle
+    of distinct-(key,count) partials). ``bucket_w`` must divide the
+    group domain so no bucket straddles groups (enforced); per-group
+    rank offsets come from the histogram prefix restricted to each
+    group's domain. Moments are exact Python ints (decimal-string
+    partials; HUGEINT on the oracle side). Guards: ``max_groups`` for
+    the driver tables, ``max_buckets`` for the histogram gather, loud
+    cent-domain/negative checks."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    if _GROUP_DOMAIN % bucket_w:
+        raise ValueError("bucket_w must divide the group domain")
+
+    # ---- group universe + per-group counts (bounded gather) -----------
+    def gcounts(t: pa.Table) -> pa.Table:
+        g = t.select([group_col]).group_by([group_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "n"])
+
+    grows = (
+        ds.map_batches(gcounts, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    grows = [r for r in grows if r["n"]]
+    if not grows:
+        return []
+    if len(grows) > max_groups:
+        raise ValueError(
+            f"grouped_rank_weighted_sum_cents: {len(grows)} groups "
+            f"(> max_groups={max_groups})"
+        )
+    grows.sort(key=lambda r: r[group_col])
+    groups_sorted = [r[group_col] for r in grows]
+    n_by_gidx = [int(r["n"]) for r in grows]
+    gset_ref = _ray.put(pa.array(groups_sorted))
+    GOFF = np.int64(_GROUP_DOMAIN)
+
+    def comp_of(t: pa.Table) -> np.ndarray:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        if c.size and (c.min() < 0 or c.max() >= _GROUP_DOMAIN):
+            raise ValueError(
+                "grouped_rank_weighted_sum_cents: value outside the "
+                "[0, $10^10) per-group cent domain"
+            )
+        gidx = pc.index_in(
+            t.column(group_col), value_set=_ray.get(gset_ref)
+        ).to_numpy(zero_copy_only=False)
+        return gidx.astype(np.int64) * GOFF + c
+
+    # ---- pass 1: composite coarse histogram ---------------------------
+    def hist(t: pa.Table) -> pa.Table:
+        u, k = np.unique(comp_of(t) // bucket_w, return_counts=True)
+        return pa.table({"b": pa.array(u), "n": pa.array(k.astype(np.int64))})
+
+    rows = _hash_sum_rows(ds.map_batches(hist, batch_format="pyarrow"), "b", "n")
+    if len(rows) > max_buckets:
+        raise ValueError(
+            f"grouped_rank_weighted_sum_cents: {len(rows)} buckets "
+            f"(> max_buckets={max_buckets}); raise bucket_w."
+        )
+    rows.sort(key=lambda r: int(r["b"]))
+    bks = np.asarray([int(r["b"]) for r in rows], dtype=np.int64)
+    cnts = np.asarray([int(r["n"]) for r in rows], dtype=np.int64)
+    bgrp = (bks * bucket_w) // _GROUP_DOMAIN  # bucket's group index
+    cum = np.cumsum(cnts) - cnts  # global exclusive prefix
+    gstarts = np.concatenate([[True], bgrp[1:] != bgrp[:-1]])
+    gbase = np.repeat(
+        cum[gstarts],
+        np.diff(np.flatnonzero(np.concatenate([gstarts, [True]]))),
+    )
+    pref_in_group = cum - gbase  # within-group rank offset per bucket
+    pref_ref = _ray.put((bks, pref_in_group.astype(np.int64)))
+
+    # ---- pass 2: distinct partials, bucket-keyed shuffle --------------
+    def partial(t: pa.Table) -> pa.Table:
+        u, k = np.unique(comp_of(t), return_counts=True)
+        part = (
+            ((u // bucket_w).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "c": pa.array(u),
+                "k": pa.array(k.astype(np.int64)),
+                "_p": pa.array(part),
+            }
+        )
+
+    def reduce_part(t: pa.Table, ref=pref_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "siv": pa.array([], pa.string()),
+                    "sv": pa.array([], pa.string()),
+                }
+            )
+        b_sorted, p_sorted = _ray.get(ref)
+        gt = t.group_by("c").aggregate([("k", "sum")])
+        c = gt.column("c").to_numpy(zero_copy_only=False)
+        k = gt.column("k_sum").to_numpy(zero_copy_only=False)
+        order = np.argsort(c)
+        c, k = c[order], k[order]
+        b = c // bucket_w
+        csum = np.cumsum(k) - k
+        starts = np.concatenate([[True], b[1:] != b[:-1]])
+        base = np.repeat(
+            csum[starts],
+            np.diff(np.flatnonzero(np.concatenate([starts, [True]]))),
+        )
+        k_before = csum - base
+        cb = p_sorted[np.searchsorted(b_sorted, b)]
+        gi = c // _GROUP_DOMAIN
+        v = c % _GROUP_DOMAIN
+        acc: dict[int, list[int]] = {}
+        for vi, ki, kb, cbi, g in zip(
+            v.tolist(), k.tolist(), k_before.tolist(), cb.tolist(), gi.tolist()
+        ):
+            sums = acc.setdefault(int(g), [0, 0])
+            sums[0] += vi * (ki * (cbi + kb) + ki * (ki + 1) // 2)
+            sums[1] += vi * ki
+        gs = sorted(acc)
+        return pa.table(
+            {
+                "g": pa.array(gs, pa.int64()),
+                "siv": pa.array([str(acc[g][0]) for g in gs], pa.string()),
+                "sv": pa.array([str(acc[g][1]) for g in gs], pa.string()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(reduce_part, batch_format="pyarrow")
+        .take_all()  # <= num_partitions x |groups| rows
+    )
+    siv_by_g: dict[int, int] = {}
+    sv_by_g: dict[int, int] = {}
+    for r in parts:
+        g = int(r["g"])
+        siv_by_g[g] = siv_by_g.get(g, 0) + int(r["siv"])
+        sv_by_g[g] = sv_by_g.get(g, 0) + int(r["sv"])
+    return [
+        (groups_sorted[g], n_by_gidx[g], sv_by_g.get(g, 0), siv_by_g.get(g, 0))
+        for g in range(len(groups_sorted))
+    ]

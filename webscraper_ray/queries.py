@@ -10572,6 +10572,54 @@ FROM s
 """
 
 
+def q_priority_gini(sf_dir: str):
+    """Per-GROUP Gini of order value — the grouped twin of
+    `gini_order_value`: every group refines ranks inside its own
+    disjoint composite cent domain (`grouped_rank_weighted_sum_cents`),
+    so ALL groups share both corpus passes and the within-group
+    rank-weighted moments arrive exact (decimal-string partials,
+    HUGEINT oracle). Per-group float expression mirrored op-for-op."""
+    from .functions.stats import grouped_rank_weighted_sum_cents
+
+    rows = grouped_rank_weighted_sum_cents(
+        _read_sized(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    gs, ns, ginis = [], [], []
+    for g, n, sv, siv in rows:
+        gs.append(str(g))
+        ns.append(n)
+        ginis.append(
+            (2.0 * float(siv)) / (float(n) * float(sv))
+            - (float(n) + 1.0) / float(n)
+        )
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(gs, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "gini": pa.array(ginis, pa.float64()),
+        }
+    )
+
+
+SQL_PRIORITY_GINI = """
+WITH s AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         row_number() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice) AS i
+  FROM orders
+)
+SELECT o_orderpriority, count(*) AS n,
+       (2.0 * CAST(sum(CAST(i AS HUGEINT) * CAST(v AS HUGEINT)) AS DOUBLE))
+         / (CAST(count(*) AS DOUBLE)
+              * CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE))
+         - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE) AS gini
+FROM s GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def q_sample_k_per_group(sf_dir: str):
     """Deterministic FIXED-K per-group sample (the k-per-stratum twin of
     `stratified_sample`'s fraction cut): keep each language's 5 docs
@@ -10857,6 +10905,7 @@ QUERIES = {
     "acctbal_theta_count": q_acctbal_theta_count,
     "price_mad": q_price_mad,
     "video_mjpeg_stats": q_video_mjpeg_stats,
+    "priority_gini": q_priority_gini,
 }
 
 ORACLE_SQL = {
@@ -11021,6 +11070,7 @@ ORACLE_SQL = {
     "acctbal_theta_count": SQL_ACCTBAL_THETA_COUNT,
     "price_mad": SQL_PRICE_MAD,
     "video_mjpeg_stats": SQL_VIDEO_MJPEG_STATS,
+    "priority_gini": SQL_PRIORITY_GINI,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
