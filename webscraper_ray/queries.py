@@ -10743,6 +10743,63 @@ FROM orders, m GROUP BY m.med
 """
 
 
+def q_benford_prices(sf_dir: str):
+    """Benford's-law audit: first-significant-digit distribution of the
+    price column — the classic fabricated-data probe a corpus-quality
+    pass runs over numeric fields. Vectorized integer math per batch
+    (repeated //10 to the leading digit of the exact cents; <= log10(max)
+    iterations, no string conversion), 9-row partials, one tiny groupby.
+    Counts are exact ints; the share mirrors the oracle's
+    CAST-then-divide."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        c = c[c > 0]
+        while (c >= 10).any():
+            c = np.where(c >= 10, c // 10, c)
+        cnt = np.bincount(c, minlength=10)[1:10].astype(np.int64)
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n": pa.array(cnt),
+            }
+        )
+
+    rows = (
+        _read_sized(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # 9 rows
+    )
+    rows.sort(key=lambda r: int(r["digit"]))
+    rows = [r for r in rows if int(r["n"])]
+    total = sum(int(r["n"]) for r in rows)
+    return pa.table(
+        {
+            "digit": pa.array([int(r["digit"]) for r in rows], pa.int64()),
+            "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+            "share": pa.array(
+                [int(r["n"]) / total for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_BENFORD_PRICES = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT digit, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM c, t ORDER BY digit
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -10906,6 +10963,7 @@ QUERIES = {
     "price_mad": q_price_mad,
     "video_mjpeg_stats": q_video_mjpeg_stats,
     "priority_gini": q_priority_gini,
+    "benford_prices": q_benford_prices,
 }
 
 ORACLE_SQL = {
@@ -11071,6 +11129,7 @@ ORACLE_SQL = {
     "price_mad": SQL_PRICE_MAD,
     "video_mjpeg_stats": SQL_VIDEO_MJPEG_STATS,
     "priority_gini": SQL_PRIORITY_GINI,
+    "benford_prices": SQL_BENFORD_PRICES,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
