@@ -114,3 +114,22 @@ def test_grouped_refinement_guards():
     )
     with pytest.raises(Exception, match="cent domain"):
         grouped_quantile_disc_unbounded(neg, "g", "v", [0.5])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_refinement_rejects_nondividing_width():
+    """A level width that does not divide the group domain would let a
+    bucket straddle group boundaries (review finding, reproduced as an
+    IndexError / silent misattribution before the guard)."""
+    from webscraper_ray.functions.stats import grouped_quantile_disc_unbounded
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "b"] * 10, pa.string()),
+            "v": pa.array(np.linspace(0.01, 100.0, 20)),
+        }
+    )
+    with pytest.raises(ValueError, match="divide the group domain"):
+        grouped_quantile_disc_unbounded(
+            ray.data.from_arrow(t), "g", "v", [0.5], w0=7
+        )

@@ -452,16 +452,14 @@ def _hash_sum_rows(
     via the repo's hash-partition discipline: Ray's sort-based groupby
     pays seconds on 10^4+ distinct keys (BASELINE-measured 6-40x),
     while a ``num_partitions``-key groupby + one arrow group_by per
-    partition costs O(distinct). Keys must be non-negative ints.
+    partition costs O(distinct). Keys are int64 (negatives hash through
+    the same deterministic uint64 wraparound as :func:`_bucket_part`).
     Returns the combined rows (distinct-key-sized driver gather — the
     callers' bucket domains are bounded by construction)."""
 
     def add_p(t: pa.Table) -> pa.Table:
-        k = t.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
-        p = (
-            (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
-        ).astype(np.int32)
-        return t.append_column("_p", pa.array(p))
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        return t.append_column("_p", pa.array(_bucket_part(k, num_partitions)))
 
     def comb(t: pa.Table) -> pa.Table:
         g = t.drop_columns(["_p"]).group_by(key).aggregate([(val, "sum")])
@@ -473,6 +471,18 @@ def _hash_sum_rows(
         .map_groups(comb, batch_format="pyarrow")
         .take_all()
     )
+
+
+def _bucket_part(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Knuth multiplicative partition hash over int keys — the ONE
+    implementation shared by the rank/refinement kernels' pass-1
+    histogram combine AND pass-2 bucket shuffle (both must key on the
+    same bucket → partition map). Negative int64 keys go through
+    deterministic uint64 wraparound."""
+    k = keys.astype(np.uint64)
+    return (
+        (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+    ).astype(np.int32)
 
 
 # Per-group cent domain for grouped unbounded refinement: a multiple of
@@ -575,6 +585,17 @@ def grouped_quantile_disc_unbounded(
 
     # ---- level passes (the exact_quantile_disc_unbounded loop over the
     # composite domain; all groups refine in the same corpus pass) ------
+    # every level's width must divide the group domain, or a bucket
+    # straddles a group boundary and misattributes rows across groups
+    w_chain = int(w0)
+    while w_chain > 1:
+        if _GROUP_DOMAIN % w_chain:
+            raise ValueError(
+                f"grouped_quantile_disc_unbounded: width {w_chain} in the "
+                f"w0/shrink chain does not divide the group domain "
+                f"{_GROUP_DOMAIN}; pick w0/shrink as powers of 10"
+            )
+        w_chain = max(1, w_chain // shrink)
     resolved: list[tuple[int, int, list[tuple[int, int]]]] = []
     w = int(w0)
     while True:
@@ -659,7 +680,10 @@ def grouped_quantile_disc_unbounded(
             out.append(
                 (groups_sorted[gi], float(fractions[fi]), vals[local_rank - 1])
             )
-    out.sort(key=lambda x: (str(x[0]), x[1]))
+    # native group order (groups_sorted's order), matching the grouped
+    # rank-kernel twin and SQL ORDER BY on the group column
+    gpos = {g: i for i, g in enumerate(groups_sorted)}
+    out.sort(key=lambda x: (gpos[x[0]], x[1]))
     return out
 
 
@@ -738,10 +762,7 @@ def rank_weighted_sum_cents(
     def partial(t: pa.Table) -> pa.Table:
         c = to_cents(t)
         u, k = np.unique(c, return_counts=True)
-        part = (
-            ((u // bucket_w).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            % np.uint64(num_partitions)
-        ).astype(np.int32)
+        part = _bucket_part(u // bucket_w, num_partitions)
         return pa.table(
             {
                 "c": pa.array(u),
@@ -890,10 +911,7 @@ def grouped_rank_weighted_sum_cents(
     # ---- pass 2: distinct partials, bucket-keyed shuffle --------------
     def partial(t: pa.Table) -> pa.Table:
         u, k = np.unique(comp_of(t), return_counts=True)
-        part = (
-            ((u // bucket_w).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            % np.uint64(num_partitions)
-        ).astype(np.int32)
+        part = _bucket_part(u // bucket_w, num_partitions)
         return pa.table(
             {
                 "c": pa.array(u),

@@ -10253,8 +10253,11 @@ def q_winsorized_price_stats(sf_dir: str):
     ds = _read_sized(sf_dir, "orders", ["o_totalprice"])
     qs = dict(exact_quantile_disc_unbounded(ds, "o_totalprice", [0.05, 0.95]))
     lo, hi = qs[0.05], qs[0.95]
-    lo_c = np.int64(round(lo * 100))
-    hi_c = np.int64(round(hi * 100))
+    # same half-UP cents rounding as the row pass below and the oracle's
+    # half-away round() (values >= 0) — Python round() is half-to-even
+    # and diverges at .5 boundaries
+    lo_c = np.int64(np.floor(lo * 100.0 + 0.5))
+    hi_c = np.int64(np.floor(hi * 100.0 + 0.5))
 
     def partial(t: pa.Table) -> pa.Table:
         v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
