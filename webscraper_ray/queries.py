@@ -10803,6 +10803,216 @@ FROM c, t ORDER BY digit
 """
 
 
+def q_quantity_skew_kurtosis(sf_dir: str):
+    """Exact per-group skewness & excess kurtosis (population g1/g2) of
+    l_quantity by returnflag — the distribution-shape audit a data-quality
+    pipeline runs next to mean/stddev. The `lineitem_correlations`
+    discipline extended to 3rd/4th moments: every partial (n, Σx..Σx⁴) is
+    an associative integer sum, so the distributed result is bit-identical
+    at any parallelism; with M2 = nΣx²−(Σx)², M3 = n²Σx³−3nΣxΣx²+2(Σx)³,
+    M4 = n³Σx⁴−4n²ΣxΣx³+6n(Σx)²Σx²−3(Σx)⁴ the denominators cancel to
+    g1 = M3/M2^1.5 and g2 = M4/M2²−3 — two float expressions mirrored
+    op-for-op (sqrt+multiply, both IEEE-correctly-rounded, no pow). The
+    cross products run in Python bigints driver-side / HUGEINT in SQL;
+    quantity ∈ [1,50] keeps n³Σx⁴ under 10^34 at sf1 (HUGEINT max 1.7e38).
+
+    Scale shape: per-batch arrow group_by emits ≤|flags| partial rows per
+    block; ONE tiny groupby-sum over ~3 keys; all float math on the ≤3-row
+    result. No corpus-sized gather, no shuffle of fact rows."""
+    import math
+
+    ds = _read_sized(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.round(t.column("l_quantity")).cast(pa.int64())
+        q2 = pc.multiply(q, q)
+        tb = pa.table(
+            {
+                "flag": t.column("l_returnflag"),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "s1": q,
+                "s2": q2,
+                "s3": pc.multiply(q2, q),
+                "s4": pc.multiply(q2, q2),
+            }
+        )
+        g = tb.group_by("flag").aggregate(
+            [("one", "sum"), ("s1", "sum"), ("s2", "sum"), ("s3", "sum"), ("s4", "sum")]
+        )
+        return g.rename_columns(["flag", "n", "s1", "s2", "s3", "s4"])
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("flag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+            Sum("s3", alias_name="s3"),
+            Sum("s4", alias_name="s4"),
+        )
+        .take_all()  # |returnflag| rows (3)
+    )
+    rows.sort(key=lambda r: r["flag"])
+    flags, skews, kurts, ns = [], [], [], []
+    for r in rows:
+        n, s1, s2, s3, s4 = (int(r[k]) for k in ("n", "s1", "s2", "s3", "s4"))
+        m2 = n * s2 - s1 * s1
+        m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+        m4 = n**3 * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1**4
+        flags.append(r["flag"])
+        ns.append(n)
+        skews.append(float(m3) / (float(m2) * math.sqrt(float(m2))))
+        kurts.append(float(m4) / (float(m2) * float(m2)) - 3.0)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "skewness": pa.array(skews, pa.float64()),
+            "kurtosis": pa.array(kurts, pa.float64()),
+        }
+    )
+
+
+SQL_QUANTITY_SKEW_KURTOSIS = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(round(l_quantity) AS HUGEINT)) AS s1,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS s2,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS s3,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS s4
+  FROM lineitem GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, n,
+         n * s2 - s1 * s1 AS m2,
+         n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
+         n * n * n * s4 - 4 * n * n * s1 * s3
+           + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4
+  FROM s
+)
+SELECT l_returnflag, n,
+       CAST(m3 AS DOUBLE) / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE)))
+         AS skewness,
+       CAST(m4 AS DOUBLE) / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0
+         AS kurtosis
+FROM m ORDER BY l_returnflag
+"""
+
+
+def q_price_qty_regression(sf_dir: str):
+    """Per-group closed-form OLS — extendedprice (whole dollars, the
+    `lineitem_correlations` quantization contract) regressed on quantity,
+    by returnflag: slope, intercept, R². The regr_slope/regr_intercept/
+    regr_r2 family re-derived from exact integer moments so the
+    distributed answer is bit-identical: slope = num/dx with
+    num = nΣxy−ΣxΣy, dx = nΣx²−(Σx)²; intercept = (Σy − slope·Σx)/n;
+    R² = num²/(dx·dy) — each float op mirrored in the SQL (num² and dx·dy
+    exceed HUGEINT at scale, so both sides square/multiply AFTER the
+    single CAST to double).
+
+    Scale shape: identical to `quantity_skew_kurtosis` — per-batch arrow
+    group_by partials, one ~3-key groupby-sum, float math on ≤3 rows."""
+    ds = _read_sized(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.round(t.column("l_quantity")).cast(pa.int64())
+        # money is non-negative: half-AWAY whole dollars via floor(v+0.5)
+        y = pc.floor(pc.add(t.column("l_extendedprice"), pa.scalar(0.5))).cast(
+            pa.int64()
+        )
+        tb = pa.table(
+            {
+                "flag": t.column("l_returnflag"),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "sx": x,
+                "sy": y,
+                "sxx": pc.multiply(x, x),
+                "sxy": pc.multiply(x, y),
+                "syy": pc.multiply(y, y),
+            }
+        )
+        g = tb.group_by("flag").aggregate(
+            [(c, "sum") for c in ("one", "sx", "sy", "sxx", "sxy", "syy")]
+        )
+        return g.rename_columns(["flag", "n", "sx", "sy", "sxx", "sxy", "syy"])
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("flag")
+        .aggregate(
+            *(Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy"))
+        )
+        .take_all()  # |returnflag| rows
+    )
+    rows.sort(key=lambda r: r["flag"])
+    out = {k: [] for k in ("flag", "n", "slope", "intercept", "r2")}
+    for r in rows:
+        n, sx, sy, sxx, sxy, syy = (
+            int(r[k]) for k in ("n", "sx", "sy", "sxx", "sxy", "syy")
+        )
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        slope = float(num) / float(dx)
+        out["flag"].append(r["flag"])
+        out["n"].append(n)
+        out["slope"].append(slope)
+        out["intercept"].append((float(sy) - slope * float(sx)) / float(n))
+        out["r2"].append((float(num) * float(num)) / (float(dx) * float(dy)))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["flag"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "slope": pa.array(out["slope"], pa.float64()),
+            "intercept": pa.array(out["intercept"], pa.float64()),
+            "r2": pa.array(out["r2"], pa.float64()),
+        }
+    )
+
+
+SQL_PRICE_QTY_REGRESSION = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(round(l_quantity) AS HUGEINT)) AS sx,
+         sum(CAST(floor(l_extendedprice + 0.5) AS HUGEINT)) AS sy,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS sxx,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(floor(l_extendedprice + 0.5) AS HUGEINT)) AS sxy,
+         sum(CAST(floor(l_extendedprice + 0.5) AS HUGEINT)
+             * CAST(floor(l_extendedprice + 0.5) AS HUGEINT)) AS syy
+  FROM lineitem GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS dx,
+         n * syy - sy * sy AS dy,
+         sx, sy
+  FROM s
+)
+SELECT l_returnflag, n,
+       CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(num AS DOUBLE) / CAST(dx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept,
+       (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+         / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) AS r2
+FROM m ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -10967,6 +11177,8 @@ QUERIES = {
     "video_mjpeg_stats": q_video_mjpeg_stats,
     "priority_gini": q_priority_gini,
     "benford_prices": q_benford_prices,
+    "quantity_skew_kurtosis": q_quantity_skew_kurtosis,
+    "price_qty_regression": q_price_qty_regression,
 }
 
 ORACLE_SQL = {
@@ -11133,6 +11345,8 @@ ORACLE_SQL = {
     "video_mjpeg_stats": SQL_VIDEO_MJPEG_STATS,
     "priority_gini": SQL_PRIORITY_GINI,
     "benford_prices": SQL_BENFORD_PRICES,
+    "quantity_skew_kurtosis": SQL_QUANTITY_SKEW_KURTOSIS,
+    "price_qty_regression": SQL_PRICE_QTY_REGRESSION,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
