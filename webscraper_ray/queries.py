@@ -11013,6 +11013,379 @@ FROM m ORDER BY l_returnflag
 """
 
 
+def q_priority_price_chi2(sf_dir: str):
+    """Chi-squared independence audit: is order priority independent of
+    order size? — the contingency-table probe a data-quality pass runs
+    over paired categorical fields before trusting a stratification.
+    Price tiers are fixed $100k cent buckets (5 tiers x 5 priorities =
+    25 cells). Observed counts are exact ints; expected = rt*ct/n and
+    the per-cell contribution (obs-exp)^2/exp are each ONE mirrored
+    float expression per cell — the scalar statistic is the ordered sum
+    of `chi2_term`, left to the caller so the gate never sums floats
+    across cells (float + is order-sensitive; per-cell values are not).
+
+    Scale shape: per-batch arrow group_by bounds every block's output at
+    25 rows; ONE tiny groupby-sum; all float math on the 25-row driver
+    table. Nothing corpus-sized shuffles or gathers."""
+    TIER_C = 10_000_000  # $100k in cents
+
+    def partial(t: pa.Table) -> pa.Table:
+        tier = pc.divide(_cents(t.column("o_totalprice")), TIER_C)
+        g = (
+            pa.table(
+                {
+                    "o_orderpriority": t.column("o_orderpriority"),
+                    "tier": tier,
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["o_orderpriority", "tier"])
+            .aggregate([("one", "sum")])
+        )
+        return g.rename_columns(["o_orderpriority", "tier", "n"])
+
+    rows = (
+        _read_sized(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "tier"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # <= |priorities| x |tiers| cells
+    )
+    rows.sort(key=lambda r: (r["o_orderpriority"], int(r["tier"])))
+    n = sum(int(r["n"]) for r in rows)
+    row_tot: dict[str, int] = {}
+    col_tot: dict[int, int] = {}
+    for r in rows:
+        row_tot[r["o_orderpriority"]] = row_tot.get(r["o_orderpriority"], 0) + int(r["n"])
+        col_tot[int(r["tier"])] = col_tot.get(int(r["tier"]), 0) + int(r["n"])
+    out = {k: [] for k in ("o_orderpriority", "tier", "n", "expected", "chi2_term")}
+    for r in rows:
+        obs = int(r["n"])
+        exp = (
+            float(row_tot[r["o_orderpriority"]])
+            * float(col_tot[int(r["tier"])])
+            / float(n)
+        )
+        d = float(obs) - exp
+        out["o_orderpriority"].append(r["o_orderpriority"])
+        out["tier"].append(int(r["tier"]))
+        out["n"].append(obs)
+        out["expected"].append(exp)
+        out["chi2_term"].append(d * d / exp)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+            "tier": pa.array(out["tier"], pa.int64()),
+            "n": pa.array(out["n"], pa.int64()),
+            "expected": pa.array(out["expected"], pa.float64()),
+            "chi2_term": pa.array(out["chi2_term"], pa.float64()),
+        }
+    )
+
+
+SQL_PRIORITY_PRICE_CHI2 = """
+WITH cells AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) // 10000000 AS tier,
+         count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+t AS (
+  SELECT o_orderpriority, tier, n,
+         sum(n) OVER (PARTITION BY o_orderpriority) AS rt,
+         sum(n) OVER (PARTITION BY tier) AS ct,
+         sum(n) OVER () AS total
+  FROM cells
+),
+e AS (
+  SELECT o_orderpriority, tier, n,
+         CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(total AS DOUBLE)
+           AS expected
+  FROM t
+)
+SELECT o_orderpriority, tier, n, expected,
+       (CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected)
+         / expected AS chi2_term
+FROM e ORDER BY o_orderpriority, tier
+"""
+
+
+def q_price_drift_psi(sf_dir: str):
+    """Population-stability-index drift audit: how far has the order-value
+    distribution moved between the pre-1998 and 1998+ order periods? —
+    the standard pre-retraining check a model-monitoring pipeline runs on
+    every feature. Fixed $25k cent bins bound the histogram at ~20 rows;
+    add-one smoothing over the emitted-bin count keeps log2 defined and
+    both shares exactly mirrored (single integer-built division each,
+    then (p-q)*log2(p/q) op-for-op; this host's log2 is bit-identical to
+    DuckDB's). Per-bin terms only — the scalar PSI is the caller's
+    ordered sum, so the gate never sums floats across bins.
+
+    Scale shape: per-batch arrow group_by emits <= |bins| rows with two
+    indicator sums per block; ONE tiny groupby; floats on the bounded
+    driver table."""
+    import datetime
+    import math
+
+    BIN_C = 2_500_000  # $25k in cents
+    SPLIT = datetime.date(1998, 1, 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.divide(_cents(t.column("o_totalprice")), BIN_C)
+        is_a = pc.less(
+            t.column("o_orderdate").cast(pa.date32()), pa.scalar(SPLIT)
+        ).cast(pa.int64())
+        g = (
+            pa.table(
+                {
+                    "bin": b,
+                    "n_a": is_a,
+                    "n_b": pc.subtract(pa.scalar(1, pa.int64()), is_a),
+                }
+            )
+            .group_by("bin")
+            .aggregate([("n_a", "sum"), ("n_b", "sum")])
+        )
+        return g.rename_columns(["bin", "n_a", "n_b"])
+
+    rows = (
+        _read_sized(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"))
+        .take_all()  # <= |bins| (~20)
+    )
+    rows.sort(key=lambda r: int(r["bin"]))
+    nb = len(rows)
+    tot_a = sum(int(r["n_a"]) for r in rows)
+    tot_b = sum(int(r["n_b"]) for r in rows)
+    out = {k: [] for k in ("bin", "n_a", "n_b", "psi_term")}
+    for r in rows:
+        p = float(int(r["n_a"]) + 1) / float(tot_a + nb)
+        q = float(int(r["n_b"]) + 1) / float(tot_b + nb)
+        out["bin"].append(int(r["bin"]))
+        out["n_a"].append(int(r["n_a"]))
+        out["n_b"].append(int(r["n_b"]))
+        out["psi_term"].append((p - q) * math.log2(p / q))
+    return pa.table(
+        {
+            "bin": pa.array(out["bin"], pa.int64()),
+            "n_a": pa.array(out["n_a"], pa.int64()),
+            "n_b": pa.array(out["n_b"], pa.int64()),
+            "psi_term": pa.array(out["psi_term"], pa.float64()),
+        }
+    )
+
+
+SQL_PRICE_DRIFT_PSI = """
+WITH bins AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 2500000 AS bin,
+         sum(CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END)
+           AS n_a,
+         sum(CASE WHEN o_orderdate < DATE '1998-01-01' THEN 0 ELSE 1 END)
+           AS n_b
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT bin, n_a, n_b,
+         sum(n_a) OVER () AS tot_a,
+         sum(n_b) OVER () AS tot_b,
+         count(*) OVER () AS nb
+  FROM bins
+),
+s AS (
+  SELECT bin, n_a, n_b,
+         CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + nb AS DOUBLE) AS p,
+         CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + nb AS DOUBLE) AS q
+  FROM t
+)
+SELECT bin, n_a, n_b, (p - q) * log2(p / q) AS psi_term
+FROM s ORDER BY bin
+"""
+
+
+def q_event_type_xcorr(sf_dir: str):
+    """Cross-series Pearson correlation between the gap-filled daily
+    'click' and 'purchase' count series — the two-signal alignment probe
+    behind every leading-indicator dashboard (`revenue_autocorr`'s
+    machinery pointed across series instead of across lags). Moments are
+    exact integers over the day-domain-bounded series; ONE mirrored float
+    expression.
+
+    Scale shape: per-batch (day, two indicator sums) partials, ONE
+    day-keyed groupby to a ~|days| table (the documented bounded spine
+    class), all alignment and math on that driver table."""
+    import math
+
+    ds = _read_sized(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        et = t.column("event_type")
+        g = (
+            pa.table(
+                {
+                    "day": day,
+                    "x": pc.equal(et, pa.scalar("click")).cast(pa.int64()),
+                    "y": pc.equal(et, pa.scalar("purchase")).cast(pa.int64()),
+                }
+            )
+            .group_by("day")
+            .aggregate([("x", "sum"), ("y", "sum")])
+        )
+        return g.rename_columns(["day", "x", "y"])
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("x", alias_name="x"), Sum("y", alias_name="y"))
+        .take_all()  # day-domain-bounded
+    )
+    days = np.array([r["day"] for r in daily], dtype="datetime64[us]")
+    xs = np.array([int(r["x"]) for r in daily], dtype=np.int64)
+    ys = np.array([int(r["y"]) for r in daily], dtype=np.int64)
+    order = np.argsort(days)
+    days, xs, ys = days[order], xs[order], ys[order]
+    d0 = days[0]
+    n_days = int((days[-1] - d0) / np.timedelta64(1, "D")) + 1
+    sx_arr = np.zeros(n_days, dtype=np.int64)
+    sy_arr = np.zeros(n_days, dtype=np.int64)
+    idx = ((days - d0) / np.timedelta64(1, "D")).astype(np.int64)
+    sx_arr[idx], sy_arr[idx] = xs, ys
+    x = [int(v) for v in sx_arr]
+    y = [int(v) for v in sy_arr]
+    cnt = n_days
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sx2 = sum(a * a for a in x)
+    sy2 = sum(b * b for b in y)
+    num = cnt * sxy - sx * sy
+    dx = cnt * sx2 - sx * sx
+    dy = cnt * sy2 - sy * sy
+    r = float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+    return pa.table(
+        {
+            "n_days": pa.array([cnt], pa.int64()),
+            "xcorr": pa.array([r], pa.float64()),
+        }
+    )
+
+
+SQL_EVENT_TYPE_XCORR = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series(
+    (SELECT min(day) FROM daily),
+    (SELECT max(day) FROM daily),
+    INTERVAL 1 DAY
+  )) AS day
+),
+s AS (
+  SELECT coalesce(d.x, 0) AS x, coalesce(d.y, 0) AS y
+  FROM spine sp LEFT JOIN daily d USING (day)
+),
+m AS (
+  SELECT count(*) AS cnt,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sx2,
+         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS sy2
+  FROM s
+)
+SELECT cnt AS n_days,
+       CAST(cnt * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(cnt * sx2 - sx * sx AS DOUBLE))
+            * sqrt(CAST(cnt * sy2 - sy * sy AS DOUBLE))) AS xcorr
+FROM m
+"""
+
+
+def q_hll_event_overlap(sf_dir: str):
+    """HLL set ALGEBRA: the 'click' and 'purchase' user sketches plus
+    their union merged register-wise (union register = elementwise max —
+    the mergeability property that makes HLL the 100-TB overlap
+    estimator; |A∩B| then falls out of inclusion-exclusion over the three
+    estimates, each a pure function of the gated integer registers, same
+    contract as `hll_distinct_users`). One (type, register)-keyed max
+    reduce over partials bounded at 2 x M rows per block; the pivot and
+    merge run on the 2 x M driver table.
+
+    Cites reference src/db/model.ts listUrls (distinct-url accounting) —
+    the sketch is the scale path for its COUNT(DISTINCT) shapes."""
+    from .functions.sketches import M_REGISTERS, hll_registers_by_group
+
+    pair = ("click", "purchase")
+    ds = _read_sized(sf_dir, "events", ["event_type", "user_id"]).filter(
+        expr=f"event_type in {list(pair)!r}"
+    )
+    rows = hll_registers_by_group(ds, "event_type", "user_id").take_all()
+    rho = {t: np.zeros(M_REGISTERS, np.int64) for t in pair}
+    for r in rows:
+        rho[r["event_type"]][int(r["register"])] = int(r["rho"])
+    union = np.maximum(rho[pair[0]], rho[pair[1]])
+    return pa.table(
+        {
+            "register": pa.array(np.arange(M_REGISTERS, dtype=np.int64)),
+            "rho_a": pa.array(rho[pair[0]]),
+            "rho_b": pa.array(rho[pair[1]]),
+            "rho_union": pa.array(union),
+        }
+    )
+
+
+def _sql_hll_event_overlap() -> str:
+    from .functions.sketches import M_REGISTERS, P_BITS
+
+    w_bits = 64 - P_BITS
+    two_w = 1 << w_bits
+    branches = "\n         ".join(
+        f"WHEN w >= {1 << (w_bits - r)}::UBIGINT THEN {r}"
+        for r in range(1, w_bits + 1)
+    )
+    return f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM du
+),
+rr AS (
+  SELECT event_type,
+         CAST(h // {two_w}::UBIGINT AS BIGINT) AS register,
+         h % {two_w}::UBIGINT AS w
+  FROM h
+),
+ranked AS (
+  SELECT event_type, register,
+         CASE {branches}
+         ELSE {w_bits + 1} END AS rho
+  FROM rr
+),
+regs AS (
+  SELECT event_type, register, max(rho) AS rho
+  FROM ranked GROUP BY event_type, register
+),
+g AS (SELECT unnest(range(0, {M_REGISTERS})) AS register)
+SELECT g.register,
+       CAST(coalesce(a.rho, 0) AS BIGINT) AS rho_a,
+       CAST(coalesce(b.rho, 0) AS BIGINT) AS rho_b,
+       CAST(greatest(coalesce(a.rho, 0), coalesce(b.rho, 0)) AS BIGINT)
+         AS rho_union
+FROM g
+LEFT JOIN regs a ON a.register = g.register AND a.event_type = 'click'
+LEFT JOIN regs b ON b.register = g.register AND b.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -11179,6 +11552,10 @@ QUERIES = {
     "benford_prices": q_benford_prices,
     "quantity_skew_kurtosis": q_quantity_skew_kurtosis,
     "price_qty_regression": q_price_qty_regression,
+    "priority_price_chi2": q_priority_price_chi2,
+    "price_drift_psi": q_price_drift_psi,
+    "event_type_xcorr": q_event_type_xcorr,
+    "hll_event_overlap": q_hll_event_overlap,
 }
 
 ORACLE_SQL = {
@@ -11347,6 +11724,10 @@ ORACLE_SQL = {
     "benford_prices": SQL_BENFORD_PRICES,
     "quantity_skew_kurtosis": SQL_QUANTITY_SKEW_KURTOSIS,
     "price_qty_regression": SQL_PRICE_QTY_REGRESSION,
+    "priority_price_chi2": SQL_PRIORITY_PRICE_CHI2,
+    "price_drift_psi": SQL_PRICE_DRIFT_PSI,
+    "event_type_xcorr": SQL_EVENT_TYPE_XCORR,
+    "hll_event_overlap": _sql_hll_event_overlap(),
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
