@@ -48,11 +48,13 @@ __all__ = [
     "ImageStats",
     "ImageAHash",
     "ResizeImage",
+    "GifStats",
     "fake_media_table",
     "FAKE_IMG_MAGIC",
     "FVID_MAGIC",
     "encode_fvid",
     "parse_fvid",
+    "synth_gif_payload",
     "synth_image_payload",
     "synth_jpeg_payload",
     "synth_png_payload",
@@ -196,6 +198,85 @@ def synth_wav_payload(media_id: int) -> bytes:
     k = np.arange(n, dtype=np.int64)
     samples = ((np.int64(media_id) * 31 + k * 97) % 4001 - 2000).astype(np.int16)
     return encode_wav(samples, rate)
+
+
+# --- REAL deterministic GIF corpus -------------------------------------------
+#
+# Genuine single-frame GIF87a files from the from-scratch LZW codec in
+# :mod:`.gif`. Pixel indices mix runs (LZW-friendly) with ramps
+# (dictionary growth) so the variable-width decode paths are exercised;
+# every value is a pure function of the media id, so a SQL oracle
+# recomputes the index stats AND the palette-mapped RGB sum — a wrong
+# byte anywhere (header, color table, LZW width growth) diverges the
+# value hash.
+#
+#   height = 8 + id % 7, width = 8 + id % 9, 16 colors (mcs 4)
+#   index at k (row-major) = (id + k) % 16 if (k // 5) % 2 == 0
+#                            else id % 16
+#   palette i = (11*i % 256, 59*i % 256, 97*i % 256)
+#   odd ids are stored INTERLACED (4-pass row layout); the stats
+#   include a row-weighted checksum so a wrong de-interlace diverges
+#   the value hash (plain sums are permutation-invariant).
+
+_GIF_NCOLORS = 16
+
+
+def _gif_palette() -> np.ndarray:
+    i = np.arange(_GIF_NCOLORS, dtype=np.int64)
+    return np.stack([(11 * i) % 256, (59 * i) % 256, (97 * i) % 256], 1).astype(
+        np.uint8
+    )
+
+
+def synth_gif_payload(media_id: int) -> bytes:
+    """Deterministic REAL GIF87a bytes for ``media_id`` (formulas above)."""
+    from .gif import encode_gif
+
+    h = 8 + media_id % 7
+    w = 8 + media_id % 9
+    k = np.arange(h * w, dtype=np.int64)
+    ramp = (np.int64(media_id) + k) % _GIF_NCOLORS
+    flat = np.full(h * w, media_id % _GIF_NCOLORS, np.int64)
+    idx = np.where((k // 5) % 2 == 0, ramp, flat).astype(np.uint8).reshape(h, w)
+    return encode_gif(idx, _gif_palette(), interlaced=media_id % 2 == 1)
+
+
+class GifStats:
+    """Actor-pool stage: REAL GIF payload -> dims + exact integer stats
+    over the palette indices plus the palette-mapped RGB sum (proving
+    the color-table parse, not just the LZW stream, is correct) and a
+    row-weighted checksum (proving de-interlacing restored row order —
+    the plain sums are permutation-invariant)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .gif import decode_gif
+
+        hs, ws, ncs, isums, imins, imaxs, rgbs, posws = ([] for _ in range(8))
+        for payload in batch.column("payload").to_pylist():
+            idx, palette = decode_gif(payload)
+            flat = idx.reshape(-1).astype(np.int64)
+            rows = np.repeat(np.arange(idx.shape[0], dtype=np.int64), idx.shape[1])
+            hs.append(idx.shape[0])
+            ws.append(idx.shape[1])
+            ncs.append(int(palette.shape[0]))
+            isums.append(int(flat.sum()))
+            imins.append(int(flat.min()))
+            imaxs.append(int(flat.max()))
+            rgbs.append(int(palette.astype(np.int64).sum(1)[flat].sum()))
+            posws.append(int((rows * flat).sum()))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "height": pa.array(hs, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "ncolors": pa.array(ncs, pa.int64()),
+                "idx_sum": pa.array(isums, pa.int64()),
+                "idx_min": pa.array(imins, pa.int64()),
+                "idx_max": pa.array(imaxs, pa.int64()),
+                "rgb_sum": pa.array(rgbs, pa.int64()),
+                "posw_sum": pa.array(posws, pa.int64()),
+            }
+        )
 
 
 # --- FVID: a documented length-prefixed video frame container ----------------

@@ -960,6 +960,67 @@ GROUP BY media_id, height, width, channels
 """
 
 
+def q_gif_decode(sf_dir: str):
+    """REAL GIF decode end-to-end: synthesize one genuine single-frame
+    GIF87a file per ``documents`` row (LZW-compressed for real — runs +
+    ramps exercise dictionary growth and variable code widths; odd ids
+    stored in the 4-pass INTERLACED row layout), decode it with the
+    from-scratch codec in ``functions/gif.py`` inside a GifStats actor
+    pool, and emit exact integer stats over BOTH the palette indices and
+    the palette-mapped RGB values, plus a row-weighted checksum that a
+    wrong de-interlace diverges. The DuckDB oracle recomputes everything
+    from the id formulas — a wrong byte anywhere in the container parse,
+    color table, LZW stream, or row reorder diverges the value hash."""
+    from .functions.multimodal import GifStats, synth_gif_payload
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "payload": pa.array(
+                    [synth_gif_payload(i) for i in ids], pa.large_binary()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(
+            GifStats,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+        )
+    )
+
+
+SQL_GIF_DECODE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 7 AS height,
+         8 + doc_id % 9 AS width
+  FROM documents
+),
+px AS (
+  SELECT media_id, height, width, u.k AS k,
+         CASE WHEN (u.k // 5) % 2 = 0 THEN (media_id + u.k) % 16
+              ELSE media_id % 16 END AS idx
+  FROM dims, UNNEST(range(0, height * width)) AS u(k)
+)
+SELECT media_id, height, width, 16 AS ncolors,
+       CAST(sum(idx) AS BIGINT) AS idx_sum,
+       CAST(min(idx) AS BIGINT) AS idx_min,
+       CAST(max(idx) AS BIGINT) AS idx_max,
+       CAST(sum((idx * 11) % 256 + (idx * 59) % 256 + (idx * 97) % 256)
+            AS BIGINT) AS rgb_sum,
+       CAST(sum((k // width) * idx) AS BIGINT) AS posw_sum
+FROM px
+GROUP BY media_id, height, width
+"""
+
+
 def q_jpeg_decode(sf_dir: str):
     """REAL baseline-JPEG decode end-to-end: synthesize one genuine
     JPEG file per ``documents`` row with the from-scratch ITU-T T.81
@@ -11400,6 +11461,7 @@ QUERIES = {
     "mktsegment_counts": q_mktsegment_counts,
     "multimodal_decode": q_multimodal_decode,
     "png_decode": q_png_decode,
+    "gif_decode": q_gif_decode,
     "jpeg_decode": q_jpeg_decode,
     "audio_wav_stats": q_audio_wav_stats,
     "video_frame_stats": q_video_frame_stats,
@@ -11588,6 +11650,7 @@ ORACLE_SQL = {
     "event_gaps": SQL_EVENT_GAPS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "png_decode": SQL_PNG_DECODE,
+    "gif_decode": SQL_GIF_DECODE,
     "jpeg_decode": SQL_JPEG_DECODE,
     "audio_wav_stats": SQL_AUDIO_WAV_STATS,
     "video_frame_stats": SQL_VIDEO_FRAME_STATS,
