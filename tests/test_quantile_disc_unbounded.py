@@ -61,6 +61,43 @@ def test_parallelism_invariance():
     assert a == b == _numpy_disc(vals, [0.25, 0.75])
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_matches_repeat_expansion():
+    """weight_col semantics = each row repeats weight times: the
+    weighted answer must equal the unweighted answer over the expanded
+    multiset, through multi-level refinement (tiny cap)."""
+    rng = np.random.default_rng(19)
+    vals = np.round(rng.uniform(0, 2000, size=6_000), 2)
+    wts = rng.integers(1, 9, size=6_000)
+    t = pa.table(
+        {
+            "v": pa.array(vals, pa.float64()),
+            "w": pa.array(wts, pa.int64()),
+        }
+    )
+    fracs = [0.1, 0.5, 0.9]
+    got = exact_quantile_disc_unbounded(
+        ray.data.from_arrow(t).repartition(7), "v", fracs, cap=60,
+        weight_col="w",
+    )
+    expanded = np.repeat(vals, wts)
+    assert got == _numpy_disc(expanded, fracs)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_rejects_bad_weights():
+    t = pa.table({"v": pa.array([1.0, 2.0]), "w": pa.array([0, 3])})
+    with pytest.raises(Exception, match="positive integers"):
+        exact_quantile_disc_unbounded(
+            ray.data.from_arrow(t), "v", [0.5], weight_col="w"
+        )
+    t2 = pa.table({"v": pa.array([1.0, 2.0]), "w": pa.array([1.5, 2.0])})
+    with pytest.raises(Exception, match="positive integers"):
+        exact_quantile_disc_unbounded(
+            ray.data.from_arrow(t2), "v", [0.5], weight_col="w"
+        )
+
+
 def _numpy_grouped(groups: np.ndarray, vals: np.ndarray, fracs):
     out = []
     for g in sorted(set(groups.tolist())):

@@ -294,11 +294,21 @@ def exact_quantile_disc_unbounded(
     w0: int = 10_000,
     cap: int = 100_000,
     shrink: int = 100,
+    weight_col: str | None = None,
 ) -> list[tuple[float, float]]:
     """Exact ``quantile_disc`` (value at 1-based rank ``ceil(q*n)``)
     over an UNBOUNDED-cardinality money column — the scalable
     complement to :func:`exact_quantiles`' guarded distinct-value
     histogram.
+
+    With ``weight_col`` (positive INTEGER weights, guarded), quantiles
+    are over the multiset where each row repeats ``weight`` times —
+    i.e. the value at weighted rank ``ceil(q * W)``, ``W`` the total
+    weight: the smallest value whose value-ordered cumulative weight
+    reaches the rank. Every refinement histogram sums weights instead
+    of row counts; because weights are >= 1, a bucket's weighted count
+    bounds its ROW count, so the ``cap``-bounded final gather still
+    holds row-for-row.
 
     Iterative bucket refinement: each level streams ONE histogram pass
     counting rows per ``cents // W`` bucket, restricted to the still-
@@ -325,6 +335,18 @@ def exact_quantile_disc_unbounded(
             v >= 0, np.floor(v * 100.0 + 0.5), np.ceil(v * 100.0 - 0.5)
         ).astype(np.int64)
 
+    def weights_of(t: pa.Table) -> np.ndarray | None:
+        if weight_col is None:
+            return None
+        wv = t.column(weight_col).to_numpy(zero_copy_only=False)
+        w = wv.astype(np.int64)
+        if w.size and (w.min() < 1 or np.any(w != wv)):
+            raise ValueError(
+                "exact_quantile_disc_unbounded: weights must be positive "
+                "integers (each row repeats weight times)"
+            )
+        return w
+
     LO, HI = np.int64(-(1 << 62)), np.int64(1 << 62)
 
     # ---- level passes -------------------------------------------------
@@ -347,6 +369,7 @@ def exact_quantile_disc_unbounded(
 
         def hist_partial(t: pa.Table, _ref=bounds_ref, _w=w_scal) -> pa.Table:
             c = cents_of(t)
+            wts = weights_of(t)
             b = _ray.get(_ref)
             if b is not None:
                 los, his = b
@@ -354,16 +377,22 @@ def exact_quantile_disc_unbounded(
                 idx = np.maximum(idx, 0)
                 keep = (c >= los[idx]) & (c < his[idx])
                 c = c[keep]
+                if wts is not None:
+                    wts = wts[keep]
             bk = c // _w
             if bk.size == 0:
                 return pa.table(
                     {"bucket": pa.array([], pa.int64()),
                      "n": pa.array([], pa.int64())}
                 )
-            u, cnt = np.unique(bk, return_counts=True)
-            return pa.table(
-                {"bucket": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
-            )
+            if wts is None:
+                u, cnt = np.unique(bk, return_counts=True)
+                cnt = cnt.astype(np.int64)
+            else:
+                u, inv = np.unique(bk, return_inverse=True)
+                cnt = np.zeros(u.size, np.int64)
+                np.add.at(cnt, inv, wts)
+            return pa.table({"bucket": pa.array(u), "n": pa.array(cnt)})
 
         hist_rows = _hash_sum_rows(
             ds.map_batches(hist_partial, batch_format="pyarrow"), "bucket", "n"
@@ -420,6 +449,7 @@ def exact_quantile_disc_unbounded(
 
     def in_final(t: pa.Table, _ref=fin_ref) -> pa.Table:
         c = cents_of(t)
+        wts = weights_of(t)
         flos, fhis = _ray.get(_ref)
         idx = np.searchsorted(flos, c, side="right") - 1
         idx = np.maximum(idx, 0)
@@ -430,18 +460,28 @@ def exact_quantile_disc_unbounded(
                 "v": pa.array(
                     t.column(value_col).to_numpy(zero_copy_only=False)[keep]
                 ),
+                "w": pa.array(
+                    (np.ones(int(keep.sum()), np.int64) if wts is None
+                     else wts[keep])
+                ),
             }
         )
 
     rows = ds.map_batches(in_final, batch_format="pyarrow").take_all()
-    by_iv: dict[int, list[float]] = {}
+    by_iv: dict[int, list[tuple[float, int]]] = {}
     for r in rows:
-        by_iv.setdefault(int(r["iv"]), []).append(float(r["v"]))
+        by_iv.setdefault(int(r["iv"]), []).append((float(r["v"]), int(r["w"])))
     out: list[tuple[float, float]] = []
     for i, (_lo, _hi, targs) in enumerate(resolved):
-        vals = sorted(by_iv[i])
+        pairs = sorted(by_iv[i])
+        cum = np.cumsum([w for _, w in pairs])
         for fi, local_rank in targs:
-            out.append((float(fractions[fi]), vals[local_rank - 1]))
+            out.append(
+                (
+                    float(fractions[fi]),
+                    pairs[int(np.searchsorted(cum, local_rank, side="left"))][0],
+                )
+            )
     out.sort()
     return out
 

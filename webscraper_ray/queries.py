@@ -5198,6 +5198,297 @@ SELECT 90, quantile_disc(o_totalprice, 0.9) FROM orders
 """
 
 
+def q_weighted_price_percentiles(sf_dir: str):
+    """QUANTITY-WEIGHTED exact deciles of the unit price — "the price
+    distribution per unit sold", the curation-style weighted quantile
+    (sample weights, token counts, importance weights) over an
+    unbounded-cardinality money column. Semantics: the value at
+    weighted rank ``ceil(q * W)`` (each row repeats ``l_quantity``
+    times), i.e. the smallest price whose value-ordered cumulative
+    quantity reaches the rank.
+
+    Scale shape: `stats.exact_quantile_disc_unbounded(weight_col=...)`
+    — the same iterative bucket refinement as `price_percentiles`, with
+    every histogram pass summing integer WEIGHTS per bucket instead of
+    row counts. Weights >= 1 mean a bucket's weighted count bounds its
+    row count, so the cap-bounded final gather is unchanged; driver
+    artifacts stay shrink x |intervals| rows per level at any
+    cardinality. The SQL gate mirrors via a value-ordered cumulative-
+    weight window with exact integer rank arithmetic
+    ``(k*W + 9) // 10`` (never a float ceil)."""
+    from .functions.stats import exact_quantile_disc_unbounded
+
+    li = _read_sized(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def as_int_weight(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_extendedprice": t.column("l_extendedprice"),
+                "w": t.column("l_quantity").cast(pa.int64()),
+            }
+        )
+
+    pairs = exact_quantile_disc_unbounded(
+        li.map_batches(as_int_weight, batch_format="pyarrow"),
+        "l_extendedprice",
+        [k / 10 for k in range(1, 10)],
+        weight_col="w",
+    )
+    return pa.table(
+        {
+            "pct": pa.array([int(round(f * 100)) for f, _ in pairs], pa.int64()),
+            "value": pa.array([v for _, v in pairs], pa.float64()),
+        }
+    )
+
+
+SQL_WEIGHTED_PRICE_PERCENTILES = """
+WITH d AS (
+  SELECT l_extendedprice AS v, sum(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT v,
+         sum(w) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM d
+),
+tot AS (SELECT sum(CAST(l_quantity AS BIGINT)) AS tw FROM lineitem)
+SELECT CAST(t.k * 10 AS BIGINT) AS pct, min(c.v) AS value
+FROM range(1, 10) AS t(k), tot, c
+WHERE c.cw >= (t.k * tot.tw + 9) // 10
+GROUP BY 1
+"""
+
+
+def q_conversion_latency(sf_dir: str):
+    """Conversion-latency deciles — operator COMPOSITION: the as-of
+    join (latest 'click' at or before each 'purchase', per user) feeds
+    a derived integer latency-seconds column into the exact-quantile
+    kernel. The 7-day attribution cutoff is what BOUNDS the quantile
+    domain (<= 604800 distinct second values, inside the cardinality
+    guard) — the filter is the scale contract, not decoration.
+
+    Scale shape: ONE hash-partition shuffle for the as-of merge
+    (functions/joins.py), a streaming vectorized latency map, then the
+    value-count-histogram quantile exchange sized by the bounded
+    latency domain, never by purchase count."""
+    from .functions.joins import asof_join
+    from .functions.stats import exact_quantiles
+
+    ev = _read_sized(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def only(kind: str, project):
+        def f(t: pa.Table) -> pa.Table:
+            ft = t.filter(pc.equal(t.column("event_type"), kind))
+            return project(ft)
+
+        return f
+
+    purchases = ev.map_batches(
+        only("purchase", lambda t: t.select(["event_id", "user_id", "ts"])),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        only(
+            "click",
+            lambda t: pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "ts": t.column("ts"),
+                    "click_ts": t.column("ts"),
+                    "click_id": t.column("event_id"),
+                }
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    matched = asof_join(
+        purchases,
+        clicks,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="user_id",
+        right_ts="ts",
+        right_payload=["click_ts", "click_id"],
+        tie_break="click_id",
+    )
+
+    def latency(t: pa.Table) -> pa.Table:
+        p = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        c = (
+            t.column("click_ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+        )
+        s = ((p - c).astype(np.int64) // 1_000_000).astype(np.int64)
+        keep = s <= 604_800  # 7-day attribution window bounds the domain
+        return pa.table({"latency_s": pa.array(s[keep], pa.int64())})
+
+    lat = matched.map_batches(latency, batch_format="pyarrow")
+    qt = exact_quantiles(lat, "latency_s", [k / 10 for k in range(1, 10)])
+    return pa.table(
+        {
+            "pct": pa.array(
+                [int(round(q * 100)) for q in qt.column("q").to_pylist()],
+                pa.int64(),
+            ),
+            "latency_s": qt.column("latency_s"),
+        }
+    )
+
+
+SQL_CONVERSION_LATENCY = """
+WITH m AS (
+  SELECT p.event_id,
+         (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS latency_s,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM events p
+  JOIN events c
+    ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+  WHERE p.event_type = 'purchase'
+),
+lat AS (SELECT latency_s FROM m WHERE rn = 1 AND latency_s <= 604800),
+r AS (
+  SELECT latency_s,
+         row_number() OVER (ORDER BY latency_s) AS rnk,
+         count(*) OVER () AS n
+  FROM lat
+)
+SELECT CAST(t.k * 10 AS BIGINT) AS pct, r.latency_s
+FROM range(1, 10) AS t(k)
+JOIN r ON r.rnk = (t.k * r.n + 9) // 10
+"""
+
+
+def q_lorenz_deciles(sf_dir: str):
+    """Lorenz-curve decile points over per-customer spend — the
+    cumulative revenue share held by the bottom k/10 of customers (the
+    curve the Gini coefficient integrates; `gini_order_value` is its
+    scalar twin). COMPOSITION: the per-customer rollup (|customers|-
+    sized, the documented intermediate class) feeds the unbounded
+    quantile refinement for the 9 decile thresholds, then ONE more
+    streaming pass computes exact strictly-below counts and cent sums
+    per threshold; the boundary correction
+    ``below_sum + (rank - below_cnt) * threshold`` is exact under ANY
+    tie order because every row between is worth exactly the threshold.
+    Only the final 9 shares divide (CAST-then-divide, mirrored).
+
+    Scale shape: one custkey hash-partition rollup, cap-bounded
+    refinement gathers, and a 9x3-int driver reduce — nothing
+    corpus-sized gathers."""
+    from .functions.joins import _part_column as _pcol
+    from .functions.stats import exact_quantile_disc_unbounded
+
+    orders = _read_sized(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "o_custkey": t.column("o_custkey"),
+                    "rev_c": _cents(t.column("o_totalprice")),
+                }
+            )
+            .group_by("o_custkey")
+            .aggregate([("rev_c", "sum")])
+            .rename_columns(["o_custkey", "rev_c"])
+        )
+        return g.append_column("_pp", _pcol(g.column("o_custkey"), 16))
+
+    def cust_final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"rev": pa.array([], pa.float64())})
+        g = (
+            t.select(["o_custkey", "rev_c"])
+            .group_by("o_custkey")
+            .aggregate([("rev_c", "sum")])
+            .rename_columns(["o_custkey", "rev_c"])
+        )
+        return pa.table(
+            {
+                "rev": pa.array(
+                    g.column("rev_c").to_numpy(zero_copy_only=False) / 100.0
+                )
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("_pp")
+        .map_groups(cust_final, batch_format="pyarrow")
+        .materialize()  # |customers|-sized (output class), reused 2x
+    )
+    fracs = [k / 10 for k in range(1, 10)]
+    pairs = exact_quantile_disc_unbounded(per_cust, "rev", fracs)
+    thr_c = np.asarray(
+        [int(round(v * 100)) for _, v in pairs], dtype=np.int64
+    )  # ascending (fractions sorted, quantiles monotone)
+
+    def below_partial(t: pa.Table) -> pa.Table:
+        rev = t.column("rev").to_numpy(zero_copy_only=False)
+        c = np.where(
+            rev >= 0, np.floor(rev * 100.0 + 0.5), np.ceil(rev * 100.0 - 0.5)
+        ).astype(np.int64)
+        cs = np.sort(c)
+        cum = np.concatenate([[0], np.cumsum(cs)])  # cum[i] = sum of first i
+        pos = np.searchsorted(cs, thr_c, side="left")  # strictly below
+        below_sum = cum[pos]
+        return pa.table(
+            {
+                "k": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "below_cnt": pa.array(pos.astype(np.int64)),
+                "below_sum": pa.array(below_sum.astype(np.int64)),
+                "n": pa.array(np.full(9, c.size, np.int64)),
+                "total": pa.array(np.full(9, int(c.sum()), np.int64)),
+            }
+        )
+
+    rows = per_cust.map_batches(below_partial, batch_format="pyarrow").take_all()
+    agg: dict[int, list[int]] = {k: [0, 0, 0, 0] for k in range(1, 10)}
+    for r in rows:
+        a = agg[int(r["k"])]
+        a[0] += int(r["below_cnt"])
+        a[1] += int(r["below_sum"])
+        a[2] += int(r["n"])
+        a[3] += int(r["total"])
+    shares = []
+    for i, k in enumerate(range(1, 10)):
+        below_cnt, below_sum, n, total = agg[k]
+        rank = (k * n + 9) // 10  # ceil(k*n/10), exact ints
+        cum_at_rank = below_sum + (rank - below_cnt) * int(thr_c[i])
+        shares.append(float(cum_at_rank) / float(total))
+    return pa.table(
+        {
+            "decile": pa.array(list(range(1, 10)), pa.int64()),
+            "share": pa.array(shares, pa.float64()),
+        }
+    )
+
+
+SQL_LORENZ_DECILES = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT rev_c,
+         row_number() OVER (ORDER BY rev_c, o_custkey) AS rn,
+         sum(rev_c) OVER (ORDER BY rev_c, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cs
+  FROM per_cust
+),
+tot AS (SELECT count(*) AS n, sum(rev_c) AS s FROM per_cust)
+SELECT CAST(t.k AS BIGINT) AS decile,
+       CAST(r.cs AS DOUBLE) / CAST(tot.s AS DOUBLE) AS share
+FROM range(1, 10) AS t(k), tot
+JOIN r ON r.rn = (t.k * tot.n + 9) // 10
+"""
+
+
 def q_ann_recall_eval(sf_dir: str):
     """ANN quality eval: recall@10 of the IVF index against the exact
     brute-force baseline, per query — the self-measurement harness an
@@ -11591,6 +11882,9 @@ QUERIES = {
     "mutual_links": q_mutual_links,
     "dataset_split": q_dataset_split,
     "price_percentiles": q_price_percentiles,
+    "weighted_price_percentiles": q_weighted_price_percentiles,
+    "conversion_latency": q_conversion_latency,
+    "lorenz_deciles": q_lorenz_deciles,
     "ann_recall_eval": q_ann_recall_eval,
     "hourly_heatmap": q_hourly_heatmap,
     "nation_top_customers": q_nation_top_customers,
@@ -11764,6 +12058,9 @@ ORACLE_SQL = {
     "mutual_links": _sql_mutual_links(),
     "dataset_split": SQL_DATASET_SPLIT,
     "price_percentiles": SQL_PRICE_PERCENTILES,
+    "weighted_price_percentiles": SQL_WEIGHTED_PRICE_PERCENTILES,
+    "conversion_latency": SQL_CONVERSION_LATENCY,
+    "lorenz_deciles": SQL_LORENZ_DECILES,
     "ann_recall_eval": _sql_ann_recall_eval(),
     "hourly_heatmap": SQL_HOURLY_HEATMAP,
     "nation_top_customers": SQL_NATION_TOP_CUSTOMERS,
