@@ -37,6 +37,7 @@ import ray.data
 
 __all__ = [
     "ann_bruteforce_topk",
+    "ann_filtered_topk",
     "ann_lsh_topk",
     "build_ann_index",
     "ann_lsh_topk_indexed",
@@ -171,6 +172,83 @@ def ann_bruteforce_topk(
     queries_ref = ray.put((query_ids, query_matrix))
     partial = ds.map_batches(
         _BatchTopK,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+
+
+class _BatchFilteredTopK:
+    """Per-batch partial cosine top-k restricted to candidates whose
+    metadata label equals each query's label — the filtered vector
+    search every retrieval stack needs (language-restricted neighbors,
+    same-class retrieval). Queries grouped by label once in ``__init__``;
+    per batch, each label group scores only its boolean-masked row
+    slice, so the matmul never touches filtered-out rows and the loop
+    runs over distinct QUERY labels (<= n_queries), never rows."""
+
+    def __init__(self, queries_ref, k: int):
+        ref = queries_ref
+        q_ids, q_mat, q_labels = (
+            ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        )
+        qn = _norm_rows(np.asarray(q_mat, dtype=np.float64))
+        self.by_label: dict[int, tuple[list[int], np.ndarray]] = {}
+        for qid, lab, row in zip(q_ids, q_labels, qn):
+            ids, rows = self.by_label.setdefault(int(lab), ([], []))
+            ids.append(int(qid))
+            rows.append(row)
+        self.by_label = {
+            lab: (ids, np.stack(rows)) for lab, (ids, rows) in self.by_label.items()
+        }
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = _id_array(batch.column("vec_id"))
+        labels = np.asarray(
+            batch.column("label").to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        mat = _embedding_matrix(batch.column("embedding"))
+        if mat.size == 0:
+            return _EMPTY_TOPK
+        normed = _norm_rows(mat)
+        out_q: list[int] = []
+        out_v: list[int] = []
+        out_s: list[float] = []
+        for lab, (q_ids, qn) in self.by_label.items():
+            sel = labels == lab
+            if not sel.any():
+                continue
+            oq, ov, os_ = _score_partial_topk(
+                ids[sel], normed[sel], q_ids, qn, self.k
+            )
+            out_q += oq
+            out_v += ov
+            out_s += os_
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def ann_filtered_topk(
+    ds: "ray.data.Dataset",
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    query_labels: list[int],
+    k: int = 10,
+) -> "ray.data.Dataset":
+    """Exact metadata-FILTERED top-k: for each query, the k nearest
+    by cosine among candidates sharing the query's ``label`` — same
+    broadcast + per-batch-partial + one tiny groupby shape as
+    :func:`ann_bruteforce_topk`."""
+    queries_ref = ray.put((query_ids, query_matrix, query_labels))
+    partial = ds.map_batches(
+        _BatchFilteredTopK,
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
         batch_format="pyarrow",
         concurrency=2,

@@ -2049,6 +2049,52 @@ FROM (
 """
 
 
+def q_ann_filtered(sf_dir: str):
+    """Metadata-FILTERED vector search: for each query, the exact
+    cosine top-10 among candidates sharing the query's ``label`` (the
+    language-restricted / same-class retrieval every production vector
+    store supports). Scale shape = ann_bruteforce: one broadcast of the
+    (tiny) query set, per-batch boolean-masked matmul partial top-k —
+    the matmul never touches filtered-out rows — and one k-rows-per-
+    query groupby reduce."""
+    from .functions.ann import ann_filtered_topk
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    t = t.sort_by("vec_id").slice(0, 5)
+    ids = t.column("vec_id").to_pylist()
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    labels = [int(x) for x in t.column("label").to_pylist()]
+    return ann_filtered_topk(
+        _read_sized(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        ids,
+        mat,
+        labels,
+        k=10,
+    )
+
+
+SQL_ANN_FILTERED = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label
+  FROM embeddings ORDER BY vec_id LIMIT 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cos_sim
+  FROM embeddings e JOIN q ON e.label = q.label
+)
+SELECT query_id, vec_id, cos_sim
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+
+
 
 def _source_cached_dir(sf_dir: str, table: str, kind: str, key_suffix: str, build):
     """Build-or-reuse cache dir keyed by the source TABLE's identity
@@ -11774,6 +11820,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ann_bruteforce": q_ann_bruteforce,
+    "ann_filtered": q_ann_filtered,
     "ann_lsh": q_ann_lsh,
     "tumbling_window": q_tumbling_window,
     "hopping_window": q_hopping_window,
@@ -11936,6 +11983,7 @@ ORACLE_SQL = {
     "quality_scores": SQL_QUALITY_SCORES,
     "quality_keep": _sql_quality_keep(),
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
+    "ann_filtered": SQL_ANN_FILTERED,
     "ann_lsh": _sql_ann_lsh(),
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "hopping_window": _sql_hopping_window(),
