@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "dense_topk_prices",
     "sample_k_per_group",
     "acctbal_theta_count",
+    "gif_decode",
+    "weighted_price_percentiles",
+    "conversion_latency",
+    "lorenz_deciles",
 ]
 
 
