@@ -130,3 +130,20 @@ def test_synth_corpus_matches_formula():
         exp = np.where((k // 5) % 2 == 0, (mid + k) % 16, mid % 16)
         assert (idx.reshape(-1) == exp).all()
         assert (pal[:16] == _gif_palette()).all()
+
+
+def test_multiframe_raises_loudly():
+    """Splicing a second image block before the trailer must raise, not
+    silently return frame 1 (the docstring's single-frame contract)."""
+    import pytest
+
+    a = encode_gif(np.arange(16, dtype=np.uint8).reshape(4, 4), _gif_palette())
+    # second frame = everything after the header+GCT of another encode
+    b = encode_gif(np.zeros((4, 4), np.uint8), _gif_palette())
+    frame2 = b[13 + 16 * 3 : -1]  # image descriptor..terminator, no trailer
+    spliced = a[:-1] + frame2 + b"\x3b"
+    with pytest.raises(ValueError, match="multi-frame"):
+        decode_gif(spliced)
+    # trailing garbage instead of a trailer also raises
+    with pytest.raises(ValueError):
+        decode_gif(a[:-1] + b"\x7f\x3b")

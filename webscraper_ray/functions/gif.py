@@ -263,6 +263,20 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
             break
         stream += payload[pos : pos + ln]
         pos += ln
+    # enforce single-frame: only extensions may follow, then the trailer
+    while True:
+        if pos >= len(payload):
+            raise ValueError("gif: truncated after image data (no trailer)")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos = _skip_subblocks(payload, pos + 1)
+            continue
+        if block == 0x2C:
+            raise ValueError("gif: multi-frame animations are not supported")
+        raise ValueError(f"gif: unknown block 0x{block:02x} after image")
     raw = _lzw_decompress(bytes(stream), mcs, h * w)
     idx = np.frombuffer(raw, np.uint8).reshape(h, w)
     if ipacked & 0x40:

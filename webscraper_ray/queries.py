@@ -2015,11 +2015,18 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
 """
 
 
-def _query_vectors(sf_dir: str, n: int = 5):
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+def _query_vectors(sf_dir: str, n: int = 5, with_labels: bool = False):
+    """The ONE query-set selection convention shared by every ANN
+    query (brute-force, LSH, IVF, recall eval, filtered): the first
+    ``n`` vectors by vec_id. Changing it here changes all siblings
+    together."""
+    cols = ["vec_id", "embedding"] + (["label"] if with_labels else [])
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=cols)
     t = t.sort_by("vec_id").slice(0, n)
     ids = t.column("vec_id").to_pylist()
     mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    if with_labels:
+        return ids, mat, [int(x) for x in t.column("label").to_pylist()]
     return ids, mat
 
 
@@ -2059,14 +2066,7 @@ def q_ann_filtered(sf_dir: str):
     query groupby reduce."""
     from .functions.ann import ann_filtered_topk
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding", "label"],
-    )
-    t = t.sort_by("vec_id").slice(0, 5)
-    ids = t.column("vec_id").to_pylist()
-    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-    labels = [int(x) for x in t.column("label").to_pylist()]
+    ids, mat, labels = _query_vectors(sf_dir, with_labels=True)
     return ann_filtered_topk(
         _read_sized(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
         ids,
