@@ -6576,6 +6576,105 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC (ISO 28500) source + sink — the Common-Crawl-native
+    container as a first-class format: every document serializes into a
+    real WARC/1.1 response record (HTTP response payload, declared
+    Content-Length), one ``part-<min_id>.warc`` file per block (the
+    resumable-output discipline), then streams back through
+    ``read_binary_files`` + the length-honoring record walk in
+    ``functions/warc.py`` and aggregates per-source counts, id sums,
+    and exact HTTP-body byte sums. The oracle recomputes from the
+    parquet table (UTF-8 byte lengths via ``octet_length(encode())``),
+    so any header, Content-Length, or payload corruption anywhere in
+    the serialize/parse cycle flips the value hash. Payload bodies are
+    free text that may contain blank lines — the declared-length walk
+    (never a blank-line split) is what keeps the parse exact."""
+    import ray.data as _rd
+
+    from .functions.warc import parse_warc, write_warc_record
+
+    def build(d: str) -> None:
+        def to_warc(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"path": pa.array([], pa.string()),
+                     "n": pa.array([], pa.int64())}
+                )
+            ids = t.column("doc_id").to_pylist()
+            srcs = t.column("source").to_pylist()
+            texts = t.column("text").to_pylist()
+            recs = []
+            for i, s, x in zip(ids, srcs, texts):
+                body = x.encode("utf-8")
+                http = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/plain; charset=utf-8\r\n\r\n" + body
+                )
+                recs.append(
+                    write_warc_record(
+                        f"https://{s}.example/doc/{i}",
+                        http,
+                        record_id=f"urn:doc:{i}",
+                    )
+                )
+            path = os.path.join(d, f"part-{min(ids)}.warc")
+            with open(path, "wb") as f:
+                f.write(b"".join(recs))
+            return pa.table({"path": pa.array([path]), "n": pa.array([len(ids)])})
+
+        _read_sized(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
+            to_warc, batch_format="pyarrow"
+        ).count()
+
+    out_dir = _source_cached_dir(sf_dir, "documents", "warc", "warc", build)
+    back = _rd.read_binary_files(out_dir)
+
+    def parse(t: pa.Table) -> pa.Table:
+        acc: dict[str, list[int]] = {}
+        for blob in t.column("bytes").to_pylist():
+            for rec in parse_warc(blob):
+                uri = rec["target_uri"]
+                src = uri[len("https://") : uri.index(".example/")]
+                doc_id = int(rec["record_id"].rsplit(":", 1)[1])
+                payload = rec["payload"]
+                if not payload.startswith(b"HTTP/1.1 200 OK\r\n"):
+                    raise ValueError("warc roundtrip: bad HTTP status line")
+                body = payload[payload.index(b"\r\n\r\n") + 4 :]
+                a = acc.setdefault(src, [0, 0, 0])
+                a[0] += 1
+                a[1] += doc_id
+                a[2] += len(body)
+        srcs = sorted(acc)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n_docs": pa.array([acc[s][0] for s in srcs], pa.int64()),
+                "sum_ids": pa.array([acc[s][1] for s in srcs], pa.int64()),
+                "sum_body_bytes": pa.array([acc[s][2] for s in srcs], pa.int64()),
+            }
+        )
+
+    return (
+        back.map_batches(parse, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_ids", alias_name="sum_ids"),
+            Sum("sum_body_bytes", alias_name="sum_body_bytes"),
+        )
+        .sort("source")
+    )
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_body_bytes
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def q_csv_roundtrip(sf_dir: str):
     """CSV source + sink round-trip over the events projection (integer
     columns + a comma-free enum string — the honest CSV subset; typed
@@ -11895,6 +11994,7 @@ QUERIES = {
     "clustering_coeff": q_clustering_coeff,
     "image_dedup": q_image_dedup,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "warc_roundtrip": q_warc_roundtrip,
     "csv_roundtrip": q_csv_roundtrip,
     "running_distinct": q_running_distinct,
     "rfm_segments": q_rfm_segments,
@@ -12072,6 +12172,7 @@ ORACLE_SQL = {
     "clustering_coeff": _sql_clustering_coeff(),
     "image_dedup": _sql_image_dedup(),
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+    "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "running_distinct": SQL_RUNNING_DISTINCT,
     "rfm_segments": SQL_RFM_SEGMENTS,
