@@ -170,3 +170,27 @@ def test_grouped_refinement_rejects_nondividing_width():
         grouped_quantile_disc_unbounded(
             ray.data.from_arrow(t), "g", "v", [0.5], w0=7
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_weighted_matches_repeat_expansion():
+    from webscraper_ray.functions.stats import grouped_quantile_disc_unbounded
+
+    rng = np.random.default_rng(23)
+    groups = rng.choice(np.array(["a", "b"], dtype=object), size=4_000)
+    vals = np.round(rng.uniform(0, 1500, size=4_000), 2)
+    wts = rng.integers(1, 7, size=4_000)
+    t = pa.table(
+        {
+            "g": pa.array(groups, pa.string()),
+            "v": pa.array(vals, pa.float64()),
+            "w": pa.array(wts, pa.int64()),
+        }
+    )
+    fracs = [0.25, 0.5, 0.9]
+    got = grouped_quantile_disc_unbounded(
+        ray.data.from_arrow(t).repartition(5), "g", "v", fracs, cap=50,
+        weight_col="w",
+    )
+    want = _numpy_grouped(np.repeat(groups, wts), np.repeat(vals, wts), fracs)
+    assert got == want

@@ -544,6 +544,7 @@ def grouped_quantile_disc_unbounded(
     cap: int = 100_000,
     shrink: int = 100,
     max_groups: int = 10_000,
+    weight_col: str | None = None,
 ) -> list[tuple[object, float, float]]:
     """Exact per-GROUP ``quantile_disc`` over an unbounded-cardinality
     money column — :func:`exact_quantile_disc_unbounded` generalized to
@@ -564,15 +565,44 @@ def grouped_quantile_disc_unbounded(
 
     Returns ``(group, fraction, value)`` sorted, one row per non-empty
     group per fraction.
+
+    ``weight_col`` (positive integer weights, guarded) mirrors the
+    global kernel's weighted mode: per-group rank targets come from the
+    group's TOTAL WEIGHT, every histogram pass sums weights, and since
+    weights >= 1 the cap-bounded gather still bounds rows.
     """
     import pyarrow.compute as pc
 
     import ray as _ray
     from fractions import Fraction
 
+    def wts_of(t: pa.Table) -> np.ndarray | None:
+        if weight_col is None:
+            return None
+        wv = t.column(weight_col).to_numpy(zero_copy_only=False)
+        w = wv.astype(np.int64)
+        if w.size and (w.min() < 1 or np.any(w != wv)):
+            raise ValueError(
+                "grouped_quantile_disc_unbounded: weights must be "
+                "positive integers"
+            )
+        return w
+
     # ---- group universe + per-group counts (bounded gather) ----------
     def gcounts(t: pa.Table) -> pa.Table:
-        g = t.select([group_col]).group_by([group_col]).aggregate([([], "count_all")])
+        if weight_col is None:
+            g = (
+                t.select([group_col])
+                .group_by([group_col])
+                .aggregate([([], "count_all")])
+            )
+        else:
+            wts_of(t)  # validate weights on the counting pass too
+            g = (
+                t.select([group_col, weight_col])
+                .group_by([group_col])
+                .aggregate([(weight_col, "sum")])
+            )
         return g.rename_columns([group_col, "n"])
 
     rows = (
@@ -650,6 +680,7 @@ def grouped_quantile_disc_unbounded(
 
         def hist_partial(t: pa.Table, _ref=bounds_ref, _w=w_scal) -> pa.Table:
             c, _ = comp_of(t)
+            wts = wts_of(t)
             los, his = _ray.get(_ref)
             idx = np.searchsorted(los, c, side="right") - 1
             idx = np.maximum(idx, 0)
@@ -660,10 +691,13 @@ def grouped_quantile_disc_unbounded(
                     {"bucket": pa.array([], pa.int64()),
                      "n": pa.array([], pa.int64())}
                 )
-            u, cnt = np.unique(bk, return_counts=True)
-            return pa.table(
-                {"bucket": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
-            )
+            if wts is None:
+                u, cnt = np.unique(bk, return_counts=True)
+                cnt = cnt.astype(np.int64)
+            else:
+                u, inv = np.unique(bk, return_inverse=True)
+                cnt = np.bincount(inv, weights=wts[keep]).astype(np.int64)
+            return pa.table({"bucket": pa.array(u), "n": pa.array(cnt)})
 
         hist_rows = _hash_sum_rows(
             ds.map_batches(hist_partial, batch_format="pyarrow"), "bucket", "n"
@@ -702,25 +736,38 @@ def grouped_quantile_disc_unbounded(
 
     def in_final(t: pa.Table, _ref=fin_ref) -> pa.Table:
         c, v = comp_of(t)
+        wts = wts_of(t)
         flos, fhis = _ray.get(_ref)
         idx = np.searchsorted(flos, c, side="right") - 1
         idx = np.maximum(idx, 0)
         keep = (c >= flos[idx]) & (c < fhis[idx])
         return pa.table(
-            {"iv": pa.array(idx[keep].astype(np.int64)), "v": pa.array(v[keep])}
+            {
+                "iv": pa.array(idx[keep].astype(np.int64)),
+                "v": pa.array(v[keep]),
+                "w": pa.array(
+                    (np.ones(int(keep.sum()), np.int64) if wts is None
+                     else wts[keep])
+                ),
+            }
         )
 
     frows = ds.map_batches(in_final, batch_format="pyarrow").take_all()
-    by_iv: dict[int, list[float]] = {}
+    by_iv: dict[int, list[tuple[float, int]]] = {}
     for r in frows:
-        by_iv.setdefault(int(r["iv"]), []).append(float(r["v"]))
+        by_iv.setdefault(int(r["iv"]), []).append((float(r["v"]), int(r["w"])))
     out: list[tuple[object, float, float]] = []
     for i, (_lo, _hi, targs) in enumerate(resolved):
-        vals = sorted(by_iv[i])
+        pairs = sorted(by_iv[i])
+        cum = np.cumsum([w for _, w in pairs])
         for oi, local_rank in targs:
             gi, fi = divmod(oi, len(fractions))
             out.append(
-                (groups_sorted[gi], float(fractions[fi]), vals[local_rank - 1])
+                (
+                    groups_sorted[gi],
+                    float(fractions[fi]),
+                    pairs[int(np.searchsorted(cum, local_rank, side="left"))][0],
+                )
             )
     # native group order (groups_sorted's order), matching the grouped
     # rank-kernel twin and SQL ORDER BY on the group column

@@ -5307,6 +5307,65 @@ GROUP BY 1
 """
 
 
+def q_weighted_median_by_flag(sf_dir: str):
+    """Per-GROUP quantity-weighted median price — the grouped twin of
+    `weighted_price_percentiles`, completing the kernel family's
+    global/grouped x unweighted/weighted square: per return flag, the
+    smallest price whose value-ordered cumulative quantity reaches
+    ceil(W_g/2). All groups share every refinement pass via the
+    disjoint composite cent domains (one corpus scan per level
+    regardless of group count); weights >= 1 keep the cap-bounded
+    gather row-exact. SQL mirrors with a per-group cumulative-weight
+    window and exact `(W+1)//2` rank arithmetic."""
+    from .functions.stats import grouped_quantile_disc_unbounded
+
+    li = _read_sized(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def as_int_weight(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_extendedprice": t.column("l_extendedprice"),
+                "w": t.column("l_quantity").cast(pa.int64()),
+            }
+        )
+
+    rows = grouped_quantile_disc_unbounded(
+        li.map_batches(as_int_weight, batch_format="pyarrow"),
+        "l_returnflag",
+        "l_extendedprice",
+        [0.5],
+        weight_col="w",
+    )
+    return pa.table(
+        {
+            "l_returnflag": pa.array([g for g, _, _ in rows], pa.string()),
+            "wmedian": pa.array([v for _, _, v in rows], pa.float64()),
+        }
+    )
+
+
+SQL_WEIGHTED_MEDIAN_BY_FLAG = """
+WITH d AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         sum(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT g, v,
+         sum(w) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY g) AS tw
+  FROM d
+)
+SELECT g AS l_returnflag, min(v) AS wmedian
+FROM c WHERE cw >= (tw + 1) // 2
+GROUP BY 1
+"""
+
+
 def q_conversion_latency(sf_dir: str):
     """Conversion-latency deciles — operator COMPOSITION: the as-of
     join (latest 'click' at or before each 'purchase', per user) feeds
@@ -12030,6 +12089,7 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "price_percentiles": q_price_percentiles,
     "weighted_price_percentiles": q_weighted_price_percentiles,
+    "weighted_median_by_flag": q_weighted_median_by_flag,
     "conversion_latency": q_conversion_latency,
     "lorenz_deciles": q_lorenz_deciles,
     "ann_recall_eval": q_ann_recall_eval,
@@ -12208,6 +12268,7 @@ ORACLE_SQL = {
     "dataset_split": SQL_DATASET_SPLIT,
     "price_percentiles": SQL_PRICE_PERCENTILES,
     "weighted_price_percentiles": SQL_WEIGHTED_PRICE_PERCENTILES,
+    "weighted_median_by_flag": SQL_WEIGHTED_MEDIAN_BY_FLAG,
     "conversion_latency": SQL_CONVERSION_LATENCY,
     "lorenz_deciles": SQL_LORENZ_DECILES,
     "ann_recall_eval": _sql_ann_recall_eval(),
