@@ -65,3 +65,28 @@ def test_raises_on_corruption():
     bad_sep = rec[:-4] + b"XXXX"
     with pytest.raises(ValueError, match="separator|truncated"):
         parse_warc(bad_sep)
+
+
+def test_gz_multi_member_roundtrip():
+    from webscraper_ray.functions.warc import gzip_member, parse_warc_gz
+
+    blob = b"".join(
+        gzip_member(
+            write_warc_record(f"https://h/{i}", b"x" * i, record_id=f"urn:doc:{i}")
+        )
+        for i in range(1, 4)
+    )
+    recs = parse_warc_gz(blob)
+    assert [len(r["payload"]) for r in recs] == [1, 2, 3]
+    # deterministic members: same input -> same bytes (mtime pinned)
+    assert gzip_member(b"abc") == gzip_member(b"abc")
+
+
+def test_gz_truncation_raises():
+    from webscraper_ray.functions.warc import gzip_member, parse_warc_gz
+
+    m = gzip_member(write_warc_record("https://h/1", b"hello", record_id="u:1"))
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        parse_warc_gz(m[:-3])
+    with pytest.raises(ValueError, match="corrupt"):
+        parse_warc_gz(m + b"NOTGZIP")

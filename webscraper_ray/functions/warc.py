@@ -27,7 +27,13 @@ format breadth" axis.
 
 from __future__ import annotations
 
-__all__ = ["write_warc_record", "parse_warc", "WARC_VERSION"]
+__all__ = [
+    "write_warc_record",
+    "parse_warc",
+    "gzip_member",
+    "parse_warc_gz",
+    "WARC_VERSION",
+]
 
 WARC_VERSION = b"WARC/1.1"
 _CRLF = b"\r\n"
@@ -55,6 +61,39 @@ def write_warc_record(
         ]
     )
     return head + _CRLF + _CRLF + payload + _CRLF + _CRLF
+
+
+def gzip_member(record: bytes) -> bytes:
+    """One deterministic gzip member per WARC record — the Common Crawl
+    convention (each record its own member, so a reader can split work
+    at member boundaries without decompressing the whole file). mtime
+    pinned to 0 for byte-reproducible output."""
+    import gzip
+
+    return gzip.compress(record, compresslevel=6, mtime=0)
+
+
+def parse_warc_gz(blob: bytes) -> list[dict]:
+    """Parse a multi-member gzip WARC file (``.warc.gz``): inflate each
+    member in sequence with raw zlib (wbits=47 auto-detects the gzip
+    wrapper; ``unused_data`` marks the member boundary), then walk the
+    records of each member with :func:`parse_warc`. Raises loudly on a
+    truncated member or trailing garbage."""
+    import zlib
+
+    out: list[dict] = []
+    rest = blob
+    while rest:
+        d = zlib.decompressobj(wbits=47)
+        try:
+            chunk = d.decompress(rest)
+        except zlib.error as e:
+            raise ValueError(f"warc.gz: corrupt gzip member: {e}") from None
+        if not d.eof:
+            raise ValueError("warc.gz: truncated gzip member")
+        out.extend(parse_warc(chunk))
+        rest = d.unused_data
+    return out
 
 
 def parse_warc(blob: bytes) -> list[dict]:

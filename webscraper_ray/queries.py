@@ -6649,9 +6649,33 @@ def q_warc_roundtrip(sf_dir: str):
     the serialize/parse cycle flips the value hash. Payload bodies are
     free text that may contain blank lines — the declared-length walk
     (never a blank-line split) is what keeps the parse exact."""
+    return _warc_roundtrip(sf_dir, gz=False)
+
+
+def q_warc_gz_roundtrip(sf_dir: str):
+    """The gzipped twin of `warc_roundtrip` — Common Crawl's actual
+    wire format (``.warc.gz``: ONE gzip member per record, so readers
+    can split work at member boundaries without inflating the whole
+    file). Each block's records compress as independent deterministic
+    members (mtime=0); the read path inflates member-by-member with raw
+    zlib (`parse_warc_gz`), raising loudly on truncation, then walks
+    records by declared length. Same oracle as the plain round-trip —
+    any loss anywhere in the compress/concat/inflate/parse cycle flips
+    the value hash."""
+    return _warc_roundtrip(sf_dir, gz=True)
+
+
+def _warc_roundtrip(sf_dir: str, gz: bool):
     import ray.data as _rd
 
-    from .functions.warc import parse_warc, write_warc_record
+    from .functions.warc import (
+        gzip_member,
+        parse_warc,
+        parse_warc_gz,
+        write_warc_record,
+    )
+
+    ext = "warc.gz" if gz else "warc"
 
     def build(d: str) -> None:
         def to_warc(t: pa.Table) -> pa.Table:
@@ -6670,14 +6694,13 @@ def q_warc_roundtrip(sf_dir: str):
                     b"HTTP/1.1 200 OK\r\n"
                     b"Content-Type: text/plain; charset=utf-8\r\n\r\n" + body
                 )
-                recs.append(
-                    write_warc_record(
-                        f"https://{s}.example/doc/{i}",
-                        http,
-                        record_id=f"urn:doc:{i}",
-                    )
+                rec = write_warc_record(
+                    f"https://{s}.example/doc/{i}",
+                    http,
+                    record_id=f"urn:doc:{i}",
                 )
-            path = os.path.join(d, f"part-{min(ids)}.warc")
+                recs.append(gzip_member(rec) if gz else rec)
+            path = os.path.join(d, f"part-{min(ids)}.{ext}")
             with open(path, "wb") as f:
                 f.write(b"".join(recs))
             return pa.table({"path": pa.array([path]), "n": pa.array([len(ids)])})
@@ -6686,13 +6709,35 @@ def q_warc_roundtrip(sf_dir: str):
             to_warc, batch_format="pyarrow"
         ).count()
 
-    out_dir = _source_cached_dir(sf_dir, "documents", "warc", "warc", build)
-    back = _rd.read_binary_files(out_dir)
+    out_dir = _source_cached_dir(sf_dir, "documents", ext, ext, build)
+    if gz:
+        # distribute PATHS, not bytes: Ray/pyarrow auto-inflate ``.gz``
+        # by extension (file_based_datasource detects the codec from the
+        # path and there is no opt-out), and the member-boundary walk IS
+        # the operator — this is also how real Common-Crawl readers
+        # shard work: a bounded path list, each task reading its file
+        import glob as _glob
+
+        paths = sorted(_glob.glob(os.path.join(out_dir, f"*.{ext}")))
+        back = _rd.from_items([{"path": p} for p in paths])
+
+        def blobs_of(t: pa.Table):
+            for p in t.column("path").to_pylist():
+                with open(p, "rb") as f:
+                    yield f.read()
+
+    else:
+        back = _rd.read_binary_files(out_dir)
+
+        def blobs_of(t: pa.Table):
+            yield from t.column("bytes").to_pylist()
+
+    parse_file = parse_warc_gz if gz else parse_warc
 
     def parse(t: pa.Table) -> pa.Table:
         acc: dict[str, list[int]] = {}
-        for blob in t.column("bytes").to_pylist():
-            for rec in parse_warc(blob):
+        for blob in blobs_of(t):
+            for rec in parse_file(blob):
                 uri = rec["target_uri"]
                 src = uri[len("https://") : uri.index(".example/")]
                 doc_id = int(rec["record_id"].rsplit(":", 1)[1])
@@ -12054,6 +12099,7 @@ QUERIES = {
     "image_dedup": q_image_dedup,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "warc_roundtrip": q_warc_roundtrip,
+    "warc_gz_roundtrip": q_warc_gz_roundtrip,
     "csv_roundtrip": q_csv_roundtrip,
     "running_distinct": q_running_distinct,
     "rfm_segments": q_rfm_segments,
@@ -12233,6 +12279,7 @@ ORACLE_SQL = {
     "image_dedup": _sql_image_dedup(),
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
+    "warc_gz_roundtrip": SQL_WARC_ROUNDTRIP,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "running_distinct": SQL_RUNNING_DISTINCT,
     "rfm_segments": SQL_RFM_SEGMENTS,
