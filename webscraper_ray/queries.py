@@ -6779,6 +6779,105 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_robots_filter(sf_dir: str):
+    """Robots-exclusion audit — the crawl frontier's RFC 9309 parser
+    (oracle/robots.py) exercised under a VALUE-HASH gate, not just crawl
+    parity: each source gets a deterministic multi-group robots.txt
+    (an `otherbot` deny-all group the UA-selection must SKIP, the
+    engine's own group with two Disallow prefixes + Crawl-delay, and a
+    `*` fallback that must lose to the exact match), each doc a
+    deterministic URL path; the Ray side PARSES the text and evaluates
+    the prefix filter vectorized (one np startswith per parsed prefix),
+    while the oracle re-derives every decision from the generation
+    formulas in pure SQL. A wrong group selection, prefix parse, or
+    delay unit flips the hash.
+
+    Synthesis formulas (k = source index):
+      disallow: /private/ and /tmp{k%3}/ ; crawl-delay k%5 seconds
+      path(doc) = /private/p{id} if id%4==0, /tmp{id%3}/x if id%4==1,
+                  else /public/{id}  (denied iff a prefix matches)
+    Scale shape: robots parse once per (batch, source) — source-bounded
+    — then one streaming pass; partials are |sources| rows per block."""
+    from .oracle.robots import parse_robots_txt
+
+    def robots_text(k: int) -> str:
+        return (
+            "# synthetic robots\n"
+            "User-agent: otherbot\nDisallow: /\n\n"
+            "User-agent: webscraper-ray\n"
+            "Disallow: /private/\n"
+            f"Disallow: /tmp{k % 3}/\n"
+            f"Crawl-delay: {k % 5}\n\n"
+            "User-agent: *\nDisallow: /all/\n"
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = np.asarray(t.column("source").to_pylist(), dtype=object)
+        mod4 = ids % 4
+        paths = np.asarray(
+            [
+                f"/private/p{i}" if m == 0
+                else (f"/tmp{i % 3}/x" if m == 1 else f"/public/{i}")
+                for i, m in zip(ids.tolist(), mod4.tolist())
+            ],
+            dtype=object,
+        )
+        out_s, out_a, out_d, out_ms = [], [], [], []
+        for s in np.unique(srcs):
+            prefixes, delay_ms = parse_robots_txt(robots_text(int(s[3:])))
+            sel = srcs == s
+            p_sel = paths[sel].astype(str)
+            denied = np.zeros(p_sel.size, bool)
+            for pref in prefixes:
+                denied |= np.char.startswith(p_sel, pref)
+            out_s.append(str(s))
+            out_d.append(int(denied.sum()))
+            out_a.append(int(p_sel.size - denied.sum()))
+            out_ms.append(delay_ms)
+        return pa.table(
+            {
+                "source": pa.array(out_s, pa.string()),
+                "n_allowed": pa.array(out_a, pa.int64()),
+                "n_denied": pa.array(out_d, pa.int64()),
+                "crawl_delay_ms": pa.array(out_ms, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_allowed", alias_name="n_allowed"),
+            Sum("n_denied", alias_name="n_denied"),
+            Max("crawl_delay_ms", alias_name="crawl_delay_ms"),
+        )
+        .sort("source")
+    )
+
+
+SQL_ROBOTS_FILTER = """
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(substr(source, 4) AS BIGINT) AS k,
+         CASE WHEN doc_id % 4 = 0 THEN 1
+              WHEN doc_id % 4 = 1
+                   AND doc_id % 3 = CAST(substr(source, 4) AS BIGINT) % 3
+                   THEN 1
+              ELSE 0 END AS denied
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) - sum(denied) AS BIGINT) AS n_allowed,
+       CAST(sum(denied) AS BIGINT) AS n_denied,
+       CAST((k % 5) * 1000 AS BIGINT) AS crawl_delay_ms
+FROM d GROUP BY source, k ORDER BY source
+"""
+
+
 def q_csv_roundtrip(sf_dir: str):
     """CSV source + sink round-trip over the events projection (integer
     columns + a comma-free enum string — the honest CSV subset; typed
@@ -12100,6 +12199,7 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "warc_roundtrip": q_warc_roundtrip,
     "warc_gz_roundtrip": q_warc_gz_roundtrip,
+    "robots_filter": q_robots_filter,
     "csv_roundtrip": q_csv_roundtrip,
     "running_distinct": q_running_distinct,
     "rfm_segments": q_rfm_segments,
@@ -12280,6 +12380,7 @@ ORACLE_SQL = {
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "warc_gz_roundtrip": SQL_WARC_ROUNDTRIP,
+    "robots_filter": SQL_ROBOTS_FILTER,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "running_distinct": SQL_RUNNING_DISTINCT,
     "rfm_segments": SQL_RFM_SEGMENTS,
