@@ -54,8 +54,10 @@ __all__ = [
     "FVID_MAGIC",
     "encode_fvid",
     "parse_fvid",
+    "sniff_media",
     "synth_gif_payload",
     "synth_image_payload",
+    "synth_media_payload",
     "synth_jpeg_payload",
     "synth_png_payload",
     "synth_video_payload",
@@ -277,6 +279,48 @@ class GifStats:
                 "posw_sum": pa.array(posws, pa.int64()),
             }
         )
+
+
+# --- magic-byte sniffing ------------------------------------------------------
+
+
+def sniff_media(payload: bytes) -> str:
+    """Classify a media payload from BYTES ALONE (the decoder-dispatch
+    step of a multimodal pipeline): png / gif / jpeg / wav / fimg /
+    fvid / avi, or 'unknown'. Magic signatures per the public format
+    specs (PNG 8-byte signature, GIF87a/89a, JPEG SOI, RIFF+WAVE,
+    RIFF+AVI)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:4] == b"GIF8":
+        return "gif"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
+    if payload[:4] == FAKE_IMG_MAGIC:
+        return "fimg"
+    if payload[:4] == FVID_MAGIC:
+        return "fvid"
+    return "unknown"
+
+
+def synth_media_payload(media_id: int) -> bytes:
+    """One REAL payload rotating through the five synthesizers by
+    ``media_id % 5`` (png, gif, jpeg, wav, fimg) — the mixed-format
+    corpus for routing tests."""
+    kind = media_id % 5
+    if kind == 0:
+        return synth_png_payload(media_id)
+    if kind == 1:
+        return synth_gif_payload(media_id)
+    if kind == 2:
+        return synth_jpeg_payload(media_id)
+    if kind == 3:
+        return synth_wav_payload(media_id)
+    return synth_image_payload(media_id)
 
 
 # --- FVID: a documented length-prefixed video frame container ----------------

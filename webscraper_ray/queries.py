@@ -6779,6 +6779,110 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_url_canonicalize(sf_dir: str):
+    """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
+    gate, not just crawl parity: every doc gets a deterministically
+    MESSY url (upper-case scheme+host, an explicit default :443 port,
+    a fragment, an interleaved utm_ tracking param, unsorted query
+    keys, an empty path variant) and the REAL `oracle/canon.canonicalize`
+    must reduce each to the clean form the SQL oracle string-builds
+    from the formulas. Any slip in scheme/host lowering, default-port
+    or fragment stripping, utm_ dropping, param sorting, or empty-path
+    handling flips the hash on row-level output.
+
+    Messy-url formulas (id = doc_id, s = source):
+      scheme HTTPS if id odd; host WWW.{s}.EXAMPLE (+ :443 if id%3==0)
+      path '' if id%5==0 else /d/{id}; fragment #sec if id even
+      query: id%3==0 -> 'b={id%7}&utm_source=x&a=1'
+             id%3==1 -> 'utm_medium=y&a={id%7}'   else none"""
+    from .oracle.canon import canonicalize
+
+    def synth_and_canon(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        srcs = t.column("source").to_pylist()
+        out = []
+        for i, s in zip(ids, srcs):
+            scheme = "HTTPS" if i % 2 else "https"
+            host = f"WWW.{s}.EXAMPLE" + (":443" if i % 3 == 0 else "")
+            path = "" if i % 5 == 0 else f"/d/{i}"
+            if i % 3 == 0:
+                q = f"?b={i % 7}&utm_source=x&a=1"
+            elif i % 3 == 1:
+                q = f"?utm_medium=y&a={i % 7}"
+            else:
+                q = ""
+            frag = "#sec" if i % 2 == 0 else ""
+            out.append(canonicalize(f"  {scheme}://{host}{path}{q}{frag} "))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "url": pa.array(out, pa.string())}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        synth_and_canon, batch_format="pyarrow"
+    )
+
+
+SQL_URL_CANONICALIZE = """
+SELECT doc_id,
+       'https://www.' || source || '.example' ||
+       CASE WHEN doc_id % 5 = 0 THEN '/'
+            ELSE '/d/' || CAST(doc_id AS VARCHAR) END ||
+       CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=' || CAST(doc_id % 7 AS VARCHAR)
+            WHEN doc_id % 3 = 1 THEN '?a=' || CAST(doc_id % 7 AS VARCHAR)
+            ELSE '' END AS url
+FROM documents
+"""
+
+
+def q_media_sniff(sf_dir: str):
+    """Magic-byte media routing — the dispatch step every multimodal
+    pipeline runs before choosing a decoder: one REAL payload per doc
+    (rotating through the five synthesizers: PNG, GIF, JPEG, WAV, FIMG
+    by doc_id % 5), sniffed back to a kind from BYTES ALONE by
+    `multimodal.sniff_media`, aggregated per kind. The oracle re-derives
+    the kind from the id formula — a synthesizer emitting wrong magic
+    bytes, or a sniffer misrouting any of the five formats, flips the
+    hash."""
+    from .functions.multimodal import sniff_media, synth_media_payload
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        acc: dict[str, list[int]] = {}
+        for i in ids:
+            kind = sniff_media(synth_media_payload(i))
+            a = acc.setdefault(kind, [0, 0])
+            a[0] += 1
+            a[1] += i
+        kinds = sorted(acc)
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "n": pa.array([acc[k][0] for k in kinds], pa.int64()),
+                "sum_ids": pa.array([acc[k][1] for k in kinds], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=64, concurrency=2)
+        .groupby("kind")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_ids", alias_name="sum_ids"),
+        )
+        .sort("kind")
+    )
+
+
+SQL_MEDIA_SNIFF = """
+SELECT CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav' ELSE 'fimg' END AS kind,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_robots_filter(sf_dir: str):
     """Robots-exclusion audit — the crawl frontier's RFC 9309 parser
     (oracle/robots.py) exercised under a VALUE-HASH gate, not just crawl
@@ -12200,6 +12304,8 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "warc_gz_roundtrip": q_warc_gz_roundtrip,
     "robots_filter": q_robots_filter,
+    "url_canonicalize": q_url_canonicalize,
+    "media_sniff": q_media_sniff,
     "csv_roundtrip": q_csv_roundtrip,
     "running_distinct": q_running_distinct,
     "rfm_segments": q_rfm_segments,
@@ -12381,6 +12487,8 @@ ORACLE_SQL = {
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "warc_gz_roundtrip": SQL_WARC_ROUNDTRIP,
     "robots_filter": SQL_ROBOTS_FILTER,
+    "url_canonicalize": SQL_URL_CANONICALIZE,
+    "media_sniff": SQL_MEDIA_SNIFF,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "running_distinct": SQL_RUNNING_DISTINCT,
     "rfm_segments": SQL_RFM_SEGMENTS,
