@@ -6779,6 +6779,101 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_webdataset_roundtrip(sf_dir: str):
+    """WebDataset (tar-of-samples) source + sink — the de-facto shard
+    container for large multimodal training corpora: every document
+    serializes as a tar member ``{source}/{doc_id:012d}.txt`` (mtime=0
+    so the bytes are deterministic), one ``part-<min_id>.tar`` per
+    block (the resumable-output discipline), then streams back through
+    Ray Data's NATIVE ``read_webdataset`` source and aggregates
+    per-source counts, id sums, and codepoint sums. Source and id are
+    parsed VECTORIZED from the sample ``__key__`` (directory/stem — the
+    WebDataset key convention), so no per-row JSON side-car is needed
+    on the read path. The oracle recomputes the same aggregate from the
+    parquet table, so any member-name, tar-framing, or payload
+    corruption anywhere in the cycle flips the value hash."""
+    import io
+    import tarfile
+
+    import ray.data as _rd
+
+    def build(d: str) -> None:
+        def to_tar(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"n": pa.array([], pa.int64())})
+            ids = t.column("doc_id").to_pylist()
+            srcs = t.column("source").to_pylist()
+            texts = t.column("text").to_pylist()
+            path = os.path.join(d, f"part-{min(ids)}.tar")
+            with tarfile.open(path, "w") as tf:
+                for i, s, x in zip(ids, srcs, texts):
+                    data = x.encode("utf-8")
+                    ti = tarfile.TarInfo(name=f"{s}/{i:012d}.txt")
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    tf.addfile(ti, io.BytesIO(data))
+            return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+        _read_sized(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
+            to_tar, batch_format="pyarrow"
+        ).count()
+
+    out_dir = _source_cached_dir(sf_dir, "documents", "wds", "tar-txt", build)
+    back = _rd.read_webdataset(out_dir)
+
+    _empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "sum_ids": pa.array([], pa.int64()),
+            "sum_chars": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(df):
+        import pandas as pd
+
+        if len(df) == 0:
+            return _empty
+        key = df["__key__"].astype(str)
+        split = key.str.rpartition("/")
+        g = (
+            pd.DataFrame(
+                {
+                    "source": split[0],
+                    "doc_id": split[2].astype("int64"),
+                    "n_chars": df["txt"].astype(str).str.len().astype("int64"),
+                }
+            )
+            .groupby("source", as_index=False)
+            .agg(
+                n_docs=("doc_id", "size"),
+                sum_ids=("doc_id", "sum"),
+                sum_chars=("n_chars", "sum"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        back.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_ids", alias_name="sum_ids"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+        .sort("source")
+    )
+
+
+SQL_WEBDATASET_ROUNDTRIP = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -12303,6 +12398,7 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "warc_roundtrip": q_warc_roundtrip,
     "warc_gz_roundtrip": q_warc_gz_roundtrip,
+    "webdataset_roundtrip": q_webdataset_roundtrip,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -12486,6 +12582,7 @@ ORACLE_SQL = {
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "warc_gz_roundtrip": SQL_WARC_ROUNDTRIP,
+    "webdataset_roundtrip": SQL_WEBDATASET_ROUNDTRIP,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
