@@ -126,3 +126,58 @@ def test_small_gate_matches_distributed_plan(ray_session):
     small = _labels(connected_components(_pairs(pairs)))  # gated plan
     dist = _labels(_cc_dist(_pairs(pairs), num_parts=8))
     assert small == dist
+
+
+# ---- pointer doubling (redirect-chain resolution) ----
+
+from webscraper_ray.functions.graph import pointer_doubling
+
+
+def _ptrs(pairs):
+    n, x = zip(*pairs) if pairs else ((), ())
+    return ray.data.from_arrow(
+        pa.table(
+            {"node": pa.array(list(n), pa.int64()), "next": pa.array(list(x), pa.int64())}
+        )
+    )
+
+
+def _resolved(ds):
+    df = ds.to_pandas().sort_values("node")
+    return {int(r.node): (int(r.final), int(r.hops)) for r in df.itertuples()}
+
+
+def test_pointer_doubling_chain_and_terminal(ray_session):
+    # 4 -> 3 -> 2 -> 0 (terminal), 9 isolated terminal
+    out = _resolved(pointer_doubling(_ptrs([(0, 0), (2, 0), (3, 2), (4, 3), (9, 9)])))
+    assert out == {0: (0, 0), 2: (0, 1), 3: (0, 2), 4: (0, 3), 9: (9, 0)}
+
+
+def test_pointer_doubling_log_rounds(ray_session):
+    # a 40-long chain converges within ceil(log2(40)) + 1 = 7 rounds
+    ptrs = [(0, 0)] + [(i, i - 1) for i in range(1, 41)]
+    out = _resolved(pointer_doubling(_ptrs(ptrs), max_rounds=7))
+    assert out[40] == (0, 40) and out[1] == (0, 1)
+
+
+def test_pointer_doubling_parallelism_invariance(ray_session):
+    ptrs = [(i, i if i % 8 == 0 else i - 1) for i in range(64)]
+    a = _resolved(pointer_doubling(_ptrs(ptrs), num_parts=2))
+    b = _resolved(pointer_doubling(_ptrs(ptrs), num_parts=13))
+    assert a == b
+
+
+def test_pointer_doubling_cycle_trips_guard(ray_session):
+    with pytest.raises(RuntimeError, match="converge"):
+        pointer_doubling(_ptrs([(1, 2), (2, 1)]), max_rounds=5).count()
+
+
+def test_pointer_doubling_missing_node_raises(ray_session):
+    with pytest.raises(Exception, match="missing node"):
+        pointer_doubling(_ptrs([(5, 4)])).count()
+
+
+def test_pointer_doubling_empty(ray_session):
+    out = pointer_doubling(_ptrs([]))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "final", "hops"}

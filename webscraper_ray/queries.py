@@ -6874,6 +6874,54 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_redirect_chains(sf_dir: str):
+    """Redirect-chain resolution — the crawl-frontier operation of
+    following every URL's 3xx chain to its final destination — as
+    distributed POINTER DOUBLING (`functions/graph.pointer_doubling`):
+    log(L) one-exchange BSP rounds instead of the L-round one-hop walk,
+    the shape that matters when a 10^10-URL redirect graph has chains
+    dozens long. Edges are synthesized deterministically (doc ids are
+    contiguous from 0): doc u redirects to u-1 unless u % 64 == 0,
+    which is terminal — chains up to 63 hops, so the doubling needs 7
+    rounds where a naive walk needs 63. The oracle re-derives every
+    (final_id, hops) row with a recursive CTE, so a single mis-jumped
+    pointer or off-by-one hop count anywhere flips the value hash."""
+    from .functions.graph import pointer_doubling
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(ids),
+                "next": pa.array(np.where(ids % 64 == 0, ids, ids - 1)),
+            }
+        )
+
+    ptrs = _read_sized(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return (
+        pointer_doubling(ptrs)
+        .map_batches(
+            lambda t: t.rename_columns(["doc_id", "final_id", "hops"]),
+            batch_format="pyarrow",
+        )
+        .sort("doc_id")
+    )
+
+
+SQL_REDIRECT_CHAINS = """
+WITH RECURSIVE chain AS (
+  SELECT doc_id, doc_id AS cur, 0 AS hops FROM documents
+  UNION ALL
+  SELECT doc_id, cur - 1, hops + 1 FROM chain WHERE cur % 64 <> 0
+)
+SELECT doc_id, CAST(min(cur) AS BIGINT) AS final_id,
+       CAST(max(hops) AS BIGINT) AS hops
+FROM chain GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -12399,6 +12447,7 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "warc_gz_roundtrip": q_warc_gz_roundtrip,
     "webdataset_roundtrip": q_webdataset_roundtrip,
+    "redirect_chains": q_redirect_chains,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -12583,6 +12632,7 @@ ORACLE_SQL = {
     "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "warc_gz_roundtrip": SQL_WARC_ROUNDTRIP,
     "webdataset_roundtrip": SQL_WEBDATASET_ROUNDTRIP,
+    "redirect_chains": SQL_REDIRECT_CHAINS,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
