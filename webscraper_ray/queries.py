@@ -6921,6 +6921,146 @@ SELECT doc_id, CAST(min(cur) AS BIGINT) AS final_id,
 FROM chain GROUP BY doc_id ORDER BY doc_id
 """
 
+_SITEMAP_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+
+def q_sitemap_extract(sf_dir: str):
+    """Sitemap ingestion — the crawl frontier's OTHER discovery channel
+    besides links (sitemaps.org protocol, the format every real crawler
+    walks before fetching a host): a two-level layout is synthesized
+    deterministically (one ``urlset`` sitemap per source listing its
+    docs with ``loc``/``lastmod``/``priority``, plus a top-level
+    ``sitemapindex`` naming the per-source files), then the read path
+    does what a crawler does — parse the index, fan the listed sitemaps
+    out as a Dataset, parse each with a real namespace-aware XML walk,
+    and aggregate per-source URL counts, id sums, newest lastmod, and
+    summed priorities (in exact tenths). The oracle recomputes all four
+    from the synthesis formulas, so a dropped ``<url>``, a mis-parsed
+    date, or a namespace slip flips the value hash.
+
+    Scale shape: one sitemap file per (source) group — at web scale,
+    per-host sitemap files whose parse fans out file-parallel, the
+    exact shape real sitemap ingestion has; nothing gathers but the
+    bounded index (host-count-sized, the frontier's own bound)."""
+    import xml.etree.ElementTree as ET
+
+    import ray.data as _rd
+
+    def build(d: str) -> None:
+        def write_sitemap(g: pa.Table) -> pa.Table:
+            src = g.column("source")[0].as_py()
+            ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(ids)
+            parts = [
+                f'<?xml version="1.0" encoding="UTF-8"?>\n'
+                f'<urlset xmlns="{_SITEMAP_NS}">'
+            ]
+            base = np.datetime64("2025-01-01")
+            for i in ids[order]:
+                lastmod = str(base + int(i) % 365)
+                pr = (int(i) % 10 + 1) / 10
+                parts.append(
+                    f"<url><loc>https://{src}.example/d/{i}</loc>"
+                    f"<lastmod>{lastmod}</lastmod>"
+                    f"<priority>{pr:.1f}</priority></url>"
+                )
+            parts.append("</urlset>")
+            path = os.path.join(d, f"sitemap-{src}.xml")
+            with open(path, "w", encoding="utf-8") as f:
+                f.write("\n".join(parts))
+            return pa.table({"source": pa.array([src], pa.string())})
+
+        srcs = (
+            _read_sized(sf_dir, "documents", ["doc_id", "source"])
+            .groupby("source")
+            .map_groups(write_sitemap, batch_format="pyarrow")
+            .to_pandas()["source"]
+            .sort_values()
+        )
+        index = ['<?xml version="1.0" encoding="UTF-8"?>']
+        index.append(f'<sitemapindex xmlns="{_SITEMAP_NS}">')
+        for s in srcs:
+            index.append(
+                f"<sitemap><loc>https://{s}.example/sitemap-{s}.xml</loc>"
+                "</sitemap>"
+            )
+        index.append("</sitemapindex>")
+        with open(os.path.join(d, "sitemapindex.xml"), "w") as f:
+            f.write("\n".join(index))
+
+    out_dir = _source_cached_dir(sf_dir, "documents", "sitemap", "xml-v1", build)
+
+    # walk the index exactly as a crawler would: the index is
+    # host-count-sized (the frontier's own bound), the listed sitemaps
+    # fan out file-parallel
+    root = ET.parse(os.path.join(out_dir, "sitemapindex.xml")).getroot()
+    locs = [
+        el.findtext(f"{{{_SITEMAP_NS}}}loc")
+        for el in root.iter(f"{{{_SITEMAP_NS}}}sitemap")
+    ]
+    items = [
+        {"path": os.path.join(out_dir, loc.rsplit("/", 1)[1])} for loc in locs
+    ]
+
+    def parse_sitemaps(t: pa.Table) -> pa.Table:
+        srcs, ids, mods, prios = [], [], [], []
+        for path in t.column("path").to_pylist():
+            r = ET.parse(path).getroot()
+            if r.tag != f"{{{_SITEMAP_NS}}}urlset":
+                raise ValueError(f"not a urlset sitemap: {path}")
+            for url in r.iter(f"{{{_SITEMAP_NS}}}url"):
+                loc = url.findtext(f"{{{_SITEMAP_NS}}}loc")
+                host = loc[len("https://") : loc.index(".example/")]
+                srcs.append(host)
+                ids.append(int(loc.rsplit("/", 1)[1]))
+                mods.append(url.findtext(f"{{{_SITEMAP_NS}}}lastmod"))
+                p = url.findtext(f"{{{_SITEMAP_NS}}}priority")
+                prios.append(round(float(p) * 10))
+        t2 = pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "lastmod": pa.array(mods, pa.string()),
+                "prio_tenths": pa.array(prios, pa.int64()),
+            }
+        )
+        g = t2.group_by("source").aggregate(
+            [
+                ("doc_id", "count"),
+                ("doc_id", "sum"),
+                ("lastmod", "max"),
+                ("prio_tenths", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["source", "n_urls", "sum_ids", "max_lastmod", "sum_priority_tenths"]
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        _rd.from_items(items)
+        .map_batches(parse_sitemaps, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_urls", alias_name="n_urls"),
+            Sum("sum_ids", alias_name="sum_ids"),
+            Max("max_lastmod", alias_name="max_lastmod"),
+            Sum("sum_priority_tenths", alias_name="sum_priority_tenths"),
+        )
+        .sort("source")
+    )
+
+
+SQL_SITEMAP_EXTRACT = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       strftime(max(DATE '2025-01-01' + CAST(doc_id % 365 AS INTEGER)), '%Y-%m-%d')
+         AS max_lastmod,
+       CAST(sum((doc_id % 10) + 1) AS BIGINT) AS sum_priority_tenths
+FROM documents GROUP BY source ORDER BY source
+"""
+
 
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
@@ -12448,6 +12588,7 @@ QUERIES = {
     "warc_gz_roundtrip": q_warc_gz_roundtrip,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "redirect_chains": q_redirect_chains,
+    "sitemap_extract": q_sitemap_extract,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -12633,6 +12774,7 @@ ORACLE_SQL = {
     "warc_gz_roundtrip": SQL_WARC_ROUNDTRIP,
     "webdataset_roundtrip": SQL_WEBDATASET_ROUNDTRIP,
     "redirect_chains": SQL_REDIRECT_CHAINS,
+    "sitemap_extract": SQL_SITEMAP_EXTRACT,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
