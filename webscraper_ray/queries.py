@@ -7062,6 +7062,86 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_unicode_nfc(sf_dir: str):
+    """Unicode NFC normalization — the text-cleaning pass every
+    web-text pipeline runs before tokenization (crawled pages mix
+    composed and decomposed accents; dedup and BPE both break if
+    'é' has two byte encodings). Each doc gets a deterministic
+    un-normalized tail (NFD combining pairs, a compatibility-canonical
+    singleton, or a no-op by ``doc_id % 4``) and the Ray side must
+    canonically COMPOSE — per source: codepoint counts before/after and
+    how many strings changed. The oracle recomputes with DuckDB's
+    utf8proc-backed ``nfc_normalize``, so the two independent
+    implementations of Unicode canonical composition must agree on
+    every row. The normalize itself is CPython's C ``unicodedata``
+    kernel per distinct string — NOT ``pc.utf8_normalize``, whose NFC
+    in Arrow 16 only decomposes (returns NFD; verified empirically),
+    a trap worth this comment."""
+    import unicodedata
+
+    suffixes = ["é", "ö", "Å", "x"]
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        tail = pa.array(np.array(suffixes, dtype=object)[ids % 4], pa.string())
+        s = pc.binary_join_element_wise(t.column("text"), tail, "")
+        norm = pa.array(
+            [unicodedata.normalize("NFC", v) for v in s.to_pylist()],
+            pa.string(),
+        )
+        part = pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sum_len_raw": pc.cast(pc.utf8_length(s), pa.int64()),
+                "sum_len_nfc": pc.cast(pc.utf8_length(norm), pa.int64()),
+                "n_changed": pc.cast(pc.not_equal(norm, s), pa.int64()),
+            }
+        )
+        g = part.group_by("source").aggregate(
+            [
+                ("n_docs", "sum"),
+                ("sum_len_raw", "sum"),
+                ("sum_len_nfc", "sum"),
+                ("n_changed", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["source", "n_docs", "sum_len_raw", "sum_len_nfc", "n_changed"]
+        )
+
+    return (
+        _read_sized(sf_dir, "documents", ["doc_id", "source", "text"])
+        .map_batches(kernel, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_len_raw", alias_name="sum_len_raw"),
+            Sum("sum_len_nfc", alias_name="sum_len_nfc"),
+            Sum("n_changed", alias_name="n_changed"),
+        )
+        .sort("source")
+    )
+
+
+SQL_UNICODE_NFC = """
+WITH m AS (
+  SELECT source, text || CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'e' || chr(769)
+    WHEN 1 THEN 'o' || chr(776)
+    WHEN 2 THEN chr(8491)
+    ELSE 'x' END AS s
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(s)) AS BIGINT) AS sum_len_raw,
+       CAST(sum(length(nfc_normalize(s))) AS BIGINT) AS sum_len_nfc,
+       CAST(sum(CASE WHEN nfc_normalize(s) <> s THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed
+FROM m GROUP BY source ORDER BY source
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -12589,6 +12669,7 @@ QUERIES = {
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "redirect_chains": q_redirect_chains,
     "sitemap_extract": q_sitemap_extract,
+    "unicode_nfc": q_unicode_nfc,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -12775,6 +12856,7 @@ ORACLE_SQL = {
     "webdataset_roundtrip": SQL_WEBDATASET_ROUNDTRIP,
     "redirect_chains": SQL_REDIRECT_CHAINS,
     "sitemap_extract": SQL_SITEMAP_EXTRACT,
+    "unicode_nfc": SQL_UNICODE_NFC,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
