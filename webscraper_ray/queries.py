@@ -7142,6 +7142,145 @@ FROM m GROUP BY source ORDER BY source
 """
 
 
+def q_customer_order_fulljoin(sf_dir: str):
+    """FULL OUTER join — the one join shape the registry lacked (inner,
+    left/broadcast, semi, anti, as-of, band, and theta are elsewhere):
+    high-balance customers against per-customer 1995 order counts,
+    where BOTH sides have rows the other lacks (the balance filter
+    drops customers who did order; plenty of rich customers skipped
+    1995), so all three match statuses are populated and a join that
+    silently degrades to left/right/inner flips the row set, not just
+    values. Runs as one partitioned ``Dataset.join(full_outer)`` after
+    per-batch pre-aggregation of the order side (corpus-sized rows
+    never reach the join), then a status/nation rollup in exact
+    cents."""
+    nparts = _join_partitions()
+    cents_lo = pa.scalar(500_000, pa.int64())
+
+    def rich(t: pa.Table) -> pa.Table:
+        bal_c = _cents(t.column("c_acctbal"))
+        keep = pc.greater(bal_c, cents_lo)
+        t2 = t.filter(keep)
+        return pa.table(
+            {
+                "c_custkey": t2.column("c_custkey"),
+                "c_nationkey": t2.column("c_nationkey"),
+                "bal_c": _cents(t2.column("c_acctbal")),
+            }
+        )
+
+    left = _read_sized(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(rich, batch_format="pyarrow")
+
+    lo = pa.scalar(np.datetime64("1995-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+
+    def orders95(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        t2 = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        g = t2.select(["o_custkey"]).group_by("o_custkey").aggregate(
+            [("o_custkey", "count")]
+        )
+        return g.rename_columns(["o_custkey", "n_orders"])
+
+    right = (
+        _read_sized(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(orders95, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+    joined = left.join(
+        right,
+        "full_outer",
+        num_partitions=nparts,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        # match status from PAYLOAD nulls, not the key: Ray's
+        # full_outer coalesces the join key across sides, so the left
+        # key column is non-null even on right-only rows
+        bal = t.column("bal_c")
+        nord = t.column("n_orders")
+        status = pc.if_else(
+            pc.is_null(bal),
+            pa.scalar("right_only"),
+            pc.if_else(pc.is_null(nord), "left_only", "both"),
+        )
+        part = pa.table(
+            {
+                "nation_key": pc.fill_null(
+                    t.column("c_nationkey"), pa.scalar(-1, pa.int64())
+                ),
+                "status": status,
+                "n_rows": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "bal_c": pc.fill_null(t.column("bal_c"), 0),
+                "n_orders": pc.fill_null(nord, 0),
+            }
+        )
+        g = part.group_by(["nation_key", "status"]).aggregate(
+            [("n_rows", "sum"), ("bal_c", "sum"), ("n_orders", "sum")]
+        )
+        return g.rename_columns(
+            ["nation_key", "status", "n_rows", "bal_c", "n_orders"]
+        )
+
+    agg = (
+        joined.map_batches(rollup, batch_format="pyarrow")
+        .groupby(["nation_key", "status"])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("bal_c", alias_name="bal_c"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nation_key": t.column("nation_key"),
+                "status": t.column("status"),
+                "n_rows": t.column("n_rows"),
+                "total_acctbal": pc.divide(
+                    t.column("bal_c").cast(pa.float64()), 100.0
+                ),
+                "n_orders": t.column("n_orders"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["nation_key", "status"]
+    )
+
+
+SQL_CUSTOMER_ORDER_FULLJOIN = """
+WITH rich AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer WHERE round(c_acctbal * 100) > 500000
+),
+o95 AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY o_custkey
+)
+SELECT COALESCE(r.c_nationkey, -1) AS nation_key,
+       CASE WHEN r.c_custkey IS NULL THEN 'right_only'
+            WHEN o.o_custkey IS NULL THEN 'left_only'
+            ELSE 'both' END AS status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(COALESCE(r.bal_c, 0)) AS BIGINT) / 100.0 AS total_acctbal,
+       CAST(sum(COALESCE(o.n_orders, 0)) AS BIGINT) AS n_orders
+FROM rich r FULL OUTER JOIN o95 o ON r.c_custkey = o.o_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -12670,6 +12809,7 @@ QUERIES = {
     "redirect_chains": q_redirect_chains,
     "sitemap_extract": q_sitemap_extract,
     "unicode_nfc": q_unicode_nfc,
+    "customer_order_fulljoin": q_customer_order_fulljoin,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -12857,6 +12997,7 @@ ORACLE_SQL = {
     "redirect_chains": SQL_REDIRECT_CHAINS,
     "sitemap_extract": SQL_SITEMAP_EXTRACT,
     "unicode_nfc": SQL_UNICODE_NFC,
+    "customer_order_fulljoin": SQL_CUSTOMER_ORDER_FULLJOIN,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
