@@ -7281,6 +7281,178 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _paths_dataset(out_dir: str, ext: str):
+    """A bounded file-shard list as a Dataset — the distribution unit
+    for formats pyarrow wants to open by path (ORC, Feather): each
+    task reads only its own files, the path list is part-count-sized."""
+    import glob as _glob
+
+    paths = sorted(_glob.glob(os.path.join(out_dir, f"*.{ext}")))
+    return ray.data.from_items([{"path": p} for p in paths])
+
+
+def q_orc_roundtrip(sf_dir: str):
+    """ORC source + sink — the third columnar format after Parquet and
+    Arrow IPC, still the lake standard in Hive/Trino shops: the events
+    projection streams out one ``part-<min_id>.orc`` per block
+    (pyarrow.orc writer, resumable-output discipline) and back in as a
+    path-sharded Dataset (one ORC reader per task — Ray has no native
+    ORC source, so the fan-out IS the operator), then aggregates
+    per-type counts, id sums, and the max timestamp. The oracle
+    recomputes from the parquet table, so any type mangling ORC might
+    introduce (timestamps are the classic victim) flips the hash."""
+    from pyarrow import orc as _orc
+
+    def build(d: str) -> None:
+        def to_orc(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"n": pa.array([], pa.int64())})
+            mn = pc.min(t.column("event_id")).as_py()
+            _orc.write_table(t, os.path.join(d, f"part-{mn}.orc"))
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        _read_sized(
+            sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+        ).map_batches(to_orc, batch_format="pyarrow").count()
+
+    out_dir = _source_cached_dir(sf_dir, "events", "orc", "orc-v1", build)
+
+    def read_and_partial(t: pa.Table) -> pa.Table:
+        parts = [_orc.read_table(p) for p in t.column("path").to_pylist()]
+        w = pa.concat_tables(parts)
+        g = w.group_by("event_type").aggregate(
+            [("event_id", "count"), ("user_id", "sum"), ("ts", "max")]
+        )
+        return g.rename_columns(["event_type", "n_events", "sum_user_ids", "max_ts"])
+
+    from ray.data.aggregate import Max
+
+    agg = (
+        _paths_dataset(out_dir, "orc")
+        .map_batches(read_and_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_user_ids", alias_name="sum_user_ids"),
+            Max("max_ts", alias_name="max_ts"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_events": t.column("n_events"),
+                "sum_user_ids": t.column("sum_user_ids"),
+                # cast to second precision first: Arrow's %S prints
+                # fractional digits for sub-second timestamp types
+                "max_ts": pc.strftime(
+                    t.column("max_ts").cast(pa.timestamp("s"), safe=False),
+                    format="%Y-%m-%d %H:%M:%S",
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("event_type")
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(user_id) AS BIGINT) AS sum_user_ids,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_feather_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) source + sink — the zero-copy interchange
+    format Arrow itself is built around, with lz4 frame compression:
+    the lineitem projection streams out one ``part-<key>.feather`` per
+    block and back in as a path-sharded Dataset, then runs the
+    pricing-summary-style exact-cents rollup. Exercises that money
+    doubles, flags, and int64 keys survive an IPC+lz4 cycle
+    bit-exactly — the property Ray's own object store relies on."""
+    from pyarrow import feather as _feather
+
+    def build(d: str) -> None:
+        def to_feather(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"n": pa.array([], pa.int64())})
+            # (orderkey, linenumber) is unique per ROW but its block
+            # minimum is not unique per BLOCK (orders split across block
+            # boundaries) — name by a digest of the block's key columns
+            # so concurrent blocks can never overwrite each other
+            import hashlib
+
+            h = hashlib.blake2b(digest_size=8)
+            h.update(t.column("l_orderkey").combine_chunks().to_numpy().tobytes())
+            h.update(
+                t.column("l_linenumber").combine_chunks().to_numpy().tobytes()
+            )
+            _feather.write_feather(
+                t, os.path.join(d, f"part-{h.hexdigest()}.feather")
+            )
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        _read_sized(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+             "l_extendedprice"],
+        ).map_batches(to_feather, batch_format="pyarrow").count()
+
+    out_dir = _source_cached_dir(sf_dir, "lineitem", "feather", "feather-v2", build)
+
+    def read_and_partial(t: pa.Table) -> pa.Table:
+        parts = [_feather.read_table(p) for p in t.column("path").to_pylist()]
+        w = pa.concat_tables(parts)
+        part = pa.table(
+            {
+                "l_returnflag": w.column("l_returnflag"),
+                "n_items": pa.array(np.ones(w.num_rows, dtype=np.int64)),
+                "qty_c": _cents(w.column("l_quantity")),
+                "price_c": _cents(w.column("l_extendedprice")),
+            }
+        )
+        g = part.group_by("l_returnflag").aggregate(
+            [("n_items", "sum"), ("qty_c", "sum"), ("price_c", "sum")]
+        )
+        return g.rename_columns(["l_returnflag", "n_items", "qty_c", "price_c"])
+
+    agg = (
+        _paths_dataset(out_dir, "feather")
+        .map_batches(read_and_partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("price_c", alias_name="price_c"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n_items": t.column("n_items"),
+                "sum_qty": pc.divide(t.column("qty_c").cast(pa.float64()), 100.0),
+                "sum_price": pc.divide(t.column("price_c").cast(pa.float64()), 100.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("l_returnflag")
+
+
+SQL_FEATHER_ROUNDTRIP = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -12810,6 +12982,8 @@ QUERIES = {
     "sitemap_extract": q_sitemap_extract,
     "unicode_nfc": q_unicode_nfc,
     "customer_order_fulljoin": q_customer_order_fulljoin,
+    "orc_roundtrip": q_orc_roundtrip,
+    "feather_roundtrip": q_feather_roundtrip,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -12998,6 +13172,8 @@ ORACLE_SQL = {
     "sitemap_extract": SQL_SITEMAP_EXTRACT,
     "unicode_nfc": SQL_UNICODE_NFC,
     "customer_order_fulljoin": SQL_CUSTOMER_ORDER_FULLJOIN,
+    "orc_roundtrip": SQL_ORC_ROUNDTRIP,
+    "feather_roundtrip": SQL_FEATHER_ROUNDTRIP,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
