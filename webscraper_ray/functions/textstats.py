@@ -462,3 +462,106 @@ def fingerprint_rolling(batch: pa.Table, text_col: str = "text", window: int = 8
             "n_fingerprints": pa.array(counts, pa.int64()),
         }
     )
+
+
+def _mg_summary(tokens, k: int):
+    """Classic Misra-Gries with k counters over one token stream:
+    survivors are every item whose in-stream frequency exceeds
+    stream_len / (k + 1) (and possibly a few that don't)."""
+    from collections import Counter
+
+    counters: Counter = Counter()
+    for tok in tokens:
+        if tok in counters or len(counters) < k:
+            counters[tok] += 1
+        else:
+            dead = [t for t in counters if counters[t] == 1]
+            for t in counters:
+                counters[t] -= 1
+            for t in dead:
+                del counters[t]
+    return counters
+
+
+def heavy_hitter_tokens(ds, k: int = 256, text_col: str = "text"):
+    """ALL tokens with corpus frequency > N/k (N = total token count),
+    EXACTLY — the streaming heavy-hitters operator (Misra-Gries 1982)
+    with a two-pass exact refinement:
+
+    pass 1: each block runs an independent k-counter Misra-Gries sketch
+      and emits only its <= k survivors plus its token count. Pigeonhole
+      makes the survivor UNION a guaranteed superset of every global
+      heavy hitter: freq(x) > N/k forces freq_b(x) > N_b/k in at least
+      one block b, and MG never evicts such an item there.
+    pass 2: the candidate set (<= k x blocks tokens, ~KBs) broadcasts
+      via ray.put and one streaming pass counts ONLY candidates
+      exactly; the final filter keeps freq * k > N.
+
+    The scale story vs `vocab_top_tokens`: the shuffle here is
+    CANDIDATE-sized (k x blocks), not vocabulary-sized — on a 10^10-doc
+    corpus with a 10^8-type vocabulary that is the difference between
+    shuffling megabytes and shuffling the vocabulary."""
+    import ray as _ray
+    import ray.data as _rd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        toks = []
+        for x in t.column(text_col).to_pylist():
+            if x and x.strip():
+                toks.extend(x.split())
+        surv = _mg_summary(toks, k)
+        return pa.table(
+            {
+                "token": pa.array(list(surv.keys()), pa.string()),
+                "n_block": pa.array(
+                    [len(toks)] + [0] * (len(surv) - 1) if surv else [],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    # candidate gather is k x blocks rows — bounded by the sketch size,
+    # not the corpus (the same bounded-broadcast contract the LM/
+    # contamination queries document)
+    pass1 = ds.map_batches(mg_partial, batch_format="pyarrow").materialize()
+    total = pass1.sum("n_block") or 0
+    cands = set()
+    for ref in pass1.to_arrow_refs():
+        cands.update(_ray.get(ref).column("token").to_pylist())
+    if not cands or total == 0:
+        return _rd.from_arrow(
+            pa.table(
+                {"token": pa.array([], pa.string()),
+                 "freq": pa.array([], pa.int64())}
+            )
+        )
+    cand_ref = _ray.put(cands)
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        wanted = _ray.get(cand_ref)
+        counts: Counter = Counter()
+        for x in t.column(text_col).to_pylist():
+            if x and x.strip():
+                counts.update(w for w in x.split() if w in wanted)
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "freq": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def keep_heavy(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(pc.multiply(t.column("freq"), k), total))
+
+    return (
+        ds.map_batches(exact_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("freq", alias_name="freq"))
+        .map_batches(keep_heavy, batch_format="pyarrow")
+        .sort(["freq", "token"], descending=[True, False])
+    )

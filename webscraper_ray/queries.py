@@ -7453,6 +7453,34 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Streaming heavy hitters (Misra-Gries 1982): ALL tokens with
+    corpus frequency > N/256, exactly — per-block k-counter sketches
+    whose survivor union provably covers every global heavy hitter
+    (pigeonhole), then one candidate-only exact pass. See
+    `functions/textstats.heavy_hitter_tokens` for why the shuffle here
+    is sketch-sized while `vocab_top_tokens`' is vocabulary-sized —
+    at web scale that is the whole ballgame. The oracle brute-forces
+    the same HAVING over the full token relation."""
+    from .functions.textstats import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(
+        _read_sized(sf_dir, "documents", ["text"]), k=256
+    )
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT token, CAST(count(*) AS BIGINT) AS freq
+FROM toks GROUP BY token
+HAVING count(*) * 256 > (SELECT count(*) FROM toks)
+ORDER BY freq DESC, token
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -12984,6 +13012,7 @@ QUERIES = {
     "customer_order_fulljoin": q_customer_order_fulljoin,
     "orc_roundtrip": q_orc_roundtrip,
     "feather_roundtrip": q_feather_roundtrip,
+    "heavy_hitters": q_heavy_hitters,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -13174,6 +13203,7 @@ ORACLE_SQL = {
     "customer_order_fulljoin": SQL_CUSTOMER_ORDER_FULLJOIN,
     "orc_roundtrip": SQL_ORC_ROUNDTRIP,
     "feather_roundtrip": SQL_FEATHER_ROUNDTRIP,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
