@@ -16,6 +16,8 @@ def _docs(texts, parallelism):
 
 def _hh(ds, k):
     df = heavy_hitter_tokens(ds, k=k).to_pandas()
+    if df.empty:
+        return {}
     return dict(zip(df["token"], df["freq"]))
 
 
