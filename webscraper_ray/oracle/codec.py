@@ -65,3 +65,43 @@ def decode_response(payload: bytes, content_encoding: str | None = None) -> byte
     if content_encoding in (None, "", "identity"):
         return payload
     raise ValueError(f"unsupported content-encoding: {content_encoding}")
+
+
+_META_CHARSET = None  # compiled lazily (import cost discipline)
+
+_CHARSET_ALIASES = {
+    "windows-1252": "cp1252",
+    "utf-8": "utf-8",
+    "iso-8859-1": "latin-1",
+}
+
+
+def sniff_decode(payload: bytes) -> tuple[str, str]:
+    """(charset_label, decoded_text) for a raw fetched body — the
+    decode step every crawler runs before extraction (WHATWG encoding
+    sniffing, the BOM-first subset): a UTF-8/UTF-16 byte-order mark
+    wins outright; otherwise the first 1024 bytes are scanned for an
+    HTML ``<meta charset="...">`` declaration; otherwise UTF-8 is
+    assumed. Labels name the DECISION (bom vs meta vs default), not
+    just the codec, so downstream stats can audit how pages declared
+    themselves. Raises on an undecodable body or an unknown declared
+    charset — loud, never mojibake."""
+    global _META_CHARSET
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-bom", payload[3:].decode("utf-8")
+    if payload.startswith(b"\xff\xfe"):
+        return "utf-16le", payload[2:].decode("utf-16-le")
+    if payload.startswith(b"\xfe\xff"):
+        return "utf-16be", payload[2:].decode("utf-16-be")
+    if _META_CHARSET is None:
+        import re
+
+        _META_CHARSET = re.compile(rb'<meta\s+charset="([^"]{1,40})"')
+    m = _META_CHARSET.search(payload[:1024])
+    if m:
+        declared = m.group(1).decode("ascii").lower()
+        codec = _CHARSET_ALIASES.get(declared)
+        if codec is None:
+            raise ValueError(f"unknown declared charset: {declared}")
+        return f"{declared}-meta", payload.decode(codec)
+    return "utf-8-default", payload.decode("utf-8")

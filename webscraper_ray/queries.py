@@ -7481,6 +7481,86 @@ ORDER BY freq DESC, token
 """
 
 
+def q_charset_sniff(sf_dir: str):
+    """Charset sniffing (WHATWG BOM-first subset) — the decode step
+    between fetch and extraction that every real crawler runs: each doc
+    becomes a raw byte body in one of five deterministic encodings
+    (UTF-8 BOM / UTF-16LE / UTF-16BE / a ``<meta charset>``-declared
+    cp1252 page / bare UTF-8) and `oracle/codec.sniff_decode` must
+    recover BOTH the decision label and the exact decoded text. The
+    oracle recomputes labels and decoded codepoint counts from the
+    synthesis formulas, so a missed BOM, a wrong endianness, or a
+    mis-scanned meta tag flips rows. Byte-protocol kernel, so the
+    per-record parse loop is the operator (same contract as the WARC
+    walk)."""
+    from .oracle.codec import sniff_decode
+
+    meta = '<meta charset="windows-1252">'
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        labels, nchars = [], []
+        # modulus 7, coprime with the 20-way source cycling, so every
+        # source sees every charset class (a %5 selector would be
+        # CONSTANT within each source — doc_id % 20 == source index)
+        for i, x in zip(ids, texts):
+            m = int(i) % 7 % 5
+            if m == 0:
+                body = b"\xef\xbb\xbf" + x.encode("utf-8")
+            elif m == 1:
+                body = b"\xff\xfe" + x.encode("utf-16-le")
+            elif m == 2:
+                body = b"\xfe\xff" + x.encode("utf-16-be")
+            elif m == 3:
+                body = (meta + x).encode("cp1252")
+            else:
+                body = x.encode("utf-8")
+            label, decoded = sniff_decode(body)
+            labels.append(label)
+            nchars.append(len(decoded))
+        part = pa.table(
+            {
+                "source": t.column("source"),
+                "charset": pa.array(labels, pa.string()),
+                "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sum_chars": pa.array(nchars, pa.int64()),
+            }
+        )
+        g = part.group_by(["source", "charset"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")]
+        )
+        return g.rename_columns(["source", "charset", "n_docs", "sum_chars"])
+
+    return (
+        _read_sized(sf_dir, "documents", ["doc_id", "source", "text"])
+        .map_batches(kernel, batch_format="pyarrow")
+        .groupby(["source", "charset"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+        .sort(["source", "charset"])
+    )
+
+
+SQL_CHARSET_SNIFF = """
+WITH m AS (
+  SELECT source,
+         CASE CAST(doc_id % 7 % 5 AS INT)
+           WHEN 0 THEN 'utf-8-bom' WHEN 1 THEN 'utf-16le'
+           WHEN 2 THEN 'utf-16be' WHEN 3 THEN 'windows-1252-meta'
+           ELSE 'utf-8-default' END AS charset,
+         CASE WHEN doc_id % 7 % 5 = 3 THEN length(text) + 29
+              ELSE length(text) END AS n_chars
+  FROM documents
+)
+SELECT source, charset, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM m GROUP BY source, charset ORDER BY source, charset
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -13013,6 +13093,7 @@ QUERIES = {
     "orc_roundtrip": q_orc_roundtrip,
     "feather_roundtrip": q_feather_roundtrip,
     "heavy_hitters": q_heavy_hitters,
+    "charset_sniff": q_charset_sniff,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -13204,6 +13285,7 @@ ORACLE_SQL = {
     "orc_roundtrip": SQL_ORC_ROUNDTRIP,
     "feather_roundtrip": SQL_FEATHER_ROUNDTRIP,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "charset_sniff": SQL_CHARSET_SNIFF,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
