@@ -7561,6 +7561,91 @@ FROM m GROUP BY source, charset ORDER BY source, charset
 """
 
 
+def q_hrw_sharding(sf_dir: str):
+    """Rendezvous (highest-random-weight) sharding — the consistent
+    assignment scheme that upgrades the frontier's ``hash(host) % S``:
+    each url goes to the shard with the max ``md5(url|shard)`` score,
+    so growing S -> S+1 moves only ~1/(S+1) of keys, all of them onto
+    the NEW shard (mod-hashing reshuffles nearly everything). The query
+    assigns every doc url under 8 and 9 shards and reports, per old
+    shard, how many keys the expansion steals — with the HRW invariant
+    (every moved key lands on shard 8) asserted loudly in-kernel. The
+    oracle recomputes both argmax assignments in SQL via the proven
+    ``md5_u64`` <-> ``('0x'||substr(md5(x),1,16))::UBIGINT``
+    equivalence (`functions/dedup.md5_u64`)."""
+    from .functions.dedup import md5_u64
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = t.column("source").to_pylist()
+        shard8 = np.empty(len(ids), dtype=np.int64)
+        moved = np.empty(len(ids), dtype=np.int64)
+        for j, (i, s) in enumerate(zip(ids, srcs)):
+            url = f"https://{s}.example/d/{i}"
+            scores = [md5_u64(f"{url}|shard-{k}") for k in range(9)]
+            s8 = int(np.argmax(scores[:8]))
+            s9 = int(np.argmax(scores))
+            if s9 != s8 and s9 != 8:
+                raise AssertionError(
+                    "HRW invariant violated: a moved key must land on "
+                    "the newly added shard"
+                )
+            shard8[j] = s8
+            moved[j] = s9 != s8
+        part = pa.table(
+            {
+                "shard": pa.array(shard8),
+                "n_urls": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "sum_ids": pa.array(ids.astype(np.int64)),
+                "n_moved": pa.array(moved),
+            }
+        )
+        g = part.group_by("shard").aggregate(
+            [("n_urls", "sum"), ("sum_ids", "sum"), ("n_moved", "sum")]
+        )
+        return g.rename_columns(["shard", "n_urls", "sum_ids", "n_moved"])
+
+    return (
+        _read_sized(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(kernel, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(
+            Sum("n_urls", alias_name="n_urls"),
+            Sum("sum_ids", alias_name="sum_ids"),
+            Sum("n_moved", alias_name="n_moved"),
+        )
+        .sort("shard")
+    )
+
+
+SQL_HRW_SHARDING = """
+WITH u AS (
+  SELECT doc_id, 'https://' || source || '.example/d/' || doc_id AS url
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, t.s,
+         ('0x' || substr(md5(url || '|shard-' || t.s), 1, 16))::UBIGINT
+           AS score
+  FROM u, range(9) t(s)
+),
+a8 AS (
+  SELECT doc_id, CAST(arg_max(s, score) AS BIGINT) AS shard8
+  FROM scored WHERE s < 8 GROUP BY doc_id
+),
+a9 AS (
+  SELECT doc_id, CAST(arg_max(s, score) AS BIGINT) AS shard9
+  FROM scored GROUP BY doc_id
+)
+SELECT shard8 AS shard, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved
+FROM a8 JOIN a9 USING (doc_id)
+GROUP BY shard8 ORDER BY shard8
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -13094,6 +13179,7 @@ QUERIES = {
     "feather_roundtrip": q_feather_roundtrip,
     "heavy_hitters": q_heavy_hitters,
     "charset_sniff": q_charset_sniff,
+    "hrw_sharding": q_hrw_sharding,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -13286,6 +13372,7 @@ ORACLE_SQL = {
     "feather_roundtrip": SQL_FEATHER_ROUNDTRIP,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "charset_sniff": SQL_CHARSET_SNIFF,
+    "hrw_sharding": SQL_HRW_SHARDING,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
