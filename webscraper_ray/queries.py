@@ -7646,6 +7646,110 @@ GROUP BY shard8 ORDER BY shard8
 """
 
 
+def q_exif_stats(sf_dir: str):
+    """EXIF metadata extraction over an image corpus — every doc gets a
+    deterministic TIFF/EXIF blob (`functions/exif.build_exif`) with the
+    byte order ALTERNATING by doc parity (so the parser's II and MM
+    paths are both load-bearing), then `parse_exif`'s generic IFD walk
+    must recover maker, orientation, dimensions, and timestamp for a
+    per-(source, make) rollup. The oracle recomputes every aggregate
+    from the synthesis formulas; a wrong endian branch, a mis-sized
+    type, or a missed sub-IFD pointer flips rows. Byte-protocol kernel
+    (same per-record contract as WARC/PDF/PNG)."""
+    from .functions.exif import build_exif, parse_exif
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = t.column("source").to_pylist()
+        makes, bigs, orients, pxs, dts = [], [], [], [], []
+        base = np.datetime64("2025-01-01")
+        for i in ids:
+            i = int(i)
+            blob = build_exif(
+                make=f"CamCo {i % 3}",
+                model=f"M-{i % 4}",
+                orientation=i % 8 + 1,
+                datetime_original=str(base + i % 365).replace("-", ":")
+                + " 00:00:00",
+                pixel_x=640 + (i % 7) * 160,
+                pixel_y=480 + (i % 5) * 120,
+                big_endian=bool(i % 2),
+            )
+            meta = parse_exif(blob)
+            makes.append(meta["make"])
+            bigs.append(int(meta["big_endian"]))
+            orients.append(meta["orientation"])
+            pxs.append(meta["pixel_x"] * meta["pixel_y"])
+            dts.append(meta["datetime_original"])
+        part = pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "make": pa.array(makes, pa.string()),
+                "n_imgs": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "n_bigendian": pa.array(bigs, pa.int64()),
+                "sum_orientation": pa.array(orients, pa.int64()),
+                "sum_pixels": pa.array(pxs, pa.int64()),
+                "max_datetime": pa.array(dts, pa.string()),
+            }
+        )
+        g = part.group_by(["source", "make"]).aggregate(
+            [
+                ("n_imgs", "sum"),
+                ("n_bigendian", "sum"),
+                ("sum_orientation", "sum"),
+                ("sum_pixels", "sum"),
+                ("max_datetime", "max"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "source",
+                "make",
+                "n_imgs",
+                "n_bigendian",
+                "sum_orientation",
+                "sum_pixels",
+                "max_datetime",
+            ]
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        _read_sized(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(kernel, batch_format="pyarrow")
+        .groupby(["source", "make"])
+        .aggregate(
+            Sum("n_imgs", alias_name="n_imgs"),
+            Sum("n_bigendian", alias_name="n_bigendian"),
+            Sum("sum_orientation", alias_name="sum_orientation"),
+            Sum("sum_pixels", alias_name="sum_pixels"),
+            Max("max_datetime", alias_name="max_datetime"),
+        )
+        .sort(["source", "make"])
+    )
+
+
+SQL_EXIF_STATS = """
+WITH m AS (
+  SELECT source, 'CamCo ' || CAST(doc_id % 3 AS VARCHAR) AS make,
+         CAST(doc_id % 2 AS BIGINT) AS be,
+         CAST(doc_id % 8 + 1 AS BIGINT) AS orient,
+         CAST(640 + (doc_id % 7) * 160 AS BIGINT)
+           * CAST(480 + (doc_id % 5) * 120 AS BIGINT) AS px,
+         strftime(DATE '2025-01-01' + CAST(doc_id % 365 AS INTEGER),
+                  '%Y:%m:%d') || ' 00:00:00' AS dt
+  FROM documents
+)
+SELECT source, make, CAST(count(*) AS BIGINT) AS n_imgs,
+       CAST(sum(be) AS BIGINT) AS n_bigendian,
+       CAST(sum(orient) AS BIGINT) AS sum_orientation,
+       CAST(sum(px) AS BIGINT) AS sum_pixels,
+       max(dt) AS max_datetime
+FROM m GROUP BY source, make ORDER BY source, make
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -13180,6 +13284,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "charset_sniff": q_charset_sniff,
     "hrw_sharding": q_hrw_sharding,
+    "exif_stats": q_exif_stats,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -13373,6 +13478,7 @@ ORACLE_SQL = {
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "charset_sniff": SQL_CHARSET_SNIFF,
     "hrw_sharding": SQL_HRW_SHARDING,
+    "exif_stats": SQL_EXIF_STATS,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
