@@ -64,3 +64,28 @@ def test_non_mjpeg_handler_raises_not_implemented():
 def test_no_frames_rejected_at_encode():
     with pytest.raises(ValueError, match="at least one frame"):
         encode_avi_mjpeg([], width=8, height=8)
+
+
+# ---- G.711 mu-law (functions/audio.py) ----
+
+def test_ulaw_roundtrip_all_codewords():
+    import numpy as np
+    from webscraper_ray.functions.audio import ulaw_decode, ulaw_encode
+
+    codes = np.arange(256, dtype=np.uint8)
+    dec = ulaw_decode(codes)
+    # ITU G.711 mu-law range is +-8031 at the 14-bit scale
+    assert dec.min() == -8031 and dec.max() == 8031
+    # encode(decode(c)) reproduces every decoder output exactly
+    assert np.array_equal(ulaw_decode(ulaw_encode(dec)), dec)
+
+
+def test_ulaw_known_values():
+    import numpy as np
+    from webscraper_ray.functions.audio import ulaw_decode
+
+    # 0xFF -> u=0x00 -> +((2*0+33)<<0)-33 = 0; 0x7F -> u=0x80 -> -0
+    got = ulaw_decode(np.array([0xFF, 0x7F, 0x00, 0x80], dtype=np.uint8))
+    assert got[0] == 0 and got[1] == 0
+    # 0x00 -> u=0xFF: sign=1, e=7, m=15 -> -(63<<7)+33 = -8031
+    assert got[2] == -8031 and got[3] == 8031

@@ -76,3 +76,34 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     if len(payload) & 1:
         chunks += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def ulaw_decode(codes: "np.ndarray") -> "np.ndarray":
+    """G.711 mu-law expansion, fully vectorized: uint8 codewords ->
+    int16 linear samples (14-bit magnitude range, the wire format of
+    8 kHz telephony audio and a common training-corpus input). Pure
+    integer bit arithmetic straight from the ITU-T G.711 table
+    construction: complement, split 1-3-4 into sign/exponent/mantissa,
+    magnitude = ((2m + 33) << e) - 33."""
+    u = (~codes.astype(np.uint8)) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((2 * mant.astype(np.int32) + 33) << exp) - 33
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def ulaw_encode(samples: "np.ndarray") -> "np.ndarray":
+    """Inverse of :func:`ulaw_decode` (segment search + complement);
+    round-trip-exact on every decoder output value."""
+    s = samples.astype(np.int32)
+    sign = s < 0
+    mag = np.where(sign, -s, s)
+    mag = np.minimum(mag + 33, 0x1FFF)
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 5).clip(0, 7)
+    mant = (mag >> (exp + 1)) & 0x0F
+    u = (sign.astype(np.uint8) << 7) | (exp.astype(np.uint8) << 4) | mant.astype(np.uint8)
+    return (~u) & 0xFF
+
+
+__all__.extend(["ulaw_decode", "ulaw_encode"])

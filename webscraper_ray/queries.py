@@ -7750,6 +7750,79 @@ FROM m GROUP BY source, make ORDER BY source, make
 """
 
 
+def q_ulaw_decode(sf_dir: str):
+    """G.711 mu-law audio expansion — telephony/speech corpora arrive
+    as 8-bit mu-law codewords that must expand to linear PCM before
+    feature extraction: every doc carries 64 deterministic codewords
+    and `functions/audio.ulaw_decode` (pure vectorized bit arithmetic,
+    no lookup table) expands them; per-source totals, absolute sums,
+    and the peak amplitude are the gate. The oracle re-derives the ITU
+    expansion formula ((2m+33) << e) - 33 row-for-row in SQL, so one
+    wrong bit split or sign branch flips everything."""
+    from .functions.audio import ulaw_decode
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.arange(64, dtype=np.int64)
+        codes = ((ids[:, None] * 7 + j[None, :] * 13) % 256).astype(np.uint8)
+        dec = ulaw_decode(codes.ravel()).astype(np.int64).reshape(len(ids), 64)
+        part = pa.table(
+            {
+                "source": t.column("source"),
+                "n_samples": pa.array(np.full(len(ids), 64, dtype=np.int64)),
+                "sum_sample": pa.array(dec.sum(axis=1)),
+                "sum_abs": pa.array(np.abs(dec).sum(axis=1)),
+                "max_abs": pa.array(np.abs(dec).max(axis=1)),
+            }
+        )
+        g = part.group_by("source").aggregate(
+            [
+                ("n_samples", "sum"),
+                ("sum_sample", "sum"),
+                ("sum_abs", "sum"),
+                ("max_abs", "max"),
+            ]
+        )
+        return g.rename_columns(
+            ["source", "n_samples", "sum_sample", "sum_abs", "max_abs"]
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        _read_sized(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(kernel, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_samples", alias_name="n_samples"),
+            Sum("sum_sample", alias_name="sum_sample"),
+            Sum("sum_abs", alias_name="sum_abs"),
+            Max("max_abs", alias_name="max_abs"),
+        )
+        .sort("source")
+    )
+
+
+SQL_ULAW_DECODE = """
+WITH s AS (
+  SELECT d.source,
+         CASE WHEN u.uc >= 128 THEN -u.mag ELSE u.mag END AS sample
+  FROM documents d, LATERAL (
+    SELECT uc, ((2 * (uc % 16) + 33) * (1 << ((uc // 16) % 8))) - 33 AS mag
+    FROM (
+      SELECT 255 - ((d.doc_id * 7 + t.j * 13) % 256) AS uc
+      FROM range(64) t(j)
+    )
+  ) u
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(sample) AS BIGINT) AS sum_sample,
+       CAST(sum(abs(sample)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(sample)) AS BIGINT) AS max_abs
+FROM s GROUP BY source ORDER BY source
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -13285,6 +13358,7 @@ QUERIES = {
     "charset_sniff": q_charset_sniff,
     "hrw_sharding": q_hrw_sharding,
     "exif_stats": q_exif_stats,
+    "ulaw_decode": q_ulaw_decode,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -13479,6 +13553,7 @@ ORACLE_SQL = {
     "charset_sniff": SQL_CHARSET_SNIFF,
     "hrw_sharding": SQL_HRW_SHARDING,
     "exif_stats": SQL_EXIF_STATS,
+    "ulaw_decode": SQL_ULAW_DECODE,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
