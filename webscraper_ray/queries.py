@@ -7823,6 +7823,95 @@ FROM s GROUP BY source ORDER BY source
 """
 
 
+def q_zip_roundtrip(sf_dir: str):
+    """ZIP source + sink with SELECTIVE member reads — the container
+    property tar fundamentally lacks: a central directory at EOF lets a
+    reader enumerate members and seek straight to the ones it wants.
+    Each block writes one deterministic zip (fixed 1980 timestamps,
+    deflate) holding a ``.txt`` member for docs with ``id % 3 != 0``
+    and a decoy ``.bin`` member for EVERY doc; the read path walks the
+    central directory and inflates ONLY ``.txt`` members, so the
+    oracle's ``WHERE doc_id % 3 <> 0`` relation is reproduced iff the
+    selective read actually selects. One zip per block keeps the
+    resumable-output discipline."""
+    import zipfile
+
+    import ray.data as _rd
+
+    def build(d: str) -> None:
+        def to_zip(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"n": pa.array([], pa.int64())})
+            ids = t.column("doc_id").to_pylist()
+            srcs = t.column("source").to_pylist()
+            texts = t.column("text").to_pylist()
+            path = os.path.join(d, f"part-{min(ids)}.zip")
+            with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+                for i, s, x in zip(ids, srcs, texts):
+                    if i % 3 != 0:
+                        zi = zipfile.ZipInfo(
+                            f"{s}/{i:012d}.txt", date_time=(1980, 1, 1, 0, 0, 0)
+                        )
+                        zf.writestr(zi, x.encode("utf-8"))
+                    zi = zipfile.ZipInfo(
+                        f"{s}/{i:012d}.bin", date_time=(1980, 1, 1, 0, 0, 0)
+                    )
+                    zf.writestr(zi, b"\x00" * 64)
+            return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+        _read_sized(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
+            to_zip, batch_format="pyarrow"
+        ).count()
+
+    out_dir = _source_cached_dir(sf_dir, "documents", "zip", "zip-v1", build)
+
+    def read_txt_members(t: pa.Table) -> pa.Table:
+        srcs, ids, nchars = [], [], []
+        for path in t.column("path").to_pylist():
+            with zipfile.ZipFile(path) as zf:
+                for name in zf.namelist():
+                    if not name.endswith(".txt"):
+                        continue
+                    text = zf.read(name).decode("utf-8")
+                    src, stem = name.rsplit("/", 1)
+                    srcs.append(src)
+                    ids.append(int(stem[: -len(".txt")]))
+                    nchars.append(len(text))
+        part = pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n_docs": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "sum_ids": pa.array(ids, pa.int64()),
+                "sum_chars": pa.array(nchars, pa.int64()),
+            }
+        )
+        g = part.group_by("source").aggregate(
+            [("n_docs", "sum"), ("sum_ids", "sum"), ("sum_chars", "sum")]
+        )
+        return g.rename_columns(["source", "n_docs", "sum_ids", "sum_chars"])
+
+    return (
+        _paths_dataset(out_dir, "zip")
+        .map_batches(read_txt_members, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_ids", alias_name="sum_ids"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+        .sort("source")
+    )
+
+
+SQL_ZIP_ROUNDTRIP = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 3 <> 0
+GROUP BY source ORDER BY source
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -13359,6 +13448,7 @@ QUERIES = {
     "hrw_sharding": q_hrw_sharding,
     "exif_stats": q_exif_stats,
     "ulaw_decode": q_ulaw_decode,
+    "zip_roundtrip": q_zip_roundtrip,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -13554,6 +13644,7 @@ ORACLE_SQL = {
     "hrw_sharding": SQL_HRW_SHARDING,
     "exif_stats": SQL_EXIF_STATS,
     "ulaw_decode": SQL_ULAW_DECODE,
+    "zip_roundtrip": SQL_ZIP_ROUNDTRIP,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
