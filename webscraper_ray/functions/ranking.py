@@ -78,3 +78,74 @@ def topk_per_group(
         .groupby("_part")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def global_hash_order(
+    ds, id_col: str = "doc_id", salt: str = "shuffle", bucket_bits: int = 16
+):
+    """(id, rank) — a DETERMINISTIC global shuffle order: rank by
+    ``(md5(salt:id), id)`` ascending, the standard trick for giving a
+    training corpus a reproducible random-looking visit order without a
+    seeded RNG (same corpus + salt -> same permutation on any cluster
+    shape, and a changed salt is a fresh epoch order).
+
+    Scale shape (the `global_price_rank` bucket-offset pattern): hashes
+    bucket by their top ``bucket_bits`` bits; ONE bounded gather of
+    per-bucket counts (<= 2^bucket_bits rows) turns into prefix-sum
+    rank offsets broadcast via ``ray.put``; each bucket then ranks
+    locally after a single hash-partition shuffle. Nothing
+    corpus-proportional touches the driver; md5 uniformity keeps
+    buckets balanced by construction — no hot-key caveat at all."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import md5_u64
+
+    shift = 64 - bucket_bits
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = np.fromiter(
+            (md5_u64(f"{salt}:{i}") for i in ids), dtype=np.uint64, count=len(ids)
+        )
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "hv": pa.array(hv),
+                "bucket": pa.array((hv >> shift).astype(np.int64)),
+            }
+        )
+
+    keyed = ds.map_batches(with_hash, batch_format="pyarrow").materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["bucket"]).group_by("bucket").aggregate([("bucket", "count")])
+        return g.rename_columns(["bucket", "n"])
+
+    bucket_rows = (
+        keyed.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    bucket_rows.sort(key=lambda r: r["bucket"])
+    offsets, acc = {}, 0
+    for r in bucket_rows:
+        offsets[int(r["bucket"])] = acc
+        acc += int(r["n"])
+    off_ref = _ray.put(offsets)
+
+    def rank_bucket(part: pa.Table) -> pa.Table:
+        ids = part.column("id").to_numpy(zero_copy_only=False)
+        hv = part.column("hv").to_numpy(zero_copy_only=False)
+        b = int(part.column("bucket")[0].as_py())
+        order = np.lexsort((ids, hv))
+        rank = np.empty(len(ids), dtype=np.int64)
+        rank[order] = _ray.get(off_ref)[b] + 1 + np.arange(len(ids))
+        return pa.table({"id": pa.array(ids), "rank": pa.array(rank)})
+
+    return keyed.groupby("bucket").map_groups(rank_bucket, batch_format="pyarrow")
+
+
+__all__.append("global_hash_order")

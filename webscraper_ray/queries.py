@@ -7912,6 +7912,76 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_shuffle_order(sf_dir: str):
+    """Deterministic global training-order shuffle — before packing or
+    curriculum batching, a corpus needs a reproducible random-looking
+    visit order; seeded-RNG shuffles aren't stable across cluster
+    shapes, so the scalable idiom is rank-by-hash:
+    `functions/ranking.global_hash_order` (bucket-offset global rank,
+    bounded driver gather). The gate aggregates per source BOTH the
+    rank sum and the rank x id dot product — the latter pins the exact
+    permutation assignment, not just the multiset of ranks. Oracle:
+    ``row_number() OVER (ORDER BY md5_u64(salt:id), id)``."""
+    from .functions.ranking import global_hash_order
+
+    ranked = global_hash_order(
+        _read_sized(sf_dir, "documents", ["doc_id"]), id_col="doc_id"
+    )
+    src = _read_sized(sf_dir, "documents", ["doc_id", "source"])
+    joined = ranked.join(
+        src,
+        "inner",
+        num_partitions=_join_partitions(),
+        on=("id",),
+        right_on=("doc_id",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rank = t.column("rank").to_numpy(zero_copy_only=False)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        part = pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "sum_rank": pa.array(rank.astype(np.int64)),
+                "sum_rank_x_id": pa.array((rank * ids).astype(np.int64)),
+            }
+        )
+        g = part.group_by("source").aggregate(
+            [("n_docs", "sum"), ("sum_rank", "sum"), ("sum_rank_x_id", "sum")]
+        )
+        return g.rename_columns(["source", "n_docs", "sum_rank", "sum_rank_x_id"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_rank", alias_name="sum_rank"),
+            Sum("sum_rank_x_id", alias_name="sum_rank_x_id"),
+        )
+        .sort("source")
+    )
+
+
+SQL_SHUFFLE_ORDER = """
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('shuffle:' || doc_id), 1, 16))::UBIGINT AS hv
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (ORDER BY hv, doc_id) AS BIGINT) AS rnk
+  FROM h
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(rnk) AS BIGINT) AS sum_rank,
+       CAST(sum(rnk * doc_id) AS BIGINT) AS sum_rank_x_id
+FROM r GROUP BY source ORDER BY source
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -13449,6 +13519,7 @@ QUERIES = {
     "exif_stats": q_exif_stats,
     "ulaw_decode": q_ulaw_decode,
     "zip_roundtrip": q_zip_roundtrip,
+    "shuffle_order": q_shuffle_order,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -13645,6 +13716,7 @@ ORACLE_SQL = {
     "exif_stats": SQL_EXIF_STATS,
     "ulaw_decode": SQL_ULAW_DECODE,
     "zip_roundtrip": SQL_ZIP_ROUNDTRIP,
+    "shuffle_order": SQL_SHUFFLE_ORDER,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
