@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     "weighted_price_percentiles",
     "conversion_latency",
     "lorenz_deciles",
+    "redirect_chains",
+    "heavy_hitters",
+    "hrw_sharding",
+    "unicode_nfc",
+    "shuffle_order",
 ]
 
 

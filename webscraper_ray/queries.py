@@ -7982,6 +7982,80 @@ FROM r GROUP BY source ORDER BY source
 """
 
 
+def q_link_extract(sf_dir: str):
+    """Outlink extraction (the crawl-graph edge producer, E-chain +
+    `oracle/canon`) under a VALUE-HASH gate, not just crawl parity:
+    every doc becomes a deterministic HTML page with ``doc_id % 4 + 1``
+    real relative anchors plus two poison links (``javascript:`` and
+    ``mailto:``) that `is_valid_url` must reject, and the REAL
+    `oracle/extract.extract` runs per page — h1 selection, script
+    strip, urljoin absolutization, canonicalization, validity filter.
+    The oracle predicts ok-page counts, exact outlink sums, and title
+    codepoint sums from the synthesis formulas, so a validity slip
+    (counting a javascript: link) or a title-normalization change
+    flips rows."""
+    from .oracle.extract import extract
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = t.column("source").to_pylist()
+        n_ok, n_links, n_title = [], [], []
+        for i, s in zip(ids, srcs):
+            i = int(i)
+            anchors = "".join(
+                f'<a href="/d/{(i * 3 + j) % 1000}">next</a>'
+                for j in range(i % 4 + 1)
+            )
+            html = (
+                "<html><head></head><body>"
+                f"<h1>Doc {i}</h1><p>{'body text ' * 8}</p>"
+                f"{anchors}"
+                '<a href="javascript:void(0)">js</a>'
+                '<a href="mailto:x@example.com">mail</a>'
+                "</body></html>"
+            )
+            r = extract(f"https://{s}.example/d/{i}", html)
+            n_ok.append(int(r.ok))
+            n_links.append(len(r.outlinks))
+            n_title.append(len(r.title))
+        part = pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n_pages_ok": pa.array(n_ok, pa.int64()),
+                "sum_outlinks": pa.array(n_links, pa.int64()),
+                "sum_title_chars": pa.array(n_title, pa.int64()),
+            }
+        )
+        g = part.group_by("source").aggregate(
+            [("n_pages_ok", "sum"), ("sum_outlinks", "sum"),
+             ("sum_title_chars", "sum")]
+        )
+        return g.rename_columns(
+            ["source", "n_pages_ok", "sum_outlinks", "sum_title_chars"]
+        )
+
+    return (
+        _read_sized(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(kernel, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_pages_ok", alias_name="n_pages_ok"),
+            Sum("sum_outlinks", alias_name="sum_outlinks"),
+            Sum("sum_title_chars", alias_name="sum_title_chars"),
+        )
+        .sort("source")
+    )
+
+
+SQL_LINK_EXTRACT = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_pages_ok,
+       CAST(sum(doc_id % 4 + 1) AS BIGINT) AS sum_outlinks,
+       CAST(sum(4 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
+         AS sum_title_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -13520,6 +13594,7 @@ QUERIES = {
     "ulaw_decode": q_ulaw_decode,
     "zip_roundtrip": q_zip_roundtrip,
     "shuffle_order": q_shuffle_order,
+    "link_extract": q_link_extract,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -13717,6 +13792,7 @@ ORACLE_SQL = {
     "ulaw_decode": SQL_ULAW_DECODE,
     "zip_roundtrip": SQL_ZIP_ROUNDTRIP,
     "shuffle_order": SQL_SHUFFLE_ORDER,
+    "link_extract": SQL_LINK_EXTRACT,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
