@@ -158,3 +158,51 @@ def test_encode_response_json_gzip_threshold_is_bytes():
     small = {"t": "文" * 30}  # ~97 bytes — under threshold either way
     _, _, enc2 = encode_response(small, accept_cbor=False)
     assert enc2 is None
+
+
+# ---- charset sniffing (oracle/codec.sniff_decode) ----
+
+def test_sniff_bom_beats_meta():
+    from webscraper_ray.oracle.codec import sniff_decode
+
+    # a BOM'd body whose CONTENT declares a different charset: BOM wins
+    body = b"\xef\xbb\xbf" + b'<meta charset="windows-1252">hi'
+    label, text = sniff_decode(body)
+    assert label == "utf-8-bom" and text.endswith("hi")
+
+
+def test_sniff_utf16_both_endians():
+    from webscraper_ray.oracle.codec import sniff_decode
+
+    assert sniff_decode("café".encode("utf-16")) == ("utf-16le", "café")
+    assert sniff_decode(b"\xfe\xff" + "café".encode("utf-16-be")) == (
+        "utf-16be",
+        "café",
+    )
+
+
+def test_sniff_unknown_declared_charset_raises():
+    import pytest
+
+    from webscraper_ray.oracle.codec import sniff_decode
+
+    with pytest.raises(ValueError, match="unknown declared"):
+        sniff_decode(b'<meta charset="klingon-7">x')
+
+
+def test_sniff_meta_only_scans_first_1024_bytes():
+    from webscraper_ray.oracle.codec import sniff_decode
+
+    late = b" " * 1100 + b'<meta charset="windows-1252">' + b"plain"
+    label, _ = sniff_decode(late)
+    assert label == "utf-8-default"
+
+
+def test_sniff_undecodable_raises():
+    import pytest
+
+    from webscraper_ray.oracle.codec import sniff_decode
+
+    with pytest.raises(UnicodeDecodeError):
+        sniff_decode(b"\xff\x00\x00")  # utf-16le BOM then odd byte count? no:
+        # \xff\xfe would be BOM; \xff\x00 is not a BOM -> utf-8 default, 0xff invalid
