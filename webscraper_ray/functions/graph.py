@@ -563,18 +563,20 @@ def pointer_doubling(
         )
 
     for _ in range(max_rounds):
-        step = (
+        # ONE materialize per round: the block-count re-bound
+        # (see connected_components) is fused into the round's own
+        # exchange instead of a second barrier, and the changed-count
+        # is a cheap second pass over the already-materialized blocks
+        state = (
             state.map_batches(tag(0, "ptr"), batch_format="pyarrow")
             .union(state.map_batches(tag(1, "node"), batch_format="pyarrow"))
             .groupby("_part")
             .map_groups(jump, batch_format="pyarrow")
+            .repartition(num_parts)
             .materialize()
         )
-        changed = step.sum("changed") or 0
-        # re-bound block count each round (see connected_components)
-        state = (
-            step.drop_columns(["changed"]).repartition(num_parts).materialize()
-        )
+        changed = state.sum("changed") or 0
+        state = state.drop_columns(["changed"])
         if changed == 0:
             # an EVEN-length cycle collapses to self-pointers with
             # nonzero hops and would otherwise read as converged (odd
