@@ -8056,6 +8056,160 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_corpus_pipeline(sf_dir: str):
+    """The CRAWL-flavored end-to-end corpus build (flagship composition
+    #2, complementing `curation_pipeline`'s text-side chain): RFC 9309
+    robots filtering with the REAL parser (`oracle/robots`, the
+    `robots_filter` synthesis) -> Gopher-style quality keep -> exact
+    dedup keep-first -> deterministic hash-order training rank over the
+    SURVIVORS (`ranking.global_hash_order`) -> per-source audit (kept
+    count, id sum, rank sum). One streaming chain: text drops before
+    the dedup shuffle, the rank's driver artifact is the bounded
+    bucket-count table, and every stage's decision is re-derived by the
+    oracle's four-CTE SQL — a slip in ANY stage (group selection,
+    keep mask, keep-first tie, permutation) flips the final rows."""
+    from .functions.dedup import md5_u64
+    from .functions.ranking import global_hash_order, topk_per_group
+    from .functions.textstats import quality_keep_mask
+    from .oracle.robots import parse_robots_txt
+
+    def robots_text(k: int) -> str:
+        return (
+            "# synthetic robots\n"
+            "User-agent: otherbot\nDisallow: /\n\n"
+            "User-agent: webscraper-ray\n"
+            "Disallow: /private/\n"
+            f"Disallow: /tmp{k % 3}/\n\n"
+            "User-agent: *\nDisallow: /all/\n"
+        )
+
+    def robots_quality_hash(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = np.asarray(t.column("source").to_pylist(), dtype=object)
+        mod4 = ids % 4
+        paths = np.asarray(
+            [
+                f"/private/p{i}" if m == 0
+                else (f"/tmp{i % 3}/x" if m == 1 else f"/public/{i}")
+                for i, m in zip(ids.tolist(), mod4.tolist())
+            ],
+            dtype=object,
+        )
+        allowed = np.ones(len(ids), bool)
+        for s in np.unique(srcs):
+            prefixes, _delay = parse_robots_txt(robots_text(int(s[3:])))
+            sel = srcs == s
+            p_sel = paths[sel].astype(str)
+            denied = np.zeros(p_sel.size, bool)
+            for pref in prefixes:
+                denied |= np.char.startswith(p_sel, pref)
+            allowed[sel] = ~denied
+        t = t.filter(pa.array(allowed))
+        t = t.filter(quality_keep_mask(t))
+        h = np.fromiter(
+            (md5_u64(s or "") for s in t.column("text").to_pylist()),
+            dtype=np.uint64,
+            count=t.num_rows,
+        )
+        return t.drop_columns(["text"]).append_column(
+            "h64", pa.array(h, pa.uint64())
+        )
+
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "source", "text"])
+    survivors = topk_per_group(
+        ds.map_batches(robots_quality_hash, batch_format="pyarrow"),
+        key="h64",
+        order_col="doc_id",
+        tie_col="doc_id",
+        k=1,
+        ascending=True,
+    ).drop_columns(["h64"]).materialize()  # output-sized; ranked + joined below
+
+    ranked = global_hash_order(survivors, id_col="doc_id")
+    joined = ranked.join(
+        survivors,
+        "inner",
+        num_partitions=_join_partitions(),
+        on=("id",),
+        right_on=("doc_id",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        part = pa.table(
+            {
+                "source": t.column("source"),
+                "n_kept": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "sum_ids": t.column("id").cast(pa.int64()),
+                "sum_rank": t.column("rank").cast(pa.int64()),
+            }
+        )
+        g = part.group_by("source").aggregate(
+            [("n_kept", "sum"), ("sum_ids", "sum"), ("sum_rank", "sum")]
+        )
+        return g.rename_columns(["source", "n_kept", "sum_ids", "sum_rank"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("sum_ids", alias_name="sum_ids"),
+            Sum("sum_rank", alias_name="sum_rank"),
+        )
+        .sort("source")
+    )
+
+
+def _sql_corpus_pipeline() -> str:
+    from .functions.textstats import (
+        KEEP_MAX_PUNCT,
+        KEEP_MAX_UPPER,
+        KEEP_MEAN_TOKEN_LEN,
+        KEEP_MIN_TOKENS,
+    )
+
+    return f"""
+WITH s AS ({SQL_QUALITY_SCORES}),
+allowed AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d
+  WHERE d.doc_id % 4 <> 0
+    AND NOT (d.doc_id % 4 = 1
+             AND d.doc_id % 3 = CAST(substr(d.source, 4) AS INT) % 3)
+),
+kept AS (
+  SELECT a.doc_id, a.source, a.text
+  FROM allowed a JOIN s ON a.doc_id = s.doc_id
+  WHERE s.n_tokens >= {KEEP_MIN_TOKENS}
+    AND s.mean_token_len >= {KEEP_MEAN_TOKEN_LEN[0]}
+    AND s.mean_token_len <= {KEEP_MEAN_TOKEN_LEN[1]}
+    AND s.punct_ratio <= {KEEP_MAX_PUNCT}
+    AND s.upper_ratio <= {KEEP_MAX_UPPER}
+),
+hashed AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h64
+  FROM kept
+),
+firsts AS (SELECT h64, min(doc_id) AS doc_id FROM hashed GROUP BY h64),
+survivors AS (
+  SELECT h.doc_id, h.source
+  FROM hashed h JOIN firsts f ON h.h64 = f.h64 AND h.doc_id = f.doc_id
+),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           ORDER BY ('0x' || substr(md5('shuffle:' || doc_id), 1, 16))::UBIGINT,
+                    doc_id) AS BIGINT) AS rnk
+  FROM survivors
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(rnk) AS BIGINT) AS sum_rank
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -13595,6 +13749,7 @@ QUERIES = {
     "zip_roundtrip": q_zip_roundtrip,
     "shuffle_order": q_shuffle_order,
     "link_extract": q_link_extract,
+    "corpus_pipeline": q_corpus_pipeline,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -13793,6 +13948,7 @@ ORACLE_SQL = {
     "zip_roundtrip": SQL_ZIP_ROUNDTRIP,
     "shuffle_order": SQL_SHUFFLE_ORDER,
     "link_extract": SQL_LINK_EXTRACT,
+    "corpus_pipeline": _sql_corpus_pipeline(),
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
