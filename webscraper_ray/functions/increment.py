@@ -189,11 +189,19 @@ def incremental_near_dups(
     band_files = _bucket_files(os.path.join(index_dir, "bands"), touched)
     if not band_files:
         return ray.data.from_arrow(empty)
+    # the pruned bucket store is MANY tiny files (buckets x writer
+    # blocks); without coalescing Ray schedules one read task per file
+    # and every downstream exchange inherits that partition count
+    # (measured: 256 files -> 3.2 s join+distinct, coalesced -> ~1 s)
     old_bands = ray.data.read_parquet(
-        band_files, columns=["band_id", "band_i64", "doc_id"]
+        band_files,
+        columns=["band_id", "band_i64", "doc_id"],
+        override_num_blocks=min(len(band_files), 8),
     ).rename_columns({"doc_id": "doc_old"})
 
-    n_parts = max(1, min(16, len(band_files) // 4))
+    # partition count follows the increment's band volume, not the
+    # store's file count — the join input is KB-sized here
+    n_parts = max(2, min(16, new_bands.count() // 2048))
     cand = _hash_distinct(
         new_bands.select_columns(["band_id", "band_i64", "doc_id"])
         .rename_columns({"doc_id": "doc_new"})
@@ -242,7 +250,11 @@ def incremental_near_dups(
         return t.filter(pc.is_in(t.column("doc_id"), value_set=vs))
 
     old_sigs = (
-        ray.data.read_parquet(sig_files, columns=["doc_id", "sig"])
+        ray.data.read_parquet(
+            sig_files,
+            columns=["doc_id", "sig"],
+            override_num_blocks=min(len(sig_files), 8),
+        )
         .map_batches(keep_involved, batch_format="pyarrow")
         .rename_columns({"doc_id": "doc_old", "sig": "sig_old"})
     )
