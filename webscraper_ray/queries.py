@@ -8210,6 +8210,79 @@ FROM ranked GROUP BY source ORDER BY source
 """
 
 
+def q_pushdown_scan(sf_dir: str):
+    """Predicate pushdown AT THE READ — the scan-level discipline the
+    rest of the registry applies to columns, applied to ROWS: the
+    filter expression rides into ``read_parquet`` itself (pyarrow
+    dataset filter), so at real scale whole row groups are skipped by
+    footer statistics before any byte leaves storage — the difference
+    between scanning a month and scanning 100 TB. The residual
+    per-batch mask stays (row-group pruning is conservative); the
+    oracle is the same WHERE clause, so a pushdown that over- or
+    under-prunes flips the rows."""
+    import pyarrow.dataset as pads
+
+    lo = np.datetime64("1996-03-01", "us")
+    hi = np.datetime64("1996-04-01", "us")
+    expr = (
+        (pads.field("l_shipdate") >= pa.scalar(lo, pa.timestamp("us")))
+        & (pads.field("l_shipdate") < pa.scalar(hi, pa.timestamp("us")))
+        & (pads.field("l_quantity") < 10.0)
+    )
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_shipdate", "l_quantity", "l_extendedprice"],
+        filter=expr,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        part = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n_items": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "price_c": _cents(t.column("l_extendedprice")),
+            }
+        )
+        g = part.group_by("l_returnflag").aggregate(
+            [("n_items", "sum"), ("price_c", "sum")]
+        )
+        return g.rename_columns(["l_returnflag", "n_items", "price_c"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("price_c", alias_name="price_c"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n_items": t.column("n_items"),
+                "sum_price": pc.divide(
+                    t.column("price_c").cast(pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("l_returnflag")
+
+
+SQL_PUSHDOWN_SCAN = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+  AND l_quantity < 10
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -13750,6 +13823,7 @@ QUERIES = {
     "shuffle_order": q_shuffle_order,
     "link_extract": q_link_extract,
     "corpus_pipeline": q_corpus_pipeline,
+    "pushdown_scan": q_pushdown_scan,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -13949,6 +14023,7 @@ ORACLE_SQL = {
     "shuffle_order": SQL_SHUFFLE_ORDER,
     "link_extract": SQL_LINK_EXTRACT,
     "corpus_pipeline": _sql_corpus_pipeline(),
+    "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
