@@ -81,7 +81,11 @@ def topk_per_group(
 
 
 def global_hash_order(
-    ds, id_col: str = "doc_id", salt: str = "shuffle", bucket_bits: int = 16
+    ds,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    bucket_bits: int = 16,
+    carry_cols: "list[str] | None" = None,
 ):
     """(id, rank) — a DETERMINISTIC global shuffle order: rank by
     ``(md5(salt:id), id)`` ascending, the standard trick for giving a
@@ -95,7 +99,11 @@ def global_hash_order(
     rank offsets broadcast via ``ray.put``; each bucket then ranks
     locally after a single hash-partition shuffle. Nothing
     corpus-proportional touches the driver; md5 uniformity keeps
-    buckets balanced by construction — no hot-key caveat at all."""
+    buckets balanced by construction — no hot-key caveat at all.
+
+    ``carry_cols`` ride the same exchange and come back alongside
+    (id, rank) — cheaper than a downstream join to re-attach payload
+    columns (one exchange instead of two)."""
     import ray as _ray
 
     from ray.data.aggregate import Sum
@@ -104,18 +112,21 @@ def global_hash_order(
 
     shift = 64 - bucket_bits
 
+    carry = list(carry_cols or [])
+
     def with_hash(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         hv = np.fromiter(
             (md5_u64(f"{salt}:{i}") for i in ids), dtype=np.uint64, count=len(ids)
         )
-        return pa.table(
-            {
-                "id": pa.array(ids),
-                "hv": pa.array(hv),
-                "bucket": pa.array((hv >> shift).astype(np.int64)),
-            }
-        )
+        cols = {
+            "id": pa.array(ids),
+            "hv": pa.array(hv),
+            "bucket": pa.array((hv >> shift).astype(np.int64)),
+        }
+        for c in carry:
+            cols[c] = t.column(c)
+        return pa.table(cols)
 
     keyed = ds.map_batches(with_hash, batch_format="pyarrow").materialize()
 
@@ -143,7 +154,10 @@ def global_hash_order(
         order = np.lexsort((ids, hv))
         rank = np.empty(len(ids), dtype=np.int64)
         rank[order] = _ray.get(off_ref)[b] + 1 + np.arange(len(ids))
-        return pa.table({"id": pa.array(ids), "rank": pa.array(rank)})
+        cols = {"id": pa.array(ids), "rank": pa.array(rank)}
+        for c in carry:
+            cols[c] = part.column(c)
+        return pa.table(cols)
 
     return keyed.groupby("bucket").map_groups(rank_bucket, batch_format="pyarrow")
 

@@ -7924,16 +7924,10 @@ def q_shuffle_order(sf_dir: str):
     ``row_number() OVER (ORDER BY md5_u64(salt:id), id)``."""
     from .functions.ranking import global_hash_order
 
-    ranked = global_hash_order(
-        _read_sized(sf_dir, "documents", ["doc_id"]), id_col="doc_id"
-    )
-    src = _read_sized(sf_dir, "documents", ["doc_id", "source"])
-    joined = ranked.join(
-        src,
-        "inner",
-        num_partitions=_join_partitions(),
-        on=("id",),
-        right_on=("doc_id",),
+    joined = global_hash_order(
+        _read_sized(sf_dir, "documents", ["doc_id", "source"]),
+        id_col="doc_id",
+        carry_cols=["source"],
     )
 
     def partial(t: pa.Table) -> pa.Table:
@@ -8123,15 +8117,10 @@ def q_corpus_pipeline(sf_dir: str):
         tie_col="doc_id",
         k=1,
         ascending=True,
-    ).drop_columns(["h64"]).materialize()  # output-sized; ranked + joined below
+    ).drop_columns(["h64"])  # consumed once: the rank carries `source`
 
-    ranked = global_hash_order(survivors, id_col="doc_id")
-    joined = ranked.join(
-        survivors,
-        "inner",
-        num_partitions=_join_partitions(),
-        on=("id",),
-        right_on=("doc_id",),
+    joined = global_hash_order(
+        survivors, id_col="doc_id", carry_cols=["source"]
     )
 
     def partial(t: pa.Table) -> pa.Table:
