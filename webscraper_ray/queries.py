@@ -8272,6 +8272,52 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_epoch_plan(sf_dir: str):
+    """The training-feed loader (`pipelines/loader.epoch_sequences`)
+    gated END-TO-END: greedy sequence packing + the epoch-1-salted
+    hash visit order, one row per packed sequence with its rank, doc
+    count and token count. The oracle re-derives the full chain — the
+    pack layout's running-offset window, the per-sequence rollup, and
+    ``row_number() OVER (ORDER BY md5('epoch:1:'||seq_id))`` — so a
+    drift anywhere in pack accounting or epoch ordering flips rows."""
+    from .pipelines.loader import epoch_sequences
+
+    return epoch_sequences(
+        _read_sized(sf_dir, "documents", ["doc_id", "text"]),
+        context_len=2048,
+        epoch=1,
+    )
+
+
+SQL_EPOCH_PLAN = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS global_offset
+  FROM tok
+),
+seqs AS (
+  SELECT (global_offset // 2048)::BIGINT AS seq_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM pre GROUP BY 1
+)
+SELECT seq_id,
+       CAST(row_number() OVER (
+         ORDER BY ('0x' || substr(md5('epoch:1:' || seq_id), 1, 16))::UBIGINT,
+                  seq_id) AS BIGINT) AS rank,
+       n_docs, n_tokens
+FROM seqs ORDER BY rank
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -13813,6 +13859,7 @@ QUERIES = {
     "link_extract": q_link_extract,
     "corpus_pipeline": q_corpus_pipeline,
     "pushdown_scan": q_pushdown_scan,
+    "epoch_plan": q_epoch_plan,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -14013,6 +14060,7 @@ ORACLE_SQL = {
     "link_extract": SQL_LINK_EXTRACT,
     "corpus_pipeline": _sql_corpus_pipeline(),
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
+    "epoch_plan": SQL_EPOCH_PLAN,
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
