@@ -8318,6 +8318,76 @@ FROM seqs ORDER BY rank
 """
 
 
+def q_token_budget_select(sf_dir: str):
+    """Budgeted corpus selection — the data-mixing primitive: per
+    source, take documents in quality order (mean token length DESC,
+    doc_id tiebreak) until a 2000-token budget fills, i.e. greedy
+    prefix selection under a per-group budget. The shuffle carries four
+    scalars per doc (text drops at the scorer); the per-source ordering
+    + running-sum cut runs vectorized inside each group. Oracle: the
+    same cumulative-sum window with the same ordering."""
+    from .functions.textstats import quality_scores
+
+    BUDGET = 2000
+
+    def score(t: pa.Table) -> pa.Table:
+        qs = quality_scores(t)
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "doc_id": qs.column("doc_id"),
+                "n_tokens": qs.column("n_tokens"),
+                "mean_token_len": qs.column("mean_token_len"),
+            }
+        )
+
+    def select_group(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        tok = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        mtl = g.column("mean_token_len").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -mtl))
+        cum = np.cumsum(tok[order])
+        keep = cum <= BUDGET
+        sel_ids = ids[order][keep]
+        sel_tok = tok[order][keep]
+        return pa.table(
+            {
+                "source": pa.array([g.column("source")[0].as_py()], pa.string()),
+                "n_selected": pa.array([int(keep.sum())], pa.int64()),
+                "sum_tokens": pa.array([int(sel_tok.sum())], pa.int64()),
+                "sum_ids": pa.array([int(sel_ids.sum())], pa.int64()),
+            }
+        )
+
+    return (
+        _read_sized(sf_dir, "documents", ["doc_id", "source", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(select_group, batch_format="pyarrow")
+        .sort("source")
+    )
+
+
+SQL_TOKEN_BUDGET_SELECT = r"""
+WITH s AS ({QUALITY}),
+j AS (
+  SELECT d.source, d.doc_id, s.n_tokens, s.mean_token_len
+  FROM documents d JOIN s ON d.doc_id = s.doc_id
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (
+    PARTITION BY source ORDER BY mean_token_len DESC, doc_id
+    ROWS UNBOUNDED PRECEDING) AS cum
+  FROM j
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM c WHERE cum <= 2000
+GROUP BY source ORDER BY source
+"""
+
+
 def q_url_canonicalize(sf_dir: str):
     """E2 (crawlee-style uniqueKey canonicalization) under a VALUE-HASH
     gate, not just crawl parity: every doc gets a deterministically
@@ -13860,6 +13930,7 @@ QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
     "pushdown_scan": q_pushdown_scan,
     "epoch_plan": q_epoch_plan,
+    "token_budget_select": q_token_budget_select,
     "robots_filter": q_robots_filter,
     "url_canonicalize": q_url_canonicalize,
     "media_sniff": q_media_sniff,
@@ -14061,6 +14132,9 @@ ORACLE_SQL = {
     "corpus_pipeline": _sql_corpus_pipeline(),
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "epoch_plan": SQL_EPOCH_PLAN,
+    "token_budget_select": SQL_TOKEN_BUDGET_SELECT.replace(
+        "{QUALITY}", SQL_QUALITY_SCORES
+    ),
     "robots_filter": SQL_ROBOTS_FILTER,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "media_sniff": SQL_MEDIA_SNIFF,
