@@ -87,6 +87,10 @@ BENCH_QUERIES = [
     "hrw_sharding",
     "unicode_nfc",
     "shuffle_order",
+    "corpus_pipeline",
+    "epoch_plan",
+    "token_budget_select",
+    "pushdown_scan",
 ]
 
 
