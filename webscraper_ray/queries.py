@@ -11030,6 +11030,51 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """Corpus-wide paragraph-level exact dedup (C4-style boilerplate
+    removal), keep-FIRST in (doc_id, pid) order, annotating every doc
+    with its surviving fraction. See functions/paradedup.py for the
+    scale story (8-B paragraph hashes shipped, winner =
+    minimum-composite-key per hash group resolved with one reduceat per
+    partition, doc-keyed partials). The oracle rebuilds the same
+    12-word windows with list slicing and the identical 64-bit md5, so
+    a boundary slip, a wrong winner, or a lost paragraph flips rows."""
+    from .functions.paradedup import paragraph_dedup_stats
+
+    return paragraph_dedup_stats(
+        _read_sized(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH lw AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+paras AS (
+  SELECT doc_id, p.pid AS pid,
+         array_to_string(l[p.pid * 12 + 1 : p.pid * 12 + 12], ' ') AS ptext
+  FROM lw, LATERAL (
+    SELECT unnest(generate_series(
+      0, greatest(CAST(ceil(len(l) / 12.0) AS BIGINT) - 1, 0))) AS pid
+  ) p
+),
+hashed AS (
+  SELECT doc_id, length(ptext) AS plen,
+         ('0x' || substr(md5(ptext), 1, 16))::UBIGINT AS h,
+         doc_id * 4096 + pid AS k
+  FROM paras
+),
+mins AS (SELECT h, min(k) AS wk FROM hashed GROUP BY h)
+SELECT hashed.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN k = wk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN k = wk THEN plen ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM hashed JOIN mins USING (h)
+GROUP BY hashed.doc_id
+"""
+
+
 def q_snapshot_diff(sf_dir: str):
     """CDC between two crawl snapshots: v2 is DERIVED deterministically
     from the corpus (doc_id%11 deleted, %7 modified, %13 spawns an
@@ -13879,6 +13924,7 @@ QUERIES = {
     "lang_length_quantiles": q_lang_length_quantiles,
     "pagerank_docs": q_pagerank_docs,
     "dup_span_stats": q_dup_span_stats,
+    "paragraph_dedup": q_paragraph_dedup,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
     "event_type_overlap": q_event_type_overlap,
@@ -14081,6 +14127,7 @@ ORACLE_SQL = {
     "lang_length_quantiles": SQL_LANG_LENGTH_QUANTILES,
     "pagerank_docs": _sql_pagerank(),
     "dup_span_stats": SQL_DUP_SPAN_STATS,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
     "event_type_overlap": _sql_event_type_overlap(),
