@@ -8050,6 +8050,106 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_html_table_extract(sf_dir: str):
+    """Structured-data extraction from HTML TABLES (the scraping op the
+    E-chain's text extractor deliberately flattens) through the REAL
+    tiptap-tree parser (`oracle/tree.html_to_tree`, grammar rows
+    table/tableRow/tableHeader/tableCell): every doc becomes a page with
+    one table — a 3-column ``th`` header row plus ``doc_id % 3 + 2``
+    data rows whose cell (r, c) holds ``(doc_id*17 + r*5 + c) % 100`` —
+    and the kernel walks the PARSED tree, requiring header cells to be
+    ``tableHeader`` nodes and every data cell to parse as an integer
+    (a th/td mix-up poisons the int parse and crashes loudly). The
+    oracle re-derives row counts and cell sums from the formulas with a
+    double LATERAL unnest, so a parser row-loss, cell-order slip, or
+    header misclassification flips rows. Scale shape: pure map + one
+    20-key groupby; the HTML never leaves the kernel."""
+    from .oracle.tree import html_to_tree, tree_text
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = t.column("source").to_pylist()
+        n_rows, cell_sum, hdr_chars = [], [], []
+        for i in ids:
+            i = int(i)
+            body = "".join(
+                "<tr>"
+                + "".join(
+                    f"<td>{(i * 17 + r * 5 + c) % 100}</td>" for c in range(3)
+                )
+                + "</tr>"
+                for r in range(i % 3 + 2)
+            )
+            html = (
+                "<html><body><h1>t</h1><table><thead>"
+                "<tr><th>ha</th><th>hb</th><th>hc</th></tr></thead>"
+                f"<tbody>{body}</tbody></table></body></html>"
+            )
+            tree = html_to_tree(html)
+            tables = [
+                n for n in tree.get("content", []) if n["type"] == "table"
+            ]
+            (table,) = tables  # exactly one table must survive parsing
+            nr, cs, hc = 0, 0, 0
+            for row in table["content"]:
+                kinds = {c["type"] for c in row["content"]}
+                if kinds == {"tableHeader"}:
+                    hc += sum(len(tree_text(c)) for c in row["content"])
+                else:
+                    nr += 1
+                    cs += sum(int(tree_text(c)) for c in row["content"])
+            n_rows.append(nr)
+            cell_sum.append(cs)
+            hdr_chars.append(hc)
+        part = pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n_tables": pa.array(np.ones(len(srcs), np.int64)),
+                "n_rows": pa.array(n_rows, pa.int64()),
+                "cell_sum": pa.array(cell_sum, pa.int64()),
+                "header_chars": pa.array(hdr_chars, pa.int64()),
+            }
+        )
+        return part.group_by("source").aggregate(
+            [("n_tables", "sum"), ("n_rows", "sum"), ("cell_sum", "sum"),
+             ("header_chars", "sum")]
+        ).rename_columns(
+            ["source", "n_tables", "n_rows", "cell_sum", "header_chars"]
+        )
+
+    return (
+        _read_sized(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(kernel, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_tables", alias_name="n_tables"),
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("cell_sum", alias_name="cell_sum"),
+            Sum("header_chars", alias_name="header_chars"),
+        )
+    )
+
+
+SQL_HTML_TABLE_EXTRACT = """
+WITH agg_docs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tables,
+         CAST(sum(doc_id % 3 + 2) AS BIGINT) AS n_rows,
+         CAST(count(*) * 6 AS BIGINT) AS header_chars
+  FROM documents GROUP BY source
+),
+agg_cells AS (
+  SELECT source, CAST(sum((doc_id * 17 + r.r * 5 + c.c) % 100) AS BIGINT)
+           AS cell_sum
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, doc_id % 3 + 1)) AS r) r,
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS c) c
+  GROUP BY source
+)
+SELECT source, n_tables, n_rows, cell_sum, header_chars
+FROM agg_docs JOIN agg_cells USING (source)
+"""
+
+
 def q_corpus_pipeline(sf_dir: str):
     """The CRAWL-flavored end-to-end corpus build (flagship composition
     #2, complementing `curation_pipeline`'s text-side chain): RFC 9309
@@ -13973,6 +14073,7 @@ QUERIES = {
     "zip_roundtrip": q_zip_roundtrip,
     "shuffle_order": q_shuffle_order,
     "link_extract": q_link_extract,
+    "html_table_extract": q_html_table_extract,
     "corpus_pipeline": q_corpus_pipeline,
     "pushdown_scan": q_pushdown_scan,
     "epoch_plan": q_epoch_plan,
@@ -14176,6 +14277,7 @@ ORACLE_SQL = {
     "zip_roundtrip": SQL_ZIP_ROUNDTRIP,
     "shuffle_order": SQL_SHUFFLE_ORDER,
     "link_extract": SQL_LINK_EXTRACT,
+    "html_table_extract": SQL_HTML_TABLE_EXTRACT,
     "corpus_pipeline": _sql_corpus_pipeline(),
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "epoch_plan": SQL_EPOCH_PLAN,
