@@ -8150,6 +8150,84 @@ FROM agg_docs JOIN agg_cells USING (source)
 """
 
 
+def q_anchor_text_agg(sf_dir: str):
+    """Inverted anchor-text index (the webgraph signal search engines
+    aggregate per TARGET page — complement of `link_extract`'s
+    per-SOURCE rollup): every doc becomes a page whose ``doc_id%4+1``
+    anchors carry formula-synthesized hrefs and anchor TEXT of varying
+    length, the REAL tiptap parser (`oracle/tree.html_to_tree`) turns
+    them into link-marked text nodes, and a recursive mark walk
+    recovers (target, anchor_len) edges. Scale shape: edges pre-agg
+    per batch (arrow group_by) before the ONE target-keyed shuffle;
+    output is target-universe-sized (<=1000 rows), the HTML and anchor
+    strings never leave the kernel. The oracle re-derives in-degree and
+    anchor-char mass per target from the synthesis formulas, so a
+    dropped link mark, href slip, or text-run merge bug flips rows."""
+    from .oracle.tree import html_to_tree
+
+    def edges_of(tree: dict):
+        out = []
+
+        def walk(node):
+            for m in node.get("marks", ()):  # text nodes carry marks
+                if m.get("type") == "link":
+                    out.append(
+                        (m["attrs"]["href"], len(node.get("text", "")))
+                    )
+            for child in node.get("content", ()):
+                walk(child)
+
+        walk(tree)
+        return out
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        tgt, alen = [], []
+        for i in ids:
+            i = int(i)
+            anchors = "".join(
+                f'<a href="/d/{(i * 3 + j) % 1000}">{"a" * ((i + j) % 5 + 1)}</a>'
+                for j in range(i % 4 + 1)
+            )
+            html = f"<html><body><h1>t</h1><p>{anchors}</p></body></html>"
+            for href, ln in edges_of(html_to_tree(html)):
+                tgt.append(int(href.rsplit("/", 1)[1]))
+                alen.append(ln)
+        part = pa.table(
+            {
+                "target_id": pa.array(tgt, pa.int64()),
+                "in_degree": pa.array(np.ones(len(tgt), np.int64)),
+                "anchor_chars": pa.array(alen, pa.int64()),
+            }
+        )
+        return part.group_by("target_id").aggregate(
+            [("in_degree", "sum"), ("anchor_chars", "sum")]
+        ).rename_columns(["target_id", "in_degree", "anchor_chars"])
+
+    return (
+        _read_sized(sf_dir, "documents", ["doc_id"])
+        .map_batches(kernel, batch_format="pyarrow")
+        .groupby("target_id")
+        .aggregate(
+            Sum("in_degree", alias_name="in_degree"),
+            Sum("anchor_chars", alias_name="anchor_chars"),
+        )
+    )
+
+
+SQL_ANCHOR_TEXT_AGG = """
+WITH edges AS (
+  SELECT (doc_id * 3 + j.j) % 1000 AS target_id,
+         (doc_id + j.j) % 5 + 1 AS alen
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, doc_id % 4)) AS j) j
+)
+SELECT target_id, CAST(count(*) AS BIGINT) AS in_degree,
+       CAST(sum(alen) AS BIGINT) AS anchor_chars
+FROM edges GROUP BY target_id
+"""
+
+
 def q_corpus_pipeline(sf_dir: str):
     """The CRAWL-flavored end-to-end corpus build (flagship composition
     #2, complementing `curation_pipeline`'s text-side chain): RFC 9309
@@ -14074,6 +14152,7 @@ QUERIES = {
     "shuffle_order": q_shuffle_order,
     "link_extract": q_link_extract,
     "html_table_extract": q_html_table_extract,
+    "anchor_text_agg": q_anchor_text_agg,
     "corpus_pipeline": q_corpus_pipeline,
     "pushdown_scan": q_pushdown_scan,
     "epoch_plan": q_epoch_plan,
@@ -14278,6 +14357,7 @@ ORACLE_SQL = {
     "shuffle_order": SQL_SHUFFLE_ORDER,
     "link_extract": SQL_LINK_EXTRACT,
     "html_table_extract": SQL_HTML_TABLE_EXTRACT,
+    "anchor_text_agg": SQL_ANCHOR_TEXT_AGG,
     "corpus_pipeline": _sql_corpus_pipeline(),
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "epoch_plan": SQL_EPOCH_PLAN,
