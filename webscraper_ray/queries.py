@@ -8150,6 +8150,98 @@ FROM agg_docs JOIN agg_cells USING (source)
 """
 
 
+def q_schema_evolution(sf_dir: str):
+    """Schema-evolution scan — the lake reality a 100-TB pipeline hits
+    on day one: shards written before a column existed sit next to
+    shards written after. Two GENERATIONS of the documents table are
+    derived (gen1: even ids, no ``lang`` column; gen2: odd ids, with
+    it) into real parquet files, then read back as ONE dataset: the
+    unified schema comes from a FOOTER-only metadata pass
+    (`pq.read_schema` per file — file-count-sized, no data I/O), each
+    path-sharded task null-pads its own files against it, and rows
+    aggregate per (observed) lang with gen1 rows surfacing as
+    ``<absent>``. The oracle rebuilds both generations with
+    ``UNION ALL BY NAME``, so a padding slip, generation mix-up, or
+    dropped shard flips rows."""
+
+    def build(d: str) -> None:
+        def write_gens(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            even = t.filter(pc.equal(pc.bit_wise_and(ids, 1), 0))
+            odd = t.filter(pc.equal(pc.bit_wise_and(ids, 1), 1))
+            import hashlib as _h
+
+            for gen, part in (("gen1", even.select(["doc_id", "n_chars"])),
+                              ("gen2", odd)):
+                if part.num_rows == 0:
+                    continue
+                tag = _h.blake2b(
+                    part.column("doc_id").to_string().encode(),
+                    digest_size=8,
+                ).hexdigest()
+                pq.write_table(part, os.path.join(d, f"{gen}-{tag}.parquet"))
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        _read_sized(
+            sf_dir, "documents", ["doc_id", "n_chars", "lang"]
+        ).map_batches(write_gens, batch_format="pyarrow").count()
+
+    out_dir = _source_cached_dir(
+        sf_dir, "documents", "schemaevo", "schemaevo-v1", build
+    )
+
+    import glob as _glob
+
+    paths = sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+    unified = pa.unify_schemas([pq.read_schema(p) for p in paths])
+
+    def read_padded(t: pa.Table) -> pa.Table:
+        parts = []
+        for p in t.column("path").to_pylist():
+            raw = pq.read_table(p)
+            cols = [
+                raw.column(f.name)
+                if f.name in raw.schema.names
+                else pa.nulls(raw.num_rows, f.type)
+                for f in unified
+            ]
+            parts.append(pa.table(dict(zip(unified.names, cols))))
+        w = pa.concat_tables(parts)
+        lang = pc.coalesce(w.column("lang"), pa.scalar("<absent>"))
+        g = (
+            w.set_column(w.schema.get_field_index("lang"), "lang", lang)
+            .group_by("lang")
+            .aggregate([("doc_id", "count"), ("n_chars", "sum"),
+                        ("doc_id", "sum")])
+        )
+        return g.rename_columns(["lang", "n_docs", "sum_chars", "id_sum"])
+
+    return (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(read_padded, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("id_sum", alias_name="id_sum"),
+        )
+    )
+
+
+SQL_SCHEMA_EVOLUTION = """
+WITH un AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+  UNION ALL BY NAME
+  SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 = 1
+)
+SELECT coalesce(lang, '<absent>') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM un GROUP BY coalesce(lang, '<absent>')
+"""
+
+
 def q_anchor_text_agg(sf_dir: str):
     """Inverted anchor-text index (the webgraph signal search engines
     aggregate per TARGET page — complement of `link_extract`'s
@@ -14153,6 +14245,7 @@ QUERIES = {
     "link_extract": q_link_extract,
     "html_table_extract": q_html_table_extract,
     "anchor_text_agg": q_anchor_text_agg,
+    "schema_evolution": q_schema_evolution,
     "corpus_pipeline": q_corpus_pipeline,
     "pushdown_scan": q_pushdown_scan,
     "epoch_plan": q_epoch_plan,
@@ -14358,6 +14451,7 @@ ORACLE_SQL = {
     "link_extract": SQL_LINK_EXTRACT,
     "html_table_extract": SQL_HTML_TABLE_EXTRACT,
     "anchor_text_agg": SQL_ANCHOR_TEXT_AGG,
+    "schema_evolution": SQL_SCHEMA_EVOLUTION,
     "corpus_pipeline": _sql_corpus_pipeline(),
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "epoch_plan": SQL_EPOCH_PLAN,
