@@ -22,6 +22,7 @@ __all__ = [
     "sessionize",
     "funnel_stages",
     "rolling_sum",
+    "rolling_median",
     "range_rolling",
     "event_gaps",
     "session_paths",
@@ -358,6 +359,68 @@ def rolling_sum(
                 "event_id": pa.array(eid),
                 "user_id": pa.array(u),
                 "rolling_sum": pa.array(rs.astype(np.float64) / 1000.0),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+def rolling_median(
+    ds: "ray.data.Dataset",
+    preceding: int = 3,
+    num_parts: int = _SESSION_PARTS,
+) -> "ray.data.Dataset":
+    """Per-event rolling MEDIAN of ``value`` over ROWS ``preceding``
+    PRECEDING..CURRENT per user ordered by (ts, event_id) — the
+    order-statistic window aggregate (robust smoothing; the sum's
+    outlier-immune sibling).
+
+    Same ONE user-keyed shuffle as :func:`rolling_sum`; per partition
+    the frame is materialized as an (n, preceding+1) gather matrix with
+    NaN padding beyond the user's first row and reduced with one
+    ``np.nanmedian`` — no per-row Python. Even-count frames interpolate
+    the two middle values with the same IEEE ``(a+b)/2`` DuckDB's
+    median uses, so the gate compares doubles bit-exactly.
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_p", pa.array(((u * _KNUTH) % np.uint64(num_parts)).astype(np.int32))
+        )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "rolling_median": pa.array([], pa.float64()),
+                }
+            )
+        order, u, ts, eid = _user_sorted(t)
+        v = t.column("value").to_numpy(zero_copy_only=False)[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        group = np.zeros(u.size, dtype=np.int64)
+        group[starts] = 1
+        group = np.cumsum(group) - 1
+        i = np.arange(u.size)
+        lo = starts[group]
+        # frame matrix: column d holds v[i-d], NaN where i-d < user start
+        offs = np.arange(preceding + 1)
+        idx = i[:, None] - offs[None, :]
+        valid = idx >= lo[:, None]
+        mat = np.where(valid, v[np.clip(idx, 0, None)], np.nan)
+        med = np.nanmedian(mat, axis=1)
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(u),
+                "rolling_median": pa.array(med),
             }
         )
 

@@ -10362,6 +10362,30 @@ FROM events
 """
 
 
+def q_rolling_median(sf_dir: str):
+    """Order-statistic window frame: per-event rolling MEDIAN over ROWS
+    3 PRECEDING..CURRENT per user — robust-smoothing coverage beside
+    `rolling_value_sum`'s moving sum. One user-keyed shuffle, NaN-padded
+    gather matrix + one nanmedian per partition (functions/windows.py),
+    IEEE-identical even-frame interpolation vs DuckDB."""
+    from .functions.windows import rolling_median
+
+    return rolling_median(
+        _read_sized(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        preceding=3,
+    )
+
+
+SQL_ROLLING_MEDIAN = """
+SELECT event_id, user_id,
+       median(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+       ) AS rolling_median
+FROM events
+"""
+
+
 def q_event_gaps(sf_dir: str):
     """lag() window function: microseconds since the user's previous
     event, NULL for the first — inter-arrival analysis."""
@@ -14156,6 +14180,7 @@ QUERIES = {
     "hopping_window": q_hopping_window,
     "sessionize": q_sessionize,
     "rolling_value_sum": q_rolling_value_sum,
+    "rolling_median": q_rolling_median,
     "event_gaps": q_event_gaps,
     "asof_latest_order": q_asof_latest_order,
     "attribution_window": q_attribution_window,
@@ -14348,6 +14373,7 @@ ORACLE_SQL = {
     "hopping_window": _sql_hopping_window(),
     "sessionize": SQL_SESSIONIZE,
     "rolling_value_sum": SQL_ROLLING_VALUE_SUM,
+    "rolling_median": SQL_ROLLING_MEDIAN,
     "event_gaps": SQL_EVENT_GAPS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "png_decode": SQL_PNG_DECODE,
