@@ -8150,6 +8150,48 @@ FROM agg_docs JOIN agg_cells USING (source)
 """
 
 
+def q_spatial_join(sf_dir: str):
+    """2D radius (box) join — the geo/dedup-adjacent all-pairs-within-r
+    operator (Patel & DeWitt SIGMOD'96 partition-based spatial join):
+    deterministic integer coordinates x=(doc_id*37)%1009,
+    y=(doc_id*73)%997 (coprime periods, no planted same-point clusters),
+    all pairs with L-inf distance <= 25 via `functions/spatial.py`'s
+    grid bucketing — constant 9x probe replication, ONE cell-keyed
+    shuffle, each pair emitted exactly once from the smaller id's home
+    cell. The oracle is the quadratic self-join DuckDB can afford at
+    gate scale, so a missed boundary pair, a double emission, or a
+    wrong neighbor cell flips rows."""
+    from .functions.spatial import grid_radius_join
+
+    def coords(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "x": pa.array((ids * 37) % 1009),
+                "y": pa.array((ids * 73) % 997),
+            }
+        )
+
+    pts = _read_sized(sf_dir, "documents", ["doc_id"]).map_batches(
+        coords, batch_format="pyarrow"
+    )
+    return grid_radius_join(pts, radius=25)
+
+
+SQL_SPATIAL_JOIN = """
+WITH pts AS (
+  SELECT doc_id, (doc_id * 37) % 1009 AS x, (doc_id * 73) % 997 AS y
+  FROM documents
+)
+SELECT p.doc_id AS a, q.doc_id AS b,
+       abs(p.x - q.x) AS adx, abs(p.y - q.y) AS ady
+FROM pts p JOIN pts q
+  ON p.doc_id < q.doc_id
+ AND abs(p.x - q.x) <= 25 AND abs(p.y - q.y) <= 25
+"""
+
+
 def q_schema_evolution(sf_dir: str):
     """Schema-evolution scan — the lake reality a 100-TB pipeline hits
     on day one: shards written before a column existed sit next to
@@ -14271,6 +14313,7 @@ QUERIES = {
     "html_table_extract": q_html_table_extract,
     "anchor_text_agg": q_anchor_text_agg,
     "schema_evolution": q_schema_evolution,
+    "spatial_join": q_spatial_join,
     "corpus_pipeline": q_corpus_pipeline,
     "pushdown_scan": q_pushdown_scan,
     "epoch_plan": q_epoch_plan,
@@ -14478,6 +14521,7 @@ ORACLE_SQL = {
     "html_table_extract": SQL_HTML_TABLE_EXTRACT,
     "anchor_text_agg": SQL_ANCHOR_TEXT_AGG,
     "schema_evolution": SQL_SCHEMA_EVOLUTION,
+    "spatial_join": SQL_SPATIAL_JOIN,
     "corpus_pipeline": _sql_corpus_pipeline(),
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "epoch_plan": SQL_EPOCH_PLAN,
