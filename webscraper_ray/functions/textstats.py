@@ -23,10 +23,26 @@ __all__ = [
     "quality_keep",
     "lang_id_ngram",
     "fingerprint_rolling",
+    "normalize_text",
 ]
 
 _WS = re.compile(r"\s+")
 _PUNCT = re.compile(r"[.!?,;:]")
+_MULTISPACE = re.compile(r" +")
+
+
+def normalize_text(s: str) -> str:
+    """CCNet-style normalization (Wenzek et al. 2020, arXiv:1911.00359
+    §4.1): strip accents, lowercase, collapse runs of spaces — in that
+    order, mirroring DuckDB's
+    ``regexp_replace(lower(strip_accents(s)), ' +', ' ', 'g')`` so the
+    oracle compares byte-identically. Accent stripping is NFD decompose
+    + drop combining marks (utf8proc-equivalent on Latin input)."""
+    import unicodedata
+
+    d = unicodedata.normalize("NFD", s)
+    stripped = "".join(c for c in d if not unicodedata.combining(c))
+    return _MULTISPACE.sub(" ", stripped.lower())
 
 
 def _sql_round(x: float, scale: int) -> float:

@@ -8150,6 +8150,89 @@ FROM agg_docs JOIN agg_cells USING (source)
 """
 
 
+def q_text_normalize(sf_dir: str):
+    """CCNet-style text normalization (strip accents -> lowercase ->
+    collapse spaces; Wenzek et al. 2020) over a deterministically
+    DIRTIED corpus: docs with ``doc_id%3==0`` get their 'a's accented to
+    'Á', docs with ``doc_id%5==0`` get doubled spaces, and
+    `textstats.normalize_text` must restore every dirtied doc to its
+    EXACT original bytes (``n_roundtrip``) while reporting how many docs
+    the normalizer touched. Pure streaming map + 20-key rollup; the
+    oracle applies DuckDB's own strip_accents/lower/regexp_replace
+    chain, so a mark-stripping, case, or whitespace divergence flips
+    rows."""
+    from .functions.textstats import normalize_text
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        srcs = t.column("source").to_pylist()
+        changed, rt, nlen = [], [], []
+        for i, txt in zip(ids, texts):
+            i = int(i)
+            dirty = txt.replace("a", "Á") if i % 3 == 0 else txt
+            if i % 5 == 0:
+                dirty = dirty.replace(" ", "  ")
+            norm = normalize_text(dirty)
+            changed.append(int(dirty != norm))
+            rt.append(int(norm == txt))
+            nlen.append(len(norm))
+        part = pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n_docs": pa.array(np.ones(len(srcs), np.int64)),
+                "n_changed": pa.array(changed, pa.int64()),
+                "n_roundtrip": pa.array(rt, pa.int64()),
+                "sum_norm_chars": pa.array(nlen, pa.int64()),
+            }
+        )
+        return part.group_by("source").aggregate(
+            [("n_docs", "sum"), ("n_changed", "sum"),
+             ("n_roundtrip", "sum"), ("sum_norm_chars", "sum")]
+        ).rename_columns(
+            ["source", "n_docs", "n_changed", "n_roundtrip", "sum_norm_chars"]
+        )
+
+    return (
+        _read_sized(sf_dir, "documents", ["doc_id", "text", "source"])
+        .map_batches(kernel, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_changed", alias_name="n_changed"),
+            Sum("n_roundtrip", alias_name="n_roundtrip"),
+            Sum("sum_norm_chars", alias_name="sum_norm_chars"),
+        )
+    )
+
+
+SQL_TEXT_NORMALIZE = """
+WITH dirty AS (
+  SELECT source, text,
+         CASE WHEN doc_id % 5 = 0 THEN replace(s1, ' ', '  ') ELSE s1 END
+           AS dirty
+  FROM (
+    SELECT source, text, doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'Á')
+                ELSE text END AS s1
+    FROM documents
+  )
+),
+norm AS (
+  SELECT source, text, dirty,
+         regexp_replace(lower(strip_accents(dirty)), ' +', ' ', 'g') AS norm
+  FROM dirty
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dirty <> norm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(sum(CASE WHEN norm = text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_roundtrip,
+       CAST(sum(length(norm)) AS BIGINT) AS sum_norm_chars
+FROM norm GROUP BY source
+"""
+
+
 def q_spatial_join(sf_dir: str):
     """2D radius (box) join — the geo/dedup-adjacent all-pairs-within-r
     operator (Patel & DeWitt SIGMOD'96 partition-based spatial join):
@@ -14314,6 +14397,7 @@ QUERIES = {
     "anchor_text_agg": q_anchor_text_agg,
     "schema_evolution": q_schema_evolution,
     "spatial_join": q_spatial_join,
+    "text_normalize": q_text_normalize,
     "corpus_pipeline": q_corpus_pipeline,
     "pushdown_scan": q_pushdown_scan,
     "epoch_plan": q_epoch_plan,
@@ -14522,6 +14606,7 @@ ORACLE_SQL = {
     "anchor_text_agg": SQL_ANCHOR_TEXT_AGG,
     "schema_evolution": SQL_SCHEMA_EVOLUTION,
     "spatial_join": SQL_SPATIAL_JOIN,
+    "text_normalize": SQL_TEXT_NORMALIZE,
     "corpus_pipeline": _sql_corpus_pipeline(),
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "epoch_plan": SQL_EPOCH_PLAN,
