@@ -38,7 +38,7 @@ from .dedup import md5_u64
 from .joins import _part_column
 from .tfidf import flat_tokens
 
-__all__ = ["dup_span_stats"]
+__all__ = ["dup_span_stats", "gram_novelty"]
 
 
 def _doc_gram_hashes(batch: pa.Table, n: int, text_col: str, id_col: str):
@@ -135,4 +135,77 @@ def dup_span_stats(
     return reduced.union(zeros).groupby("doc_id").aggregate(
         Sum("n_grams", alias_name="n_grams"),
         Sum("n_dup_grams", alias_name="n_dup_grams"),
+    )
+
+
+def gram_novelty(
+    docs: "ray.data.Dataset",
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int = 16,
+) -> "ray.data.Dataset":
+    """Vocabulary-growth attribution (the Heaps-law curve's raw
+    material): for every doc, how many distinct word n-grams it
+    INTRODUCES to the corpus — i.e. grams whose globally first
+    occurrence (minimum doc_id) is this doc. Summed in doc order this
+    yields the vocabulary-size curve; per-source rollups expose which
+    sources still contribute novel content and which are recycling.
+
+    Same scale shape as :func:`dup_span_stats`: per-doc distinct gram
+    HASHES (8 B) ship once; one gram-hash-keyed exchange; each
+    partition resolves first-doc = min(doc_id) per gram with one
+    reduceat and reduces to (doc_id, n_introduced) partials;
+    the doc-keyed exchange is output-sized, zero-filled distributively.
+    """
+    from ray.data.aggregate import Sum
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids, h = _doc_gram_hashes(batch, n, text_col, id_col)
+        hs = h.view(np.int64)
+        return pa.table(
+            {
+                "_part": _part_column(
+                    pa.chunked_array([pa.array(hs)]), num_parts
+                ),
+                "h": pa.array(hs),
+                "doc_id": pa.array(ids),
+            }
+        )
+
+    def first_doc_reduce(part: pa.Table) -> pa.Table:
+        h = part.column("h").to_numpy(zero_copy_only=False)
+        d = part.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, d = h[order], d[order]
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        fd = np.minimum.reduceat(d, starts)  # first doc per gram
+        fd.sort()
+        ds_ = np.flatnonzero(np.r_[True, fd[1:] != fd[:-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(fd[ds_]),
+                "n_introduced": pa.array(np.diff(np.r_[ds_, fd.size])),
+            }
+        )
+
+    def zero_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "n_introduced": pa.array(np.zeros(ids.size, np.int64)),
+            }
+        )
+
+    reduced = (
+        docs.map_batches(emit, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(first_doc_reduce, batch_format="pyarrow")
+    )
+    zeros = docs.select_columns([id_col]).map_batches(
+        zero_partial, batch_format="pyarrow"
+    )
+    return reduced.union(zeros).groupby("doc_id").aggregate(
+        Sum("n_introduced", alias_name="n_introduced"),
     )

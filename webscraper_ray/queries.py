@@ -11449,6 +11449,42 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_gram_novelty(sf_dir: str):
+    """Vocabulary-growth (Heaps-law) attribution: per doc, the count of
+    distinct word bigrams whose globally FIRST occurrence (min doc_id)
+    is this doc. See functions/dupspans.gram_novelty for the scale
+    story (hash-only shipping, min-per-gram reduceat, doc-keyed
+    output-sized partials, distributed zero-fill). The oracle
+    re-derives first-doc attribution with min() over the identical
+    64-bit gram hashes, so a wrong winner or lost gram flips rows."""
+    from .functions.dupspans import gram_novelty
+
+    return gram_novelty(
+        _read_sized(sf_dir, "documents", ["doc_id", "text"]), n=2
+    )
+
+
+SQL_GRAM_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 16))::UBIGINT AS h
+  FROM idx
+),
+firsts AS (SELECT h, min(doc_id) AS fd FROM grams GROUP BY h),
+per AS (SELECT fd AS doc_id, count(*) AS c FROM firsts GROUP BY fd)
+SELECT d.doc_id, coalesce(p.c, 0)::BIGINT AS n_introduced
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_paragraph_dedup(sf_dir: str):
     """Corpus-wide paragraph-level exact dedup (C4-style boilerplate
     removal), keep-FIRST in (doc_id, pid) order, annotating every doc
@@ -14345,6 +14381,7 @@ QUERIES = {
     "pagerank_docs": q_pagerank_docs,
     "dup_span_stats": q_dup_span_stats,
     "paragraph_dedup": q_paragraph_dedup,
+    "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
     "event_type_overlap": q_event_type_overlap,
@@ -14554,6 +14591,7 @@ ORACLE_SQL = {
     "pagerank_docs": _sql_pagerank(),
     "dup_span_stats": SQL_DUP_SPAN_STATS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
     "event_type_overlap": _sql_event_type_overlap(),
