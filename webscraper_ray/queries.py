@@ -8150,6 +8150,90 @@ FROM agg_docs JOIN agg_cells USING (source)
 """
 
 
+def q_json_schema_infer(sf_dir: str):
+    """JSON schema inference over a semi-structured column — the lake
+    staple for evolving event payloads: the events ``props`` JSON is
+    deterministically WIDENED (every 3rd event gains a string ``tag``,
+    every 5th a boolean ``flag``, every 7th turns ``k`` into a DOUBLE),
+    each row is parsed with a REAL JSON parser, and the observed
+    (key, value-type) histogram comes back — the exact artifact a
+    schema-on-read planner builds. Type names use DuckDB's json_type
+    vocabulary (UBIGINT/DOUBLE/VARCHAR/BOOLEAN) so the oracle — which
+    rebuilds the same dirty payloads and types them with json_type —
+    compares verbatim. Per-batch (key,type) partials pre-aggregate;
+    the final shuffle is schema-sized (5 rows)."""
+    import json as _json
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        props = t.column("props").to_pylist()
+        keys, vtypes = [], []
+        for i, p in zip(ids, props):
+            i = int(i)
+            k = _json.loads(p)["k"]
+            if not isinstance(k, int) or k < 0:
+                raise ValueError(f"props.k must be a non-negative int: {p!r}")
+            parts = [f'"k": {k}.5' if i % 7 == 0 else f'"k": {k}']
+            if i % 3 == 0:
+                parts.append(f'"tag": "t{i % 7}"')
+            if i % 5 == 0:
+                parts.append(f'"flag": {"true" if i % 2 == 0 else "false"}')
+            obj = _json.loads("{" + ", ".join(parts) + "}")
+            for key, v in obj.items():
+                keys.append(key)
+                if isinstance(v, bool):
+                    vtypes.append("BOOLEAN")
+                elif isinstance(v, int):
+                    vtypes.append("UBIGINT" if v >= 0 else "BIGINT")
+                elif isinstance(v, float):
+                    vtypes.append("DOUBLE")
+                else:
+                    vtypes.append("VARCHAR")
+        part = pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "vtype": pa.array(vtypes, pa.string()),
+                "n": pa.array(np.ones(len(keys), np.int64)),
+            }
+        )
+        return (
+            part.group_by(["key", "vtype"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["key", "vtype", "n"])
+        )
+
+    return (
+        _read_sized(sf_dir, "events", ["event_id", "props"])
+        .map_batches(kernel, batch_format="pyarrow")
+        .groupby(["key", "vtype"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_JSON_SCHEMA_INFER = """
+WITH dirty AS (
+  SELECT '{"k": ' ||
+         CASE WHEN event_id % 7 = 0
+              THEN CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+                   || '.5'
+              ELSE CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+         END ||
+         CASE WHEN event_id % 3 = 0
+              THEN ', "tag": "t' || CAST(event_id % 7 AS VARCHAR) || '"'
+              ELSE '' END ||
+         CASE WHEN event_id % 5 = 0
+              THEN ', "flag": ' ||
+                   CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END
+              ELSE '' END || '}' AS j
+  FROM events
+),
+keys AS (SELECT j, unnest(json_keys(j)) AS key FROM dirty)
+SELECT key, json_type(j, '$.' || key) AS vtype,
+       CAST(count(*) AS BIGINT) AS n
+FROM keys GROUP BY key, json_type(j, '$.' || key)
+"""
+
+
 def q_text_normalize(sf_dir: str):
     """CCNet-style text normalization (strip accents -> lowercase ->
     collapse spaces; Wenzek et al. 2020) over a deterministically
@@ -14435,6 +14519,7 @@ QUERIES = {
     "schema_evolution": q_schema_evolution,
     "spatial_join": q_spatial_join,
     "text_normalize": q_text_normalize,
+    "json_schema_infer": q_json_schema_infer,
     "corpus_pipeline": q_corpus_pipeline,
     "pushdown_scan": q_pushdown_scan,
     "epoch_plan": q_epoch_plan,
@@ -14645,6 +14730,7 @@ ORACLE_SQL = {
     "schema_evolution": SQL_SCHEMA_EVOLUTION,
     "spatial_join": SQL_SPATIAL_JOIN,
     "text_normalize": SQL_TEXT_NORMALIZE,
+    "json_schema_infer": SQL_JSON_SCHEMA_INFER,
     "corpus_pipeline": _sql_corpus_pipeline(),
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "epoch_plan": SQL_EPOCH_PLAN,
