@@ -7453,6 +7453,89 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_avro_roundtrip(sf_dir: str):
+    """Avro object-container source + sink — the Kafka/Hadoop row
+    interchange format, implemented FROM SCRATCH against the public
+    Avro 1.11 spec (`functions/avro.py`: zigzag varints, length-prefixed
+    strings, container blocks + sync markers; the test suite pins the
+    byte layout with a hand-assembled spec fixture, so a
+    symmetric-but-wrong codec cannot pass). The events projection
+    streams out one ``.avro`` per Ray block and back in as a
+    path-sharded Dataset (one decode task per file — Avro's varint
+    stream is sequential per file, parallel across files), then rolls
+    up per-type counts, id sums, and exact-cents value sums. The oracle
+    recomputes from the parquet table, so any encode/decode loss (sign
+    handling in zigzag, utf-8 slicing, double byte order) flips the
+    hash."""
+    from .functions.avro import read_avro, write_avro
+
+    def build(d: str) -> None:
+        def to_avro(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"n": pa.array([], pa.int64())})
+            mn = pc.min(t.column("event_id")).as_py()
+            write_avro(t, os.path.join(d, f"part-{mn}.avro"))
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        _read_sized(
+            sf_dir, "events", ["event_id", "user_id", "event_type", "value"]
+        ).map_batches(to_avro, batch_format="pyarrow").count()
+
+    out_dir = _source_cached_dir(sf_dir, "events", "avro", "avro-v1", build)
+
+    def read_and_partial(t: pa.Table) -> pa.Table:
+        parts = [read_avro(p) for p in t.column("path").to_pylist()]
+        w = pa.concat_tables(parts)
+        part = pa.table(
+            {
+                "event_type": w.column("event_type"),
+                "n_events": pa.array(np.ones(w.num_rows, dtype=np.int64)),
+                "sum_user_ids": w.column("user_id"),
+                "value_c": _cents(w.column("value")),
+            }
+        )
+        g = part.group_by("event_type").aggregate(
+            [("n_events", "sum"), ("sum_user_ids", "sum"), ("value_c", "sum")]
+        )
+        return g.rename_columns(
+            ["event_type", "n_events", "sum_user_ids", "value_c"]
+        )
+
+    agg = (
+        _paths_dataset(out_dir, "avro")
+        .map_batches(read_and_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_user_ids", alias_name="sum_user_ids"),
+            Sum("value_c", alias_name="value_c"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_events": t.column("n_events"),
+                "sum_user_ids": t.column("sum_user_ids"),
+                "sum_value": pc.divide(
+                    t.column("value_c").cast(pa.float64()), pa.scalar(100.0)
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("event_type")
+
+
+SQL_AVRO_ROUNDTRIP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(user_id) AS BIGINT) AS sum_user_ids,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_heavy_hitters(sf_dir: str):
     """Streaming heavy hitters (Misra-Gries 1982): ALL tokens with
     corpus frequency > N/256, exactly — per-block k-counter sketches
@@ -14505,6 +14588,7 @@ QUERIES = {
     "unicode_nfc": q_unicode_nfc,
     "customer_order_fulljoin": q_customer_order_fulljoin,
     "orc_roundtrip": q_orc_roundtrip,
+    "avro_roundtrip": q_avro_roundtrip,
     "feather_roundtrip": q_feather_roundtrip,
     "heavy_hitters": q_heavy_hitters,
     "charset_sniff": q_charset_sniff,
@@ -14716,6 +14800,7 @@ ORACLE_SQL = {
     "unicode_nfc": SQL_UNICODE_NFC,
     "customer_order_fulljoin": SQL_CUSTOMER_ORDER_FULLJOIN,
     "orc_roundtrip": SQL_ORC_ROUNDTRIP,
+    "avro_roundtrip": SQL_AVRO_ROUNDTRIP,
     "feather_roundtrip": SQL_FEATHER_ROUNDTRIP,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "charset_sniff": SQL_CHARSET_SNIFF,
