@@ -553,6 +553,79 @@ def range_rolling(
         .map_groups(per_part, batch_format="pyarrow")
     )
 
+def scd2_versions(
+    ds: "ray.data.Dataset",
+    num_parts: int = _SESSION_PARTS,
+) -> "ray.data.Dataset":
+    """Type-2 slowly-changing-dimension build: collapse each user's
+    event stream into STATE VERSIONS — a new version opens only when
+    ``event_type`` CHANGES (classic SCD2 change detection), carrying
+    ``[valid_from_us, valid_to_us)`` validity bounds with NULL
+    ``valid_to_us`` on the current version. The warehouse dimension
+    maintenance shape (Kimball SCD type 2) as one Ray pipeline.
+
+    ONE hash-partition shuffle on user_id; per partition everything is
+    run-boundary vectorization over the (user, ts, event_id) order:
+    shifted compare for the change mask, run-relative arange for the
+    version number, a shifted take for the closing timestamp. Output is
+    change-row-sized (<= input), nothing gathers driver-side.
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_p", pa.array(((u * _KNUTH) % np.uint64(num_parts)).astype(np.int32))
+        )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "version": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "valid_from_us": pa.array([], pa.int64()),
+                    "valid_to_us": pa.array([], pa.int64()),
+                }
+            )
+        order, u, ts, _eid = _user_sorted(t)
+        et = (
+            t.column("event_type")
+            .combine_chunks()
+            .take(pa.array(order))
+            .to_numpy(zero_copy_only=False)
+        )
+        first = np.r_[True, u[1:] != u[:-1]]
+        change = first | np.r_[False, et[1:] != et[:-1]]
+        ku, kts, ket = u[change], ts[change], et[change]
+        # version = 1-based rank within the user's change rows
+        kfirst = np.r_[True, ku[1:] != ku[:-1]]
+        starts = np.flatnonzero(kfirst)
+        runlen = np.diff(np.r_[starts, ku.size])
+        version = np.arange(ku.size, dtype=np.int64) - np.repeat(starts, runlen) + 1
+        # valid_to = next version's open ts within the same user, NULL on last
+        valid_to = np.r_[kts[1:], np.int64(0)]
+        last = np.r_[kfirst[1:], True]
+        return pa.table(
+            {
+                "user_id": pa.array(ku),
+                "version": pa.array(version),
+                "event_type": pa.array(ket),
+                "valid_from_us": pa.array(kts),
+                "valid_to_us": pa.array(
+                    np.ma.masked_array(valid_to, mask=last), pa.int64(),
+                    from_pandas=True,
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
 def session_paths(
     ds: "ray.data.Dataset",
     gap_minutes: int = 30,

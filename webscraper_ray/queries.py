@@ -10697,6 +10697,40 @@ FROM events
 """
 
 
+def q_scd2_versions(sf_dir: str):
+    """Type-2 slowly-changing-dimension build (Kimball SCD2): per user,
+    a new version opens only when event_type CHANGES, each carrying
+    [valid_from_us, valid_to_us) with NULL valid_to on the current
+    version — the dimension-maintenance warehouse shape. One user-keyed
+    shuffle, run-boundary vectorization (`windows.scd2_versions`)."""
+    from .functions.windows import scd2_versions
+
+    return scd2_versions(
+        _read_sized(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    )
+
+
+SQL_SCD2_VERSIONS = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       event_type,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_price_histogram(sf_dir: str):
     """Fixed-width bucket histogram of a HIGH-CARDINALITY float column
     (o_totalprice) — the documented scale path where exact_quantiles'
@@ -14510,6 +14544,7 @@ QUERIES = {
     "rolling_value_sum": q_rolling_value_sum,
     "rolling_median": q_rolling_median,
     "event_gaps": q_event_gaps,
+    "scd2_versions": q_scd2_versions,
     "asof_latest_order": q_asof_latest_order,
     "attribution_window": q_attribution_window,
     "topk_events_per_user": q_topk_events_per_user,
@@ -14708,6 +14743,7 @@ ORACLE_SQL = {
     "rolling_value_sum": SQL_ROLLING_VALUE_SUM,
     "rolling_median": SQL_ROLLING_MEDIAN,
     "event_gaps": SQL_EVENT_GAPS,
+    "scd2_versions": SQL_SCD2_VERSIONS,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "png_decode": SQL_PNG_DECODE,
     "gif_decode": SQL_GIF_DECODE,
