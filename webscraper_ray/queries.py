@@ -4126,6 +4126,104 @@ SELECT doc AS doc_id, min(depth) AS depth FROM bfs GROUP BY doc
 """
 
 
+def q_shortest_paths(sf_dir: str):
+    """Bounded-hop WEIGHTED shortest paths (Bellman-Ford rounds) from
+    the seed set over the derived md5 link graph: min path cost within
+    <= 3 edges, edge weight = 1 + (src+dst) % 5 (integer-exact on both
+    sides). Each round relaxes ONLY the frontier (nodes improved last
+    round — provably equivalent to relax-all), as one streaming pass
+    over the distributed edge set against a broadcast (node, cost)
+    table; candidate minima pre-reduce per batch, then hash-partition +
+    one arrow group_by min per partition (the `_hash_sum_rows`
+    discipline). The per-round gather is closure-sized — the same
+    documented involved-ids-class bound as `reachable_docs` (the
+    production crawl keeps its frontier distributed; the 3-hop bound is
+    what makes this analytic form output-sized). Gated by a
+    recursive-CTE oracle accumulating the same integer costs."""
+    from .functions.dedup import _hash_distinct  # noqa: F401  (family)
+    from .functions.stats import _bucket_part
+
+    edges, n_nodes = _link_edges(sf_dir)
+    edges = edges.materialize()
+
+    import ray as _ray
+
+    seeds = np.arange(0, n_nodes, 97, dtype=np.int64)
+    best: dict[int, int] = {int(s): 0 for s in seeds}
+    f_nodes, f_costs = seeds, np.zeros(seeds.size, dtype=np.int64)
+    for _ in range(3):
+        order = np.argsort(f_nodes)
+        ref = _ray.put((f_nodes[order], f_costs[order]))
+
+        def relax(t: pa.Table, _ref=ref) -> pa.Table:
+            fn, fc = _ray.get(_ref)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            hit = _isin_sorted(src, fn)
+            s, d = src[hit], dst[hit]
+            c = fc[np.searchsorted(fn, s)] + 1 + (s + d) % 5
+            # batch-local min per dst before anything ships
+            o = np.lexsort((c, d))
+            d, c = d[o], c[o]
+            firsts = np.r_[True, d[1:] != d[:-1]] if d.size else np.array([], bool)
+            return pa.table(
+                {"dst": pa.array(d[firsts]), "cost": pa.array(c[firsts])}
+            )
+
+        def add_p(t: pa.Table) -> pa.Table:
+            k = t.column("dst").to_numpy(zero_copy_only=False)
+            return t.append_column("_p", pa.array(_bucket_part(k, 16)))
+
+        def min_part(t: pa.Table) -> pa.Table:
+            g = t.drop_columns(["_p"]).group_by("dst").aggregate([("cost", "min")])
+            return g.rename_columns(["dst", "cost"])
+
+        cand = (
+            edges.map_batches(relax, batch_format="pyarrow")
+            .map_batches(add_p, batch_format="pyarrow")
+            .groupby("_p")
+            .map_groups(min_part, batch_format="pyarrow")
+            .take_all()
+        )
+        improved_n, improved_c = [], []
+        for r in cand:
+            d, c = int(r["dst"]), int(r["cost"])
+            if d not in best or c < best[d]:
+                best[d] = c
+                improved_n.append(d)
+                improved_c.append(c)
+        if not improved_n:
+            break
+        f_nodes = np.array(improved_n, dtype=np.int64)
+        f_costs = np.array(improved_c, dtype=np.int64)
+
+    items = sorted(best.items())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([k for k, _ in items], pa.int64()),
+                "cost": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+    )
+
+
+def _sql_shortest_paths() -> str:
+    return f"""
+WITH RECURSIVE e AS (
+{_sql_link_edges()}
+),
+sp(doc, cost, depth) AS (
+  SELECT doc_id, CAST(0 AS BIGINT), 0 FROM documents WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.dst, sp.cost + 1 + (e.src + e.dst) % 5, sp.depth + 1
+  FROM sp JOIN e ON e.src = sp.doc
+  WHERE sp.depth < 3
+)
+SELECT doc AS doc_id, min(cost) AS cost FROM sp GROUP BY doc
+"""
+
+
 def q_global_price_rank(sf_dir: str):
     """GLOBAL dense_rank over all orders by totalprice (no partition
     key) — the global-window pattern: exact ranks without any global
@@ -14665,6 +14763,7 @@ QUERIES = {
     "covered_time": q_covered_time,
     "activity_streaks": q_activity_streaks,
     "reachable_docs": q_reachable_docs,
+    "shortest_paths": q_shortest_paths,
     "global_price_rank": q_global_price_rank,
     "small_qty_revenue": q_small_qty_revenue,
     "cntrycode_balance": q_cntrycode_balance,
@@ -14880,6 +14979,7 @@ ORACLE_SQL = {
     "covered_time": SQL_COVERED_TIME,
     "activity_streaks": SQL_ACTIVITY_STREAKS,
     "reachable_docs": _sql_reachable_docs(),
+    "shortest_paths": _sql_shortest_paths(),
     "global_price_rank": SQL_GLOBAL_PRICE_RANK,
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "cntrycode_balance": SQL_CNTRYCODE_BALANCE,
