@@ -4317,6 +4317,141 @@ FROM orders
 """
 
 
+def q_spend_quartiles(sf_dir: str):
+    """ntile(4) — equal-frequency tiling of customers by total spend
+    (the BI quartile-segmentation shape), with per-tile counts, exact
+    spend sums, and boundary min/max. No global sort: the per-customer
+    rollup is hash-partitioned; a BOUNDED coarse-bucket count table
+    ($10k spend buckets) gathers driver-side and its prefix sums become
+    each bucket's global ROW-rank offset (ascending `global_price_rank`
+    variant); one bucket-keyed exchange ranks each bucket locally by
+    (spend, custkey) — ntile's deterministic ORDER BY — and assigns
+    tiles with SQL's first-(n%4)-tiles-get-one-extra rule; per-tile
+    partials reduce to the 4-row result."""
+    from .functions.stats import _bucket_part
+
+    W = pa.scalar(1_000_000, pa.int64())  # $10k coarse buckets
+    orders = _read_sized(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        part = pa.table(
+            {
+                "c": t.column("o_custkey"),
+                "s": _cents(t.column("o_totalprice")),
+            }
+        )
+        g = part.group_by("c").aggregate([("s", "sum")])
+        return g.rename_columns(["c", "s"])
+
+    def add_p(t: pa.Table) -> pa.Table:
+        k = t.column("c").to_numpy(zero_copy_only=False)
+        return t.append_column("_p", pa.array(_bucket_part(k, 16)))
+
+    def comb(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["_p"]).group_by("c").aggregate([("s", "sum")])
+        out = g.rename_columns(["c", "s"])
+        return out.append_column(
+            "bucket", pc.divide(out.column("s"), W)
+        )
+
+    spend = (
+        orders.map_batches(spend_partial, batch_format="pyarrow")
+        .map_batches(add_p, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(comb, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["bucket", "c"]).group_by("bucket").aggregate([("c", "count")])
+        return g.rename_columns(["bucket", "n"])
+
+    bucket_rows = (
+        spend.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    bucket_rows.sort(key=lambda r: r["bucket"])  # ascending spend order
+    offset, offsets = 0, {}
+    for r in bucket_rows:
+        offsets[int(r["bucket"])] = offset
+        offset += int(r["n"])
+    n_total = offset
+    q, rem = divmod(n_total, 4)
+
+    def tile_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "tile": pa.array([], pa.int64()),
+                    "n_customers": pa.array([], pa.int64()),
+                    "spend_c": pa.array([], pa.int64()),
+                    "min_c": pa.array([], pa.int64()),
+                    "max_c": pa.array([], pa.int64()),
+                }
+            )
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        b = int(t.column("bucket")[0].as_py())
+        order = np.lexsort((c, s))
+        s = s[order]
+        rank0 = offsets[b] + np.arange(s.size, dtype=np.int64)
+        # SQL ntile: first `rem` tiles hold q+1 rows, the rest q
+        cut = rem * (q + 1)
+        tile = np.where(
+            rank0 < cut, rank0 // max(q + 1, 1), rem + (rank0 - cut) // max(q, 1)
+        ).astype(np.int64) + 1
+        part = pa.table(
+            {
+                "tile": pa.array(tile),
+                "n_customers": pa.array(np.ones(s.size, dtype=np.int64)),
+                "spend_c": pa.array(s),
+                "min_c": pa.array(s),
+                "max_c": pa.array(s),
+            }
+        )
+        g = part.group_by("tile").aggregate(
+            [
+                ("n_customers", "sum"),
+                ("spend_c", "sum"),
+                ("min_c", "min"),
+                ("max_c", "max"),
+            ]
+        )
+        return g.rename_columns(["tile", "n_customers", "spend_c", "min_c", "max_c"])
+
+    from ray.data.aggregate import Max, Min
+
+    return (
+        spend.groupby("bucket")
+        .map_groups(tile_bucket, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("spend_c", alias_name="spend_c"),
+            Min("min_c", alias_name="min_c"),
+            Max("max_c", alias_name="max_c"),
+        )
+        .sort("tile")
+    )
+
+
+SQL_SPEND_QUARTILES = """
+WITH spend AS (
+  SELECT o_custkey AS c,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT c, s, CAST(ntile(4) OVER (ORDER BY s, c) AS BIGINT) AS tile FROM spend
+)
+SELECT tile, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(s) AS BIGINT) AS spend_c,
+       min(s) AS min_c, max(s) AS max_c
+FROM tiled GROUP BY tile ORDER BY tile
+"""
+
+
 def q_small_qty_revenue(sf_dir: str):
     """TPC-H Q17 shape: correlated avg-quantity subquery — revenue from
     lineitems whose quantity is below 1/5 of their part's average
@@ -14765,6 +14900,7 @@ QUERIES = {
     "reachable_docs": q_reachable_docs,
     "shortest_paths": q_shortest_paths,
     "global_price_rank": q_global_price_rank,
+    "spend_quartiles": q_spend_quartiles,
     "small_qty_revenue": q_small_qty_revenue,
     "cntrycode_balance": q_cntrycode_balance,
     "copurchase_pairs": q_copurchase_pairs,
@@ -14981,6 +15117,7 @@ ORACLE_SQL = {
     "reachable_docs": _sql_reachable_docs(),
     "shortest_paths": _sql_shortest_paths(),
     "global_price_rank": SQL_GLOBAL_PRICE_RANK,
+    "spend_quartiles": SQL_SPEND_QUARTILES,
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "cntrycode_balance": SQL_CNTRYCODE_BALANCE,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
