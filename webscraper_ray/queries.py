@@ -13010,6 +13010,152 @@ ORDER BY id_a, id_b
 """
 
 
+def q_entity_resolution(sf_dir: str):
+    """Entity resolution end-to-end — the composition every record-
+    linkage pipeline runs: fuzzy-match name VARIANTS (edit distance
+    <= 1, the `dedup_edit1` family: deletion neighborhoods +
+    `edit_le1` verify), transitively close the match graph, pick the
+    lexicographic-min name as each entity's canonical id, then roll
+    every part row up to its resolved entity (row counts + exact
+    retail cents).
+
+    Scale shape: the corpus streams TWICE and shuffles never — the
+    name domain is vocabulary-bounded (the `vocab_top_tokens` class),
+    so distinct names gather driver-side where the candidate pairing
+    and union-find run on |vocab| items; the name -> entity map then
+    rides into one map-side broadcast attach + per-batch entity
+    partials, reduced by an |entities|-sized groupby. On a corpus
+    whose name domain ISN'T bounded, `dedup_edit1` +
+    `connected_components` is the distributed path (both in the
+    registry); this operator is the bounded-domain composition."""
+    from .functions.editdist import _neighborhood, edit_le1
+
+    parts_ds = _read_sized(sf_dir, "part", ["p_name", "p_retailprice"])
+
+    def name_partial(t: pa.Table) -> pa.Table:
+        return t.select(["p_name"]).group_by("p_name").aggregate([])
+
+    names = sorted(
+        {
+            r["p_name"]
+            for r in parts_ds.map_batches(
+                name_partial, batch_format="pyarrow"
+            ).take_all()
+        }
+    )
+    # candidate pairs via shared deletion keys, verified exactly
+    by_key: dict[str, list] = {}
+    for n in names:
+        for k in _neighborhood(n):
+            by_key.setdefault(k, []).append(n)
+    cand = set()
+    for bucket in by_key.values():
+        for i in range(len(bucket)):
+            for j in range(i + 1, len(bucket)):
+                a, b = sorted((bucket[i], bucket[j]))
+                cand.add((a, b))
+    # union-find over the verified |vocab|-sized match graph
+    parent = {n: n for n in names}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sorted(cand):
+        if edit_le1(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+    entity_of = {n: find(n) for n in names}
+    n_names_of: dict[str, int] = {}
+    for e in entity_of.values():
+        n_names_of[e] = n_names_of.get(e, 0) + 1
+
+    import ray as _ray
+
+    map_ref = _ray.put(entity_of)
+
+    def attach(t: pa.Table, _cache={}) -> pa.Table:  # noqa: B006
+        m = _cache.get("m")
+        if m is None:
+            m = _ray.get(map_ref)
+            _cache["m"] = m
+        # vectorized via the distinct-value trick: map uniques, take
+        nm = t.column("p_name")
+        uniq = pc.unique(nm.combine_chunks())
+        mapped = pa.array([m[u.as_py()] for u in uniq], pa.string())
+        idx = pc.index_in(nm, value_set=uniq)
+        part = pa.table(
+            {
+                "entity": mapped.take(idx.combine_chunks()),
+                "n_parts": pa.array(np.ones(t.num_rows, np.int64)),
+                "retail_c": _cents(t.column("p_retailprice")),
+            }
+        )
+        g = part.group_by("entity").aggregate(
+            [("n_parts", "sum"), ("retail_c", "sum")]
+        )
+        return g.rename_columns(["entity", "n_parts", "retail_c"])
+
+    agg = (
+        parts_ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("entity")
+        .aggregate(
+            Sum("n_parts", alias_name="n_parts"),
+            Sum("retail_c", alias_name="retail_c"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ents = t.column("entity").to_pylist()
+        return t.append_column(
+            "n_names", pa.array([n_names_of[e] for e in ents], pa.int64())
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("entity")
+
+
+SQL_ENTITY_RESOLUTION = """
+WITH RECURSIVE names AS (
+  SELECT DISTINCT p_name AS name FROM part
+),
+keys AS (
+  SELECT name,
+         CASE WHEN t.i = 0 THEN name
+              ELSE substr(name, 1, t.i - 1) || substr(name, t.i + 1) END AS k
+  FROM names CROSS JOIN LATERAL
+       (SELECT unnest(generate_series(0, length(name))) AS i) t
+),
+pairs AS (
+  SELECT DISTINCT a.name AS na, b.name AS nb
+  FROM keys a JOIN keys b ON a.k = b.k AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 1
+),
+edges AS (
+  SELECT na AS src, nb AS dst FROM pairs
+  UNION ALL SELECT nb, na FROM pairs
+),
+reach AS (
+  SELECT src AS id, dst AS r FROM edges
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+canon AS (
+  SELECT id AS name, least(id, min(r)) AS entity FROM reach GROUP BY id
+)
+SELECT COALESCE(c.entity, p.p_name) AS entity,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS retail_c,
+       CAST(count(DISTINCT p.p_name) AS BIGINT) AS n_names
+FROM part p LEFT JOIN canon c ON c.name = p.p_name
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_source_trend(sf_dir: str):
     """Per-group OLS trend line (slope + intercept of n_chars vs doc_id
     per source) with EXACT-INTEGER moment accumulation — the grouped
@@ -14831,6 +14977,7 @@ QUERIES = {
     "shipmode_priority": q_shipmode_priority,
     "waiting_suppliers": q_waiting_suppliers,
     "dedup_edit1": q_dedup_edit1,
+    "entity_resolution": q_entity_resolution,
     "source_trend": q_source_trend,
     "link_triangles": q_link_triangles,
     "dedup_incremental": q_dedup_incremental,
@@ -15046,6 +15193,7 @@ ORACLE_SQL = {
     "shipmode_priority": SQL_SHIPMODE_PRIORITY,
     "waiting_suppliers": SQL_WAITING_SUPPLIERS,
     "dedup_edit1": SQL_DEDUP_EDIT1,
+    "entity_resolution": SQL_ENTITY_RESOLUTION,
     "source_trend": SQL_SOURCE_TREND,
     "link_triangles": _sql_link_triangles(),
     "dedup_incremental": _sql_dedup_incremental(),
