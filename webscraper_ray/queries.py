@@ -5868,6 +5868,91 @@ GROUP BY b.query_id
 """
 
 
+def q_hybrid_search_rrf(sf_dir: str):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR'09): fuse the BM25 keyword ranking and the exact-cosine
+    vector ranking — the registry's own two search pipelines — into one
+    list per query with score Σ 1/(60 + rank), top-5 by (fused DESC,
+    doc ASC). The modern lexical+semantic search composition, itself
+    value-hash gated (both operand oracles are composed as subqueries).
+
+    Scale shape: both operand pipelines keep their own scale shapes;
+    the fusion joins two k·|queries|-bounded result sets driver-side
+    (≤ 50 rows each, the `ann_recall_eval` class). The embeddings table
+    is row-aligned with documents (vec_id == doc_id), which is what
+    makes cross-modal fusion well-defined here."""
+    from .functions.tfidf import _round6_vec
+
+    bm = [
+        (int(r["query_id"]), int(r["doc_id"]), float(r["score"]))
+        for r in q_bm25_search(sf_dir).take_all()
+    ]
+    an = [
+        (int(r["query_id"]), int(r["vec_id"]), float(r["cos_sim"]))
+        for r in q_ann_bruteforce(sf_dir).take_all()
+    ]
+    qids = sorted({q for q, _, _ in bm})  # fuse where BOTH sides query
+
+    def ranks(rows):
+        out = {}
+        by_q: dict[int, list] = {}
+        for q, d, s in rows:
+            by_q.setdefault(q, []).append((d, s))
+        for q, lst in by_q.items():
+            lst.sort(key=lambda x: (-x[1], x[0]))
+            for rk, (d, _) in enumerate(lst, start=1):
+                out[(q, d)] = rk
+        return out
+
+    fused: dict[tuple, float] = {}
+    for (q, d), rk in ranks(bm).items():
+        fused[(q, d)] = fused.get((q, d), 0.0) + 1.0 / (60 + rk)
+    for (q, d), rk in ranks(an).items():
+        if q in set(qids):
+            fused[(q, d)] = fused.get((q, d), 0.0) + 1.0 / (60 + rk)
+
+    rows = []
+    for q in qids:
+        cand = [(d, s) for (qq, d), s in fused.items() if qq == q]
+        cand.sort(key=lambda x: (-_round6_vec(np.array([x[1]]))[0], x[0]))
+        for d, s in cand[:5]:
+            rows.append((q, d, float(_round6_vec(np.array([s]))[0])))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rrf": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _sql_hybrid_search_rrf() -> str:
+    return f"""
+WITH b AS ({_sql_bm25_search()}),
+a AS ({SQL_ANN_BRUTEFORCE}),
+br AS (
+  SELECT query_id, doc_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+  FROM b
+),
+ar AS (
+  SELECT query_id, vec_id AS doc_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM a WHERE query_id IN (SELECT DISTINCT query_id FROM br)
+),
+u AS (SELECT * FROM br UNION ALL SELECT * FROM ar),
+f AS (
+  SELECT query_id, doc_id, round(sum(1.0 / (60 + rk)), 6) AS rrf
+  FROM u GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+  FROM f
+) WHERE rn <= 5
+"""
+
+
 def q_hourly_heatmap(sf_dir: str):
     """Activity heatmap: event count + exact value sum per (ISO day of
     week, hour of day) — the 168-cell profiling matrix every operations
@@ -15067,6 +15152,7 @@ QUERIES = {
     "conversion_latency": q_conversion_latency,
     "lorenz_deciles": q_lorenz_deciles,
     "ann_recall_eval": q_ann_recall_eval,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
     "hourly_heatmap": q_hourly_heatmap,
     "nation_top_customers": q_nation_top_customers,
     "length_outliers_by_source": q_length_outliers_by_source,
@@ -15285,6 +15371,7 @@ ORACLE_SQL = {
     "conversion_latency": SQL_CONVERSION_LATENCY,
     "lorenz_deciles": SQL_LORENZ_DECILES,
     "ann_recall_eval": _sql_ann_recall_eval(),
+    "hybrid_search_rrf": _sql_hybrid_search_rrf(),
     "hourly_heatmap": SQL_HOURLY_HEATMAP,
     "nation_top_customers": SQL_NATION_TOP_CUSTOMERS,
     "length_outliers_by_source": SQL_LENGTH_OUTLIERS_BY_SOURCE,
