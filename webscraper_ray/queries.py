@@ -13241,6 +13241,70 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_dedup_ensemble(sf_dir: str):
+    """Ensemble near-dup VOTING: pairs flagged by >= 2 of the three
+    independent near-dup families (minhash-Jaccard, simhash-hamming,
+    exact n-gram Jaccard) — the production curation trick for cutting
+    single-detector false positives before destructive dedup. Pure
+    composition: the three registered pair pipelines run with their own
+    scale shapes; their output-sized pair sets union and reduce through
+    ONE xor-mix hash-partition count (`xor_mix_parts` — no sort-based
+    Aggregate over the pair domain), HAVING n_votes >= 2."""
+    from .functions.dedup import xor_mix_parts
+
+    def pairs_only(t: pa.Table) -> pa.Table:
+        return t.select(["doc_a", "doc_b"])
+
+    u = (
+        q_dedup_minhash(sf_dir)
+        .map_batches(pairs_only, batch_format="pyarrow")
+        .union(
+            q_dedup_simhash_near(sf_dir).map_batches(
+                pairs_only, batch_format="pyarrow"
+            )
+        )
+        .union(
+            q_dedup_ngram(sf_dir).map_batches(pairs_only, batch_format="pyarrow")
+        )
+    )
+
+    def add_p(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return t.append_column("_p", pa.array(xor_mix_parts([a, b], 16)))
+
+    def vote(t: pa.Table) -> pa.Table:
+        g = (
+            t.drop_columns(["_p"])
+            .group_by(["doc_a", "doc_b"])
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns(["doc_a", "doc_b", "n_votes"])
+        return g.filter(pc.greater_equal(g.column("n_votes"), pa.scalar(2)))
+
+    return (
+        u.map_batches(add_p, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(vote, batch_format="pyarrow")
+        .sort(["doc_a", "doc_b"])
+    )
+
+
+def _sql_dedup_ensemble() -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_a, doc_b FROM ({_sql_dedup_minhash()})
+  UNION ALL
+  SELECT doc_a, doc_b FROM ({_sql_dedup_simhash_near()})
+  UNION ALL
+  SELECT doc_a, doc_b FROM ({_sql_dedup_ngram()})
+)
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_votes
+FROM u GROUP BY doc_a, doc_b HAVING count(*) >= 2
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_source_trend(sf_dir: str):
     """Per-group OLS trend line (slope + intercept of n_chars vs doc_id
     per source) with EXACT-INTEGER moment accumulation — the grouped
@@ -14989,6 +15053,7 @@ QUERIES = {
     "dedup_ngram": q_dedup_ngram,
     "dedup_embed": q_dedup_embed,
     "dedup_simhash_near": q_dedup_simhash_near,
+    "dedup_ensemble": q_dedup_ensemble,
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,
     "contamination_check": q_contamination_check,
@@ -15224,6 +15289,7 @@ ORACLE_SQL = {
     "dedup_ngram": _sql_dedup_ngram(),
     "dedup_embed": _sql_dedup_embed(),
     "dedup_simhash_near": _sql_dedup_simhash_near(),
+    "dedup_ensemble": _sql_dedup_ensemble(),
     "lang_id": _sql_lang_id(),
     "fingerprint": SQL_FINGERPRINT,
     "asof_latest_order": SQL_ASOF_LATEST_ORDER,
