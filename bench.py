@@ -88,6 +88,13 @@ BENCH_QUERIES = [
     "unicode_nfc",
     "shuffle_order",
     "corpus_pipeline",
+    "paragraph_dedup",
+    "scd2_versions",
+    "spend_quartiles",
+    "shortest_paths",
+    "hybrid_search_rrf",
+    "avro_roundtrip",
+    "dedup_ensemble",
     "epoch_plan",
     "token_budget_select",
     "pushdown_scan",

@@ -626,6 +626,117 @@ def scd2_versions(
     )
 
 
+def multitouch_credits(
+    ds: "ray.data.Dataset",
+    window_us: int = 7 * 86_400_000_000,
+    num_parts: int = _SESSION_PARTS,
+) -> "ray.data.Dataset":
+    """U-shaped multi-touch attribution (the ad-tech warehouse shape):
+    every purchase distributes 10 000 basis points of credit over the
+    same user's clicks in the preceding ``window_us`` (ts in
+    [pt - w, pt), ordered by ts then event_id): one click takes all
+    10 000; two take 5 000 each; three-plus give first and last 4 000
+    each and split the remaining 2 000 over the middles by exact
+    integer division, remainder to the first middle — so every credit
+    is an exact int64 and per-click sums are order-free.
+
+    ONE user-keyed shuffle (purchases and clicks of a user co-locate);
+    per partition the click windows come from two segment-shifted
+    searchsorted probes (the `range_rolling` axis trick, overflow-
+    guarded) and the (purchase x click) expansion is the repeat/cumsum
+    triangular indexing — no per-purchase Python. A click's total
+    credit reduces inside its own partition; output is
+    credited-click-sized."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_p", pa.array(((u * _KNUTH) % np.uint64(num_parts)).astype(np.int32))
+        )
+
+    w = np.int64(window_us)
+
+    def per_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "credit_bp": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        order, u, ts, eid = _user_sorted(t)
+        kind = (
+            t.column("event_type")
+            .combine_chunks()
+            .take(pa.array(order))
+            .to_numpy(zero_copy_only=False)
+        )
+        # shared shifted axis over ALL rows (purchases + clicks), then
+        # masked views — both sides must live on the same axis
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], u.size]
+        group = np.zeros(u.size, dtype=np.int64)
+        group[starts] = 1
+        group = np.cumsum(group) - 1
+        seg_min = ts[starts]
+        spans = (ts[ends - 1] - seg_min).astype(np.float64)
+        if (spans + float(w) + 1.0).sum() >= float(np.iinfo(np.int64).max):
+            raise OverflowError(
+                "multitouch_credits: partition time spans overflow the "
+                "int64 shift domain; shrink window_us or raise num_parts"
+            )
+        bases = np.r_[0, np.cumsum((ts[ends - 1] - seg_min) + w + 1)[:-1]]
+        shifted = (ts - seg_min[group]) + w + bases[group]
+
+        is_c = kind == "click"
+        is_p = kind == "purchase"
+        cax, cid = shifted[is_c], eid[is_c]
+        pax = shifted[is_p]
+        if cax.size == 0 or pax.size == 0:
+            return empty
+        lo = np.searchsorted(cax, pax - w, side="left")
+        hi = np.searchsorted(cax, pax, side="left")
+        k = hi - lo
+        total = int(k.sum())
+        if total == 0:
+            return empty
+        pidx = np.repeat(np.arange(k.size), k)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.r_[0, np.cumsum(k)[:-1]], k
+        )
+        cpos = lo[pidx] + within
+        pos = within + 1
+        kk = k[pidx]
+        mid_div = 2000 // np.maximum(kk - 2, 1)
+        mid_rem = 2000 % np.maximum(kk - 2, 1)
+        credit = np.where(
+            kk == 1,
+            10_000,
+            np.where(
+                kk == 2,
+                5_000,
+                np.where(
+                    (pos == 1) | (pos == kk),
+                    4_000,
+                    mid_div + np.where(pos == 2, mid_rem, 0),
+                ),
+            ),
+        ).astype(np.int64)
+        ids = cid[cpos]
+        uniq, inv = np.unique(ids, return_inverse=True)
+        sums = np.bincount(inv, weights=credit).astype(np.int64)
+        return pa.table(
+            {"event_id": pa.array(uniq), "credit_bp": pa.array(sums)}
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
 def session_paths(
     ds: "ray.data.Dataset",
     gap_minutes: int = 30,

@@ -2317,6 +2317,60 @@ def q_attribution_window(sf_dir: str):
     )
 
 
+def q_multitouch_attribution(sf_dir: str):
+    """U-shaped multi-touch attribution: each purchase spreads 10 000
+    basis points over the user's clicks in the prior 7 days (first/last
+    40%, middles split the rest by exact integer division) — per-click
+    credit totals in exact int64, order-free under any parallelism
+    (`windows.multitouch_credits`)."""
+    from .functions.windows import multitouch_credits
+
+    ev = _read_sized(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(
+                t.column("event_type"),
+                value_set=pa.array(["click", "purchase"]),
+            )
+        )
+
+    return multitouch_credits(
+        ev.map_batches(keep, batch_format="pyarrow")
+    ).sort("event_id")
+
+
+SQL_MULTITOUCH_ATTRIBUTION = """
+WITH p AS (
+  SELECT event_id AS pid, user_id AS u, ts AS pt FROM events
+  WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS cid, user_id AS u, ts AS ct FROM events
+  WHERE event_type = 'click'
+),
+m AS (
+  SELECT p.pid, c.cid,
+         row_number() OVER (PARTITION BY p.pid ORDER BY c.ct, c.cid) AS pos,
+         count(*) OVER (PARTITION BY p.pid) AS k
+  FROM p JOIN c ON c.u = p.u
+   AND c.ct >= p.pt - INTERVAL 7 DAY AND c.ct < p.pt
+),
+cr AS (
+  SELECT cid,
+         CASE WHEN k = 1 THEN 10000
+              WHEN k = 2 THEN 5000
+              WHEN pos = 1 OR pos = k THEN 4000
+              ELSE (2000 // (k - 2))
+                   + (CASE WHEN pos = 2 THEN 2000 % (k - 2) ELSE 0 END)
+         END AS credit
+  FROM m
+)
+SELECT cid AS event_id, CAST(sum(credit) AS BIGINT) AS credit_bp
+FROM cr GROUP BY cid ORDER BY cid
+"""
+
+
 SQL_ATTRIBUTION_WINDOW = """
 SELECT p.event_id, p.user_id, p.ts, count(v.event_id) AS n_views
 FROM events p LEFT JOIN events v
@@ -8760,6 +8814,242 @@ FROM pts p JOIN pts q
 """
 
 
+def q_dbscan_clusters(sf_dir: str):
+    """DBSCAN density clustering (Ester et al., KDD'96) composed from
+    the registry's own distributed primitives: the grid radius join
+    supplies the eps-neighborhood graph, degree counts classify CORE
+    points (>= 3 neighbors), connected components over the core-core
+    subgraph form the clusters, BORDER points attach to the min core
+    neighbor's cluster, everything else is NOISE. Coordinates are
+    md5-scattered (Poisson, not lattice) and eps scales with corpus
+    density (~3 expected neighbors at any sf) so all three roles appear
+    at every scale.
+
+    Scale shape: one cell-keyed spatial shuffle for the pairs; degree =
+    xor-mix hash-partition count; core filtering and border attachment
+    are partitioned `Dataset.join`s (never a broadcast of the
+    corpus-proportional core set); the final role attach is one
+    left_outer join of the id-projected corpus. L-inf metric,
+    integer-exact — the oracle recomputes the whole chain including the
+    recursive closure."""
+    import math
+
+    from .functions.dedup import md5_u64, xor_mix_parts
+    from .functions.graph import attach_cluster_ids, connected_components
+    from .functions.spatial import grid_radius_join
+
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    eps = max(2, math.isqrt(3 * 1009 * 997 // (4 * n_docs)))
+    MINPTS = 3  # neighbors (self excluded), mirrored in the oracle
+
+    def coords(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "x": pa.array(
+                    [md5_u64(f"dbx:{i}") % 1009 for i in ids], pa.int64()
+                ),
+                "y": pa.array(
+                    [md5_u64(f"dby:{i}") % 997 for i in ids], pa.int64()
+                ),
+            }
+        )
+
+    pts = _read_sized(sf_dir, "documents", ["doc_id"]).map_batches(
+        coords, batch_format="pyarrow"
+    )
+    pairs = (
+        grid_radius_join(pts, radius=eps)
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    # degree per node: both directions, per-batch partials, ONE
+    # hash-partition count (no sort-based Aggregate over the id domain)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                t.column("a").to_numpy(zero_copy_only=False),
+                t.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"id": pa.array(u), "d": pa.array(c.astype(np.int64))})
+
+    def add_p(t: pa.Table) -> pa.Table:
+        k = t.column("id").to_numpy(zero_copy_only=False)
+        return t.append_column("_p", pa.array(xor_mix_parts([k], 16)))
+
+    def deg_comb(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["_p"]).group_by("id").aggregate([("d", "sum")])
+        g = g.rename_columns(["id", "d"])
+        return g.filter(pc.greater_equal(g.column("d"), pa.scalar(MINPTS))).select(
+            ["id"]
+        )
+
+    cores = (
+        pairs.map_batches(deg_partial, batch_format="pyarrow")
+        .map_batches(add_p, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(deg_comb, batch_format="pyarrow")
+        .materialize()
+    )
+
+    nparts = _join_partitions()
+    core_a = pairs.join(
+        cores, "inner", num_partitions=nparts, on=("a",), right_on=("id",)
+    )
+    core_edges = core_a.join(
+        cores, "inner", num_partitions=nparts, on=("b",), right_on=("id",)
+    )
+    comps = connected_components(core_edges, "a", "b")
+    # isolated cores become singleton clusters of themselves
+    core_lbl = attach_cluster_ids(cores, comps, id_col="id").select_columns(
+        ["id", "cluster_id"]
+    )
+
+    # border candidates: the NON-core end of any core/non-core pair,
+    # labeled by the core end's cluster — two partitioned joins
+    def flip(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t.column("b"), "b": t.column("a")})
+
+    both_dirs = pairs.union(pairs.map_batches(flip, batch_format="pyarrow"))
+    cand = both_dirs.join(
+        core_lbl, "inner", num_partitions=nparts, on=("a",), right_on=("id",)
+    ).select_columns(["b", "cluster_id"])
+    non_core_cand = cand.join(
+        cores,
+        "left_anti",
+        num_partitions=nparts,
+        on=("b",),
+        right_on=("id",),
+    )
+
+    def min_part(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["_p"]).group_by("b").aggregate([("cluster_id", "min")])
+        return g.rename_columns(["b", "cluster_id"])
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        k = t.column("b").to_numpy(zero_copy_only=False)
+        return t.append_column("_p", pa.array(xor_mix_parts([k], 16)))
+
+    border_lbl = (
+        non_core_cand.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(min_part, batch_format="pyarrow")
+    )
+
+    def role_core(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("id"),
+                "cluster_id": t.column("cluster_id"),
+                "role": pa.array(["core"] * t.num_rows, pa.string()),
+            }
+        )
+
+    def role_border(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("b"),
+                "cluster_id": t.column("cluster_id"),
+                "role": pa.array(["border"] * t.num_rows, pa.string()),
+            }
+        )
+
+    lbls = core_lbl.map_batches(role_core, batch_format="pyarrow").union(
+        border_lbl.map_batches(role_border, batch_format="pyarrow")
+    )
+    docs = _read_sized(sf_dir, "documents", ["doc_id"])
+    joined = docs.join(
+        lbls,
+        "left_outer",
+        num_partitions=nparts,
+        on=("doc_id",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "cluster_id": t.column("cluster_id"),
+                "role": pc.fill_null(t.column("role"), "noise"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def _sql_dbscan_clusters(sf_dir: str | None = None) -> str:
+    # eps must match the Ray side's density rule; the oracle is built
+    # per-corpus by the registry (sf_dir-independent callers pass None
+    # and the driver substitutes at bind time via {N} — here we inline
+    # the same integer rule DuckDB can evaluate from count(*)
+    return """
+WITH RECURSIVE parms AS (
+  SELECT greatest(2, CAST(floor(sqrt((3.0 * 1009 * 997) / (4 * count(*))))
+         AS BIGINT)) AS eps
+  FROM documents
+),
+pts AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('dbx:' || CAST(doc_id AS VARCHAR)), 1, 16))
+         ::UBIGINT % 1009 AS BIGINT) AS x,
+    CAST(('0x' || substr(md5('dby:' || CAST(doc_id AS VARCHAR)), 1, 16))
+         ::UBIGINT % 997 AS BIGINT) AS y
+  FROM documents
+),
+pairs AS (
+  SELECT p.doc_id AS a, q.doc_id AS b
+  FROM pts p JOIN pts q ON p.doc_id < q.doc_id
+  CROSS JOIN parms
+  WHERE abs(p.x - q.x) <= parms.eps AND abs(p.y - q.y) <= parms.eps
+),
+deg AS (
+  SELECT id, count(*) AS d FROM (
+    SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs
+  ) GROUP BY id
+),
+cores AS (SELECT id FROM deg WHERE d >= 3),
+ce AS (
+  SELECT a, b FROM pairs
+  JOIN cores ca ON ca.id = pairs.a
+  JOIN cores cb ON cb.id = pairs.b
+),
+edges AS (SELECT a AS src, b AS dst FROM ce UNION ALL SELECT b, a FROM ce),
+reach AS (
+  SELECT src AS id, dst AS rr FROM edges
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.rr
+),
+comp AS (SELECT id, least(id, min(rr)) AS lbl FROM reach GROUP BY id),
+core_lbl AS (
+  SELECT c.id, COALESCE(comp.lbl, c.id) AS lbl
+  FROM cores c LEFT JOIN comp ON comp.id = c.id
+),
+border AS (
+  SELECT bc.id, min(bc.lbl) AS lbl FROM (
+    SELECT p.b AS id, cl.lbl FROM pairs p JOIN core_lbl cl ON cl.id = p.a
+    UNION ALL
+    SELECT p.a, cl.lbl FROM pairs p JOIN core_lbl cl ON cl.id = p.b
+  ) bc
+  WHERE bc.id NOT IN (SELECT id FROM cores)
+  GROUP BY bc.id
+),
+lbls AS (
+  SELECT id, lbl, 'core' AS role FROM core_lbl
+  UNION ALL
+  SELECT id, lbl, 'border' FROM border
+)
+SELECT d.doc_id, l.lbl AS cluster_id, COALESCE(l.role, 'noise') AS role
+FROM documents d LEFT JOIN lbls l ON l.id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_schema_evolution(sf_dir: str):
     """Schema-evolution scan — the lake reality a 100-TB pipeline hits
     on day one: shards written before a column existed sit next to
@@ -15076,6 +15366,7 @@ QUERIES = {
     "scd2_versions": q_scd2_versions,
     "asof_latest_order": q_asof_latest_order,
     "attribution_window": q_attribution_window,
+    "multitouch_attribution": q_multitouch_attribution,
     "topk_events_per_user": q_topk_events_per_user,
     "stratified_sample": q_stratified_sample,
     "length_quantiles": q_length_quantiles,
@@ -15167,6 +15458,7 @@ QUERIES = {
     "anchor_text_agg": q_anchor_text_agg,
     "schema_evolution": q_schema_evolution,
     "spatial_join": q_spatial_join,
+    "dbscan_clusters": q_dbscan_clusters,
     "text_normalize": q_text_normalize,
     "json_schema_infer": q_json_schema_infer,
     "corpus_pipeline": q_corpus_pipeline,
@@ -15294,6 +15586,7 @@ ORACLE_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "asof_latest_order": SQL_ASOF_LATEST_ORDER,
     "attribution_window": SQL_ATTRIBUTION_WINDOW,
+    "multitouch_attribution": SQL_MULTITOUCH_ATTRIBUTION,
     "topk_events_per_user": SQL_TOPK_EVENTS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "length_quantiles": SQL_LENGTH_QUANTILES,
@@ -15385,6 +15678,7 @@ ORACLE_SQL = {
     "anchor_text_agg": SQL_ANCHOR_TEXT_AGG,
     "schema_evolution": SQL_SCHEMA_EVOLUTION,
     "spatial_join": SQL_SPATIAL_JOIN,
+    "dbscan_clusters": _sql_dbscan_clusters(),
     "text_normalize": SQL_TEXT_NORMALIZE,
     "json_schema_infer": SQL_JSON_SCHEMA_INFER,
     "corpus_pipeline": _sql_corpus_pipeline(),
