@@ -581,3 +581,179 @@ def heavy_hitter_tokens(ds, k: int = 256, text_col: str = "text"):
         .map_batches(keep_heavy, batch_format="pyarrow")
         .sort(["freq", "token"], descending=[True, False])
     )
+
+
+def distinctive_terms(
+    ds,
+    k: int = 5,
+    min_count: int = 20,
+    num_parts: int = 16,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> pa.Table:
+    """Distinctive vocabulary per language: top-``k`` tokens by LIFT —
+    (within-group share) / (global share) — with a distributed
+    ``min_count`` support floor. The group-contrast twin of
+    :func:`vocab_top_tokens` (which ranks globally) and tf-idf (which
+    contrasts per document): the shape that surfaces what a subcorpus
+    talks about that the corpus at large does not.
+
+    Scale shape: per-batch (lang, token) count partials -> ONE
+    token-keyed hash exchange where the token's GLOBAL count is a
+    partition-local group sum (a token lives in exactly one partition —
+    never a vocabulary broadcast); lang totals are a |langs|-bounded
+    side artifact; per-partition partial top-k per lang bounds the
+    driver merge at k x |langs| x partitions rows. Lift is rounded
+    half-away to 6 decimals BEFORE ranking on both sides (the bm25
+    discipline); the division order mirrors the SQL's
+    ``(tf_l * 1.0 / total_l) / (tf_g * 1.0 / total_g)`` exactly."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .joins import _part_column
+    from .tfidf import _round6_vec, flat_tokens
+
+    def lang_tot_partial(t: pa.Table) -> pa.Table:
+        toks, parent, _ = flat_tokens(t, text_col)
+        if toks.size == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        langs = t.column(lang_col).to_numpy(zero_copy_only=False)[parent]
+        u, c = np.unique(langs, return_counts=True)
+        return pa.table(
+            {"lang": pa.array(u, pa.string()), "n": pa.array(c.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    lang_rows = (
+        ds.map_batches(lang_tot_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    total_l = {r["lang"]: int(r["n"]) for r in lang_rows}
+    total_g = sum(total_l.values())
+
+    def lt_partial(t: pa.Table) -> pa.Table:
+        toks, parent, _ = flat_tokens(t, text_col)
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "tf_l": pa.array([], pa.int64()),
+            }
+        )
+        if toks.size == 0:
+            return empty
+        langs = t.column(lang_col).to_numpy(zero_copy_only=False)[parent]
+        g = (
+            pa.table(
+                {
+                    "lang": pa.array(langs, pa.string()),
+                    "token": pa.array(toks, pa.string()),
+                    "tf_l": pa.array(np.ones(toks.size, np.int64)),
+                }
+            )
+            .group_by(["lang", "token"])
+            .aggregate([("tf_l", "sum")])
+        )
+        return g.rename_columns(["lang", "token", "tf_l"])
+
+    def add_p(t: pa.Table) -> pa.Table:
+        return t.append_column("_p", _part_column(t.column("token"), num_parts))
+
+    def lift_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "tf_l": pa.array([], pa.int64()),
+                "tf_g": pa.array([], pa.int64()),
+                "lift": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        g = (
+            t.drop_columns(["_p"])
+            .group_by(["lang", "token"])
+            .aggregate([("tf_l", "sum")])
+            .rename_columns(["lang", "token", "tf_l"])
+        )
+        # token's global count: partition-local (token -> one partition)
+        tg = (
+            g.select(["token", "tf_l"])
+            .group_by("token")
+            .aggregate([("tf_l", "sum")])
+            .rename_columns(["token", "tf_g"])
+        )
+        idx = pc.index_in(g.column("token"), value_set=tg.column("token").combine_chunks())
+        tf_g = tg.column("tf_g").combine_chunks().take(idx.combine_chunks())
+        keep = pc.greater_equal(g.column("tf_l"), pa.scalar(min_count))
+        g = g.append_column("tf_g", tf_g).filter(keep)
+        if g.num_rows == 0:
+            return empty
+        tl = np.array(
+            [total_l[x] for x in g.column("lang").to_pylist()], dtype=np.int64
+        )
+        tf_l = g.column("tf_l").to_numpy(zero_copy_only=False).astype(np.float64)
+        tf_gn = g.column("tf_g").to_numpy(zero_copy_only=False).astype(np.float64)
+        lift = _round6_vec(
+            (tf_l * 1.0 / tl) / (tf_gn * 1.0 / float(total_g))
+        )
+        out = g.append_column("lift", pa.array(lift, pa.float64()))
+        srt = pc.sort_indices(
+            out,
+            sort_keys=[
+                ("lang", "ascending"),
+                ("lift", "descending"),
+                ("token", "ascending"),
+            ],
+        )
+        out = out.take(srt)
+        langs_s = out.column("lang").to_numpy(zero_copy_only=False)
+        first = np.r_[True, langs_s[1:] != langs_s[:-1]]
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.r_[starts, langs_s.size])
+        rank = np.arange(langs_s.size) - np.repeat(starts, runlen)
+        return out.filter(pa.array(rank < k))
+
+    parts = (
+        ds.map_batches(lt_partial, batch_format="pyarrow")
+        .map_batches(add_p, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(lift_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    if not parts:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "tf_l": pa.array([], pa.int64()),
+                "tf_g": pa.array([], pa.int64()),
+                "lift": pa.array([], pa.float64()),
+            }
+        )
+    merged = pa.Table.from_pylist(parts)
+    srt = pc.sort_indices(
+        merged,
+        sort_keys=[
+            ("lang", "ascending"),
+            ("lift", "descending"),
+            ("token", "ascending"),
+        ],
+    )
+    merged = merged.take(srt)
+    langs_s = merged.column("lang").to_numpy(zero_copy_only=False)
+    first = np.r_[True, langs_s[1:] != langs_s[:-1]]
+    starts = np.flatnonzero(first)
+    runlen = np.diff(np.r_[starts, langs_s.size])
+    rank = np.arange(langs_s.size) - np.repeat(starts, runlen)
+    final = merged.filter(pa.array(rank < k))
+    srt2 = pc.sort_indices(
+        final, sort_keys=[("lang", "ascending"), ("token", "ascending")]
+    )
+    return final.take(srt2).select(["lang", "token", "tf_l", "tf_g", "lift"])

@@ -13531,6 +13531,45 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_distinctive_terms(sf_dir: str):
+    """Distinctive vocabulary per language: top-5 tokens by LIFT
+    (within-lang share / global share, support >= 20) — the
+    group-contrast keyword shape between `vocab_top_tokens` (global)
+    and tf-idf (per-doc). One token-keyed exchange; lang totals are a
+    |langs|-bounded artifact (`textstats.distinctive_terms`)."""
+    from .functions.textstats import distinctive_terms
+
+    return distinctive_terms(
+        _read_sized(sf_dir, "documents", ["lang", "text"]), k=5, min_count=20
+    )
+
+
+SQL_DISTINCTIVE_TERMS = r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+tl AS (SELECT lang, token, count(*) AS tf_l FROM toks GROUP BY lang, token),
+lt AS (SELECT lang, count(*) AS total_l FROM toks GROUP BY lang),
+tg AS (SELECT token, count(*) AS tf_g FROM toks GROUP BY token),
+g AS (SELECT count(*) AS total_g FROM toks),
+lift AS (
+  SELECT tl.lang, tl.token, tl.tf_l, tg.tf_g,
+         round((tl.tf_l * 1.0 / lt.total_l)
+               / (tg.tf_g * 1.0 / g.total_g), 6) AS lift
+  FROM tl JOIN lt USING (lang) JOIN tg USING (token) CROSS JOIN g
+  WHERE tl.tf_l >= 20
+)
+SELECT lang, token, tf_l, tf_g, lift FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY lift DESC, token) AS rn
+  FROM lift
+) WHERE rn <= 5 ORDER BY lang, token
+"""
+
+
 def q_dedup_ensemble(sf_dir: str):
     """Ensemble near-dup VOTING: pairs flagged by >= 2 of the three
     independent near-dup families (minhash-Jaccard, simhash-hamming,
@@ -15374,6 +15413,7 @@ QUERIES = {
     "export_manifest": q_export_manifest,
     "curation_pipeline": q_curation_pipeline,
     "vocab_top_tokens": q_vocab_top_tokens,
+    "distinctive_terms": q_distinctive_terms,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search": q_bm25_search,
     "term_lookup": q_term_lookup,
@@ -15594,6 +15634,7 @@ ORACLE_SQL = {
     "export_manifest": SQL_EXPORT_MANIFEST,
     "curation_pipeline": _sql_curation_pipeline(),
     "vocab_top_tokens": SQL_VOCAB_TOP_TOKENS,
+    "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_search": _sql_bm25_search(),
     "term_lookup": _sql_term_lookup(),
