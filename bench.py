@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     "hybrid_search_rrf",
     "avro_roundtrip",
     "dedup_ensemble",
+    "dbscan_clusters",
+    "multitouch_attribution",
+    "distinctive_terms",
     "epoch_plan",
     "token_budget_select",
     "pushdown_scan",

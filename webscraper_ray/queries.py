@@ -13531,6 +13531,235 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_nb_lang_confusion(sf_dir: str):
+    """Distributed Naive Bayes text classification end-to-end — TRAIN a
+    multinomial NB language model on the md5-80% split (Laplace
+    smoothing), SCORE the held-out 20%, report the confusion matrix.
+    The "learn on the corpus, apply to the corpus" ML shape, exactly
+    gated: every per-token log-likelihood is quantized to INTEGER
+    micro-nats (round(ln(p)·1e6), half-away — ln is libm on both
+    engines, proven bit-identical by `event_entropy`/`price_drift_psi`),
+    so per-doc scores are int64 sums — order-free under any parallelism
+    — and argmax (tie: lang ascending) matches SQL's row_number exactly.
+
+    Scale shape: the train pass is the vocab-bounded (lang, token)
+    count gather (the bigram-LM class — K-bounded broadcast by the
+    smoothing model's own size); the score pass is ONE streaming
+    map_batches over the test split with per-batch ≤ |langs|² confusion
+    partials; final reduce is a 25-row groupby."""
+    import math
+
+    from .functions.dedup import md5_u64
+    from .functions.joins import _part_column
+    from .functions.tfidf import flat_tokens
+
+    docs = _read_sized(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def split_col(t: pa.Table, want_train: bool) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        m = np.array(
+            [md5_u64(f"split:{i}") % 10 < 8 for i in ids], dtype=bool
+        )
+        return t.filter(pa.array(m if want_train else ~m))
+
+    train = docs.map_batches(
+        lambda t: split_col(t, True), batch_format="pyarrow"
+    )
+
+    # ---- train: (lang, token) counts, lang token totals, doc priors
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks, parent, _ = flat_tokens(t)
+        if toks.size == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        langs = t.column("lang").to_numpy(zero_copy_only=False)[parent]
+        g = (
+            pa.table(
+                {
+                    "lang": pa.array(langs, pa.string()),
+                    "token": pa.array(toks, pa.string()),
+                    "tf": pa.array(np.ones(toks.size, np.int64)),
+                }
+            )
+            .group_by(["lang", "token"])
+            .aggregate([("tf", "sum")])
+        )
+        return g.rename_columns(["lang", "token", "tf"])
+
+    def add_p(t: pa.Table) -> pa.Table:
+        return t.append_column("_p", _part_column(t.column("token"), 16))
+
+    def comb(t: pa.Table) -> pa.Table:
+        g = (
+            t.drop_columns(["_p"])
+            .group_by(["lang", "token"])
+            .aggregate([("tf", "sum")])
+        )
+        return g.rename_columns(["lang", "token", "tf"])
+
+    tf_rows = (
+        train.map_batches(tf_partial, batch_format="pyarrow")
+        .map_batches(add_p, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(comb, batch_format="pyarrow")
+        .take_all()
+    )  # vocab x langs bounded — the model itself
+
+    def prior_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t.column("lang").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"lang": pa.array(u, pa.string()), "nd": pa.array(c.astype(np.int64))}
+        )
+
+    prior_rows = (
+        train.map_batches(prior_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("nd", alias_name="nd"))
+        .take_all()
+    )
+    nd_of = {r["lang"]: int(r["nd"]) for r in prior_rows}
+    n_train = sum(nd_of.values())
+    langs = sorted(nd_of)
+    total_l = {l: 0 for l in langs}
+    for r in tf_rows:
+        total_l[r["lang"]] += int(r["tf"])
+    vocab_v = len({r["token"] for r in tf_rows})
+
+    def micronats(x: float) -> int:
+        v = math.log(x) * 1e6
+        return int(math.floor(abs(v) + 0.5) * (1 if v >= 0 else -1))
+
+    term_of = {
+        (r["lang"], r["token"]): micronats(
+            (int(r["tf"]) + 1.0) / (total_l[r["lang"]] + vocab_v)
+        )
+        for r in tf_rows
+    }
+    default_of = {
+        l: micronats(1.0 / (total_l[l] + vocab_v)) for l in langs
+    }
+    prior_of = {l: micronats(nd_of[l] * 1.0 / n_train) for l in langs}
+
+    import ray as _ray
+
+    model_ref = _ray.put((langs, term_of, default_of, prior_of))
+
+    def score(t: pa.Table, _cache={}) -> pa.Table:  # noqa: B006
+        m = _cache.get("m")
+        if m is None:
+            m = _ray.get(model_ref)
+            _cache["m"] = m
+        langs, term_of, default_of, prior_of = m
+        t = split_col(t, False)
+        empty = pa.table(
+            {
+                "true_lang": pa.array([], pa.string()),
+                "pred_lang": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        toks, parent, n_rows = flat_tokens(t)
+        if toks.size == 0:
+            return empty
+        uniq, inv = np.unique(toks, return_inverse=True)
+        scores = np.zeros((n_rows, len(langs)), dtype=np.int64)
+        for j, l in enumerate(langs):
+            terms = np.array(
+                [term_of.get((l, u), default_of[l]) for u in uniq],
+                dtype=np.int64,
+            )
+            scores[:, j] = np.bincount(
+                parent, weights=terms[inv].astype(np.float64), minlength=n_rows
+            ).astype(np.int64) + prior_of[l]
+        has_tok = np.bincount(parent, minlength=n_rows) > 0
+        pred = np.argmax(scores, axis=1)  # first max -> lang ascending tie
+        true_l = t.column("lang").to_numpy(zero_copy_only=False)
+        pl = np.array(langs, dtype=object)[pred]
+        g = (
+            pa.table(
+                {
+                    "true_lang": pa.array(true_l[has_tok], pa.string()),
+                    "pred_lang": pa.array(pl[has_tok], pa.string()),
+                    "n": pa.array(
+                        np.ones(int(has_tok.sum()), np.int64)
+                    ),
+                }
+            )
+            .group_by(["true_lang", "pred_lang"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["true_lang", "pred_lang", "n"])
+
+    return (
+        docs.map_batches(score, batch_format="pyarrow")
+        .groupby(["true_lang", "pred_lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["true_lang", "pred_lang"])
+    )
+
+
+SQL_NB_LANG_CONFUSION = r"""
+WITH split AS (
+  SELECT doc_id, lang, text,
+         (('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 16))
+          ::UBIGINT % 10 < 8) AS is_train
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, lang, is_train,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM split WHERE trim(text) <> ''
+),
+tf AS (
+  SELECT lang, token, count(*) AS tf FROM toks WHERE is_train
+  GROUP BY lang, token
+),
+lt AS (
+  SELECT lang, count(*) AS total_l FROM toks WHERE is_train GROUP BY lang
+),
+v AS (SELECT count(DISTINCT token) AS v FROM toks WHERE is_train),
+pr AS (SELECT lang, count(*) AS nd FROM split WHERE is_train GROUP BY lang),
+ntr AS (SELECT count(*) AS n FROM split WHERE is_train),
+terms AS (
+  SELECT t.doc_id, l.lang AS cand,
+         CAST(round(ln((COALESCE(tf.tf, 0) + 1.0) / (lt.total_l + v.v))
+              * 1e6) AS BIGINT) AS term
+  FROM toks t
+  CROSS JOIN (SELECT lang FROM pr) l
+  JOIN lt ON lt.lang = l.lang CROSS JOIN v
+  LEFT JOIN tf ON tf.lang = l.lang AND tf.token = t.token
+  WHERE NOT t.is_train
+),
+scores AS (
+  SELECT s.doc_id, s.cand,
+         s.s + CAST(round(ln(pr.nd * 1.0 / ntr.n) * 1e6) AS BIGINT) AS s
+  FROM (SELECT doc_id, cand, sum(term) AS s FROM terms GROUP BY doc_id, cand) s
+  JOIN pr ON pr.lang = s.cand CROSS JOIN ntr
+),
+pred AS (
+  SELECT doc_id, cand FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY s DESC, cand) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT sp.lang AS true_lang, p.cand AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n
+FROM pred p JOIN split sp USING (doc_id)
+GROUP BY true_lang, pred_lang ORDER BY true_lang, pred_lang
+"""
+
+
 def q_distinctive_terms(sf_dir: str):
     """Distinctive vocabulary per language: top-5 tokens by LIFT
     (within-lang share / global share, support >= 20) — the
@@ -15414,6 +15643,7 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "vocab_top_tokens": q_vocab_top_tokens,
     "distinctive_terms": q_distinctive_terms,
+    "nb_lang_confusion": q_nb_lang_confusion,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search": q_bm25_search,
     "term_lookup": q_term_lookup,
@@ -15635,6 +15865,7 @@ ORACLE_SQL = {
     "curation_pipeline": _sql_curation_pipeline(),
     "vocab_top_tokens": SQL_VOCAB_TOP_TOKENS,
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
+    "nb_lang_confusion": SQL_NB_LANG_CONFUSION,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_search": _sql_bm25_search(),
     "term_lookup": _sql_term_lookup(),
