@@ -298,7 +298,12 @@ def main() -> None:
     # min is the least-stolen observation, and all trials are recorded
     crawl_trials = [run_crawl_bench(store) for _ in range(3)]
     crawl = min(crawl_trials, key=lambda c: c["elapsed_sec"])
-    queries = run_query_bench()
+    # --scaling subprocesses grade crawl throughput only; re-running the
+    # full query suite at 4 cpus would cost ~20 min per trial for a
+    # number the scaling metric never reads
+    queries = (
+        {} if os.environ.get("GRAFT_SKIP_SUITE") == "1" else run_query_bench()
+    )
     total_query_sec = round(sum(queries.values()), 3)
     result = {
         "metric": "flagship crawl elapsed (full doc mode) + query suite",
@@ -370,7 +375,7 @@ def _cpu_ceiling(lo: int, hi: int, units: int = 96) -> dict:
 
 def scaling() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_SUITE="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -12061,6 +12061,92 @@ SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang
 """
 
 
+def q_compact_shards(sf_dir: str):
+    """Small-file COMPACTION — the lakehouse OPTIMIZE maintenance op a
+    100-TB store needs constantly: a deliberately fragmented copy of
+    the events projection (256 tiny shards, the shape crawl sinks
+    produce) is rewritten into ~target-row files in ONE streaming pass
+    (`override_num_blocks` sizes the read so each task emits one right-
+    sized output file; no shuffle — compaction is I/O re-layout, not an
+    exchange). The gate reads the COMPACTED store back and must
+    reproduce the per-type rollup of the original parquet table, so a
+    dropped/duplicated row in the rewrite flips the hash; the test pins
+    that the file count actually shrank."""
+
+    def build_frag(d: str) -> None:
+        src = _read_sized(sf_dir, "events", ["event_id", "event_type", "value"])
+
+        def write_one(t: pa.Table, ctx=None) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"n": pa.array([], pa.int64())})
+            mn = pc.min(t.column("event_id")).as_py()
+            pq.write_table(t, os.path.join(d, f"frag-{mn}.parquet"))
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        # fragment: force many small blocks
+        src.repartition(256).map_batches(
+            write_one, batch_format="pyarrow"
+        ).count()
+
+    frag_dir = _source_cached_dir(sf_dir, "events", "frag", "frag-v1", build_frag)
+
+    def build_compact(d: str) -> None:
+        import glob as _glob
+
+        paths = sorted(_glob.glob(os.path.join(frag_dir, "*.parquet")))
+        # ~8 right-sized outputs from 256 fragments: the read keeps one
+        # block per tiny file regardless of read-task count, so an
+        # explicit coalescing repartition IS the compaction step
+        ds = ray.data.read_parquet(paths).repartition(8)
+
+        def write_one(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"n": pa.array([], pa.int64())})
+            mn = pc.min(t.column("event_id")).as_py()
+            pq.write_table(t, os.path.join(d, f"part-{mn}.parquet"))
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        ds.map_batches(
+            write_one, batch_format="pyarrow", batch_size=None
+        ).count()
+
+    out_dir = _source_cached_dir(
+        sf_dir, "events", "compact", "compact-v2", build_compact
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "n_events": pa.array(np.ones(t.num_rows, np.int64)),
+                    "value_c": _cents(t.column("value")),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("n_events", "sum"), ("value_c", "sum")])
+        )
+        return g.rename_columns(["event_type", "n_events", "value_c"])
+
+    return (
+        ray.data.read_parquet(out_dir)
+        .map_batches(rollup, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_c", alias_name="value_c"),
+        )
+        .sort("event_type")
+    )
+
+
+SQL_COMPACT_SHARDS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_label_centroids(sf_dir: str):
     """Grouped vector aggregate: per-(label, dim) exact quantized sums
     and counts over the embedding column — the centroid as an exact
@@ -13528,6 +13614,262 @@ SELECT COALESCE(c.entity, p.p_name) AS entity,
        CAST(count(DISTINCT p.p_name) AS BIGINT) AS n_names
 FROM part p LEFT JOIN canon c ON c.name = p.p_name
 GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_script_histogram(sf_dir: str):
+    """Unicode-SCRIPT composition audit — the multilingual curation
+    signal (how much Han / Latin / digit content each language bucket
+    actually carries). The synthetic corpus is all-Latin, so a
+    deterministic per-lang transliteration (zh: e -> \u4e2d, en: o -> 0
+    — plain `replace`, mirrored exactly in SQL) plants real cross-script
+    content first; counts are vectorized RE2 `\\p{Han}` / `\\p{Latin}` /
+    digit class kernels (`pc.count_substring_regex` — Arrow and DuckDB
+    are both RE2, parity verified), summed per lang. One streaming
+    map_batches of |langs|-bounded partials; no shuffle beyond the tiny
+    groupby."""
+    docs = _read_sized(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t.column("lang")
+        txt = pc.fill_null(t.column("text"), "")
+        zh = pc.equal(lang, "zh")
+        en = pc.equal(lang, "en")
+        txt = pc.if_else(
+            zh, pc.replace_substring(txt, pattern="e", replacement="\u4e2d"), txt
+        )
+        txt = pc.if_else(
+            en, pc.replace_substring(txt, pattern="o", replacement="0"), txt
+        )
+        g = (
+            pa.table(
+                {
+                    "lang": lang,
+                    "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+                    "latin": pc.cast(
+                        pc.count_substring_regex(txt, pattern=r"\p{Latin}"),
+                        pa.int64(),
+                    ),
+                    "han": pc.cast(
+                        pc.count_substring_regex(txt, pattern=r"\p{Han}"),
+                        pa.int64(),
+                    ),
+                    "digit": pc.cast(
+                        pc.count_substring_regex(txt, pattern=r"[0-9]"),
+                        pa.int64(),
+                    ),
+                }
+            )
+            .group_by("lang")
+            .aggregate(
+                [
+                    ("n_docs", "sum"),
+                    ("latin", "sum"),
+                    ("han", "sum"),
+                    ("digit", "sum"),
+                ]
+            )
+        )
+        return g.rename_columns(["lang", "n_docs", "latin", "han", "digit"])
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("latin", alias_name="latin"),
+            Sum("han", alias_name="han"),
+            Sum("digit", alias_name="digit"),
+        )
+        .sort("lang")
+    )
+
+
+SQL_SCRIPT_HISTOGRAM = """
+WITH d AS (
+  SELECT lang,
+         CASE WHEN lang = 'zh' THEN replace(text, 'e', '\u4e2d')
+              WHEN lang = 'en' THEN replace(text, 'o', '0')
+              ELSE text END AS txt
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(txt, '\\p{Latin}'))) AS BIGINT) AS latin,
+       CAST(sum(len(regexp_extract_all(txt, '\\p{Han}'))) AS BIGINT) AS han,
+       CAST(sum(len(regexp_extract_all(txt, '[0-9]'))) AS BIGINT) AS digit
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+def q_state_asof(sf_dir: str):
+    """Temporal AS-OF query over the SCD2 dimension: every user's state
+    version valid at 2024-01-15 (valid_from <= T < valid_to, open
+    current versions included) — the "what did the table look like at
+    T" time-travel read every warehouse needs once it has type-2
+    history. Pure composition: the scd2_versions pipeline streams
+    through ONE vectorized validity filter; no extra exchange."""
+    from .functions.windows import scd2_versions
+
+    T = int(np.datetime64("2024-01-15T00:00:00", "us").astype(np.int64))
+
+    def asof(t: pa.Table) -> pa.Table:
+        vf = t.column("valid_from_us")
+        vt = t.column("valid_to_us")
+        keep = pc.and_(
+            pc.less_equal(vf, pa.scalar(T)),
+            pc.or_(pc.is_null(vt), pc.greater(vt, pa.scalar(T))),
+        )
+        return t.filter(keep).select(["user_id", "event_type", "valid_from_us"])
+
+    ev = _read_sized(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return (
+        scd2_versions(ev)
+        .map_batches(asof, batch_format="pyarrow")
+        .sort("user_id")
+    )
+
+
+SQL_STATE_ASOF = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+), versions AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) AS valid_from_us,
+         epoch_us(lead(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+  FROM changes
+)
+SELECT user_id, event_type, valid_from_us FROM versions
+WHERE valid_from_us <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
+  AND (valid_to_us IS NULL
+       OR valid_to_us > epoch_us(TIMESTAMP '2024-01-15 00:00:00'))
+ORDER BY user_id
+"""
+
+
+def q_ab_test_zscore(sf_dir: str):
+    """Deterministic A/B analysis: users split 50/50 by md5 bucket,
+    conversion = user made a big-ticket purchase (value >= 180,
+    ~30% base rate); the two-proportion
+    pooled z statistic on the 2x2 table. All counts are exact integers
+    from two pre-shrunk distributed passes (distinct purchasers ride a
+    user-keyed semi-structure, arms from one md5 map); the z expression
+    is ONE mirrored float formula on a 2-row driver table — the
+    hypothesis-testing analytics shape."""
+    from .functions.dedup import md5_u64
+    from .functions.stats import _bucket_part
+
+    ev = _read_sized(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        purch = (
+            t.column("event_type").to_numpy(zero_copy_only=False) == "purchase"
+        ) & (t.column("value").to_numpy(zero_copy_only=False) >= 180.0)
+        uu = np.unique(u)
+        pu = np.unique(u[purch])
+        users = np.concatenate([uu, pu])
+        out = pa.table(
+            {
+                "user_id": pa.array(users),
+                "is_p": pa.array(
+                    np.r_[
+                        np.zeros(uu.size, np.int64), np.ones(pu.size, np.int64)
+                    ]
+                ),
+            }
+        )
+        return out.append_column("_p", pa.array(_bucket_part(users, 16)))
+
+    def arm_partial(t: pa.Table) -> pa.Table:
+        # per-user max(is_p) then the 2-row per-arm rollup, all inside
+        # the partition — the driver sees 2 rows per partition, never
+        # the user domain
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        p = t.column("is_p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-p, u))
+        u, p = u[order], p[order]
+        first = np.r_[True, u[1:] != u[:-1]]
+        u, p = u[first], p[first]
+        arms = np.array([md5_u64(f"ab:{int(x)}") % 2 for x in u], dtype=np.int64)
+        n_ = np.bincount(arms, minlength=2).astype(np.int64)
+        c_ = np.bincount(arms, weights=p.astype(np.float64), minlength=2).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "arm": pa.array([0, 1], pa.int64()),
+                "n_users": pa.array(n_),
+                "n_converted": pa.array(c_),
+            }
+        )
+
+    rows = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(arm_partial, batch_format="pyarrow")
+        .groupby("arm")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_converted", alias_name="n_converted"),
+        )
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["arm"])
+    n = [int(rows[0]["n_users"]), int(rows[1]["n_users"])]
+    conv = [int(rows[0]["n_converted"]), int(rows[1]["n_converted"])]
+    p0, p1 = conv[0] * 1.0 / n[0], conv[1] * 1.0 / n[1]
+    pp = (conv[0] + conv[1]) * 1.0 / (n[0] + n[1])
+    import math
+
+    z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1.0 / n[0] + 1.0 / n[1]))
+    from .functions.tfidf import _round6_vec
+
+    z6 = float(_round6_vec(np.array([z]))[0])
+    return pa.table(
+        {
+            "arm": pa.array([0, 1], pa.int64()),
+            "n_users": pa.array(n, pa.int64()),
+            "n_converted": pa.array(conv, pa.int64()),
+            "z": pa.array([z6, z6], pa.float64()),
+        }
+    )
+
+
+SQL_AB_TEST_ZSCORE = """
+WITH arms AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 16))
+              ::UBIGINT % 2 AS BIGINT) AS arm,
+         max(CASE WHEN event_type = 'purchase' AND value >= 180
+                  THEN 1 ELSE 0 END) AS is_p
+  FROM events GROUP BY user_id, arm
+),
+agg AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(is_p) AS BIGINT) AS n_converted
+  FROM arms GROUP BY arm
+),
+z AS (
+  SELECT round(
+    (a1.n_converted * 1.0 / a1.n_users - a0.n_converted * 1.0 / a0.n_users)
+    / sqrt(
+        ((a0.n_converted + a1.n_converted) * 1.0 / (a0.n_users + a1.n_users))
+        * (1 - (a0.n_converted + a1.n_converted) * 1.0
+              / (a0.n_users + a1.n_users))
+        * (1.0 / a0.n_users + 1.0 / a1.n_users)
+      ), 6) AS z
+  FROM (SELECT * FROM agg WHERE arm = 0) a0,
+       (SELECT * FROM agg WHERE arm = 1) a1
+)
+SELECT arm, n_users, n_converted, z.z FROM agg CROSS JOIN z ORDER BY arm
 """
 
 
@@ -15640,10 +15982,14 @@ QUERIES = {
     "length_quantiles": q_length_quantiles,
     "price_histogram": q_price_histogram,
     "export_manifest": q_export_manifest,
+    "compact_shards": q_compact_shards,
     "curation_pipeline": q_curation_pipeline,
     "vocab_top_tokens": q_vocab_top_tokens,
     "distinctive_terms": q_distinctive_terms,
     "nb_lang_confusion": q_nb_lang_confusion,
+    "script_histogram": q_script_histogram,
+    "state_asof": q_state_asof,
+    "ab_test_zscore": q_ab_test_zscore,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search": q_bm25_search,
     "term_lookup": q_term_lookup,
@@ -15862,10 +16208,14 @@ ORACLE_SQL = {
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "export_manifest": SQL_EXPORT_MANIFEST,
+    "compact_shards": SQL_COMPACT_SHARDS,
     "curation_pipeline": _sql_curation_pipeline(),
     "vocab_top_tokens": SQL_VOCAB_TOP_TOKENS,
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "nb_lang_confusion": SQL_NB_LANG_CONFUSION,
+    "script_histogram": SQL_SCRIPT_HISTOGRAM,
+    "state_asof": SQL_STATE_ASOF,
+    "ab_test_zscore": SQL_AB_TEST_ZSCORE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_search": _sql_bm25_search(),
     "term_lookup": _sql_term_lookup(),
