@@ -269,3 +269,78 @@ def hll_registers_by_group(ds, group_col: str, value_col: str):
         partials.groupby([group_col, "register"])
         .aggregate(Max("rho", alias_name="rho"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — Bar-Yossef et al. 2002, public
+# algorithm. State = the K smallest DISTINCT 64-bit hashes seen; merge =
+# union -> keep K smallest, so per-batch partials (<= K rows each) reduce
+# through ONE constant-key exchange. Unlike HLL's fixed 64 registers the
+# state adapts to the stream, and the estimate (K-1) * 2^64 / h_K has
+# relative error ~1/sqrt(K). The md5 hash family is DuckDB-reproducible,
+# so the ORACLE recomputes the register rows (and the integer estimate)
+# exactly.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def kmv_partial(batch: pa.Table, value_col: str) -> pa.Table:
+    """Bottom-K distinct hashes of one batch (<= K rows emitted)."""
+    vals = set(batch.column(value_col).to_pylist())
+    if not vals:
+        return pa.table({"h": pa.array([], pa.uint64())})
+    hs = np.fromiter(
+        (md5_u64(str(v)) for v in vals), dtype=np.uint64, count=len(vals)
+    )
+    hs = np.unique(hs)  # sorted ascending, deduped
+    return pa.table({"h": pa.array(hs[:KMV_K], pa.uint64())})
+
+
+def kmv_sketch(ds, value_col: str) -> pa.Table:
+    """Full sketch + integer estimate.
+
+    Returns ``(rank, h, est_distinct)`` rows: the K smallest distinct
+    hashes ranked ascending, with the KMV estimate
+    ``(K-1) * 2^64 // h_K`` (exact Python-int division; when fewer than
+    K distinct values exist the sketch is the whole domain and the
+    estimate is the exact count). Shape: per-batch bottom-K partials ->
+    one constant-key exchange carrying <= K rows per block -> a single
+    K-row merge task; driver artifact is the K-row sketch itself.
+    """
+    partials = ds.map_batches(
+        kmv_partial, fn_kwargs={"value_col": value_col}, batch_format="pyarrow"
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        hs = np.unique(t.column("h").to_numpy(zero_copy_only=False))[:KMV_K]
+        n = int(hs.size)
+        if n < KMV_K:
+            est = n
+        else:
+            est = (KMV_K - 1) * (1 << 64) // int(hs[-1])
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "h": pa.array(hs, pa.uint64()),
+                "est_distinct": pa.array(np.full(n, est, dtype=np.int64)),
+            }
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_g", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        )
+
+    merged = (
+        partials.map_batches(tag, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(
+            lambda t: merge(t.drop_columns(["_g"])), batch_format="pyarrow"
+        )
+    )
+    parts = [p for p in merged.to_arrow_refs()]
+    import ray
+
+    tables = [t for t in ray.get(parts) if t.num_rows > 0]
+    return pa.concat_tables(tables).combine_chunks()

@@ -15928,6 +15928,248 @@ LEFT JOIN regs b ON b.register = g.register AND b.event_type = 'purchase'
 """
 
 
+def q_kmv_distinct_users(sf_dir: str):
+    """KMV (k-minimum-values) distinct sketch over events.user_id — the
+    ADAPTIVE-state counterpart to `hll_distinct_users` (Bar-Yossef et
+    al. 2002): state = the 64 smallest distinct md5 hashes, merge =
+    union->bottom-K, estimate = (K-1)*2^64/h_K with ~1/sqrt(K) error.
+    Integer-gated: the oracle recomputes the hash rows AND the exact
+    floor-division estimate. Shape: per-batch bottom-K partials, one
+    constant-key exchange of <= K rows per block."""
+    from .functions.sketches import kmv_sketch
+
+    return kmv_sketch(_read_sized(sf_dir, "events", ["user_id"]), "user_id")
+
+
+SQL_KMV_DISTINCT_USERS = """
+WITH du AS (SELECT DISTINCT user_id FROM events),
+h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM du
+),
+k AS (SELECT h FROM h ORDER BY h LIMIT 64),
+r AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rank,
+         count(*) OVER () AS n, max(h) OVER () AS hk
+  FROM k
+)
+SELECT rank, h,
+       CAST(CASE WHEN n < 64 THEN n::HUGEINT
+            ELSE (63::HUGEINT * 18446744073709551616::HUGEINT) // hk::HUGEINT
+            END AS BIGINT) AS est_distinct
+FROM r
+"""
+
+
+def q_roc_auc_value(sf_dir: str):
+    """Exact ROC-AUC of `value` as a classifier score for purchase
+    events — the Mann-Whitney U rank statistic (ties get half credit),
+    kept in EXACT integers via the doubled U: ``u2 = sum over distinct
+    scores of n_pos * (2 * n_neg_below + n_neg_at)``; AUC = u2 / (2
+    * n_pos * n_neg) as ONE mirrored float expression.
+
+    Scale shape (the `global_price_rank` discipline, no global sort):
+    per-batch (cents -> pos/neg count) partials; ONE bucket-keyed
+    exchange (coarse $10 cent buckets) where each partition merges its
+    scores vectorized and reduces to per-bucket rows (contrib, np, nn);
+    the driver gather is bucket-domain-bounded, and the global
+    neg-below offsets are its prefix sums."""
+    import ray
+
+    from .functions.stats import _bucket_part
+
+    W = 1000  # $10 coarse buckets of the cents domain
+    P = 16
+
+    ev = _read_sized(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = pc.cast(
+            pc.equal(t.column("event_type"), pa.scalar("purchase")), pa.int64()
+        )
+        tt = pa.table(
+            {
+                "c": _cents(t.column("value")),
+                "np_": p,
+                "nn": pc.subtract(pa.scalar(1, pa.int64()), p),
+            }
+        )
+        g = (
+            tt.group_by("c")
+            .aggregate([("np_", "sum"), ("nn", "sum")])
+            .rename_columns(["c", "np_", "nn"])
+        )
+        b = np.floor_divide(
+            g.column("c").to_numpy(zero_copy_only=False), np.int64(W)
+        )
+        return g.append_column("b", pa.array(b)).append_column(
+            "_p", pa.array(_bucket_part(b, P))
+        )
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        # merge duplicate scores shipped by different blocks, then one
+        # vectorized pass: within-bucket exclusive neg-cumsum + reduceat
+        g = (
+            t.drop_columns(["_p", "b"])
+            .group_by("c")
+            .aggregate([("np_", "sum"), ("nn", "sum")])
+        )
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        np_ = g.column("np__sum").to_numpy(zero_copy_only=False)
+        nn = g.column("nn_sum").to_numpy(zero_copy_only=False)
+        order = np.argsort(c, kind="stable")
+        c, np_, nn = c[order], np_[order], nn[order]
+        b = np.floor_divide(c, np.int64(W))
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        cs = np.cumsum(nn) - nn  # exclusive global-within-partition
+        base = np.repeat(cs[starts], np.diff(np.r_[starts, b.size]))
+        below = cs - base  # exclusive cumsum restarted per bucket
+        term = np_ * (2 * below + nn)
+        return pa.table(
+            {
+                "b": pa.array(b[starts]),
+                "contrib": pa.array(np.add.reduceat(term, starts)),
+                "np_": pa.array(np.add.reduceat(np_, starts)),
+                "nn": pa.array(np.add.reduceat(nn, starts)),
+            }
+        )
+
+    rows = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+    parts = [p for p in ray.get(rows.to_arrow_refs()) if p.num_rows > 0]
+    t = pa.concat_tables(parts).combine_chunks()
+    b = t.column("b").to_numpy(zero_copy_only=False)
+    contrib = t.column("contrib").to_numpy(zero_copy_only=False)
+    np_b = t.column("np_").to_numpy(zero_copy_only=False)
+    nn_b = t.column("nn").to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    contrib, np_b, nn_b = contrib[order], np_b[order], nn_b[order]
+    offsets = np.cumsum(nn_b) - nn_b  # negs in strictly-lower buckets
+    u2 = int(contrib.sum() + (2 * offsets * np_b).sum())
+    n_pos, n_neg = int(np_b.sum()), int(nn_b.sum())
+    return pa.table(
+        {
+            "n_pos": pa.array([n_pos], pa.int64()),
+            "n_neg": pa.array([n_neg], pa.int64()),
+            "u2": pa.array([u2], pa.int64()),
+            "auc": pa.array([u2 / (2.0 * n_pos * n_neg)], pa.float64()),
+        }
+    )
+
+
+SQL_ROC_AUC_VALUE = """
+WITH e AS (
+  SELECT CAST(round(value*100) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events
+),
+d AS (SELECT c, SUM(p) AS np, SUM(1-p) AS nn FROM e GROUP BY c),
+w AS (
+  SELECT np, nn,
+         COALESCE(SUM(nn) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM d
+)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+       CAST(SUM(np*(2*below+nn)) AS BIGINT) AS u2,
+       SUM(np*(2*below+nn)) / (2.0 * SUM(np) * SUM(nn)) AS auc
+FROM w
+"""
+
+
+def q_ewma_revenue(sf_dir: str):
+    """Exponentially-weighted daily revenue (alpha = 1/2, 30-day
+    truncated window) in EXACT integers: ewma_cents(d) = floor(
+    sum_{j=0..29} rev_cents(d-j) * 2^(29-j) / (2^30 - 1) ) — dyadic
+    weights make the smoothing reproducible bit-for-bit in SQL HUGEINT
+    where float pow()-weights never would be.
+
+    Scale shape: ONE day-keyed distributed pre-agg (exchange = distinct
+    days, calendar-bounded); the spine + sliding dyadic numerator run
+    driver-side over the bounded series with Python ints (no int64
+    overflow at any corpus size)."""
+    import ray
+
+    orders = _read_sized(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "day": pc.floor_temporal(t.column("o_orderdate"), unit="day"),
+                "rev_c": _cents(t.column("o_totalprice")),
+            }
+        )
+        return (
+            tt.group_by("day")
+            .aggregate([("rev_c", "sum")])
+            .rename_columns(["day", "rev_c"])
+        )
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows > 0]
+    t = pa.concat_tables(parts).combine_chunks()
+    days = (
+        t.column("day")
+        .cast(pa.timestamp("us"))
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[D]")
+    )
+    spine = np.arange(days.min(), days.max() + np.timedelta64(1, "D"))
+    rev = np.zeros(spine.size, dtype=np.int64)
+    rev[(days - spine[0]).astype(np.int64)] = t.column("rev_c").to_numpy(
+        zero_copy_only=False
+    )
+    denom = (1 << 30) - 1
+    out = np.empty(spine.size, dtype=np.int64)
+    num = 0  # Python int: num(d) = 2*num(d-1) - rev(d-30)*2^30 + ... via direct defn
+    window: list[int] = []
+    for i in range(spine.size):
+        window.append(int(rev[i]))
+        if len(window) > 30:
+            window.pop(0)
+        num = sum(r << (29 - j) for j, r in enumerate(reversed(window)))
+        out[i] = num // denom
+    return pa.table(
+        {
+            "day": pa.array(spine.astype("datetime64[us]"), pa.timestamp("us")),
+            "ewma_cents": pa.array(out),
+        }
+    )
+
+
+SQL_EWMA_REVENUE = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series(
+    (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+    INTERVAL 1 DAY)) AS day
+),
+filled AS (
+  SELECT s.day, COALESCE(d.rev_c, 0) AS rev
+  FROM spine s LEFT JOIN daily d USING (day)
+)
+SELECT f1.day,
+       CAST((SUM(CAST(f2.rev AS HUGEINT)
+             * CAST(1::BIGINT << (29 - date_diff('day', f2.day, f1.day))
+                    AS HUGEINT))) // 1073741823::HUGEINT AS BIGINT)
+         AS ewma_cents
+FROM filled f1
+JOIN filled f2 ON f2.day BETWEEN f1.day - INTERVAL 29 DAY AND f1.day
+GROUP BY f1.day
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -16152,6 +16394,9 @@ QUERIES = {
     "price_drift_psi": q_price_drift_psi,
     "event_type_xcorr": q_event_type_xcorr,
     "hll_event_overlap": q_hll_event_overlap,
+    "kmv_distinct_users": q_kmv_distinct_users,
+    "roc_auc_value": q_roc_auc_value,
+    "ewma_revenue": q_ewma_revenue,
 }
 
 ORACLE_SQL = {
@@ -16380,6 +16625,9 @@ ORACLE_SQL = {
     "price_drift_psi": SQL_PRICE_DRIFT_PSI,
     "event_type_xcorr": SQL_EVENT_TYPE_XCORR,
     "hll_event_overlap": _sql_hll_event_overlap(),
+    "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
+    "roc_auc_value": SQL_ROC_AUC_VALUE,
+    "ewma_revenue": SQL_EWMA_REVENUE,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
