@@ -46,6 +46,7 @@ __all__ = [
     "triangle_count",
     "triangles_per_node",
     "pointer_doubling",
+    "random_walks",
 ]
 
 _EMPTY_LABELS = pa.table(
@@ -607,3 +608,109 @@ def pointer_doubling(
         f"pointer_doubling did not converge in {max_rounds} rounds — "
         "the pointer graph contains a cycle or an unexpectedly long chain"
     )
+
+
+def random_walks(
+    edges: "ray.data.Dataset",
+    starts: "ray.data.Dataset",
+    steps: int = 3,
+    num_parts: int = 16,
+    salt: str = "rw",
+) -> "ray.data.Dataset":
+    """Deterministic md5-guided random walks over a DISTINCT directed
+    edge table — the graph-sampling primitive under node2vec/DeepWalk
+    embeddings and crawl-frontier exploration, made parallelism-
+    invariant (and SQL-reproducible) by replacing the RNG with the
+    repo's md5 family: at step ``s`` a walker at node ``u`` moves to
+    its ``(md5(salt:u:s) mod deg(u)))``-th out-neighbor in ascending
+    dst order.
+
+    Input contract: ``edges`` is (src, dst) DISTINCT and every reached
+    node has deg >= 1 (checked loudly per partition — a sink node would
+    silently truncate walks otherwise). ``starts`` is (doc_id,).
+
+    Scale shape, per step: ONE hash-partition exchange in the
+    `pointer_doubling` tagged-union shape — walkers keyed by their
+    current node, edge rows keyed by src, so each partition resolves
+    its walkers with a vectorized lexsort + searchsorted (the only
+    per-row Python is the md5 itself, pagerank's documented cost).
+    Step tables join back on doc_id (distributed, output-sized)."""
+    import ray as _ray
+
+    from .dedup import md5_u64
+
+    def seed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids), "cur": pa.array(ids)})
+
+    state = starts.map_batches(seed, batch_format="pyarrow")
+    edges = edges.materialize()  # reused once per step
+
+    def tag_walk(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_part": _part_column(t.column("cur"), num_parts),
+                "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "a": t.column("doc_id"),
+                "b": t.column("cur"),
+            }
+        )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_part": _part_column(t.column("src"), num_parts),
+                "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "a": t.column("src"),
+                "b": t.column("dst"),
+            }
+        )
+
+    def make_choose(s: int):
+        def choose(part: pa.Table) -> pa.Table:
+            side = part.column("_side").to_numpy(zero_copy_only=False)
+            a = part.column("a").to_numpy(zero_copy_only=False)
+            b = part.column("b").to_numpy(zero_copy_only=False)
+            lut = side == 1
+            esrc, edst = a[lut], b[lut]
+            order = np.lexsort((edst, esrc))
+            esrc, edst = esrc[order], edst[order]
+            doc, cur = a[~lut], b[~lut]
+            lo = np.searchsorted(esrc, cur, side="left")
+            hi = np.searchsorted(esrc, cur, side="right")
+            deg = hi - lo
+            if np.any(deg == 0):
+                bad = int(cur[np.flatnonzero(deg == 0)[0]])
+                raise ValueError(f"random_walks: node {bad} has no out-edges")
+            h = np.fromiter(
+                (md5_u64(f"{salt}:{c}:{s}") for c in cur),
+                dtype=np.uint64,
+                count=cur.size,
+            )
+            nxt = edst[lo + (h % deg.astype(np.uint64)).astype(np.int64)]
+            return pa.table({"doc_id": pa.array(doc), "cur": pa.array(nxt)})
+
+        return choose
+
+    step_tables = []
+    for s in range(steps):
+        walkers = state.map_batches(tag_walk, batch_format="pyarrow")
+        lut = edges.map_batches(tag_edge, batch_format="pyarrow")
+        state = (
+            walkers.union(lut)
+            .groupby("_part")
+            .map_groups(make_choose(s), batch_format="pyarrow")
+            .materialize()
+        )
+        step_tables.append(state)
+
+    out = step_tables[0].map_batches(
+        lambda t: t.rename_columns(["doc_id", "v1"]), batch_format="pyarrow"
+    )
+    for i, st in enumerate(step_tables[1:], start=2):
+        nxt = st.map_batches(
+            lambda t, _i=i: t.rename_columns(["doc_id", f"v{_i}"]),
+            batch_format="pyarrow",
+        )
+        out = out.join(nxt, "inner", num_partitions=num_parts, on=("doc_id",))
+    return out

@@ -16170,6 +16170,217 @@ GROUP BY f1.day
 """
 
 
+def q_protobuf_roundtrip(sf_dir: str):
+    """Protocol-Buffers wire-format record source — encode each doc row
+    into proto3 bytes (varint id, ZigZag sint delta, LEN-delimited lang,
+    fixed32 checksum, PLUS an unknown field the decoder must skip per
+    the spec's forward-compat rule) and decode through the from-scratch
+    codec (`functions/protobuf.py`). Pure per-row byte kernels inside
+    one streaming map_batches each (the PNG/JPEG discipline — no
+    shuffle); the oracle recomputes every decoded field arithmetically
+    from the source table, so one mis-shifted varint group flips the
+    hash."""
+    from .functions.protobuf import decode_record, encode_record
+
+    SCHEMA = {1: "uint", 2: "sint", 3: "str", 4: "fixed32"}
+
+    def encode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        chars = t.column("n_chars").to_pylist()
+        langs = t.column("lang").to_pylist()
+        bufs = [
+            encode_record(
+                {
+                    1: ("uint", i),
+                    2: ("sint", c - 600),
+                    3: ("str", lg),
+                    4: ("fixed32", c % 4096),
+                    7: ("uint", 1),  # not in the decoder's schema
+                }
+            )
+            for i, c, lg in zip(ids, chars, langs)
+        ]
+        return pa.table({"payload": pa.array(bufs, pa.binary())})
+
+    def decode(t: pa.Table) -> pa.Table:
+        recs = [
+            decode_record(b, SCHEMA) for b in t.column("payload").to_pylist()
+        ]
+        return pa.table(
+            {
+                "pb_id": pa.array([r[1] for r in recs], pa.int64()),
+                "pb_delta": pa.array([r[2] for r in recs], pa.int64()),
+                "pb_lang": pa.array([r[3] for r in recs], pa.string()),
+                "pb_sum": pa.array([r[4] for r in recs], pa.int64()),
+            }
+        )
+
+    return (
+        _read_sized(sf_dir, "documents", ["doc_id", "n_chars", "lang"])
+        .map_batches(encode, batch_format="pyarrow")
+        .map_batches(decode, batch_format="pyarrow")
+    )
+
+
+SQL_PROTOBUF_ROUNDTRIP = """
+SELECT doc_id AS pb_id,
+       n_chars - 600 AS pb_delta,
+       lang AS pb_lang,
+       n_chars % 4096 AS pb_sum
+FROM documents
+"""
+
+
+def q_random_walks(sf_dir: str):
+    """Deterministic 3-step random walks from every doc over a
+    materialized DISTINCT link-edge table (self-loop-free md5 family) —
+    the node2vec/DeepWalk sampling primitive. Per step ONE tagged-union
+    hash exchange resolves every walker against its node's ascending-
+    dst-ranked out-edges (`functions/graph.random_walks`); the oracle
+    replays the identical rank choice with window functions + chained
+    joins, so one wrong neighbor pick anywhere flips the hash."""
+    from .functions.dedup import _hash_distinct, md5_u64
+    from .functions.graph import random_walks
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(path).metadata.num_rows
+    ids = _read_sized(sf_dir, "documents", ["doc_id"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        u = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        outs = []
+        for j in range(3):
+            h = np.fromiter(
+                (md5_u64(f"rwg:{x}:{j}") for x in u),
+                dtype=np.uint64,
+                count=u.size,
+            )
+            outs.append((u + 1 + (h % np.uint64(n - 1)).astype(np.int64)) % n)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([u] * 3)),
+                "dst": pa.array(np.concatenate(outs)),
+            }
+        )
+
+    edges = _hash_distinct(
+        ids.map_batches(emit, batch_format="pyarrow"), ["src", "dst"], 16
+    )
+    return random_walks(edges, ids, steps=3)
+
+
+SQL_RANDOM_WALKS = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT d.doc_id AS src,
+           CAST((d.doc_id + 1 +
+                 CAST(('0x'||substr(md5('rwg:'||CAST(d.doc_id AS VARCHAR)||':'
+                       ||CAST(j.j AS VARCHAR)),1,16))::UBIGINT
+                      % (nn.n - 1) AS BIGINT)) % nn.n AS BIGINT) AS dst
+    FROM documents d, (SELECT unnest(range(3)) AS j) j, nn
+  )
+),
+ranked AS (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM e
+),
+w0 AS (SELECT doc_id, doc_id AS cur FROM documents),
+w1 AS (SELECT w.doc_id, r.dst AS cur FROM w0 w JOIN ranked r ON r.src = w.cur
+        AND r.rk = 1 + CAST(('0x'||substr(md5('rw:'||CAST(w.cur AS VARCHAR)
+             ||':0'),1,16))::UBIGINT % r.deg AS BIGINT)),
+w2 AS (SELECT w.doc_id, r.dst AS cur FROM w1 w JOIN ranked r ON r.src = w.cur
+        AND r.rk = 1 + CAST(('0x'||substr(md5('rw:'||CAST(w.cur AS VARCHAR)
+             ||':1'),1,16))::UBIGINT % r.deg AS BIGINT)),
+w3 AS (SELECT w.doc_id, r.dst AS cur FROM w2 w JOIN ranked r ON r.src = w.cur
+        AND r.rk = 1 + CAST(('0x'||substr(md5('rw:'||CAST(w.cur AS VARCHAR)
+             ||':2'),1,16))::UBIGINT % r.deg AS BIGINT))
+SELECT w1.doc_id, w1.cur AS v1, w2.cur AS v2, w3.cur AS v3
+FROM w1 JOIN w2 USING (doc_id) JOIN w3 USING (doc_id)
+"""
+
+
+def q_crawl_trap_score(sf_dir: str):
+    """Crawler-trap detection — the frontier-hygiene signal (calendar
+    pages, session-id loops, repeating path segments) that keeps a
+    10^10-URL crawl from drowning in one host's infinite URL space.
+    Each doc's synthesized URL path (formula-derived segments; docs
+    with ``doc_id % 11 == 0`` degenerate to one repeated segment) is
+    scored trappy when ``distinct_segments * 2 <= total_segments``;
+    per-source rates aggregate through |sources|-bounded per-batch
+    partials — segment distinctness is 10 fixed vectorized column
+    comparisons, no per-row Python, and NOTHING corpus-sized
+    shuffles."""
+    ev = _read_sized(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        depth = 2 + ids % 4
+        segs = np.stack(
+            [(ids // (i + 1)) % 5 for i in range(5)], axis=1
+        )  # (n, 5); column i valid when i < depth
+        segs[ids % 11 == 0] = 0
+        # distinct count over the valid prefix: seg_i is NEW when no
+        # earlier valid column equals it (10 vectorized comparisons)
+        valid = np.arange(5)[None, :] < depth[:, None]
+        new = valid.copy()
+        for i in range(1, 5):
+            for j in range(i):
+                new[:, i] &= ~(valid[:, j] & (segs[:, j] == segs[:, i]))
+        distinct = new.sum(axis=1)
+        trappy = (distinct * 2 <= depth).astype(np.int64)
+        tt = pa.table(
+            {
+                "source": t.column("source"),
+                "n_urls": pa.array(np.ones(ids.size, dtype=np.int64)),
+                "n_trappy": pa.array(trappy),
+            }
+        )
+        return (
+            tt.group_by("source")
+            .aggregate([("n_urls", "sum"), ("n_trappy", "sum")])
+            .rename_columns(["source", "n_urls", "n_trappy"])
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_urls", alias_name="n_urls"),
+            Sum("n_trappy", alias_name="n_trappy"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_urls").to_numpy(zero_copy_only=False)
+        k = t.column("n_trappy").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "trap_rate", pa.array(k.astype(np.float64) / n, pa.float64())
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CRAWL_TRAP_SCORE = """
+WITH u AS (
+ SELECT source, doc_id,
+   CASE WHEN doc_id % 11 = 0
+        THEN list_transform(range(2 + doc_id % 4), i -> CAST(0 AS BIGINT))
+        ELSE list_transform(range(2 + doc_id % 4),
+                            i -> CAST((doc_id // (i+1)) % 5 AS BIGINT))
+   END AS segs
+ FROM documents
+)
+SELECT source, count(*) AS n_urls,
+  CAST(sum(CASE WHEN len(list_distinct(segs))*2 <= len(segs)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_trappy,
+  CAST(sum(CASE WHEN len(list_distinct(segs))*2 <= len(segs)
+           THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS trap_rate
+FROM u GROUP BY source
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -16397,6 +16608,9 @@ QUERIES = {
     "kmv_distinct_users": q_kmv_distinct_users,
     "roc_auc_value": q_roc_auc_value,
     "ewma_revenue": q_ewma_revenue,
+    "protobuf_roundtrip": q_protobuf_roundtrip,
+    "random_walks": q_random_walks,
+    "crawl_trap_score": q_crawl_trap_score,
 }
 
 ORACLE_SQL = {
@@ -16628,6 +16842,9 @@ ORACLE_SQL = {
     "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
     "roc_auc_value": SQL_ROC_AUC_VALUE,
     "ewma_revenue": SQL_EWMA_REVENUE,
+    "protobuf_roundtrip": SQL_PROTOBUF_ROUNDTRIP,
+    "random_walks": SQL_RANDOM_WALKS,
+    "crawl_trap_score": SQL_CRAWL_TRAP_SCORE,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
