@@ -16381,6 +16381,87 @@ FROM u GROUP BY source
 """
 
 
+def q_tfrecord_roundtrip(sf_dir: str):
+    """TFRecord source + sink — the de-facto sharded training-corpus
+    container: every doc row encodes into a proto3 message
+    (`functions/protobuf.py`), messages frame into real TFRecord shards
+    (uint64le length + masked CRC-32C twice, `functions/tfrecord.py`),
+    one ``part-<min_id>.tfrecord`` per block (the resumable-output
+    discipline), then stream back through ``read_binary_files`` with
+    BOTH CRCs verified per record and the protos decoded, aggregating
+    per (source, lang). The oracle recomputes the aggregate from the
+    parquet table, so a dropped/torn record, a mis-framed length, or
+    one wrong varint anywhere in the container walk flips the hash."""
+    from .functions.protobuf import decode_record, encode_record
+    from .functions.tfrecord import read_tfrecords, write_tfrecords
+
+    SCHEMA = {1: "uint", 2: "str", 3: "uint", 4: "str"}
+
+    def build(d: str) -> None:
+        def to_shard(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"n": pa.array([], pa.int64())})
+            ids = t.column("doc_id").to_pylist()
+            langs = t.column("lang").to_pylist()
+            chars = t.column("n_chars").to_pylist()
+            srcs = t.column("source").to_pylist()
+            recs = [
+                encode_record(
+                    {1: ("uint", i), 2: ("str", lg), 3: ("uint", c), 4: ("str", s)}
+                )
+                for i, lg, c, s in zip(ids, langs, chars, srcs)
+            ]
+            path = os.path.join(d, f"part-{min(ids)}.tfrecord")
+            with open(path, "wb") as f:
+                f.write(write_tfrecords(recs))
+            return pa.table({"n": pa.array([len(recs)], pa.int64())})
+
+        _read_sized(
+            sf_dir, "documents", ["doc_id", "lang", "n_chars", "source"]
+        ).map_batches(to_shard, batch_format="pyarrow").count()
+
+    out_dir = _source_cached_dir(sf_dir, "documents", "tfrecord", "tfrecord", build)
+    back = ray.data.read_binary_files(out_dir)
+
+    def parse(t: pa.Table) -> pa.Table:
+        acc: dict[tuple, list[int]] = {}
+        for blob in t.column("bytes").to_pylist():
+            for payload in read_tfrecords(blob):  # verify=True: CRC-gated
+                r = decode_record(payload, SCHEMA)
+                a = acc.setdefault((r[4], r[2]), [0, 0, 0])
+                a[0] += 1
+                a[1] += r[3]
+                a[2] += r[1]
+        keys = sorted(acc)
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "lang": pa.array([k[1] for k in keys], pa.string()),
+                "n_docs": pa.array([acc[k][0] for k in keys], pa.int64()),
+                "sum_chars": pa.array([acc[k][1] for k in keys], pa.int64()),
+                "sum_ids": pa.array([acc[k][2] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        back.map_batches(parse, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("sum_ids", alias_name="sum_ids"),
+        )
+    )
+
+
+SQL_TFRECORD_ROUNDTRIP = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY source, lang
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -16611,6 +16692,7 @@ QUERIES = {
     "protobuf_roundtrip": q_protobuf_roundtrip,
     "random_walks": q_random_walks,
     "crawl_trap_score": q_crawl_trap_score,
+    "tfrecord_roundtrip": q_tfrecord_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -16845,6 +16927,7 @@ ORACLE_SQL = {
     "protobuf_roundtrip": SQL_PROTOBUF_ROUNDTRIP,
     "random_walks": SQL_RANDOM_WALKS,
     "crawl_trap_score": SQL_CRAWL_TRAP_SCORE,
+    "tfrecord_roundtrip": SQL_TFRECORD_ROUNDTRIP,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
