@@ -16462,6 +16462,78 @@ FROM documents GROUP BY source, lang
 """
 
 
+def q_hits_docs(sf_dir: str):
+    """Distributed HITS hubs & authorities over the derived doc link
+    graph — the Kleinberg companion to `pagerank_docs` (see
+    functions/hits.py for the scale story: exact-integer max-rescale
+    instead of float normalization, 3 node/edge-sized exchanges per
+    iteration, 2 control-sized driver scalars, out-links carried in the
+    frontier). The oracle replays the identical integer registers via
+    chained CTEs, so one wrong sum, floor, or edge anywhere across all
+    iterations flips the hash."""
+    from .functions.hits import hits
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_nodes = pq.ParquetFile(path).metadata.num_rows
+    ids = _read_sized(sf_dir, "documents", ["doc_id"])
+    return hits(ids, n_nodes, iters=3)
+
+
+def _sql_hits(iters: int = 3) -> str:
+    """Chained-CTE unroll of the exact-integer HITS iteration: aN sums
+    in-edge hub scores then max-rescales; hN sums out-edge authority
+    scores then max-rescales — the identical ``(s * Q) // max(s)``
+    floors the Ray kernels apply."""
+    from .functions.hits import OUT_DEGREE, Q
+
+    parts = [
+        f"""nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT d.doc_id AS src,
+         CAST((('0x' || substr(md5('hits:' || CAST(d.doc_id AS VARCHAR) || ':'
+                || CAST(j.j AS VARCHAR)), 1, 16))::UBIGINT
+               % (SELECT n FROM nn)) AS BIGINT) AS dst
+  FROM documents d, (SELECT unnest(range({OUT_DEGREE})) AS j) j
+),
+h0 AS (SELECT doc_id AS node, CAST({Q} AS BIGINT) AS h FROM documents)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i}r AS (
+  SELECT e.dst AS node, sum(p.h) AS s
+  FROM e JOIN h{i - 1}{"s" if i > 1 else ""} p ON p.node = e.src
+  GROUP BY e.dst
+),
+a{i} AS (
+  SELECT d.doc_id AS node, COALESCE(r.s, 0) AS a
+  FROM documents d LEFT JOIN a{i}r r ON r.node = d.doc_id
+),
+a{i}s AS (
+  SELECT node, (a * {Q}) // (SELECT max(a) FROM a{i}) AS a FROM a{i}
+),
+h{i}r AS (
+  SELECT e.src AS node, sum(p.a) AS s
+  FROM e JOIN a{i}s p ON p.node = e.dst
+  GROUP BY e.src
+),
+h{i} AS (
+  SELECT d.doc_id AS node, COALESCE(r.s, 0) AS h
+  FROM documents d LEFT JOIN h{i}r r ON r.node = d.doc_id
+),
+h{i}s AS (
+  SELECT node, (h * {Q}) // (SELECT max(h) FROM h{i}) AS h FROM h{i}
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT h.node AS doc_id, h.h AS hub_q, a.a AS auth_q
+FROM h{iters}s h JOIN a{iters}s a ON a.node = h.node
+"""
+
+
+SQL_HITS_DOCS = _sql_hits(3)
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -16693,6 +16765,7 @@ QUERIES = {
     "random_walks": q_random_walks,
     "crawl_trap_score": q_crawl_trap_score,
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
+    "hits_docs": q_hits_docs,
 }
 
 ORACLE_SQL = {
@@ -16928,6 +17001,7 @@ ORACLE_SQL = {
     "random_walks": SQL_RANDOM_WALKS,
     "crawl_trap_score": SQL_CRAWL_TRAP_SCORE,
     "tfrecord_roundtrip": SQL_TFRECORD_ROUNDTRIP,
+    "hits_docs": SQL_HITS_DOCS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
