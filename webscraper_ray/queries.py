@@ -16534,6 +16534,66 @@ FROM h{iters}s h JOIN a{iters}s a ON a.node = h.node
 SQL_HITS_DOCS = _sql_hits(3)
 
 
+def q_perceptron_model(sf_dir: str):
+    """Distributed batch-perceptron training over the embeddings table
+    — the minimal 'train a model on the corpus' operator (see
+    functions/linear.py: per iteration ONE streaming corpus pass, each
+    batch a matmul partial gradient, a d-row tree-reduce, and a d-int
+    driver-held model; the data-parallel GD split). Exact-integer
+    registers, so the oracle replays every pass via chained CTEs and
+    one wrong margin or gradient component anywhere flips the hash."""
+    from .functions.linear import perceptron_train
+
+    ds = _read_sized(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return perceptron_train(ds, d=64, iters=3, label_dims=8)
+
+
+def _sql_perceptron(iters: int = 3, d: int = 64, label_dims: int = 8) -> str:
+    """Chained-CTE unroll of the exact-integer batch-perceptron pass:
+    mN margins against wN-1, gN misclassified-set gradient, wN update —
+    the identical integer registers functions/linear.py computes."""
+    from .functions.linear import SCALE
+
+    rng = f"(SELECT unnest(range(1, {d + 1})) AS i) u"
+    parts = [
+        f"""e AS (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT) FOR x IN embedding] AS q
+  FROM embeddings
+),
+lab AS (
+  SELECT vec_id, q,
+         CASE WHEN list_aggregate(q[1:{label_dims}], 'sum') > 0
+              THEN 1 ELSE -1 END AS y
+  FROM e
+),
+w0 AS (SELECT unnest(range(1, {d + 1})) AS dim, CAST(0 AS BIGINT) AS w)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""m{t} AS (
+  SELECT l.vec_id, l.y, l.y * sum(w.w * l.q[w.dim]) AS margin
+  FROM lab l, w{t - 1} w GROUP BY l.vec_id, l.y
+),
+g{t} AS (
+  SELECT u.i AS dim,
+         CAST(sum(CASE WHEN m.margin <= 0 THEN l.y * l.q[u.i] ELSE 0 END)
+              AS BIGINT) AS g
+  FROM lab l JOIN m{t} m ON m.vec_id = l.vec_id, {rng}
+  GROUP BY u.i
+),
+w{t} AS (
+  SELECT w.dim, w.w + COALESCE(g.g, 0) AS w
+  FROM w{t - 1} w LEFT JOIN g{t} g ON g.dim = w.dim
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT dim, w AS weight FROM w{iters}\n"
+
+
+SQL_PERCEPTRON_MODEL = _sql_perceptron(3)
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -16766,6 +16826,7 @@ QUERIES = {
     "crawl_trap_score": q_crawl_trap_score,
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
     "hits_docs": q_hits_docs,
+    "perceptron_model": q_perceptron_model,
 }
 
 ORACLE_SQL = {
@@ -17002,6 +17063,7 @@ ORACLE_SQL = {
     "crawl_trap_score": SQL_CRAWL_TRAP_SCORE,
     "tfrecord_roundtrip": SQL_TFRECORD_ROUNDTRIP,
     "hits_docs": SQL_HITS_DOCS,
+    "perceptron_model": SQL_PERCEPTRON_MODEL,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
