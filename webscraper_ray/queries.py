@@ -16594,6 +16594,73 @@ w{t} AS (
 SQL_PERCEPTRON_MODEL = _sql_perceptron(3)
 
 
+def q_crawl_budget_waterfill(sf_dir: str):
+    """Max-min fair fetch-budget allocation across hosts (water-filling)
+    — the frontier's admission-control step when the crawl budget is
+    half the outstanding demand (see functions/waterfill.py: per-host
+    demands stay distributed, the driver solves the waterline over the
+    demand-value histogram — a guarded V-row gather — and only the one
+    value group the line cuts through ever needs intra-group ordering).
+    The oracle replays the allocation with window functions, so a wrong
+    level, saturation bit, or residual +1 anywhere flips the hash."""
+    from .functions.waterfill import budget_waterfill
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    budget = pq.ParquetFile(path).metadata.num_rows // 2
+    ds = _read_sized(sf_dir, "documents", ["source"])
+    return budget_waterfill(ds, budget, host_col="source")
+
+
+SQL_CRAWL_BUDGET_WATERFILL = """
+WITH dem AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS demand
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS h FROM dem),
+bud AS (SELECT CAST(count(*) // 2 AS BIGINT) AS b FROM documents),
+rk AS (
+  SELECT source, demand,
+         row_number() OVER (ORDER BY demand, source) AS i,
+         sum(demand) OVER (ORDER BY demand, source
+                           ROWS UNBOUNDED PRECEDING) AS p
+  FROM dem
+),
+st AS (
+  SELECT r.*,
+         CASE WHEN (r.p - r.demand)
+                   + r.demand * ((SELECT h FROM tot) - r.i + 1)
+                   <= (SELECT b FROM bud)
+              THEN 1 ELSE 0 END AS is_sat
+  FROM rk r
+),
+sc AS (
+  SELECT CAST(COALESCE(sum(is_sat), 0) AS BIGINT) AS s,
+         CAST(COALESCE(sum(CASE WHEN is_sat = 1 THEN demand END), 0)
+              AS BIGINT) AS ps
+  FROM st
+),
+lv AS (
+  SELECT s, ps,
+         CASE WHEN s >= (SELECT h FROM tot) THEN CAST(0 AS BIGINT)
+              ELSE ((SELECT b FROM bud) - ps)
+                   // ((SELECT h FROM tot) - s) END AS l
+  FROM sc
+),
+lv2 AS (
+  SELECT s, l,
+         CASE WHEN s >= (SELECT h FROM tot) THEN CAST(0 AS BIGINT)
+              ELSE ((SELECT b FROM bud) - ps)
+                   - l * ((SELECT h FROM tot) - s) END AS r
+  FROM lv
+)
+SELECT st.source, st.demand,
+       CASE WHEN st.is_sat = 1 THEN st.demand
+            WHEN st.i - lv2.s <= lv2.r THEN lv2.l + 1
+            ELSE lv2.l END AS alloc
+FROM st, lv2
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -16827,6 +16894,7 @@ QUERIES = {
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
     "hits_docs": q_hits_docs,
     "perceptron_model": q_perceptron_model,
+    "crawl_budget_waterfill": q_crawl_budget_waterfill,
 }
 
 ORACLE_SQL = {
@@ -17064,6 +17132,7 @@ ORACLE_SQL = {
     "tfrecord_roundtrip": SQL_TFRECORD_ROUNDTRIP,
     "hits_docs": SQL_HITS_DOCS,
     "perceptron_model": SQL_PERCEPTRON_MODEL,
+    "crawl_budget_waterfill": SQL_CRAWL_BUDGET_WATERFILL,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
