@@ -40,7 +40,7 @@ from .dedup import (
     md5_u64,
 )
 
-__all__ = ["similarity_join"]
+__all__ = ["similarity_join", "containment_join"]
 
 
 def _prefix_rows(
@@ -185,4 +185,230 @@ def similarity_join(
         )
     return exact_jaccard_verify(
         pairs, ds, id_col, text_col, "doc_a", "doc_b", n_pairs, threshold
+    ).sort(["doc_a", "doc_b"])
+
+
+# ---------------------------------------------------------------------------
+# Exact containment (overlap-coefficient) self-join
+# ---------------------------------------------------------------------------
+
+
+def _cont_rows(
+    t: pa.Table, id_col: str, text_col: str, threshold: float
+) -> pa.Table:
+    """Two row kinds per doc for the overlap-coefficient prefix filter:
+    role 0 = the doc's prefix (smallest ``n - ceil(t*n) + 1`` hashes —
+    the side that plays the SMALLER set), role 1 = every hash (the side
+    that plays the LARGER set; overlap >= t*min constrains only the
+    smaller set's prefix, so the larger side must be fully indexed —
+    the published cost of an exact overlap join, ~(2-t)x the shingle
+    mass, still one hash-keyed exchange)."""
+    ph, ids, sizes, poss, roles = [], [], [], [], []
+    for doc, text in zip(
+        t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+    ):
+        sh = _shingles(text or "")
+        if not sh:
+            continue
+        h = np.sort(np.fromiter((md5_u64(s) for s in sh), dtype=np.uint64))
+        p = h.size - math.ceil(threshold * h.size) + 1
+        for role, k in ((0, p), (1, h.size)):
+            ph.append(h[:k])
+            ids.append(np.full(k, doc, dtype=np.int64))
+            sizes.append(np.full(k, h.size, dtype=np.int64))
+            poss.append(np.arange(k, dtype=np.int64))
+            roles.append(np.full(k, role, dtype=np.int8))
+    if not ph:
+        return pa.table(
+            {
+                "ph": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "n_sh": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "role": pa.array([], pa.int8()),
+            }
+        )
+    return pa.table(
+        {
+            "ph": pa.array(np.concatenate(ph).view(np.int64)),
+            "doc_id": pa.array(np.concatenate(ids)),
+            "n_sh": pa.array(np.concatenate(sizes)),
+            "pos": pa.array(np.concatenate(poss)),
+            "role": pa.array(np.concatenate(roles)),
+        }
+    )
+
+
+def _cont_partition_pairs(t: pa.Table, threshold: float) -> pa.Table:
+    """(a, b) pairs within one hash partition: a prefix row meets the
+    full-index rows of every no-smaller doc sharing the hash, with the
+    PPJoin positional upper bound pruning junk collisions (a true
+    pair's minimum common element always survives it — its position
+    precedes every other common element on both sides)."""
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    if t.num_rows < 2:
+        return empty
+    ph = t.column("ph").to_numpy(zero_copy_only=False)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    ns = t.column("n_sh").to_numpy(zero_copy_only=False)
+    pos = t.column("pos").to_numpy(zero_copy_only=False)
+    role = t.column("role").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, ns, role, ph))
+    ph, ids, ns, pos, role = (
+        ph[order],
+        ids[order],
+        ns[order],
+        pos[order],
+        role[order],
+    )
+    grp_start = np.r_[True, ph[1:] != ph[:-1]]
+    seg = np.cumsum(grp_start) - 1
+    if seg[-1] >= (1 << 29):
+        raise OverflowError(
+            "containment_join: too many prefix-hash groups in one "
+            "partition for the int64 shift domain; raise num_parts"
+        )
+    base = seg.astype(np.int64) << np.int64(33)
+    m0 = role == 0
+    m1 = ~m0
+    if not m0.any() or not m1.any():
+        return empty
+    arr1 = ns[m1] + base[m1]  # full-index rows, shifted per group
+    ends1 = np.cumsum(
+        np.bincount(seg[m1], minlength=int(seg[-1]) + 1)
+    )  # per-group end offset inside arr1
+    probes = ns[m0] + base[m0]
+    lo = np.searchsorted(arr1, probes, side="left")
+    hi = ends1[seg[m0]]
+    counts = np.maximum(hi - lo, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return empty
+    j_idx = np.repeat(np.arange(counts.size), counts)  # prefix-row index
+    offs = np.cumsum(counts) - counts
+    i_idx = np.arange(total) - np.repeat(offs, counts) + np.repeat(lo, counts)
+    id0, n0, p0 = ids[m0], ns[m0], pos[m0]
+    id1, n1, p1 = ids[m1], ns[m1], pos[m1]
+    a, b = id0[j_idx], id1[i_idx]
+    keep = a != b
+    # positional bound: overlap <= 1 + min(remaining suffixes); a true
+    # pair needs >= ceil(t * n_small) and here n_small = the prefix
+    # row's n (the size filter made the other side no smaller)
+    alpha = np.ceil(threshold * n0[j_idx] - 1e-9).astype(np.int64)
+    ub = 1 + np.minimum(
+        n0[j_idx] - p0[j_idx] - 1, n1[i_idx] - p1[i_idx] - 1
+    )
+    keep &= ub >= alpha
+    return pa.table(
+        {
+            "doc_a": pa.array(np.minimum(a, b)[keep]),
+            "doc_b": pa.array(np.maximum(a, b)[keep]),
+        }
+    )
+
+
+def exact_overlap_verify(
+    pairs: "ray.data.Dataset",
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    n_pairs: int,
+    threshold: float,
+) -> "ray.data.Dataset":
+    """TRUE overlap coefficient |A∩B| / min(|A|,|B|) of each candidate
+    pair — the same distributed shape as ``dedup.exact_jaccard_verify``
+    (involved-docs filter, shingle-hash join on both pair sides, one
+    vectorized-per-pair pass), different similarity functional."""
+    from .dedup import _involved_docs, _join_pair_sides, shingle_hash_table
+
+    involved = _involved_docs(ds, pairs, id_col, text_col, "doc_a", "doc_b")
+    hash_ds = involved.map_batches(
+        lambda t: shingle_hash_table(t, id_col, text_col),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def verify(t: pa.Table) -> pa.Table:
+        out_a, out_b, out_c = [], [], []
+        for a, b, ha, hb in zip(
+            t.column("doc_a").to_pylist(),
+            t.column("doc_b").to_pylist(),
+            t.column("hashes_a").to_pylist(),
+            t.column("hashes_b").to_pylist(),
+        ):
+            va = np.frombuffer(ha, dtype=np.uint64)
+            vb = np.frombuffer(hb, dtype=np.uint64)
+            inter = np.intersect1d(va, vb, assume_unique=True).size
+            cont = inter / min(va.size, vb.size)
+            if cont >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_c.append(cont)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "containment": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    return _join_pair_sides(
+        pairs, hash_ds, id_col, "doc_a", "doc_b", "hashes", n_pairs
+    ).map_batches(verify, batch_format="pyarrow")
+
+
+def containment_join(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> "ray.data.Dataset":
+    """Exact-recall ``(doc_a, doc_b, containment)`` pairs whose
+    distinct-3-shingle OVERLAP COEFFICIENT ``|A∩B| / min(|A|,|B|)``
+    reaches ``threshold`` — the asymmetric near-CONTAINMENT dedup a
+    Jaccard join structurally misses (a short doc quoted inside a long
+    one has high containment but low Jaccard, so MinHash-LSH and the
+    Jaccard prefix filter both skip it). Candidates via the
+    smaller-side prefix against a full index of the larger side
+    (module-level `_cont_rows` note), verified by the distributed exact
+    overlap machinery. Same documented hot-shingle caveat as
+    :func:`similarity_join`: a boilerplate shingle shared by m docs can
+    emit O(m²) candidates — throughput, not correctness or driver
+    memory."""
+    import ray  # noqa: F401
+
+    from .dedup import _hash_distinct
+    from .joins import _part_column
+
+    rows = ds.map_batches(
+        lambda t: _cont_rows(t, id_col, text_col, threshold),
+        batch_format="pyarrow",
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column("_p", _part_column(t.column("ph"), 32))
+
+    cands = (
+        rows.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(
+            lambda t: _cont_partition_pairs(t, threshold),
+            batch_format="pyarrow",
+        )
+    )
+    pairs = _hash_distinct(cands, ["doc_a", "doc_b"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "containment": pa.array([], pa.float64()),
+                }
+            )
+        )
+    return exact_overlap_verify(
+        pairs, ds, id_col, text_col, n_pairs, threshold
     ).sort(["doc_a", "doc_b"])

@@ -16661,6 +16661,49 @@ FROM st, lv2
 """
 
 
+def q_containment_pairs(sf_dir: str):
+    """Exact near-containment pairs: distinct-3-shingle OVERLAP
+    COEFFICIENT >= 0.7 over the documents table — the asymmetric
+    quote/boilerplate-subsumption dedup Jaccard-based families miss
+    (see functions/setjoin.containment_join: smaller-side prefix filter
+    against a full hash index, distributed exact-overlap verify). The
+    oracle brute-forces every true pair in SQL, gating RECALL as well
+    as precision: one candidate the prefix filter loses flips the row
+    count."""
+    from .functions.setjoin import containment_join
+
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
+    return containment_join(ds, threshold=0.7)
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT x.doc_a, x.doc_b,
+       x.i * 1.0 / least(ca.n, cb.n) AS containment
+FROM inter x
+JOIN counts ca ON ca.doc_id = x.doc_a
+JOIN counts cb ON cb.doc_id = x.doc_b
+WHERE x.i * 1.0 / least(ca.n, cb.n) >= 0.7
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -16895,6 +16938,7 @@ QUERIES = {
     "hits_docs": q_hits_docs,
     "perceptron_model": q_perceptron_model,
     "crawl_budget_waterfill": q_crawl_budget_waterfill,
+    "containment_pairs": q_containment_pairs,
 }
 
 ORACLE_SQL = {
@@ -17133,6 +17177,7 @@ ORACLE_SQL = {
     "hits_docs": SQL_HITS_DOCS,
     "perceptron_model": SQL_PERCEPTRON_MODEL,
     "crawl_budget_waterfill": SQL_CRAWL_BUDGET_WATERFILL,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
