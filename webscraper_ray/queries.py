@@ -16704,6 +16704,43 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_blocklist_stats(sf_dir: str):
+    """Aho–Corasick blocklist scoring (the C4/Gopher badwords-filter
+    stage): per-doc occurrence counts of the 6-pattern blocklist and
+    the blocked flag, via the actor-pool stage whose automaton builds
+    ONCE per actor (functions/blocklist.py — one streaming pass, no
+    shuffle). Patterns are border-free, so every-occurrence counting
+    equals SQL's replace-length identity and DuckDB gates the automaton
+    exactly per doc."""
+    from .functions.blocklist import BlocklistScore
+
+    return _read_sized(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        BlocklistScore,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+
+
+def _sql_blocklist() -> str:
+    from .functions.blocklist import DEFAULT_PATTERNS
+
+    terms = " + ".join(
+        "(length(lower(text)) - length(replace(lower(text), '{p}', '')))"
+        " // {n}".format(p=p, n=len(p))
+        for p in DEFAULT_PATTERNS
+    )
+    return f"""
+SELECT doc_id,
+       CAST({terms} AS BIGINT) AS n_hits,
+       CAST(CASE WHEN {terms} > 0 THEN 1 ELSE 0 END AS BIGINT) AS blocked
+FROM documents
+"""
+
+
+SQL_BLOCKLIST_STATS = _sql_blocklist()
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -16939,6 +16976,7 @@ QUERIES = {
     "perceptron_model": q_perceptron_model,
     "crawl_budget_waterfill": q_crawl_budget_waterfill,
     "containment_pairs": q_containment_pairs,
+    "blocklist_stats": q_blocklist_stats,
 }
 
 ORACLE_SQL = {
@@ -17178,6 +17216,7 @@ ORACLE_SQL = {
     "perceptron_model": SQL_PERCEPTRON_MODEL,
     "crawl_budget_waterfill": SQL_CRAWL_BUDGET_WATERFILL,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "blocklist_stats": SQL_BLOCKLIST_STATS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
