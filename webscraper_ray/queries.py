@@ -16741,6 +16741,63 @@ FROM documents
 SQL_BLOCKLIST_STATS = _sql_blocklist()
 
 
+def q_cbor_roundtrip(sf_dir: str):
+    """CBOR (RFC 8949) record source — the reference's own document
+    content encoding (E14, `src/db/model.ts:69-71` stores tiptap trees
+    as CBOR): every doc row encodes into a definite-length CBOR map
+    (int, negative int, text, nested array — all four scalar majors the
+    tree subset uses) through `oracle/cbor.py` and decodes back in a
+    second streaming map, per-row byte kernels like the protobuf twin.
+    The oracle recomputes each decoded field arithmetically, so one
+    mis-encoded major type or length anywhere flips the hash."""
+    from .oracle.cbor import dumps, loads
+
+    def encode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        chars = t.column("n_chars").to_pylist()
+        langs = t.column("lang").to_pylist()
+        bufs = [
+            dumps(
+                {
+                    "id": i,
+                    "delta": c - 700,  # exercises negative-int major 1
+                    "lang": lg,
+                    "meta": [c % 97, lg + "-x"],
+                }
+            )
+            for i, c, lg in zip(ids, chars, langs)
+        ]
+        return pa.table({"payload": pa.array(bufs, pa.binary())})
+
+    def decode(t: pa.Table) -> pa.Table:
+        recs = [loads(b) for b in t.column("payload").to_pylist()]
+        return pa.table(
+            {
+                "cb_id": pa.array([r["id"] for r in recs], pa.int64()),
+                "cb_delta": pa.array([r["delta"] for r in recs], pa.int64()),
+                "cb_lang": pa.array([r["lang"] for r in recs], pa.string()),
+                "cb_mod": pa.array([r["meta"][0] for r in recs], pa.int64()),
+                "cb_tag": pa.array([r["meta"][1] for r in recs], pa.string()),
+            }
+        )
+
+    return (
+        _read_sized(sf_dir, "documents", ["doc_id", "n_chars", "lang"])
+        .map_batches(encode, batch_format="pyarrow")
+        .map_batches(decode, batch_format="pyarrow")
+    )
+
+
+SQL_CBOR_ROUNDTRIP = """
+SELECT doc_id AS cb_id,
+       n_chars - 700 AS cb_delta,
+       lang AS cb_lang,
+       n_chars % 97 AS cb_mod,
+       lang || '-x' AS cb_tag
+FROM documents
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -16977,6 +17034,7 @@ QUERIES = {
     "crawl_budget_waterfill": q_crawl_budget_waterfill,
     "containment_pairs": q_containment_pairs,
     "blocklist_stats": q_blocklist_stats,
+    "cbor_roundtrip": q_cbor_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -17217,6 +17275,7 @@ ORACLE_SQL = {
     "crawl_budget_waterfill": SQL_CRAWL_BUDGET_WATERFILL,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "blocklist_stats": SQL_BLOCKLIST_STATS,
+    "cbor_roundtrip": SQL_CBOR_ROUNDTRIP,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
