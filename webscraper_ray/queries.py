@@ -16798,6 +16798,116 @@ FROM documents
 """
 
 
+RAKE_STOPWORDS = ("the", "a", "and", "of", "in")
+
+
+def q_rake_keywords(sf_dir: str):
+    """RAKE keyword extraction (Rose et al. 2010, public) — per doc the
+    top-3 words by degree/frequency over stopword-delimited candidate
+    phrases: freq(w) = occurrences, deg(w) = sum of the containing
+    phrase's length per occurrence, score = deg/freq (ONE IEEE division
+    on exact ints, so the float is bit-identical in DuckDB), ties by
+    word ascending. Pure per-doc map — no shuffle, no state; the window
+    -function oracle replays phrase segmentation, both counters, the
+    division, and the ranking."""
+    from .functions.dedup import _tokens
+
+    stops = frozenset(RAKE_STOPWORDS)
+
+    def rake(t: pa.Table) -> pa.Table:
+        out_id, out_rk, out_w, out_f, out_d, out_s = [], [], [], [], [], []
+        for doc, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = _tokens(text or "")
+            freq: dict[str, int] = {}
+            deg: dict[str, int] = {}
+            phrase: list[str] = []
+
+            def flush():
+                for w in phrase:
+                    freq[w] = freq.get(w, 0) + 1
+                    deg[w] = deg.get(w, 0) + len(phrase)
+                phrase.clear()
+
+            for w in toks:
+                if w in stops:
+                    flush()
+                else:
+                    phrase.append(w)
+            flush()
+            ranked = sorted(
+                freq, key=lambda w: (-(deg[w] / freq[w]), w)
+            )[:3]
+            for rk, w in enumerate(ranked, start=1):
+                out_id.append(doc)
+                out_rk.append(rk)
+                out_w.append(w)
+                out_f.append(freq[w])
+                out_d.append(deg[w])
+                out_s.append(deg[w] / freq[w])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "rnk": pa.array(out_rk, pa.int64()),
+                "word": pa.array(out_w, pa.string()),
+                "freq": pa.array(out_f, pa.int64()),
+                "deg": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return _read_sized(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        rake, batch_format="pyarrow"
+    )
+
+
+def _sql_rake() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id, u.i AS pos, t[i] AS word,
+         CASE WHEN t[i] IN ({stop_list}) THEN 1 ELSE 0 END AS stop
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+g AS (
+  SELECT doc_id, pos, word, stop,
+         sum(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM w
+),
+ph AS (
+  SELECT doc_id, grp, count(*) AS plen
+  FROM g WHERE stop = 0 GROUP BY doc_id, grp
+),
+ws AS (
+  SELECT g.doc_id, g.word,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(ph.plen) AS BIGINT) AS deg
+  FROM g JOIN ph ON ph.doc_id = g.doc_id AND ph.grp = g.grp
+  WHERE g.stop = 0
+  GROUP BY g.doc_id, g.word
+),
+rk AS (
+  SELECT doc_id, word, freq, deg,
+         CAST(deg AS DOUBLE) / freq AS score,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY CAST(deg AS DOUBLE) / freq DESC, word) AS rnk
+  FROM ws
+)
+SELECT doc_id, rnk, word, freq, deg, score FROM rk WHERE rnk <= 3
+"""
+
+
+SQL_RAKE_KEYWORDS = _sql_rake()
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -17035,6 +17145,7 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "blocklist_stats": q_blocklist_stats,
     "cbor_roundtrip": q_cbor_roundtrip,
+    "rake_keywords": q_rake_keywords,
 }
 
 ORACLE_SQL = {
@@ -17276,6 +17387,7 @@ ORACLE_SQL = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "blocklist_stats": SQL_BLOCKLIST_STATS,
     "cbor_roundtrip": SQL_CBOR_ROUNDTRIP,
+    "rake_keywords": SQL_RAKE_KEYWORDS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
