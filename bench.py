@@ -101,6 +101,14 @@ BENCH_QUERIES = [
     "epoch_plan",
     "token_budget_select",
     "pushdown_scan",
+    "random_walks",
+    "hits_docs",
+    "perceptron_model",
+    "tfrecord_roundtrip",
+    "containment_pairs",
+    "blocklist_stats",
+    "crawl_budget_waterfill",
+    "rake_keywords",
 ]
 
 
