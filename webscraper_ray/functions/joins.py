@@ -22,8 +22,17 @@ Partitioning assumptions (documented per the brief):
 - ``key * (ranks + 1)`` must not overflow int64: keys and per-partition
   distinct timestamps each bounded by ~3e9 (guarded with an explicit
   check so overflow fails loudly, never silently);
-- a single giant key lands in one partition, as in any hash join —
-  salt upstream if one key dominates a corpus.
+- by default a single giant key lands in one partition, as in any hash
+  join. ``asof_join(hot_key_threshold=...)`` removes the caveat: keys
+  whose row count reaches the threshold are TIME-SLICED — each hot key
+  gets ``hot_slices`` extra partitions keyed by a timestamp range, and
+  every slice s > 0 is seeded with ONE injected boundary row (the hot
+  key's latest right row from earlier slices, reduced distributedly to
+  a |hot| x slices table before a control-sized driver prefix-argmax),
+  so the as-of lookup inside a slice never needs rows outside it. The
+  merge kernel is unchanged — hot slices are just more partitions. The
+  residual caveat shrinks to a giant key whose rows share ONE
+  timestamp (unsliceable by definition).
 """
 
 from __future__ import annotations
@@ -99,6 +108,128 @@ def _check_no_overflow(keys: np.ndarray, m: int) -> None:
         )
 
 
+MAX_HOT_KEYS = 64  # boundary table stays <= MAX_HOT_KEYS * hot_slices rows
+
+
+def _hot_key_stats(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    left_ts: str,
+    right_key: str,
+    right_ts: str,
+    threshold: int,
+):
+    """Detect keys with >= ``threshold`` rows on EITHER side and return
+    ``(hot_keys, tmin, tmax)`` (right-side ts range per hot key, the
+    slice domain) or ``None`` when no key is hot.
+
+    Both passes are pre-aggregated per batch (distinct-keys-per-batch
+    rows enter the shuffle, never row counts); only the filtered hot
+    rows — loudly capped at :data:`MAX_HOT_KEYS` — reach the driver."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    if threshold <= 0:
+        raise ValueError(f"hot_key_threshold must be > 0, got {threshold}")
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        g = t.select([left_key]).group_by(left_key).aggregate([(left_key, "count")])
+        return g.rename_columns([left_key, "cnt"])
+
+    lc = (
+        left.map_batches(lpartial, batch_format="pyarrow")
+        .groupby(left_key)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .filter(expr=f"cnt >= {threshold}")
+        .take_all()
+    )
+    if len(lc) > MAX_HOT_KEYS:
+        raise ValueError(
+            f"asof_join: > {MAX_HOT_KEYS} hot keys on the left side; raise "
+            "hot_key_threshold (the boundary table must stay control-sized)"
+        )
+    left_hot = [r[left_key] for r in lc]
+
+    def rpartial(t: pa.Table) -> pa.Table:
+        # ts cast to int64 (µs) so the driver-side stats are plain ints
+        # whatever the column's logical type (timestamp or int)
+        tt = pa.table(
+            {
+                right_key: t.column(right_key),
+                right_ts: t.column(right_ts).cast(pa.int64()),
+            }
+        )
+        g = tt.group_by(right_key).aggregate(
+            [(right_key, "count"), (right_ts, "min"), (right_ts, "max")]
+        )
+        return g.rename_columns([right_key, "cnt", "tmin", "tmax"])
+
+    ragg = (
+        right.map_batches(rpartial, batch_format="pyarrow")
+        .groupby(right_key)
+        .aggregate(
+            Sum("cnt", alias_name="cnt"),
+            Min("tmin", alias_name="tmin"),
+            Max("tmax", alias_name="tmax"),
+        )
+    )
+    if left_hot:
+        lh = pa.array(left_hot)
+
+        def keep(t: pa.Table) -> pa.Table:
+            m = pc.or_(
+                pc.greater_equal(t.column("cnt"), pa.scalar(threshold)),
+                pc.is_in(t.column(right_key), value_set=lh),
+            )
+            return t.filter(m)
+
+        rc = ragg.map_batches(keep, batch_format="pyarrow").take_all()
+    else:
+        rc = ragg.filter(expr=f"cnt >= {threshold}").take_all()
+    if len(rc) > MAX_HOT_KEYS:
+        raise ValueError(
+            f"asof_join: > {MAX_HOT_KEYS} hot keys on the right side; raise "
+            "hot_key_threshold (the boundary table must stay control-sized)"
+        )
+    rstats = {r[right_key]: (r["tmin"], r["tmax"]) for r in rc}
+    hot = sorted(
+        set(left_hot)
+        | {r[right_key] for r in rc if r["cnt"] >= threshold}
+    )
+    if not hot:
+        return None
+    tmin = np.array([rstats.get(k, (0, 0))[0] for k in hot], dtype=np.int64)
+    tmax = np.array([rstats.get(k, (0, 0))[1] for k in hot], dtype=np.int64)
+    return hot, tmin, tmax
+
+
+def _hot_part_ids(
+    key_col: pa.ChunkedArray,
+    ts_col: pa.ChunkedArray,
+    base_part: pa.Array,
+    hot_keys: pa.Array,
+    tmin: np.ndarray,
+    tmax: np.ndarray,
+    num_partitions: int,
+    hot_slices: int,
+) -> pa.Array:
+    """Partition ids with hot keys routed to ``P + hot_idx*S + slice``
+    (vectorized: arrow ``index_in`` for the key lookup, int64 math for
+    the equal-width time slice, clipped so out-of-range probes land in
+    the first/last slice)."""
+    idx = pc.index_in(key_col, value_set=hot_keys)
+    idx_np = idx.to_numpy(zero_copy_only=False)  # float with NaN for miss
+    hot_mask = ~np.isnan(idx_np) if idx_np.dtype.kind == "f" else idx_np >= 0
+    part = base_part.to_numpy(zero_copy_only=False).astype(np.int32).copy()
+    if hot_mask.any():
+        hi = idx_np[hot_mask].astype(np.int64)
+        ts = ts_col.to_numpy(zero_copy_only=False).astype(np.int64)[hot_mask]
+        span = tmax[hi] - tmin[hi] + 1
+        s = np.clip((ts - tmin[hi]) * hot_slices // span, 0, hot_slices - 1)
+        part[hot_mask] = (num_partitions + hi * hot_slices + s).astype(np.int32)
+    return pa.array(part, pa.int32())
+
+
 def _tag_side(
     ds: "ray.data.Dataset",
     key: str,
@@ -136,6 +267,8 @@ def asof_join(
     right_payload: Sequence[str],
     tie_break: Optional[str] = None,
     num_partitions: int = 32,
+    hot_key_threshold: Optional[int] = None,
+    hot_slices: int = 16,
 ) -> "ray.data.Dataset":
     """For each left row, the latest right row of the same key with
     ``right_ts <= left_ts`` (inner: unmatched left rows drop).
@@ -143,6 +276,11 @@ def asof_join(
     Ties on (key, right_ts) resolve to the greatest ``tie_break`` value
     (default: the first payload column) — the deterministic contract the
     SQL oracle pins with ``ORDER BY ts DESC, tie DESC ... rn = 1``.
+
+    ``hot_key_threshold``: when set, keys with at least that many rows
+    on either side are TIME-SLICED into ``hot_slices`` extra partitions
+    with injected boundary rows (module docstring) — identical output,
+    parallel instead of single-partition execution for giant keys.
 
     Output: all left columns + ``right_payload`` columns.
     """
@@ -221,11 +359,128 @@ def asof_join(
             out[c] = rt.column(c).take(pa.array(take_right))
         return pa.table(out)
 
-    return (
-        left_side.union(right_side)
-        .groupby("_part")
-        .map_groups(merge, batch_format="pyarrow")
-    )
+    union_ds = left_side.union(right_side)
+
+    if hot_key_threshold is not None:
+        stats = _hot_key_stats(
+            left, right, left_key, left_ts, right_key, right_ts,
+            hot_key_threshold,
+        )
+    else:
+        stats = None
+    if stats is not None:
+        hot_keys, tmin, tmax = stats
+        hk_arr = pa.array(hot_keys)
+        S = hot_slices
+
+        def rehot(t: pa.Table) -> pa.Table:
+            newp = _hot_part_ids(
+                t.column(left_key), t.column(left_ts), t.column("_part"),
+                hk_arr, tmin, tmax, num_partitions, S,
+            )
+            i = t.schema.get_field_index("_part")
+            return t.set_column(i, "_part", newp)
+
+        union_ds = union_ds.map_batches(rehot, batch_format="pyarrow")
+
+        # --- boundary rows: per (hot key, slice) the latest earlier-
+        # slice right row, reduced distributedly then prefix-scanned on
+        # a <= |hot| x S table driver-side ---
+        def bpartial(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "_b": pa.array([], pa.int64()),
+                    left_key: pa.array([], type=t.schema.field(left_key).type),
+                    left_ts: pa.array([], type=t.schema.field(left_ts).type),
+                    **{
+                        c: pa.array([], type=typ)
+                        for c, typ in payload_schema
+                    },
+                }
+            )
+            idx = pc.index_in(t.column(left_key), value_set=hk_arr)
+            idx_np = idx.to_numpy(zero_copy_only=False)
+            hot_mask = (
+                ~np.isnan(idx_np) if idx_np.dtype.kind == "f" else idx_np >= 0
+            )
+            if not hot_mask.any():
+                return empty
+            sub = t.filter(pa.array(hot_mask))
+            hi = idx_np[hot_mask].astype(np.int64)
+            ts = sub.column(left_ts).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            span = tmax[hi] - tmin[hi] + 1
+            s = np.clip((ts - tmin[hi]) * S // span, 0, S - 1)
+            b = hi * S + s
+            _, tie_codes = np.unique(
+                sub.column(tie).to_numpy(zero_copy_only=False),
+                return_inverse=True,
+            )
+            order = np.lexsort((tie_codes, ts, b))
+            bb = b[order]
+            take = order[np.r_[bb[1:] != bb[:-1], True]]
+            out = sub.take(pa.array(take)).select([left_key, left_ts, *payload])
+            return out.add_column(
+                0, "_b", pa.array(b[take].astype(np.int64))
+            )
+
+        def breduce(g: pa.Table) -> pa.Table:
+            ts = g.column(left_ts).to_numpy(zero_copy_only=False)
+            _, tie_codes = np.unique(
+                g.column(tie).to_numpy(zero_copy_only=False),
+                return_inverse=True,
+            )
+            best = int(np.lexsort((tie_codes, ts))[-1])
+            return g.take(pa.array([best]))
+
+        bound = (
+            right.map_batches(project_right, batch_format="pyarrow")
+            .map_batches(bpartial, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(breduce, batch_format="pyarrow")
+            .take_all()  # <= |hot| x S rows — control-sized by the cap
+        )
+        per_key: dict[int, dict[int, dict]] = {}
+        for r in bound:
+            hi, s = divmod(int(r["_b"]), S)
+            per_key.setdefault(hi, {})[s] = r
+        left_types = dict(zip(left.schema().names, left.schema().types))
+        cols: dict[str, list] = {c: [] for c in order}
+        for hi, slices in per_key.items():
+            best = None
+            for s in range(S):
+                if best is not None:
+                    cols["_part"].append(num_partitions + hi * S + s)
+                    cols["_side"].append(0)
+                    for c in left_cols:
+                        if c == left_key:
+                            cols[c].append(best[left_key])
+                        elif c == left_ts:
+                            cols[c].append(best[left_ts])
+                        else:
+                            cols[c].append(None)
+                    for c in payload:
+                        cols[c].append(best[c])
+                cand = slices.get(s)
+                if cand is not None and (
+                    best is None
+                    or (cand[left_ts], cand[tie]) > (best[left_ts], best[tie])
+                ):
+                    best = cand
+        if cols["_part"]:
+            arrays = {
+                "_part": pa.array(cols["_part"], pa.int32()),
+                "_side": pa.array(cols["_side"], pa.int8()),
+            }
+            for c in left_cols:
+                arrays[c] = pa.array(cols[c], type=left_types[c])
+            for c, typ in payload_schema:
+                arrays[c] = pa.array(cols[c], type=typ)
+            bt = pa.table({c: arrays[c] for c in order})
+            union_ds = union_ds.union(ray.data.from_arrow(bt))
+
+    return union_ds.groupby("_part").map_groups(merge, batch_format="pyarrow")
 
 
 def range_count_join(

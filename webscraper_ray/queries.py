@@ -16908,6 +16908,71 @@ SELECT doc_id, rnk, word, freq, deg, score FROM rk WHERE rnk <= 3
 SQL_RAKE_KEYWORDS = _sql_rake()
 
 
+def q_asof_cohort_salted(sf_dir: str):
+    """As-of join under DELIBERATE extreme skew, resolved by hot-key
+    time-slicing: events and orders collapse onto 8 cohort buckets
+    (user % 8), so EVERY key is a giant that would serialize a plain
+    hash-partitioned as-of into 8 single-partition merges; with
+    ``hot_key_threshold`` set, each hot bucket fans out over 16
+    timestamp slices with injected boundary rows (functions/joins.py
+    module docstring) and the merge parallelism is slices x buckets.
+    Gated by the same window-function oracle shape as
+    `asof_latest_order`, so the salted path must be value-identical to
+    the semantic definition."""
+    from .functions.joins import asof_join
+
+    events = _read_sized(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read_sized(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def lbucket(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "bucket": pa.array((uid % 8).astype(np.int64)),
+                "ts": t.column("ts"),
+            }
+        )
+
+    def rbucket(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((ck % 8).astype(np.int64)),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderkey": t.column("o_orderkey"),
+                "o_totalprice": t.column("o_totalprice"),
+            }
+        )
+
+    return asof_join(
+        events.map_batches(lbucket, batch_format="pyarrow"),
+        orders.map_batches(rbucket, batch_format="pyarrow"),
+        left_key="bucket",
+        left_ts="ts",
+        right_key="bucket",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+        hot_key_threshold=64,
+        hot_slices=16,
+    )
+
+
+SQL_ASOF_COHORT_SALTED = """
+SELECT event_id, bucket, ts, o_orderkey, o_totalprice FROM (
+  SELECT e.event_id, e.user_id % 8 AS bucket, e.ts,
+         o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey % 8 = e.user_id % 8 AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -17146,6 +17211,7 @@ QUERIES = {
     "blocklist_stats": q_blocklist_stats,
     "cbor_roundtrip": q_cbor_roundtrip,
     "rake_keywords": q_rake_keywords,
+    "asof_cohort_salted": q_asof_cohort_salted,
 }
 
 ORACLE_SQL = {
@@ -17388,6 +17454,7 @@ ORACLE_SQL = {
     "blocklist_stats": SQL_BLOCKLIST_STATS,
     "cbor_roundtrip": SQL_CBOR_ROUNDTRIP,
     "rake_keywords": SQL_RAKE_KEYWORDS,
+    "asof_cohort_salted": SQL_ASOF_COHORT_SALTED,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
