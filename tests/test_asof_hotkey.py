@@ -167,3 +167,95 @@ def test_hot_cap_guard(ray_session):
     right = _right(keys, np.zeros(keys.size), np.arange(keys.size))
     with pytest.raises(ValueError, match="hot keys"):
         asof_join(left, right, **KW, hot_key_threshold=3).materialize()
+
+
+# --- range_count_join hot-key slicing ---
+
+from webscraper_ray.functions.joins import range_count_join  # noqa: E402
+
+RKW = dict(
+    left_key="k", left_ts="ts", right_key="k", right_ts="rts",
+    lo_offset_us=-1_000, hi_offset_us=0, count_as="n",
+)
+
+
+def test_range_hot_equals_baseline_random(ray_session):
+    rng = np.random.default_rng(13)
+    lk = np.concatenate([np.full(300, 5), rng.integers(50, 60, 150)])
+    lts = rng.integers(0, 20_000, lk.size)
+    rk = np.concatenate([np.full(6_000, 5), rng.integers(50, 60, 900)])
+    rts = rng.integers(0, 20_000, rk.size)
+    left = _left(np.arange(lk.size), lk, lts)
+    right = _ds(
+        pa.table(
+            {
+                "k": pa.array(rk.astype(np.int64)),
+                "rts": pa.array(rts.astype("datetime64[us]"), US),
+            }
+        )
+    )
+    base = range_count_join(left, right, **RKW).to_pandas()
+    hot = range_count_join(
+        left, right, **RKW, hot_key_threshold=500, hot_slices=8
+    ).to_pandas()
+    _frames_equal(base, hot)
+    # sanity: left semantics, every left row survives
+    assert len(hot) == lk.size
+
+
+def test_range_hot_window_spans_slice_boundary(ray_session):
+    """Right rows sitting exactly at a slice boundary must be counted by
+    probes on BOTH sides of it — the 2-copy replication contract."""
+    n = 4_000
+    rts = np.arange(n)  # span 4000, 8 slices -> width 1000 > window 100
+    left_ts = [999, 1_000, 1_049, 3_999]
+    left = _left(np.arange(4), np.full(4, 1), left_ts)
+    right = _ds(
+        pa.table(
+            {
+                "k": pa.array(np.full(n, 1, dtype=np.int64)),
+                "rts": pa.array(rts.astype("datetime64[us]"), US),
+            }
+        )
+    )
+    out = (
+        range_count_join(
+            left,
+            right,
+            left_key="k",
+            left_ts="ts",
+            right_key="k",
+            right_ts="rts",
+            lo_offset_us=-100,
+            hi_offset_us=0,
+            count_as="n",
+            hot_key_threshold=100,
+            hot_slices=8,
+        )
+        .to_pandas()
+        .sort_values("eid")
+    )
+    # window [t-100, t): t=999 -> rts 899..998 = 100; t=1000 (boundary)
+    # -> 900..999 = 100 straddling slice 0/1; t=1049 -> 949..1048 = 100
+    # straddling; t=3999 -> 3899..3998 = 100
+    assert out["n"].tolist() == [100, 100, 100, 100]
+
+
+def test_range_hot_zero_and_negative_window(ray_session):
+    left = _left([1], [1], [500])
+    right = _ds(
+        pa.table(
+            {
+                "k": pa.array(np.full(2_000, 1, dtype=np.int64)),
+                "rts": pa.array(
+                    np.arange(2_000).astype("datetime64[us]"), US
+                ),
+            }
+        )
+    )
+    out = range_count_join(
+        left, right, left_key="k", left_ts="ts", right_key="k",
+        right_ts="rts", lo_offset_us=0, hi_offset_us=0, count_as="n",
+        hot_key_threshold=100, hot_slices=4,
+    ).to_pandas()
+    assert out["n"].tolist() == [0]

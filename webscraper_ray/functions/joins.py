@@ -495,11 +495,22 @@ def range_count_join(
     hi_offset_us: int,
     count_as: str = "n_matches",
     num_partitions: int = 32,
+    hot_key_threshold: Optional[int] = None,
+    hot_slices: int = 16,
 ) -> "ray.data.Dataset":
     """Band join aggregated to counts: for each left row, how many right
     rows share its key with ``right_ts`` in
     ``[left_ts + lo_offset, left_ts + hi_offset)`` (left semantics:
     every left row survives, zero counts included).
+
+    ``hot_key_threshold``: keys with at least that many rows on either
+    side are TIME-SLICED over ``hot_slices`` extra partitions. A
+    windowed COUNT can't use boundary rows (it needs every in-window
+    row, not the latest), so hot RIGHT rows replicate into the <= 2
+    slices whose left probes can reach them — the slice width is
+    clamped to at least the window width, which bounds replication at
+    2x by construction. Left rows route to exactly one slice, so no
+    count can double.
 
     Output: all left columns + ``count_as`` (int64).
     """
@@ -557,8 +568,83 @@ def range_count_join(
         out[count_as] = pa.array(counts)
         return pa.table(out)
 
-    return (
-        left_side.union(right_side)
-        .groupby("_part")
-        .map_groups(merge, batch_format="pyarrow")
-    )
+    union_ds = left_side.union(right_side)
+
+    if hot_key_threshold is not None:
+        stats = _hot_key_stats(
+            left, right, left_key, left_ts, right_key, right_ts,
+            hot_key_threshold,
+        )
+    else:
+        stats = None
+    if stats is not None:
+        hot_keys, tmin, tmax = stats
+        hk_arr = pa.array(hot_keys)
+        S = hot_slices
+        window = hi_offset_us - lo_offset_us
+        span = tmax - tmin + 1
+        # slice width >= window bounds right replication at 2 copies
+        width = np.maximum(np.maximum((span + S - 1) // S, window), 1)
+
+        def rehot_rc(t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t.column(left_key), value_set=hk_arr)
+            idx_np = idx.to_numpy(zero_copy_only=False)
+            hot_mask = (
+                ~np.isnan(idx_np) if idx_np.dtype.kind == "f" else idx_np >= 0
+            )
+            if not hot_mask.any():
+                return t
+            pi = t.schema.get_field_index("_part")
+            cold = t.filter(pa.array(~hot_mask))
+            hi_idx = idx_np[hot_mask].astype(np.int64)
+            sub = t.filter(pa.array(hot_mask))
+            ts = sub.column(left_ts).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            side = sub.column("_side").to_numpy(zero_copy_only=False)
+            w = width[hi_idx]
+            t0 = tmin[hi_idx]
+            base_id = num_partitions + hi_idx * S
+            pieces = [cold]
+            lm = side == 1
+            if lm.any():
+                s = np.clip((ts[lm] - t0[lm]) // w[lm], 0, S - 1)
+                lt_tbl = sub.filter(pa.array(lm))
+                pieces.append(
+                    lt_tbl.set_column(
+                        pi, "_part",
+                        pa.array((base_id[lm] + s).astype(np.int32)),
+                    )
+                )
+            rm = ~lm
+            if rm.any():
+                rt_tbl = sub.filter(pa.array(rm))
+                # left probes t matching right r: r-hi < t <= r-lo
+                s_lo = np.clip(
+                    (ts[rm] - hi_offset_us + 1 - t0[rm]) // w[rm], 0, S - 1
+                )
+                s_hi = np.clip(
+                    (ts[rm] - lo_offset_us - t0[rm]) // w[rm], 0, S - 1
+                )
+                pieces.append(
+                    rt_tbl.set_column(
+                        pi, "_part",
+                        pa.array((base_id[rm] + s_lo).astype(np.int32)),
+                    )
+                )
+                dup = s_hi > s_lo
+                if dup.any():
+                    rep = rt_tbl.filter(pa.array(dup))
+                    pieces.append(
+                        rep.set_column(
+                            pi, "_part",
+                            pa.array(
+                                (base_id[rm][dup] + s_hi[dup]).astype(np.int32)
+                            ),
+                        )
+                    )
+            return pa.concat_tables(pieces)
+
+        union_ds = union_ds.map_batches(rehot_rc, batch_format="pyarrow")
+
+    return union_ds.groupby("_part").map_groups(merge, batch_format="pyarrow")
