@@ -91,3 +91,27 @@ def test_unionfind_min_labels(pairs):
         root = min(comp)
         for n in comp:
             assert labels[n] == root
+
+
+def test_fpe_tokenize_is_bijective(ray_session):
+    """The 4-round Feistel must be a permutation of its 32-bit domain:
+    distinct inputs -> distinct tokens, tokens stay in-domain."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webscraper_ray.queries import q_fpe_tokenize  # noqa: F401
+    from webscraper_ray.functions.dedup import md5_u64
+
+    def feistel(v: int) -> int:
+        hi, lo = v // 65536, v % 65536
+        for r in range(4):
+            hi, lo = lo, hi ^ (md5_u64(f"fpe:{r}:{lo}") % 65536)
+        return hi * 65536 + lo
+
+    vals = list(range(0, 3000, 7)) + [0, 65535, 65536, 2**32 - 1]
+    toks = [feistel(v) for v in vals]
+    assert len(set(toks)) == len(set(vals))
+    assert all(0 <= t < 2**32 for t in toks)
+    # tokens actually move (not the identity permutation)
+    assert sum(1 for v, t in zip(vals, toks) if v == t) < len(vals) // 10

@@ -16973,6 +16973,194 @@ SELECT event_id, bucket, ts, o_orderkey, o_totalprice FROM (
 """
 
 
+def q_fpe_tokenize(sf_dir: str):
+    """Format-preserving tokenization of customer keys — the
+    data-governance step that replaces an identifier with a same-domain
+    pseudonym reversibly (4-round balanced Feistel over 16-bit halves
+    with the repo's md5 family as the round function; a Feistel network
+    is a bijection on the 32-bit domain whatever the round function —
+    Luby–Rackoff, public theory). The md5 round evaluations run over
+    each batch's DISTINCT half-values only (the lang_normalize trick);
+    no shuffle, no state. The oracle replays the identical four rounds
+    in chained CTEs, so one wrong xor or round salt flips every row."""
+    from .functions.dedup import md5_u64
+
+    cust = _read_sized(sf_dir, "customer", ["c_custkey"])
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        v = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        hi, lo = v // 65536, v % 65536
+        for r in range(4):
+            uniq, inv = np.unique(lo, return_inverse=True)
+            f = np.fromiter(
+                (md5_u64(f"fpe:{r}:{u}") % 65536 for u in uniq),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            hi, lo = lo, hi ^ f[inv]
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "token": pa.array(hi * 65536 + lo),
+            }
+        )
+
+    return cust.map_batches(tokenize, batch_format="pyarrow")
+
+
+def _sql_fpe() -> str:
+    parts = [
+        "r0 AS (SELECT c_custkey, c_custkey // 65536 AS hi, "
+        "c_custkey % 65536 AS lo FROM customer)"
+    ]
+    for r in range(4):
+        parts.append(
+            f"""r{r + 1} AS (
+  SELECT c_custkey, lo AS hi,
+         xor(hi, CAST(('0x' || substr(md5('fpe:{r}:' ||
+               CAST(lo AS VARCHAR)), 1, 16))::UBIGINT % 65536 AS BIGINT)) AS lo
+  FROM r{r}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT c_custkey, hi * 65536 + lo AS token FROM r4\n"
+    )
+
+
+SQL_FPE_TOKENIZE = _sql_fpe()
+
+
+def q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the derived doc link graph (Newman 2002,
+    public): the Pearson correlation of (indeg(src), indeg(dst)) over
+    edges — do popular pages link to popular pages? All moments are
+    exact int64 edge-sums (per-batch partials into one global
+    aggregate); the single float expression is mirrored operand-for-
+    operand in SQL, the `event_entropy` discipline. Two node-sized
+    left-outer joins attach the in-degree to each edge endpoint; the
+    driver sees six scalars."""
+    from ray.data.aggregate import Sum
+
+    from .functions.dedup import md5_u64
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(path).metadata.num_rows
+    ids = _read_sized(sf_dir, "documents", ["doc_id"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        u = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        outs = []
+        for j in range(3):
+            h = np.fromiter(
+                (md5_u64(f"pr:{x}:{j}") for x in u),
+                dtype=np.uint64,
+                count=u.size,
+            )
+            outs.append((h % np.uint64(n)).astype(np.int64))
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([u] * 3)),
+                "dst": pa.array(np.concatenate(outs)),
+            }
+        )
+
+    edges = ids.map_batches(emit, batch_format="pyarrow").materialize()
+
+    def ind_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["dst"]).group_by("dst").aggregate([("dst", "count")])
+        return g.rename_columns(["node", "d"])
+
+    indeg = (
+        edges.map_batches(ind_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+    ).materialize()
+
+    with_x = edges.join(
+        indeg.rename_columns({"node": "src", "d": "x"}),
+        "left_outer",
+        num_partitions=8,
+        on=("src",),
+    )
+    with_xy = with_x.join(
+        indeg.rename_columns({"node": "dst", "d": "y"}),
+        "left_outer",
+        num_partitions=8,
+        on=("dst",),
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        x = np.nan_to_num(x.astype(np.float64)).astype(np.int64)
+        y = np.nan_to_num(y.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    agg = with_xy.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"),
+        Sum("sxy", alias_name="sxy"),
+        Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"),
+    )
+    import math
+
+    n_e, sx, sy = agg["n"], agg["sx"], agg["sy"]
+    sxy, sxx, syy = agg["sxy"], agg["sxx"], agg["syy"]
+    r = float(n_e * sxy - sx * sy) / math.sqrt(
+        float(n_e * sxx - sx * sx) * float(n_e * syy - sy * sy)
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([n_e], pa.int64()),
+            "assortativity": pa.array([r], pa.float64()),
+        }
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT d.doc_id AS src,
+         CAST((('0x' || substr(md5('pr:' || CAST(d.doc_id AS VARCHAR) || ':'
+                || CAST(j.j AS VARCHAR)), 1, 16))::UBIGINT
+               % (SELECT n FROM nn)) AS BIGINT) AS dst
+  FROM documents d, (SELECT unnest(range(3)) AS j) j
+),
+ind AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY dst),
+ex AS (
+  SELECT COALESCE(iu.d, 0) AS x, COALESCE(iv.d, 0) AS y
+  FROM e LEFT JOIN ind iu ON iu.node = e.src
+         LEFT JOIN ind iv ON iv.node = e.dst
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM ex
+)
+SELECT n AS n_edges,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
+FROM s
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -17212,6 +17400,8 @@ QUERIES = {
     "cbor_roundtrip": q_cbor_roundtrip,
     "rake_keywords": q_rake_keywords,
     "asof_cohort_salted": q_asof_cohort_salted,
+    "fpe_tokenize": q_fpe_tokenize,
+    "degree_assortativity": q_degree_assortativity,
 }
 
 ORACLE_SQL = {
@@ -17455,6 +17645,8 @@ ORACLE_SQL = {
     "cbor_roundtrip": SQL_CBOR_ROUNDTRIP,
     "rake_keywords": SQL_RAKE_KEYWORDS,
     "asof_cohort_salted": SQL_ASOF_COHORT_SALTED,
+    "fpe_tokenize": SQL_FPE_TOKENIZE,
+    "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
