@@ -17161,6 +17161,85 @@ FROM s
 """
 
 
+def q_cusum_revenue(sf_dir: str):
+    """CUSUM change-point detection over daily order revenue (Page
+    1954, public): ``S_t = max(0, S_{t-1} + x_t - k)`` with drift ``k``
+    = the exact integer mean daily revenue, alarmed when ``S_t > 2k``.
+    The recurrence is replayed exactly through the prefix identity
+    ``S_t = P_t - min(0, min_{j<=t} P_j)`` (reset-at-zero unrolling),
+    so plain window functions gate it — no recursion.
+
+    Scale shape: ONE distributed day-keyed partial aggregate (exchange
+    = distinct days, calendar-bounded); the cumulative scan runs on the
+    calendar-bounded day series (the `daily_revenue_filled` gather
+    discipline); everything is exact int64 cents."""
+    import ray as _ray
+
+    orders = _read_sized(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "day": t.column("o_orderdate"),
+                "rev_c": _cents(t.column("o_totalprice")),
+            }
+        )
+        return (
+            tt.group_by("day")
+            .aggregate([("rev_c", "sum")])
+            .rename_columns(["day", "rev_c"])
+        )
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+    parts = [p for p in _ray.get(agg.to_arrow_refs()) if p.num_rows > 0]
+    t = pa.concat_tables(parts).combine_chunks()
+    order = pc.sort_indices(t.column("day"))
+    t = t.take(order)
+    rev = t.column("rev_c").to_numpy(zero_copy_only=False).astype(np.int64)
+    k = int(rev.sum()) // len(rev)
+    pfx = np.cumsum(rev - k)
+    run_min = np.minimum.accumulate(pfx)
+    cusum = pfx - np.minimum(run_min, 0)
+    return pa.table(
+        {
+            "day": t.column("day"),
+            "rev_c": pa.array(rev),
+            "cusum": pa.array(cusum.astype(np.int64)),
+            "alarm": pa.array((cusum > 2 * k).astype(np.int64)),
+        }
+    )
+
+
+SQL_CUSUM_REVENUE = """
+WITH d AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY o_orderdate
+),
+st AS (SELECT CAST(sum(rev_c) // count(*) AS BIGINT) AS k FROM d),
+p AS (
+  SELECT day, rev_c,
+         sum(rev_c - (SELECT k FROM st)) OVER (
+           ORDER BY day ROWS UNBOUNDED PRECEDING) AS pfx
+  FROM d
+),
+m AS (
+  SELECT day, rev_c, pfx,
+         min(pfx) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS mn
+  FROM p
+)
+SELECT day, rev_c,
+       CAST(pfx - least(mn, 0) AS BIGINT) AS cusum,
+       CAST(CASE WHEN pfx - least(mn, 0) > 2 * (SELECT k FROM st)
+                 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM m
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -17402,6 +17481,7 @@ QUERIES = {
     "asof_cohort_salted": q_asof_cohort_salted,
     "fpe_tokenize": q_fpe_tokenize,
     "degree_assortativity": q_degree_assortativity,
+    "cusum_revenue": q_cusum_revenue,
 }
 
 ORACLE_SQL = {
@@ -17647,6 +17727,7 @@ ORACLE_SQL = {
     "asof_cohort_salted": SQL_ASOF_COHORT_SALTED,
     "fpe_tokenize": SQL_FPE_TOKENIZE,
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
+    "cusum_revenue": SQL_CUSUM_REVENUE,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
