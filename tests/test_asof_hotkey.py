@@ -259,3 +259,59 @@ def test_range_hot_zero_and_negative_window(ray_session):
         hot_key_threshold=100, hot_slices=4,
     ).to_pandas()
     assert out["n"].tolist() == [0]
+
+
+def test_hot_paths_unit_safe_with_ns_timestamps(ray_session):
+    """Regression (review finding): hot-path slicing must pin ts to µs
+    whatever the column unit — ns columns once sliced with offsets
+    interpreted in the wrong unit and silently lost in-window rows."""
+    NS = pa.timestamp("ns")
+    n = 4_000
+    lts = np.array([999, 1_000, 1_049, 3_999], dtype=np.int64)
+    left = _ds(
+        pa.table(
+            {
+                "eid": pa.array(np.arange(4, dtype=np.int64)),
+                "k": pa.array(np.full(4, 1, dtype=np.int64)),
+                "ts": pa.array((lts * 1_000).astype("datetime64[ns]"), NS),
+            }
+        )
+    )
+    right = _ds(
+        pa.table(
+            {
+                "k": pa.array(np.full(n, 1, dtype=np.int64)),
+                "rts": pa.array(
+                    (np.arange(n) * 1_000).astype("datetime64[ns]"), NS
+                ),
+            }
+        )
+    )
+    out = (
+        range_count_join(
+            left, right, left_key="k", left_ts="ts", right_key="k",
+            right_ts="rts", lo_offset_us=-100, hi_offset_us=0, count_as="n",
+            hot_key_threshold=100, hot_slices=8,
+        )
+        .to_pandas()
+        .sort_values("eid")
+    )
+    assert out["n"].tolist() == [100, 100, 100, 100]
+    # asof twin: ns columns through the sliced path
+    rightv = _ds(
+        pa.table(
+            {
+                "k": pa.array(np.full(n, 1, dtype=np.int64)),
+                "rts": pa.array(
+                    (np.arange(n) * 1_000).astype("datetime64[ns]"), NS
+                ),
+                "val": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+    )
+    got = asof_join(
+        left, rightv, left_key="k", left_ts="ts", right_key="k",
+        right_ts="rts", right_payload=["val"], hot_key_threshold=100,
+        hot_slices=8,
+    ).to_pandas().sort_values("eid")
+    assert got["val"].tolist() == [999, 1_000, 1_049, 3_999]

@@ -19,8 +19,10 @@ a production badwords list is 10^4+ patterns and the build is
 pattern-mass-sized), then each batch is a pure streaming map; no
 shuffle, no driver state. For tiny pattern sets a per-pattern
 ``str.count`` loop beats the Python-interpreted automaton walk —
-``BlocklistScore`` picks the automaton only past ``AC_CUTOVER``
-patterns and the tests pin both paths to identical counts.
+``BlocklistScore`` picks the automaton past ``AC_CUTOVER`` patterns
+(or when ``force_automaton`` is set — the oracle-gated query forces it
+so DuckDB gates the automaton walk, not just the fallback) and the
+tests pin both paths to identical counts.
 """
 
 from __future__ import annotations
@@ -105,11 +107,13 @@ class BlocklistScore:
         patterns: tuple[str, ...] = DEFAULT_PATTERNS,
         id_col: str = "doc_id",
         text_col: str = "text",
+        force_automaton: bool = False,
     ):
         self.patterns = [p.lower() for p in patterns]
         self.id_col = id_col
         self.text_col = text_col
-        self.ac = AhoCorasick(self.patterns) if len(self.patterns) > AC_CUTOVER else None
+        use_ac = force_automaton or len(self.patterns) > AC_CUTOVER
+        self.ac = AhoCorasick(self.patterns) if use_ac else None
 
     def _count(self, text: str) -> int:
         low = text.lower()

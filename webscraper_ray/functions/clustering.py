@@ -45,13 +45,15 @@ def round_half_away(v: np.ndarray) -> np.ndarray:
     return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
 
 
-def _quant_matrix(col: pa.ChunkedArray) -> np.ndarray:
-    # list<float> -> (n, d) float64 -> quantized int64
+def _quant_matrix(col: pa.ChunkedArray, quant: int = QUANT) -> np.ndarray:
+    # list<float> -> (n, d) float64 -> quantized int64; the ONE shared
+    # quantize kernel (k-means at QUANT, the perceptron at its coarser
+    # scale) so sliced-array/null handling has a single home
     flat = col.combine_chunks()
     n = len(flat)
     d = len(flat[0]) if n else 0
     x = np.asarray(flat.values, dtype=np.float64).reshape(n, d)
-    return round_half_away(x * QUANT).astype(np.int64)
+    return round_half_away(x * quant).astype(np.int64)
 
 
 def _assign(xq: np.ndarray, cents: np.ndarray) -> np.ndarray:

@@ -45,7 +45,6 @@ import pyarrow as pa
 
 import ray.data
 
-from .dedup import md5_u64
 from .joins import _part_column
 
 __all__ = ["Q", "OUT_DEGREE", "hits"]
@@ -57,16 +56,9 @@ _GUARD = 1 << 62
 
 
 def _out_links(ids: np.ndarray, n_nodes: int) -> list[np.ndarray]:
-    cols = []
-    for j in range(OUT_DEGREE):
-        cols.append(
-            np.fromiter(
-                (md5_u64(f"hits:{u}:{j}") % n_nodes for u in ids),
-                dtype=np.uint64,
-                count=len(ids),
-            ).astype(np.int64)
-        )
-    return cols
+    from .pagerank import _out_links as _pr_links
+
+    return _pr_links(ids, n_nodes, prefix="hits")
 
 
 def _np(t: pa.Table, name: str) -> np.ndarray:

@@ -111,18 +111,30 @@ def _check_no_overflow(keys: np.ndarray, m: int) -> None:
 MAX_HOT_KEYS = 64  # boundary table stays <= MAX_HOT_KEYS * hot_slices rows
 
 
+def _ts_us_i64(col) -> "pa.ChunkedArray | pa.Array":
+    """Normalize a ts column to int64 MICROSECONDS whatever its logical
+    type (timestamp of any unit, date, or plain int) — every hot-path
+    computation mixes these values with *_us offsets, so the unit must
+    be pinned, not inherited from the column."""
+    t = col.type
+    if pa.types.is_timestamp(t):
+        return col.cast(pa.timestamp("us")).cast(pa.int64())
+    if pa.types.is_date(t):
+        return col.cast(pa.timestamp("us")).cast(pa.int64())
+    return col.cast(pa.int64())
+
+
 def _hot_key_stats(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
     left_key: str,
-    left_ts: str,
     right_key: str,
     right_ts: str,
     threshold: int,
 ):
     """Detect keys with >= ``threshold`` rows on EITHER side and return
-    ``(hot_keys, tmin, tmax)`` (right-side ts range per hot key, the
-    slice domain) or ``None`` when no key is hot.
+    ``(hot_keys, tmin, tmax)`` (right-side ts range per hot key in int64
+    MICROSECONDS, the slice domain) or ``None`` when no key is hot.
 
     Both passes are pre-aggregated per batch (distinct-keys-per-batch
     rows enter the shuffle, never row counts); only the filtered hot
@@ -151,12 +163,10 @@ def _hot_key_stats(
     left_hot = [r[left_key] for r in lc]
 
     def rpartial(t: pa.Table) -> pa.Table:
-        # ts cast to int64 (µs) so the driver-side stats are plain ints
-        # whatever the column's logical type (timestamp or int)
         tt = pa.table(
             {
                 right_key: t.column(right_key),
-                right_ts: t.column(right_ts).cast(pa.int64()),
+                right_ts: _ts_us_i64(t.column(right_ts)),
             }
         )
         g = tt.group_by(right_key).aggregate(
@@ -223,7 +233,7 @@ def _hot_part_ids(
     part = base_part.to_numpy(zero_copy_only=False).astype(np.int32).copy()
     if hot_mask.any():
         hi = idx_np[hot_mask].astype(np.int64)
-        ts = ts_col.to_numpy(zero_copy_only=False).astype(np.int64)[hot_mask]
+        ts = _ts_us_i64(ts_col).to_numpy(zero_copy_only=False)[hot_mask]
         span = tmax[hi] - tmin[hi] + 1
         s = np.clip((ts - tmin[hi]) * hot_slices // span, 0, hot_slices - 1)
         part[hot_mask] = (num_partitions + hi * hot_slices + s).astype(np.int32)
@@ -284,6 +294,12 @@ def asof_join(
 
     Output: all left columns + ``right_payload`` columns.
     """
+    if hot_key_threshold is not None:
+        # the hot path consumes each input more than once (stats pass,
+        # tagged union, boundary pass) — pin the inputs so upstream
+        # pipelines execute exactly once
+        left = left.materialize()
+        right = right.materialize()
     left_cols = [c for c in left.schema().names]
     payload = list(right_payload)
     overlap = set(payload) & set(left_cols)
@@ -363,8 +379,7 @@ def asof_join(
 
     if hot_key_threshold is not None:
         stats = _hot_key_stats(
-            left, right, left_key, left_ts, right_key, right_ts,
-            hot_key_threshold,
+            left, right, left_key, right_key, right_ts, hot_key_threshold
         )
     else:
         stats = None
@@ -407,9 +422,7 @@ def asof_join(
                 return empty
             sub = t.filter(pa.array(hot_mask))
             hi = idx_np[hot_mask].astype(np.int64)
-            ts = sub.column(left_ts).to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
+            ts = _ts_us_i64(sub.column(left_ts)).to_numpy(zero_copy_only=False)
             span = tmax[hi] - tmin[hi] + 1
             s = np.clip((ts - tmin[hi]) * S // span, 0, S - 1)
             b = hi * S + s
@@ -514,6 +527,9 @@ def range_count_join(
 
     Output: all left columns + ``count_as`` (int64).
     """
+    if hot_key_threshold is not None:
+        left = left.materialize()
+        right = right.materialize()
     left_cols = [c for c in left.schema().names]
 
     def project_right(t: pa.Table) -> pa.Table:
@@ -572,8 +588,7 @@ def range_count_join(
 
     if hot_key_threshold is not None:
         stats = _hot_key_stats(
-            left, right, left_key, left_ts, right_key, right_ts,
-            hot_key_threshold,
+            left, right, left_key, right_key, right_ts, hot_key_threshold
         )
     else:
         stats = None
@@ -598,9 +613,7 @@ def range_count_join(
             cold = t.filter(pa.array(~hot_mask))
             hi_idx = idx_np[hot_mask].astype(np.int64)
             sub = t.filter(pa.array(hot_mask))
-            ts = sub.column(left_ts).to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
+            ts = _ts_us_i64(sub.column(left_ts)).to_numpy(zero_copy_only=False)
             side = sub.column("_side").to_numpy(zero_copy_only=False)
             w = width[hi_idx]
             t0 = tmin[hi_idx]

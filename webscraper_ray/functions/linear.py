@@ -30,8 +30,6 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-from .clustering import round_half_away
-
 __all__ = ["SCALE", "perceptron_train"]
 
 SCALE = 1000  # feature quantization: q = round(x * SCALE), int64
@@ -40,11 +38,9 @@ _GUARD = 1 << 62
 
 
 def _quant(col: pa.ChunkedArray) -> np.ndarray:
-    flat = col.combine_chunks()
-    n = len(flat)
-    d = len(flat[0]) if n else 0
-    x = np.asarray(flat.values, dtype=np.float64).reshape(n, d)
-    return round_half_away(x * SCALE).astype(np.int64)
+    from .clustering import _quant_matrix
+
+    return _quant_matrix(col, quant=SCALE)
 
 
 def perceptron_train(

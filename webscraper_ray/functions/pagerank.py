@@ -59,13 +59,17 @@ BASE = (15 * Q) // 100  # damping: r' = BASE + (85 * sum_in) // 100
 _MASS_GUARD = (1 << 62) // 100  # 85 * total_in must stay inside int64
 
 
-def _out_links(ids: np.ndarray, n_nodes: int) -> list[np.ndarray]:
-    """Static out-links of each node: md5 family, SQL-reproducible."""
+def _out_links(
+    ids: np.ndarray, n_nodes: int, prefix: str = "pr"
+) -> list[np.ndarray]:
+    """Static out-links of each node: md5 family, SQL-reproducible.
+    Shared by pagerank ('pr'), HITS ('hits'), and the assortativity
+    query — ONE definition of the derived-graph family."""
     cols = []
     for j in range(OUT_DEGREE):
         cols.append(
             np.fromiter(
-                (md5_u64(f"pr:{u}:{j}") % n_nodes for u in ids),
+                (md5_u64(f"{prefix}:{u}:{j}") % n_nodes for u in ids),
                 dtype=np.uint64,
                 count=len(ids),
             ).astype(np.int64)

@@ -16716,6 +16716,7 @@ def q_blocklist_stats(sf_dir: str):
 
     return _read_sized(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         BlocklistScore,
+        fn_constructor_kwargs={"force_automaton": True},
         batch_format="pyarrow",
         batch_size=256,
         concurrency=2,
@@ -17043,7 +17044,7 @@ def q_degree_assortativity(sf_dir: str):
     driver sees six scalars."""
     from ray.data.aggregate import Sum
 
-    from .functions.dedup import md5_u64
+    from .functions.pagerank import _out_links
 
     path = os.path.join(sf_dir, "documents.parquet")
     n = pq.ParquetFile(path).metadata.num_rows
@@ -17051,14 +17052,7 @@ def q_degree_assortativity(sf_dir: str):
 
     def emit(t: pa.Table) -> pa.Table:
         u = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        outs = []
-        for j in range(3):
-            h = np.fromiter(
-                (md5_u64(f"pr:{x}:{j}") for x in u),
-                dtype=np.uint64,
-                count=u.size,
-            )
-            outs.append((h % np.uint64(n)).astype(np.int64))
+        outs = _out_links(u, n)  # the ONE 'pr:' derived-graph family
         return pa.table(
             {
                 "src": pa.array(np.concatenate([u] * 3)),
