@@ -83,9 +83,18 @@ def pagerank(
     iters: int = 5,
     id_col: str = "doc_id",
     num_parts: int = 16,
+    trust_mod: "int | None" = None,
 ) -> "ray.data.Dataset":
     """(doc_id, rank_q) after ``iters`` damped iterations over the
-    derived 3-regular graph. Exact-integer, parallelism-invariant."""
+    derived 3-regular graph. Exact-integer, parallelism-invariant.
+
+    ``trust_mod``: when set, runs TRUSTRANK (Gyöngyi et al., VLDB'04 —
+    the web-spam companion of PageRank): the teleport mass lands ONLY
+    on the trusted seed set ``id % trust_mod == 0`` (seeds get the BASE
+    term and the initial Q; everything else starts at 0 and earns rank
+    purely through in-links from trusted neighborhoods). Same exchange
+    shape, same integer registers — trustedness is a pure function of
+    the node id, so the reduce needs no extra shuffled column."""
     if n_nodes <= 0:
         return ray.data.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64()),
@@ -100,13 +109,17 @@ def pagerank(
     def seed(t: pa.Table) -> pa.Table:
         ids_np = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         d0, d1, d2 = _out_links(ids_np, n_nodes)
+        if trust_mod is None:
+            r0 = np.full(len(ids_np), Q, dtype=np.int64)
+        else:
+            r0 = np.where(ids_np % trust_mod == 0, Q, 0).astype(np.int64)
         return pa.table(
             {
                 "id": pa.array(ids_np),
                 "d0": pa.array(d0),
                 "d1": pa.array(d1),
                 "d2": pa.array(d2),
-                "r": pa.array(np.full(len(ids_np), Q, dtype=np.int64)),
+                "r": pa.array(r0),
             }
         )
 
@@ -173,7 +186,11 @@ def pagerank(
                 "targeted an id absent from the frontier"
             )
         np.add.at(sums, idx, b[~node_mask])
-        r_new = BASE + (85 * sums) // 100
+        if trust_mod is None:
+            base = BASE
+        else:
+            base = np.where(ids_np % trust_mod == 0, BASE, 0).astype(np.int64)
+        r_new = base + (85 * sums) // 100
         return pa.table(
             {
                 "id": pa.array(ids_np),

@@ -17234,6 +17234,63 @@ FROM m
 """
 
 
+def q_trustrank_docs(sf_dir: str):
+    """TrustRank (Gyöngyi et al., VLDB'04) over the derived doc link
+    graph — PageRank with the teleport restricted to the trusted seed
+    set ``doc_id % 17 == 0``: the standard web-spam demotion signal a
+    crawl frontier pairs with raw PageRank. Same single-exchange BSP
+    iteration and exact-integer registers (functions/pagerank.py,
+    ``trust_mod``); the chained-CTE oracle replays the seed-gated BASE
+    term and every floor."""
+    from .functions.pagerank import pagerank
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_nodes = pq.ParquetFile(path).metadata.num_rows
+    ids = _read_sized(sf_dir, "documents", ["doc_id"])
+    return pagerank(ids, n_nodes, iters=5, trust_mod=17)
+
+
+def _sql_trustrank(iters: int = 5, trust_mod: int = 17) -> str:
+    from .functions.pagerank import BASE, OUT_DEGREE, Q
+
+    parts = [
+        """nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT d.doc_id AS src,
+         CAST((('0x' || substr(md5('pr:' || CAST(d.doc_id AS VARCHAR) || ':'
+                || CAST(j.j AS VARCHAR)), 1, 16))::UBIGINT
+               % (SELECT n FROM nn)) AS BIGINT) AS dst
+  FROM documents d, (SELECT unnest(range({deg})) AS j) j
+),
+pr0 AS (
+  SELECT doc_id AS id,
+         CAST(CASE WHEN doc_id % {m} = 0 THEN {q} ELSE 0 END AS BIGINT) AS r
+  FROM documents
+)""".format(deg=OUT_DEGREE, q=Q, m=trust_mod)
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""pr{it} AS (
+  SELECT d.doc_id AS id,
+         CAST(CASE WHEN d.doc_id % {trust_mod} = 0 THEN {BASE} ELSE 0 END
+              + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS id, sum(p.r // {OUT_DEGREE}) AS c
+    FROM pr{it - 1} p JOIN e ON e.src = p.id
+    GROUP BY e.dst
+  ) s ON s.id = d.doc_id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id AS doc_id, r AS rank_q FROM pr{iters}"
+    )
+
+
+SQL_TRUSTRANK_DOCS = _sql_trustrank()
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -17476,6 +17533,7 @@ QUERIES = {
     "fpe_tokenize": q_fpe_tokenize,
     "degree_assortativity": q_degree_assortativity,
     "cusum_revenue": q_cusum_revenue,
+    "trustrank_docs": q_trustrank_docs,
 }
 
 ORACLE_SQL = {
@@ -17722,6 +17780,7 @@ ORACLE_SQL = {
     "fpe_tokenize": SQL_FPE_TOKENIZE,
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     "cusum_revenue": SQL_CUSUM_REVENUE,
+    "trustrank_docs": SQL_TRUSTRANK_DOCS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
