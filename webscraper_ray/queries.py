@@ -17291,6 +17291,41 @@ pr0 AS (
 SQL_TRUSTRANK_DOCS = _sql_trustrank()
 
 
+def q_bwt_roundtrip(sf_dir: str):
+    """BWT+MTF+RLE compression round trip (functions/bwt.py — the
+    bzip2-family text archive stage): every doc's text compresses and
+    decompresses inside one streaming map, and the query emits the md5
+    of the DECODED bytes per doc while the oracle computes md5 of the
+    SOURCE text — a per-row cryptographic identity gate, so a single
+    wrong byte anywhere in the suffix ranking, LF walk, MTF table, or
+    zero-run coder flips that row's hash."""
+    import hashlib
+
+    from .functions.bwt import compress, decompress
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        digests = []
+        for text in t.column("text").to_pylist():
+            data = (text or "").encode("utf-8")
+            back = decompress(compress(data))
+            digests.append(hashlib.md5(back).hexdigest())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "digest": pa.array(digests, pa.string()),
+            }
+        )
+
+    return _read_sized(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        roundtrip, batch_format="pyarrow"
+    )
+
+
+SQL_BWT_ROUNDTRIP = """
+SELECT doc_id, md5(text) AS digest FROM documents
+"""
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -17534,6 +17569,7 @@ QUERIES = {
     "degree_assortativity": q_degree_assortativity,
     "cusum_revenue": q_cusum_revenue,
     "trustrank_docs": q_trustrank_docs,
+    "bwt_roundtrip": q_bwt_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -17781,6 +17817,7 @@ ORACLE_SQL = {
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     "cusum_revenue": SQL_CUSUM_REVENUE,
     "trustrank_docs": SQL_TRUSTRANK_DOCS,
+    "bwt_roundtrip": SQL_BWT_ROUNDTRIP,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
