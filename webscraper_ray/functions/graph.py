@@ -47,6 +47,7 @@ __all__ = [
     "triangles_per_node",
     "pointer_doubling",
     "random_walks",
+    "wl_relabel",
 ]
 
 _EMPTY_LABELS = pa.table(
@@ -714,3 +715,181 @@ def random_walks(
         )
         out = out.join(nxt, "inner", num_partitions=num_parts, on=("doc_id",))
     return out
+
+
+def wl_relabel(
+    ids: "ray.data.Dataset",
+    n_nodes: int,
+    iters: int = 2,
+    num_parts: int = 16,
+    prefix: str = "pr",
+) -> "ray.data.Dataset":
+    """Weisfeiler–Lehman iterative relabeling over the derived directed
+    graph (Weisfeiler & Leman 1968; the WL graph-kernel of
+    Shervashidze et al., JMLR'11) — the canonical graph-fingerprinting
+    primitive: after ``iters`` rounds, two nodes share a label only if
+    their ``iters``-hop out-neighborhood trees are isomorphic. Start
+    label = in-degree; round t+1: ``md5(label | sorted multiset of the
+    3 out-neighbors' labels)[:16]``.
+
+    Scale shape, per round: TWO tagged-union hash exchanges (the
+    `hits`/`pointer_doubling` shape) — label hosts meet the edge rows
+    that need them (keyed by neighbor id), then resolved (node,
+    neighbor-label) messages meet each node's own carried label (keyed
+    by node). Rows are node/edge-sized; the per-node md5+join is the
+    pagerank-class documented Python cost. The out-link family is
+    pagerank's (`_out_links(prefix)`), so DuckDB replays every round
+    with string_agg(ORDER BY) + md5 CTEs."""
+    import hashlib
+
+    import ray as _ray  # noqa: F401
+
+    from .joins import _part_column
+    from .pagerank import _out_links
+
+    def seed_edges(t: pa.Table) -> pa.Table:
+        u = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        outs = _out_links(u, n_nodes, prefix=prefix)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([u] * 3)),
+                "dst": pa.array(np.concatenate(outs)),
+            }
+        )
+
+    edges = ids.map_batches(seed_edges, batch_format="pyarrow").materialize()
+
+    def ind_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["dst"]).group_by("dst").aggregate([("dst", "count")])
+        return g.rename_columns(["node", "d"])
+
+    from ray.data.aggregate import Sum
+
+    indeg = (
+        edges.map_batches(ind_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+    )
+
+    def seed_labels(t: pa.Table) -> pa.Table:
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        d = np.nan_to_num(d.astype(np.float64)).astype(np.int64)
+        labs = [f"d{int(x)}" for x in d]
+        return pa.table(
+            {"node": t.column("node"), "lab": pa.array(labs, pa.string())}
+        )
+
+    ids_tbl = ids.map_batches(
+        lambda t: pa.table({"node": t.column("doc_id")}),
+        batch_format="pyarrow",
+    )
+    labels = (
+        ids_tbl.join(indeg, "left_outer", num_partitions=num_parts, on=("node",))
+        .map_batches(seed_labels, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tag_hosts(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "_part": _part_column(t.column("node"), num_parts),
+                "_side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": t.column("node"),
+                "src": pa.array(np.zeros(n, dtype=np.int64)),
+                "lab": t.column("lab"),
+            }
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "_part": _part_column(t.column("dst"), num_parts),
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": t.column("dst"),
+                "src": t.column("src"),
+                "lab": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def lookup(part: pa.Table) -> pa.Table:
+        side = part.column("_side").to_numpy(zero_copy_only=False)
+        key = part.column("key").to_numpy(zero_copy_only=False)
+        src = part.column("src").to_numpy(zero_copy_only=False)
+        lab = np.asarray(part.column("lab").to_pylist(), dtype=object)
+        hosts = side == 0
+        hk, hl = key[hosts], lab[hosts]
+        order = np.argsort(hk)
+        hk, hl = hk[order], hl[order]
+        edges_m = ~hosts
+        ek, es = key[edges_m], src[edges_m]
+        idx = np.searchsorted(hk, ek)
+        if len(ek) and (
+            len(hk) == 0 or not np.array_equal(hk[np.minimum(idx, len(hk) - 1)], ek)
+        ):
+            raise ValueError("wl_relabel: edge referenced an absent node id")
+        return pa.table(
+            {
+                "_part": _part_column(
+                    pa.chunked_array([pa.array(es)]), num_parts
+                ),
+                "_side": pa.array(np.zeros(len(es), dtype=np.int8)),
+                "key": pa.array(es),
+                "lab": pa.array(list(hl[idx]), pa.string()),
+            }
+        )
+
+    def tag_self(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "_part": _part_column(t.column("node"), num_parts),
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": t.column("node"),
+                "lab": t.column("lab"),
+            }
+        )
+
+    def refine(part: pa.Table) -> pa.Table:
+        side = part.column("_side").to_numpy(zero_copy_only=False)
+        key = part.column("key").to_numpy(zero_copy_only=False)
+        lab = np.asarray(part.column("lab").to_pylist(), dtype=object)
+        order = np.lexsort((lab, side, key))
+        key, side, lab = key[order], side[order], lab[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], key.size]
+        nodes, labs = [], []
+        for s, e in zip(starts, ends):
+            own = lab[s:e][side[s:e] == 1]
+            if own.size != 1:
+                raise ValueError("wl_relabel: node missing its carried label")
+            neigh = lab[s:e][side[s:e] == 0]
+            # neigh is already lab-sorted within the (key, side=0) run
+            payload = own[0] + "|" + ",".join(neigh)
+            nodes.append(int(key[s]))
+            labs.append(hashlib.md5(payload.encode()).hexdigest()[:16])
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "lab": pa.array(labs, pa.string()),
+            }
+        )
+
+    for _ in range(iters):
+        looked = (
+            labels.map_batches(tag_hosts, batch_format="pyarrow")
+            .union(edges.map_batches(tag_edges, batch_format="pyarrow"))
+            .groupby("_part")
+            .map_groups(lookup, batch_format="pyarrow")
+        )
+        labels = (
+            looked.union(labels.map_batches(tag_self, batch_format="pyarrow"))
+            .groupby("_part")
+            .map_groups(refine, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "wl"]), batch_format="pyarrow"
+    )

@@ -17326,6 +17326,60 @@ SELECT doc_id, md5(text) AS digest FROM documents
 """
 
 
+def q_wl_labels(sf_dir: str):
+    """Weisfeiler–Lehman graph fingerprints (2 rounds) over the derived
+    doc link graph — nodes share a label only if their 2-hop
+    out-neighborhood trees are isomorphic (the WL graph-kernel
+    primitive; see functions/graph.wl_relabel for the two-exchange
+    BSP shape). The oracle replays both rounds with
+    string_agg(ORDER BY)+md5 CTEs, so one wrong neighbor multiset
+    anywhere flips that node's label."""
+    from .functions.graph import wl_relabel
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(path).metadata.num_rows
+    ids = _read_sized(sf_dir, "documents", ["doc_id"])
+    return wl_relabel(ids, n, iters=2)
+
+
+def _sql_wl(iters: int = 2) -> str:
+    parts = [
+        """nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT d.doc_id AS src,
+         CAST((('0x' || substr(md5('pr:' || CAST(d.doc_id AS VARCHAR) || ':'
+                || CAST(j.j AS VARCHAR)), 1, 16))::UBIGINT
+               % (SELECT n FROM nn)) AS BIGINT) AS dst
+  FROM documents d, (SELECT unnest(range(3)) AS j) j
+),
+ind AS (SELECT dst AS node, count(*) AS d FROM e GROUP BY dst),
+l0 AS (
+  SELECT d.doc_id AS node,
+         'd' || CAST(COALESCE(i.d, 0) AS VARCHAR) AS lab
+  FROM documents d LEFT JOIN ind i ON i.node = d.doc_id
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""a{t} AS (
+  SELECT e.src AS node, string_agg(l.lab, ',' ORDER BY l.lab) AS s
+  FROM e JOIN l{t - 1} l ON l.node = e.dst GROUP BY e.src
+),
+l{t} AS (
+  SELECT l.node, substr(md5(l.lab || '|' || a.s), 1, 16) AS lab
+  FROM l{t - 1} l JOIN a{t} a ON a.node = l.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node AS doc_id, lab AS wl FROM l{iters}"
+    )
+
+
+SQL_WL_LABELS = _sql_wl(2)
+
+
 QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "doc_projection": q_doc_projection,
@@ -17570,6 +17624,7 @@ QUERIES = {
     "cusum_revenue": q_cusum_revenue,
     "trustrank_docs": q_trustrank_docs,
     "bwt_roundtrip": q_bwt_roundtrip,
+    "wl_labels": q_wl_labels,
 }
 
 ORACLE_SQL = {
@@ -17818,6 +17873,7 @@ ORACLE_SQL = {
     "cusum_revenue": SQL_CUSUM_REVENUE,
     "trustrank_docs": SQL_TRUSTRANK_DOCS,
     "bwt_roundtrip": SQL_BWT_ROUNDTRIP,
+    "wl_labels": SQL_WL_LABELS,
     # every registered query is oracle-gated: the sketch/LSH operators use
     # deterministic md5/hyperplane families chosen to be reproducible in
     # DuckDB, so even the "approximate" algorithms are checked exactly.
