@@ -12425,6 +12425,51 @@ GROUP BY hashed.doc_id
 """
 
 
+def q_boilerplate_stats(sf_dir: str):
+    """Host-level boilerplate detection (CCNet/C4-style): a 12-word
+    paragraph window repeated across >= 2 distinct docs of the SAME
+    source is chrome; every doc is annotated with its chrome fraction.
+    See functions/boilerplate.py for the scale story (8-B paragraph
+    hashes + dict-encoded host labels shipped, ONE para-keyed exchange
+    with in-partition distinct-doc reduceat math, doc-keyed partials)."""
+    from .functions.boilerplate import boilerplate_stats
+
+    return boilerplate_stats(
+        _read_sized(sf_dir, "documents", ["doc_id", "text", "source"])
+    )
+
+
+SQL_BOILERPLATE_STATS = """
+WITH lw AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+),
+paras AS (
+  SELECT doc_id, source,
+         array_to_string(l[p.pid * 12 + 1 : p.pid * 12 + 12], ' ') AS ptext
+  FROM lw, LATERAL (
+    SELECT unnest(generate_series(
+      0, greatest(CAST(ceil(len(l) / 12.0) AS BIGINT) - 1, 0))) AS pid
+  ) p
+),
+hashed AS (
+  SELECT doc_id, source, length(ptext) AS plen,
+         ('0x' || substr(md5(ptext), 1, 16))::UBIGINT AS h
+  FROM paras
+),
+grp AS (
+  SELECT source, h, count(DISTINCT doc_id) AS nd
+  FROM hashed GROUP BY source, h
+)
+SELECT hashed.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST(sum(CASE WHEN nd >= 2 THEN plen ELSE 0 END) AS BIGINT)
+         AS boiler_chars
+FROM hashed JOIN grp USING (source, h)
+GROUP BY hashed.doc_id
+"""
+
+
 def q_snapshot_diff(sf_dir: str):
     """CDC between two crawl snapshots: v2 is DERIVED deterministically
     from the corpus (doc_id%11 deleted, %7 modified, %13 spawns an
@@ -17471,6 +17516,7 @@ QUERIES = {
     "pagerank_docs": q_pagerank_docs,
     "dup_span_stats": q_dup_span_stats,
     "paragraph_dedup": q_paragraph_dedup,
+    "boilerplate_stats": q_boilerplate_stats,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -17718,6 +17764,7 @@ ORACLE_SQL = {
     "pagerank_docs": _sql_pagerank(),
     "dup_span_stats": SQL_DUP_SPAN_STATS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "boilerplate_stats": SQL_BOILERPLATE_STATS,
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
