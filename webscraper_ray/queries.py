@@ -12425,6 +12425,74 @@ GROUP BY hashed.doc_id
 """
 
 
+def _smb_store_for(sf_dir: str, table: str, key: str, cols: list[str]) -> str:
+    """Build-or-reuse the bucketed-sorted SMB store for ``table``."""
+    from .functions.smbjoin import build_smb_store
+
+    def build(d: str) -> None:
+        build_smb_store(_read_sized(sf_dir, table, cols), key, d, num_buckets=16)
+
+    return _source_cached_dir(sf_dir, table, "smb", f"k={key}", build)
+
+
+def q_smb_join_revenue(sf_dir: str):
+    """Sort-merge-bucket join (the pay-the-shuffle-once layout, Hive/
+    Spark bucketed tables): orders and lineitem are each written ONCE
+    partitioned by hash(orderkey)%16 and key-sorted within buckets;
+    the per-order revenue rollup then runs as one task per bucket —
+    sorted-run searchsorted merge + in-task group sum, ZERO exchange at
+    query time (see functions/smbjoin.py). Revenue in exact c4 units;
+    the one-side uniqueness of o_orderkey is enforced, not assumed."""
+    from .functions.smbjoin import smb_join
+
+    odir = _smb_store_for(
+        sf_dir, "orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]
+    )
+    ldir = _smb_store_for(
+        sf_dir,
+        "lineitem",
+        "l_orderkey",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rollup(joined: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(joined.column("l_extendedprice")),
+            pc.subtract(
+                pa.scalar(100, pa.int64()), _cents(joined.column("l_discount"))
+            ),
+        )
+        t = pa.table(
+            {
+                "o_orderkey": joined.column("o_orderkey"),
+                "o_orderpriority": joined.column("o_orderpriority"),
+                "rev": rev,
+            }
+        )
+        g = t.group_by(["o_orderkey", "o_orderpriority"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["o_orderkey", "o_orderpriority", "revenue_c4"])
+
+    return smb_join(
+        odir,
+        ldir,
+        "o_orderkey",
+        "l_orderkey",
+        ["o_orderkey", "o_orderpriority"],
+        ["l_extendedprice", "l_discount"],
+        per_bucket=rollup,
+    )
+
+
+SQL_SMB_JOIN_REVENUE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_c4
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderpriority
+"""
+
+
 def q_boilerplate_stats(sf_dir: str):
     """Host-level boilerplate detection (CCNet/C4-style): a 12-word
     paragraph window repeated across >= 2 distinct docs of the SAME
@@ -17517,6 +17585,7 @@ QUERIES = {
     "dup_span_stats": q_dup_span_stats,
     "paragraph_dedup": q_paragraph_dedup,
     "boilerplate_stats": q_boilerplate_stats,
+    "smb_join_revenue": q_smb_join_revenue,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -17765,6 +17834,7 @@ ORACLE_SQL = {
     "dup_span_stats": SQL_DUP_SPAN_STATS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "boilerplate_stats": SQL_BOILERPLATE_STATS,
+    "smb_join_revenue": SQL_SMB_JOIN_REVENUE,
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
