@@ -12493,6 +12493,60 @@ GROUP BY o_orderkey, o_orderpriority
 """
 
 
+def q_ks_mwu_price(sf_dir: str):
+    """Exact two-sample rank tests (drift detection / A-B): KS D and
+    tie-aware Mann-Whitney 2*ranksum between URGENT and LOW order
+    prices, via the bucketed distributed prefix sum in
+    functions/ranktests.py — int64-exact throughout, one value-keyed
+    partial exchange + a value-domain-bounded driver offset table, the
+    single float is one terminal division."""
+    from .functions.ranktests import two_sample_rank_stats
+
+    ds = _read_sized(sf_dir, "orders", ["o_totalprice", "o_orderpriority"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        pr = t.column("o_orderpriority")
+        is1 = pc.equal(pr, "1-URGENT")
+        is2 = pc.equal(pr, "5-LOW")
+        keep = pc.or_(is1, is2)
+        t2 = t.filter(keep)
+        pr2 = t2.column("o_orderpriority")
+        return pa.table(
+            {
+                "v": _cents(t2.column("o_totalprice")),
+                "c1": pc.cast(pc.equal(pr2, "1-URGENT"), pa.int64()),
+                "c2": pc.cast(pc.equal(pr2, "5-LOW"), pa.int64()),
+            }
+        )
+
+    return two_sample_rank_stats(ds.map_batches(prep, batch_format="pyarrow"))
+
+
+SQL_KS_MWU_PRICE = """
+WITH s AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS c1,
+         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS c2
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+h AS (SELECT v, sum(c1) AS c1, sum(c2) AS c2 FROM s GROUP BY v),
+c AS (
+  SELECT v, c1, c2,
+         sum(c1) OVER (ORDER BY v) AS s1,
+         sum(c2) OVER (ORDER BY v) AS s2
+  FROM h
+),
+n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM h)
+SELECT n1, n2,
+       (SELECT CAST(max(abs(s1 * n2 - s2 * n1)) AS BIGINT) FROM c) AS ks_num,
+       round((SELECT max(abs(s1 * n2 - s2 * n1)) FROM c)
+             / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d,
+       (SELECT CAST(sum(c1 * (2 * (s1 + s2 - c1 - c2) + (c1 + c2) + 1))
+                    AS BIGINT) FROM c) AS u2
+FROM n
+"""
+
+
 def q_boilerplate_stats(sf_dir: str):
     """Host-level boilerplate detection (CCNet/C4-style): a 12-word
     paragraph window repeated across >= 2 distinct docs of the SAME
@@ -17586,6 +17640,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "boilerplate_stats": q_boilerplate_stats,
     "smb_join_revenue": q_smb_join_revenue,
+    "ks_mwu_price": q_ks_mwu_price,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -17835,6 +17890,7 @@ ORACLE_SQL = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "boilerplate_stats": SQL_BOILERPLATE_STATS,
     "smb_join_revenue": SQL_SMB_JOIN_REVENUE,
+    "ks_mwu_price": SQL_KS_MWU_PRICE,
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
