@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "blocklist_stats",
     "crawl_budget_waterfill",
     "rake_keywords",
+    "boilerplate_stats",
+    "smb_join_revenue",
+    "ks_mwu_price",
+    "kcore_docs",
 ]
 
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -892,4 +893,116 @@ def wl_relabel(
 
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "wl"]), batch_format="pyarrow"
+    )
+
+
+def kcore_members(
+    edges: "ray.data.Dataset",
+    k: int = 3,
+    iters: int = 8,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Fixed-round k-core peeling (Seidman 1983; the Batagelj-Zaversnik
+    peel expressed as BSP rounds) over an UNDIRECTED edge set given as
+    symmetric directed rows — ``(u,v)`` AND ``(v,u)`` present, so a
+    node's degree is its ``src`` row count and every endpoint occurs as
+    a ``src`` somewhere (the symmetry the dst-check relies on).
+
+    Exactly ``iters`` rounds run — no early stop, no data-dependent
+    round count — so the chained-CTE SQL oracle replays the identical
+    rounds and the gate is exact whether or not the peel has converged
+    (after the fixpoint extra rounds are no-ops; convergence inside 8
+    rounds on the test corpora is pinned by a unit test).
+
+    Scale shape per round: exactly TWO sort-shuffle exchanges, no
+    groupby().aggregate() (Ray's hash-aggregate spawns a new shuffle
+    actor pool per call; in an 8-round loop those pools accumulate and
+    starve low-CPU sessions — measured hang, hence the map_groups-only
+    discipline shared with pagerank/wl_relabel):
+
+    1. src-keyed: per-src row counts ARE degrees (the partition holds
+       every row of its srcs); drop rows of dead srcs, re-key the
+       survivors by dst, and emit one alive-marker row per alive src;
+    2. dst-keyed: drop rows whose dst has no alive marker (sorted
+       ``searchsorted`` membership), emitting clean (src, dst).
+
+    The alive set never gathers or broadcasts; output: every node in
+    the round-``iters`` core with its within-core degree.
+    """
+
+    def _src_round(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        order = np.argsort(src, kind="stable")
+        src_s, dst_s = src[order], dst[order]
+        starts = np.flatnonzero(np.r_[True, src_s[1:] != src_s[:-1]])
+        sizes = np.diff(np.r_[starts, src_s.size])
+        alive_grp = sizes >= k
+        keep = np.repeat(alive_grp, sizes)
+        es, ed = src_s[keep], dst_s[keep]
+        alive_nodes = src_s[starts][alive_grp]
+        part_e = _part_column(
+            pa.chunked_array([pa.array(ed)]), num_partitions
+        ).to_numpy(zero_copy_only=False)
+        part_a = _part_column(
+            pa.chunked_array([pa.array(alive_nodes)]), num_partitions
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_part": pa.array(np.concatenate([part_e, part_a])),
+                "src": pa.array(
+                    np.concatenate([es, np.full(alive_nodes.size, -1, np.int64)])
+                ),
+                "dst": pa.array(
+                    np.concatenate([ed, np.full(alive_nodes.size, -1, np.int64)])
+                ),
+                "n": pa.array(
+                    np.concatenate([np.full(es.size, -1, np.int64), alive_nodes])
+                ),
+            }
+        )
+
+    def _dst_round(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        is_marker = n >= 0
+        ref = np.sort(n[is_marker])
+        src = t.column("src").to_numpy(zero_copy_only=False)[~is_marker]
+        dst = t.column("dst").to_numpy(zero_copy_only=False)[~is_marker]
+        if ref.size == 0:
+            keep = np.zeros(dst.size, dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(ref, dst), 0, ref.size - 1)
+            keep = ref[pos] == dst
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    def _tag_src(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part", _part_column(t.column("src"), num_partitions)
+        )
+
+    cur = edges.materialize()
+    for _ in range(iters):
+        cur = (
+            cur.map_batches(_tag_src, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(_src_round, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(_dst_round, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def _degrees(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(src, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "deg": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        cur.map_batches(_tag_src, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(_degrees, batch_format="pyarrow")
     )

@@ -12547,6 +12547,61 @@ FROM n
 """
 
 
+_KCORE_K = 3
+_KCORE_ITERS = 8
+
+
+def q_kcore_docs(sf_dir: str):
+    """k-core decomposition (Seidman 1983) of the symmetrized derived
+    link graph: nodes surviving 8 fixed peeling rounds at k=3, with
+    their within-core degree — the density signal crawl prioritizers
+    and community miners threshold on. Fixed round count keeps the
+    chained-CTE oracle exact whether or not the peel has converged
+    (functions/graph.py kcore_members; convergence pinned in tests)."""
+    from .functions.dedup import _hash_distinct
+    from .functions.graph import kcore_members
+
+    edges, _n = _link_edges(sf_dir)
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("dst"), "dst": t.column("src")})
+
+    sym = _hash_distinct(
+        edges.union(edges.map_batches(swap, batch_format="pyarrow")),
+        ["src", "dst"],
+        16,
+    )
+    return kcore_members(sym, k=_KCORE_K, iters=_KCORE_ITERS)
+
+
+def _sql_kcore_docs() -> str:
+    # MATERIALIZED: each round is referenced twice (degree + restrict);
+    # letting DuckDB inline the chain re-reads the parquet exponentially
+    # ("Too many open files" at 8 rounds).
+    parts = [
+        f"WITH e AS MATERIALIZED (\n{_sql_link_edges()}\n),",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM e "
+        "UNION SELECT dst AS src, src AS dst FROM e)",
+    ]
+    prev = "e0"
+    for r in range(1, _KCORE_ITERS + 1):
+        parts.append(
+            f", a{r} AS MATERIALIZED (SELECT src AS n FROM {prev} GROUP BY src "
+            f"HAVING count(*) >= {_KCORE_K})"
+        )
+        parts.append(
+            f", e{r} AS MATERIALIZED (SELECT {prev}.src, {prev}.dst FROM {prev} "
+            f"JOIN a{r} ON {prev}.src = a{r}.n "
+            f"JOIN a{r} b{r} ON {prev}.dst = b{r}.n)"
+        )
+        prev = f"e{r}"
+    parts.append(
+        f"\nSELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg "
+        f"FROM {prev} GROUP BY src"
+    )
+    return "\n".join(parts)
+
+
 def q_boilerplate_stats(sf_dir: str):
     """Host-level boilerplate detection (CCNet/C4-style): a 12-word
     paragraph window repeated across >= 2 distinct docs of the SAME
@@ -17641,6 +17696,7 @@ QUERIES = {
     "boilerplate_stats": q_boilerplate_stats,
     "smb_join_revenue": q_smb_join_revenue,
     "ks_mwu_price": q_ks_mwu_price,
+    "kcore_docs": q_kcore_docs,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -17891,6 +17947,7 @@ ORACLE_SQL = {
     "boilerplate_stats": SQL_BOILERPLATE_STATS,
     "smb_join_revenue": SQL_SMB_JOIN_REVENUE,
     "ks_mwu_price": SQL_KS_MWU_PRICE,
+    "kcore_docs": _sql_kcore_docs(),
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
