@@ -12602,6 +12602,70 @@ def _sql_kcore_docs() -> str:
     return "\n".join(parts)
 
 
+def q_url_template_mine(sf_dir: str):
+    """URL path-template mining (the crawler-trap / site-structure
+    signal: collapse digit runs to a placeholder and count URLs per
+    (host, skeleton) — a skeleton with outsized membership is a
+    calendar trap or an infinite listing; cf. the crawl_trap_score
+    per-URL heuristic, this is its site-level aggregate form).
+
+    Deterministic messy-URL synthesis (id = doc_id, s = source):
+      id%4==0 -> /article/{id}          id%4==1 -> /tag/w{id%13}/page/{id%7}
+      id%4==2 -> /{2020+id%6}/{1+id%12}/item{id}   id%4==3 -> /about
+    Skeletonization is ONE vectorized regex kernel
+    (pc.replace_substring_regex '[0-9]+' -> '{n}'); per-batch partial
+    group + one (host, skeleton)-keyed exchange of counts — the
+    exchange is template-cardinality-sized, never URL-sized."""
+
+    def synth_and_skeleton(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        srcs = t.column("source").to_pylist()
+        paths = []
+        for i in ids:
+            m = i % 4
+            if m == 0:
+                paths.append(f"/article/{i}")
+            elif m == 1:
+                paths.append(f"/tag/w{i % 13}/page/{i % 7}")
+            elif m == 2:
+                paths.append(f"/{2020 + i % 6}/{1 + i % 12}/item{i}")
+            else:
+                paths.append("/about")
+        skel = pc.replace_substring_regex(
+            pa.array(paths, pa.string()), pattern="[0-9]+", replacement="{n}"
+        )
+        part = pa.table(
+            {"host": pa.array(srcs, pa.string()), "skeleton": skel}
+        )
+        g = part.group_by(["host", "skeleton"]).aggregate([([], "count_all")])
+        return g.rename_columns(["host", "skeleton", "n_urls"])
+
+    return (
+        _read_sized(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(synth_and_skeleton, batch_format="pyarrow")
+        .groupby(["host", "skeleton"])
+        .aggregate(Sum("n_urls", alias_name="n_urls"))
+    )
+
+
+SQL_URL_TEMPLATE_MINE = """
+WITH u AS (
+  SELECT source AS host,
+         CASE doc_id % 4
+           WHEN 0 THEN '/article/' || doc_id
+           WHEN 1 THEN '/tag/w' || (doc_id % 13) || '/page/' || (doc_id % 7)
+           WHEN 2 THEN '/' || (2020 + doc_id % 6) || '/' || (1 + doc_id % 12)
+                    || '/item' || doc_id
+           ELSE '/about'
+         END AS path
+  FROM documents
+)
+SELECT host, regexp_replace(path, '[0-9]+', '{n}', 'g') AS skeleton,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM u GROUP BY host, skeleton
+"""
+
+
 def q_boilerplate_stats(sf_dir: str):
     """Host-level boilerplate detection (CCNet/C4-style): a 12-word
     paragraph window repeated across >= 2 distinct docs of the SAME
@@ -17697,6 +17761,7 @@ QUERIES = {
     "smb_join_revenue": q_smb_join_revenue,
     "ks_mwu_price": q_ks_mwu_price,
     "kcore_docs": q_kcore_docs,
+    "url_template_mine": q_url_template_mine,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -17948,6 +18013,7 @@ ORACLE_SQL = {
     "smb_join_revenue": SQL_SMB_JOIN_REVENUE,
     "ks_mwu_price": SQL_KS_MWU_PRICE,
     "kcore_docs": _sql_kcore_docs(),
+    "url_template_mine": SQL_URL_TEMPLATE_MINE,
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
