@@ -12602,6 +12602,50 @@ def _sql_kcore_docs() -> str:
     return "\n".join(parts)
 
 
+def q_mirror_hosts(sf_dir: str):
+    """Mirror-host detection (Bharat & Broder WWW'99): Jaccard overlap
+    of per-host paragraph-fingerprint sets, for every host pair sharing
+    content — the site-level dedup signal doc-level dedup can't see.
+    Inverted pair-counting with a loud hosts-per-fingerprint cap; see
+    functions/mirrors.py."""
+    from .functions.mirrors import mirror_host_pairs
+
+    return mirror_host_pairs(
+        _read_sized(sf_dir, "documents", ["doc_id", "text", "source"])
+    )
+
+
+SQL_MIRROR_HOSTS = """
+WITH lw AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+),
+paras AS (
+  SELECT source,
+         array_to_string(l[p.pid * 12 + 1 : p.pid * 12 + 12], ' ') AS ptext
+  FROM lw, LATERAL (
+    SELECT unnest(generate_series(
+      0, greatest(CAST(ceil(len(l) / 12.0) AS BIGINT) - 1, 0))) AS pid
+  ) p
+),
+hset AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(ptext), 1, 16))::UBIGINT AS h
+  FROM paras
+),
+sizes AS (SELECT source, count(*) AS n FROM hset GROUP BY source),
+inter AS (
+  SELECT a.source AS host_a, b.source AS host_b, count(*) AS i
+  FROM hset a JOIN hset b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT host_a, host_b, CAST(i AS BIGINT) AS inter,
+       round(i / CAST(x.n + y.n - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes x ON host_a = x.source
+JOIN sizes y ON host_b = y.source
+"""
+
+
 def q_url_template_mine(sf_dir: str):
     """URL path-template mining (the crawler-trap / site-structure
     signal: collapse digit runs to a placeholder and count URLs per
@@ -17762,6 +17806,7 @@ QUERIES = {
     "ks_mwu_price": q_ks_mwu_price,
     "kcore_docs": q_kcore_docs,
     "url_template_mine": q_url_template_mine,
+    "mirror_hosts": q_mirror_hosts,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -18014,6 +18059,7 @@ ORACLE_SQL = {
     "ks_mwu_price": SQL_KS_MWU_PRICE,
     "kcore_docs": _sql_kcore_docs(),
     "url_template_mine": SQL_URL_TEMPLATE_MINE,
+    "mirror_hosts": SQL_MIRROR_HOSTS,
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
