@@ -12602,6 +12602,58 @@ def _sql_kcore_docs() -> str:
     return "\n".join(parts)
 
 
+def q_recrawl_schedule(sf_dir: str):
+    """Recrawl scheduling from change history (Cho & Garcia-Molina,
+    TOIT'03: revisit frequency proportional to observed change rate).
+    Six derived snapshot observations per doc (md5 family: doc changed
+    at snapshot t iff md5('chg:{id}:{t}') % 100 < its change-propensity
+    5 + (id%4)*25); the scheduler counts changes, tiers the page
+    (hot/warm/cold) and halves the recrawl interval per observed change
+    (256h >> n). Pure per-batch map — no exchange at all; the whole
+    policy is SQL-replayed."""
+
+    from .functions.dedup import md5_u64
+
+    def sched(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n_chg = np.zeros(len(ids), dtype=np.int64)
+        for rowi, i in enumerate(ids):
+            p = 5 + (int(i) % 4) * 25
+            n_chg[rowi] = sum(
+                1 for s in range(1, 7) if md5_u64(f"chg:{i}:{s}") % 100 < p
+            )
+        tier = np.where(n_chg >= 5, "hot", np.where(n_chg >= 2, "warm", "cold"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_changes": pa.array(n_chg, pa.int64()),
+                "tier": pa.array(tier.tolist(), pa.string()),
+                "interval_hours": pa.array(256 >> n_chg, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        sched, batch_format="pyarrow"
+    )
+
+
+SQL_RECRAWL_SCHEDULE = """
+WITH s AS (SELECT unnest(range(1, 7)) AS t),
+chg AS (
+  SELECT doc_id,
+         sum(CASE WHEN ('0x' || substr(md5('chg:' || doc_id || ':' || s.t),
+                        1, 16))::UBIGINT % 100 < 5 + (doc_id % 4) * 25
+                  THEN 1 ELSE 0 END) AS n
+  FROM documents, s GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_changes,
+       CASE WHEN n >= 5 THEN 'hot' WHEN n >= 2 THEN 'warm'
+            ELSE 'cold' END AS tier,
+       CAST(round(256 / power(2, n)) AS BIGINT) AS interval_hours
+FROM chg
+"""
+
+
 def q_mirror_hosts(sf_dir: str):
     """Mirror-host detection (Bharat & Broder WWW'99): Jaccard overlap
     of per-host paragraph-fingerprint sets, for every host pair sharing
@@ -17807,6 +17859,7 @@ QUERIES = {
     "kcore_docs": q_kcore_docs,
     "url_template_mine": q_url_template_mine,
     "mirror_hosts": q_mirror_hosts,
+    "recrawl_schedule": q_recrawl_schedule,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -18060,6 +18113,7 @@ ORACLE_SQL = {
     "kcore_docs": _sql_kcore_docs(),
     "url_template_mine": SQL_URL_TEMPLATE_MINE,
     "mirror_hosts": SQL_MIRROR_HOSTS,
+    "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
