@@ -12602,6 +12602,114 @@ def _sql_kcore_docs() -> str:
     return "\n".join(parts)
 
 
+def q_warc_cdx_lookup(sf_dir: str):
+    """CDX-indexed WARC point reads — the Common-Crawl access pattern:
+    a one-time build writes plain WARC shards AND a CDX side index
+    (doc_id -> file, byte offset, record length; the CDX file format's
+    parquet form), after which a lookup reads ONLY its records' byte
+    ranges (open/seek/read length) — never a shard scan. The probe set
+    (doc_id % 83 == 0) round-trips byte-identical text through the
+    container, gated by the raw parquet rows, so a wrong offset, a
+    wrong length, or any record corruption flips the hash. The CDX read
+    itself is column-pruned and filtered before anything opens a WARC."""
+    import ray.data as _rd
+
+    from .functions.warc import parse_warc, write_warc_record
+
+    def build(d: str) -> None:
+        def to_warc(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "path": pa.array([], pa.string()),
+                        "offset": pa.array([], pa.int64()),
+                        "length": pa.array([], pa.int64()),
+                    }
+                )
+            ids = t.column("doc_id").to_pylist()
+            srcs = t.column("source").to_pylist()
+            texts = t.column("text").to_pylist()
+            recs, offs, lens = [], [], []
+            off = 0
+            for i, s, x in zip(ids, srcs, texts):
+                body = x.encode("utf-8")
+                http = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/plain; charset=utf-8\r\n\r\n" + body
+                )
+                rec = write_warc_record(
+                    f"https://{s}.example/doc/{i}", http, record_id=f"urn:doc:{i}"
+                )
+                recs.append(rec)
+                offs.append(off)
+                lens.append(len(rec))
+                off += len(rec)
+            # RELATIVE shard name: the build dir is atomically renamed
+            # on publish (_source_cached_dir), so absolute paths would
+            # go stale the moment the index is usable
+            name = f"part-{min(ids)}.warc"
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(b"".join(recs))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "path": pa.array([name] * len(ids), pa.string()),
+                    "offset": pa.array(offs, pa.int64()),
+                    "length": pa.array(lens, pa.int64()),
+                }
+            )
+
+        cdx = _read_sized(
+            sf_dir, "documents", ["doc_id", "source", "text"]
+        ).map_batches(to_warc, batch_format="pyarrow")
+        cdx.write_parquet(os.path.join(d, "_cdx"))
+
+    out_dir = _source_cached_dir(sf_dir, "documents", "warccdx", "v1", build)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        paths = t.column("path").to_pylist()
+        offs = t.column("offset").to_pylist()
+        lens = t.column("length").to_pylist()
+        out_text = []
+        for i, p, o, ln in zip(ids, paths, offs, lens):
+            with open(os.path.join(out_dir, p), "rb") as f:
+                f.seek(o)
+                blob = f.read(ln)
+            (rec,) = parse_warc(blob)
+            if rec["record_id"] != f"urn:doc:{i}":
+                raise ValueError(
+                    f"cdx lookup: offset {o} in {p} holds "
+                    f"{rec['record_id']}, wanted doc {i}"
+                )
+            payload = rec["payload"]
+            out_text.append(
+                payload[payload.index(b"\r\n\r\n") + 4 :].decode("utf-8")
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    def probe_filter(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 83 == 0))
+
+    return (
+        _rd.read_parquet(os.path.join(out_dir, "_cdx"))
+        .map_batches(probe_filter, batch_format="pyarrow")
+        .map_batches(fetch, batch_format="pyarrow")
+    )
+
+
+SQL_WARC_CDX_LOOKUP = """
+SELECT doc_id, text FROM documents WHERE doc_id % 83 = 0
+"""
+
+
 def q_recrawl_schedule(sf_dir: str):
     """Recrawl scheduling from change history (Cho & Garcia-Molina,
     TOIT'03: revisit frequency proportional to observed change rate).
@@ -17860,6 +17968,7 @@ QUERIES = {
     "url_template_mine": q_url_template_mine,
     "mirror_hosts": q_mirror_hosts,
     "recrawl_schedule": q_recrawl_schedule,
+    "warc_cdx_lookup": q_warc_cdx_lookup,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -18114,6 +18223,7 @@ ORACLE_SQL = {
     "url_template_mine": SQL_URL_TEMPLATE_MINE,
     "mirror_hosts": SQL_MIRROR_HOSTS,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
+    "warc_cdx_lookup": SQL_WARC_CDX_LOOKUP,
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
