@@ -31,6 +31,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -623,3 +624,169 @@ def ann_lsh_topk_multiprobe(
     ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
     partial = ds.map_batches(_bucket_scorer(planes, refs, k), batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+
+
+MAX_BITEXT_BROADCAST = 2_000_000
+
+
+def bitext_mutual_pairs(
+    ds: "ray.data.Dataset",
+    src_label: int = 0,
+    tgt_label: int = 1,
+    max_src_broadcast: int = MAX_BITEXT_BROADCAST,
+) -> "ray.data.Dataset":
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL'19): mutual
+    cosine top-1 pairs between the ``src_label`` and ``tgt_label``
+    shards of an embedding corpus, with the DISTANCE margin
+    ``cos1 - cos2`` (best minus runner-up — the paper's 'margin(x,y) =
+    cos - second best' variant, chosen over the ratio form because a
+    difference of two already-rounded floats replays bit-identically in
+    the SQL gate, while an averaged-top-k denominator would hinge on
+    float summation order).
+
+    Scale shape — the broadcast-queries discipline of the ANN family:
+    the SOURCE shard (the smaller language, the standard mining setup)
+    gathers once behind a LOUD bound and broadcasts via ``ray.put``;
+    the TARGET shard streams. Forward: per-batch partial top-2 per src
+    (2 rows per src per batch) -> one src-keyed exchange for the exact
+    global top-2 (ties by id, the `_topk_rows` contract). Backward:
+    each tgt batch scores the COMPLETE broadcast src matrix, so its
+    top-2 is final with no exchange. The mutuality join is one
+    composite-keyed groupby of two OUTPUT-sized row sets.
+    """
+    import pandas as pd
+
+    src_ids: list[int] = []
+    src_rows: list[np.ndarray] = []
+    src_ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("label"), src_label)).select(
+            ["vec_id", "embedding"]
+        ),
+        batch_format="pyarrow",
+    )
+    for b in src_ds.iter_batches(batch_format="pyarrow"):
+        src_ids.extend(b.column("vec_id").to_pylist())
+        m = _embedding_matrix(b.column("embedding"))
+        if m.size:
+            src_rows.append(m)
+        if len(src_ids) > max_src_broadcast:
+            raise ValueError(
+                f"bitext_mutual_pairs: source shard exceeds the broadcast "
+                f"bound {max_src_broadcast}; mine from the smaller side or "
+                "raise the bound deliberately."
+            )
+    if not src_ids:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src_id": pa.array([], pa.int64()),
+                    "tgt_id": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                    "margin": pa.array([], pa.float64()),
+                }
+            )
+        )
+    src_id_arr = np.asarray(src_ids, dtype=np.int64)
+    src_mat = _norm_rows(np.concatenate(src_rows))
+    shipped = ray.put((src_id_arr, src_mat))
+
+    def score_tgt(batch: pa.Table) -> pa.Table:
+        sid, smat = ray.get(shipped)
+        t = batch.filter(pc.equal(batch.column("label"), tgt_label))
+        ids = _id_array(t.column("vec_id"))
+        mat = _embedding_matrix(t.column("embedding"))
+        rows = {
+            "side": [], "a": [], "b": [], "cos": [], "rank": []
+        }
+        if mat.size:
+            sims = _norm_rows(mat) @ smat.T  # (tgt_batch, n_src)
+            # backward: exact top-2 per tgt row over the COMPLETE src side
+            for r in range(sims.shape[0]):
+                top = _topk_rows(sims[r], sid, 2)
+                for rk, s_row in enumerate(top):
+                    rows["side"].append(1)
+                    rows["a"].append(int(sid[s_row]))   # src
+                    rows["b"].append(int(ids[r]))       # tgt
+                    rows["cos"].append(round(float(sims[r, s_row]), 6))
+                    rows["rank"].append(rk + 1)
+            # forward partials: top-2 per src over THIS tgt batch
+            for c in range(sims.shape[1]):
+                top = _topk_rows(sims[:, c], ids, 2)
+                for rk, t_row in enumerate(top):
+                    rows["side"].append(0)
+                    rows["a"].append(int(sid[c]))
+                    rows["b"].append(int(ids[t_row]))
+                    rows["cos"].append(round(float(sims[t_row, c]), 6))
+                    rows["rank"].append(rk + 1)
+        return pa.table(
+            {
+                "side": pa.array(rows["side"], pa.int8()),
+                "a": pa.array(rows["a"], pa.int64()),
+                "b": pa.array(rows["b"], pa.int64()),
+                "cos": pa.array(rows["cos"], pa.float64()),
+                "rank": pa.array(rows["rank"], pa.int64()),
+            }
+        )
+
+    def top2_of(g: pd.DataFrame, val_col: str, id_col: str):
+        g = g.sort_values([val_col, id_col], ascending=[False, True])
+        best = g.iloc[0]
+        second = float(g.iloc[1][val_col]) if len(g) > 1 else -1.0
+        return best, second
+
+    def fwd_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        best, second = top2_of(g, "cos", "b")
+        return pd.DataFrame(
+            {
+                "side": [0],
+                "a": [int(best["a"])],
+                "b": [int(best["b"])],
+                "cos": [float(best["cos"])],
+                "margin": [round(float(best["cos"]) - second, 6)],
+            }
+        )
+
+    def bwd_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        best, _second = top2_of(g, "cos", "a")
+        return pd.DataFrame(
+            {
+                "side": [1],
+                "a": [int(best["a"])],
+                "b": [int(best["b"])],
+                "cos": [float(best["cos"])],
+                "margin": [0.0],
+            }
+        )
+
+    scored = ds.map_batches(score_tgt, batch_format="pyarrow").materialize()
+    fwd = (
+        scored.filter(expr="side == 0")
+        .groupby("a")
+        .map_groups(fwd_reduce, batch_format="pandas")
+    )
+    bwd = (
+        scored.filter(expr="side == 1")
+        .groupby("b")
+        .map_groups(bwd_reduce, batch_format="pandas")
+    )
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[g["side"] == 0]
+        w = g[g["side"] == 1]
+        if len(f) == 1 and len(w) == 1:
+            r = f.iloc[0]
+            return pd.DataFrame(
+                {
+                    "src_id": [int(r["a"])],
+                    "tgt_id": [int(r["b"])],
+                    "cos_sim": [float(r["cos"])],
+                    "margin": [float(r["margin"])],
+                }
+            )
+        return pd.DataFrame(
+            {"src_id": [], "tgt_id": [], "cos_sim": [], "margin": []}
+        )
+
+    return fwd.union(bwd).groupby(["a", "b"]).map_groups(
+        mutual, batch_format="pandas"
+    )

@@ -12602,6 +12602,56 @@ def _sql_kcore_docs() -> str:
     return "\n".join(parts)
 
 
+def q_bitext_mine(sf_dir: str):
+    """Margin-based bitext mining (Artetxe & Schwenk ACL'19): mutual
+    cosine top-1 pairs between the label-0 and label-1 embedding shards
+    with the distance margin cos1 - cos2 — the parallel-corpus miner of
+    multilingual LLM pipelines. Source shard broadcast behind a loud
+    bound, target streams, exact top-2 reduces; see
+    functions/ann.py bitext_mutual_pairs."""
+    from .functions.ann import bitext_mutual_pairs
+
+    return bitext_mutual_pairs(
+        _read_sized(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    )
+
+
+SQL_BITEXT_MINE = """
+WITH src AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+tgt AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+f AS (
+  SELECT s.vec_id AS sa, t.vec_id AS tb,
+         round(list_cosine_similarity(s.embedding::DOUBLE[], t.embedding::DOUBLE[]), 6) AS c,
+         row_number() OVER (
+           PARTITION BY s.vec_id
+           ORDER BY round(list_cosine_similarity(s.embedding::DOUBLE[], t.embedding::DOUBLE[]), 6)
+             DESC, t.vec_id
+         ) AS rn
+  FROM src s, tgt t
+),
+fwd AS (
+  SELECT sa,
+         max(CASE WHEN rn = 1 THEN tb END) AS y,
+         max(CASE WHEN rn = 1 THEN c END) AS c1,
+         coalesce(max(CASE WHEN rn = 2 THEN c END), -1.0) AS c2
+  FROM f WHERE rn <= 2 GROUP BY sa
+),
+g AS (
+  SELECT t.vec_id AS tb, s.vec_id AS sa,
+         row_number() OVER (
+           PARTITION BY t.vec_id
+           ORDER BY round(list_cosine_similarity(s.embedding::DOUBLE[], t.embedding::DOUBLE[]), 6)
+             DESC, s.vec_id
+         ) AS rn
+  FROM src s, tgt t
+),
+bwd AS (SELECT tb, sa AS x FROM g WHERE rn = 1)
+SELECT fwd.sa AS src_id, fwd.y AS tgt_id, fwd.c1 AS cos_sim,
+       round(fwd.c1 - fwd.c2, 6) AS margin
+FROM fwd JOIN bwd ON fwd.y = bwd.tb AND bwd.x = fwd.sa
+"""
+
+
 def q_warc_cdx_lookup(sf_dir: str):
     """CDX-indexed WARC point reads — the Common-Crawl access pattern:
     a one-time build writes plain WARC shards AND a CDX side index
@@ -17969,6 +18019,7 @@ QUERIES = {
     "mirror_hosts": q_mirror_hosts,
     "recrawl_schedule": q_recrawl_schedule,
     "warc_cdx_lookup": q_warc_cdx_lookup,
+    "bitext_mine": q_bitext_mine,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -18224,6 +18275,7 @@ ORACLE_SQL = {
     "mirror_hosts": SQL_MIRROR_HOSTS,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "warc_cdx_lookup": SQL_WARC_CDX_LOOKUP,
+    "bitext_mine": SQL_BITEXT_MINE,
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
