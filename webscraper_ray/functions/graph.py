@@ -706,16 +706,53 @@ def random_walks(
         )
         step_tables.append(state)
 
-    out = step_tables[0].map_batches(
-        lambda t: t.rename_columns(["doc_id", "v1"]), batch_format="pyarrow"
-    )
-    for i, st in enumerate(step_tables[1:], start=2):
-        nxt = st.map_batches(
-            lambda t, _i=i: t.rename_columns(["doc_id", f"v{_i}"]),
-            batch_format="pyarrow",
-        )
-        out = out.join(nxt, "inner", num_partitions=num_parts, on=("doc_id",))
-    return out
+    # join-back via ONE tagged-union pivot exchange, NOT chained
+    # Dataset.joins: two 16-partition JoinOperators in one streaming
+    # plan allocate two aggregator-actor pools whose combined CPU
+    # reservation starves the upstream map tasks at low CPU counts —
+    # measured hard deadlock at num_cpus=4 (the suite's session size),
+    # while the same plan passes at 32. The pivot is also strictly
+    # cheaper: one walker-keyed exchange of (step, doc, v) rows.
+    def tag_step(i: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "_part": _part_column(t.column("doc_id"), num_parts),
+                    "step": pa.array(np.full(t.num_rows, i, dtype=np.int64)),
+                    "doc_id": t.column("doc_id"),
+                    "v": t.column("cur"),
+                }
+            )
+
+        return fn
+
+    tagged = [
+        st.map_batches(tag_step(i), batch_format="pyarrow")
+        for i, st in enumerate(step_tables, start=1)
+    ]
+    u = tagged[0].union(*tagged[1:]) if len(tagged) > 1 else tagged[0]
+
+    def pivot(part: pa.Table) -> pa.Table:
+        step = part.column("step").to_numpy(zero_copy_only=False)
+        doc = part.column("doc_id").to_numpy(zero_copy_only=False)
+        v = part.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((step, doc))
+        doc, step, v = doc[order], step[order], v[order]
+        n_docs, rem = divmod(doc.size, steps)
+        if rem or (
+            n_docs and not np.array_equal(
+                step.reshape(n_docs, steps),
+                np.broadcast_to(np.arange(1, steps + 1), (n_docs, steps)),
+            )
+        ):
+            raise ValueError("random_walks: walker lost a step row")
+        cols = {"doc_id": pa.array(doc[::steps])}
+        vm = v.reshape(n_docs, steps) if n_docs else v.reshape(0, steps)
+        for i in range(steps):
+            cols[f"v{i + 1}"] = pa.array(vm[:, i])
+        return pa.table(cols)
+
+    return u.groupby("_part").map_groups(pivot, batch_format="pyarrow")
 
 
 def wl_relabel(
