@@ -12602,6 +12602,107 @@ def _sql_kcore_docs() -> str:
     return "\n".join(parts)
 
 
+def q_analyze_orders(sf_dir: str):
+    """Catalog ANALYZE: per-column statistics (row count, nulls, exact
+    min/max in cents for money, distinct count) over orders — the stats
+    sweep a query planner's cost model feeds on. One streaming pass of
+    per-batch partials for count/null/min/max; the exact NDV per column
+    reuses the hash-partitioned `_hash_distinct` + count (never a
+    sort-Aggregate over the value domain); one row per column."""
+    from .functions.dedup import _hash_distinct
+
+    ds = _read_sized(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        price_c = _cents(t.column("o_totalprice"))
+        rows = []
+        for col, arr in (
+            ("o_custkey", t.column("o_custkey")),
+            ("o_totalprice_cents", price_c),
+        ):
+            a = arr.to_numpy(zero_copy_only=False)
+            rows.append(
+                (
+                    col,
+                    t.num_rows,
+                    int(pc.sum(pc.cast(pc.is_null(arr), pa.int64())).as_py() or 0),
+                    int(a.min()) if len(a) else 2**62,
+                    int(a.max()) if len(a) else -(2**62),
+                )
+            )
+        return pa.table(
+            {
+                "column_name": pa.array([r[0] for r in rows], pa.string()),
+                "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+                "n_nulls": pa.array([r[2] for r in rows], pa.int64()),
+                "min_v": pa.array([r[3] for r in rows], pa.int64()),
+                "max_v": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    base = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("column_name")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_nulls", alias_name="n_nulls"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
+    )
+    # exact NDV per column: hash-partitioned distinct, counted
+    def cents_col(t: pa.Table) -> pa.Table:
+        return pa.table({"v": _cents(t.column("o_totalprice"))})
+
+    ndv = {
+        "o_custkey": _hash_distinct(
+            ds.select_columns(["o_custkey"]).map_batches(
+                lambda t: t.rename_columns(["v"]), batch_format="pyarrow"
+            ),
+            ["v"],
+            16,
+        ).count(),
+        "o_totalprice_cents": _hash_distinct(
+            ds.map_batches(cents_col, batch_format="pyarrow"), ["v"], 16
+        ).count(),
+    }
+
+    def attach_ndv(t: pa.Table) -> pa.Table:
+        names = t.column("column_name").to_pylist()
+        return t.append_column(
+            "ndv", pa.array([ndv[n] for n in names], pa.int64())
+        )
+
+    return base.map_batches(attach_ndv, batch_format="pyarrow")
+
+
+SQL_ANALYZE_ORDERS = """
+WITH c AS (
+  SELECT 'o_custkey' AS column_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+         CAST(min(o_custkey) AS BIGINT) AS min_v,
+         CAST(max(o_custkey) AS BIGINT) AS max_v,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice_cents',
+         CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(o_totalprice) AS BIGINT),
+         CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+         CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+         CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT)
+  FROM orders
+)
+SELECT * FROM c
+"""
+
+
 def q_bitext_mine(sf_dir: str):
     """Margin-based bitext mining (Artetxe & Schwenk ACL'19): mutual
     cosine top-1 pairs between the label-0 and label-1 embedding shards
@@ -18020,6 +18121,7 @@ QUERIES = {
     "recrawl_schedule": q_recrawl_schedule,
     "warc_cdx_lookup": q_warc_cdx_lookup,
     "bitext_mine": q_bitext_mine,
+    "analyze_orders": q_analyze_orders,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -18276,6 +18378,7 @@ ORACLE_SQL = {
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "warc_cdx_lookup": SQL_WARC_CDX_LOOKUP,
     "bitext_mine": SQL_BITEXT_MINE,
+    "analyze_orders": SQL_ANALYZE_ORDERS,
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
