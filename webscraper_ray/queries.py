@@ -12602,6 +12602,42 @@ def _sql_kcore_docs() -> str:
     return "\n".join(parts)
 
 
+def q_ann_index_delta(sf_dir: str):
+    """Incremental ANN index maintenance: the store is built from the
+    EVEN half of the corpus, then the odd half merges in as a delta
+    (functions/ann.py merge_ann_index — pure per-bucket file append
+    under the same deterministic planes, delta-proportional cost, old
+    files untouched). The probe over the merged store must equal the
+    full-corpus LSH result, so the oracle is ann_lsh's generated SQL
+    verbatim — any bucket misroute or lost delta row flips the hash."""
+    from .functions.ann import build_ann_index, merge_ann_index
+
+    def build(d: str) -> None:
+        full = _read_sized(sf_dir, "embeddings", ["vec_id", "embedding"])
+        even = full.map_batches(
+            lambda t: t.filter(
+                pa.array(
+                    t.column("vec_id").to_numpy(zero_copy_only=False) % 2 == 0
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        odd = full.map_batches(
+            lambda t: t.filter(
+                pa.array(
+                    t.column("vec_id").to_numpy(zero_copy_only=False) % 2 == 1
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        build_ann_index(even, d, bits=4)
+        merge_ann_index(odd, d, bits=4)
+
+    idx = _source_cached_dir(sf_dir, "embeddings", "anndelta", "bits=4", build)
+    ids, mat = _query_vectors(sf_dir)
+    return ann_lsh_topk_indexed(idx, ids, mat, k=10)
+
+
 def q_analyze_orders(sf_dir: str):
     """Catalog ANALYZE: per-column statistics (row count, nulls, exact
     min/max in cents for money, distinct count) over orders — the stats
@@ -18122,6 +18158,7 @@ QUERIES = {
     "warc_cdx_lookup": q_warc_cdx_lookup,
     "bitext_mine": q_bitext_mine,
     "analyze_orders": q_analyze_orders,
+    "ann_index_delta": q_ann_index_delta,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -18379,6 +18416,7 @@ ORACLE_SQL = {
     "warc_cdx_lookup": SQL_WARC_CDX_LOOKUP,
     "bitext_mine": SQL_BITEXT_MINE,
     "analyze_orders": SQL_ANALYZE_ORDERS,
+    "ann_index_delta": _sql_ann_lsh(),
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
