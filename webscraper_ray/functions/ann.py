@@ -801,31 +801,13 @@ def merge_ann_index(
     """Incremental index maintenance: merge a DELTA corpus into an
     existing :func:`build_ann_index` store WITHOUT rebuilding it.
 
-    The bucket-partitioned layout makes this a pure append: delta rows
-    bucketize under the SAME deterministic planes and stream into new
-    parquet files inside their ``bucket=K/`` dirs (Ray writes
-    uniquely-named files, so existing files are never touched and a
-    crashed merge leaves the old files intact); probes list a bucket
-    dir's files and see base + every merged delta with no coordination.
-    Only the touched buckets gain files — the merge cost is
-    delta-proportional, never corpus-proportional."""
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        mat = _embedding_matrix(batch.column("embedding"))
-        if mat.size == 0:
-            buckets = pa.array([], pa.int64())
-        else:
-            planes = _plane_matrix(mat.shape[1], bits, salt=salt)
-            buckets = pa.array(_bucket_of(mat, planes), pa.int64())
-        return pa.table(
-            {
-                "bucket": buckets,
-                "vec_id": batch.column("vec_id"),
-                "embedding": batch.column("embedding"),
-            }
-        )
-
-    ds.map_batches(bucketize, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["bucket"]
-    )
-    return index_dir
+    The bucket-partitioned layout makes this a pure append, so the
+    implementation IS :func:`build_ann_index` (one bucketize kernel —
+    base and delta can never bucket differently): delta rows hash under
+    the same deterministic planes and stream into NEW uniquely-named
+    parquet files inside their ``bucket=K/`` dirs; existing files are
+    never touched, a crashed merge leaves the old files intact, and
+    probes list a bucket dir's files and see base + every merged delta
+    with no coordination. Merge cost is delta-proportional, never
+    corpus-proportional."""
+    return build_ann_index(ds, index_dir, bits=bits, salt=salt)

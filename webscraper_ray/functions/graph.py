@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 
@@ -943,7 +942,9 @@ def kcore_members(
     peel expressed as BSP rounds) over an UNDIRECTED edge set given as
     symmetric directed rows — ``(u,v)`` AND ``(v,u)`` present, so a
     node's degree is its ``src`` row count and every endpoint occurs as
-    a ``src`` somewhere (the symmetry the dst-check relies on).
+    a ``src`` somewhere (the symmetry the dst-check relies on). Node
+    ids must be NON-NEGATIVE (alive markers use a sign sentinel on the
+    shared exchange schema) — guarded loudly per batch.
 
     Exactly ``iters`` rounds run — no early stop, no data-dependent
     round count — so the chained-CTE SQL oracle replays the identical
@@ -1013,6 +1014,16 @@ def kcore_members(
         return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
 
     def _tag_src(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        if src.size and int(src.min()) < 0:
+            # alive markers ride the exchange as n >= 0 rows; a negative
+            # node id would be mistaken for a marker sentinel — refuse
+            # loudly (remap hash-derived ids to unsigned-view offsets
+            # upstream if needed)
+            raise ValueError(
+                "kcore_members requires non-negative node ids "
+                f"(got {int(src.min())})"
+            )
         return t.append_column(
             "_part", _part_column(t.column("src"), num_partitions)
         )

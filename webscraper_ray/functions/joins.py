@@ -50,6 +50,15 @@ __all__ = ["asof_join", "range_count_join"]
 _KNUTH = np.uint64(0x9E3779B97F4A7C15)
 
 
+def knuth_bucket(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Multiplicative-hash bucket of int keys — THE shared integer
+    bucketing kernel (also behind :func:`_part_column` and the SMB
+    stores, whose manifests record this family as ``knuth17``; a tuned
+    constant/shift must change HERE so every consumer moves together)."""
+    h = (keys.astype(np.uint64) * _KNUTH) >> np.uint64(17)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
 def _part_column(key: pa.ChunkedArray, num_partitions: int) -> pa.Array:
     arr = key.to_numpy(zero_copy_only=False)
     if arr.dtype.kind in "iu":

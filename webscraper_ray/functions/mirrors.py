@@ -33,8 +33,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .joins import _part_column
-from .paradedup import _doc_paragraphs
+from .paradedup import host_para_rows
 
 __all__ = ["mirror_host_pairs", "MAX_HOSTS_PER_HASH", "MAX_HOST_BROADCAST"]
 
@@ -58,21 +57,8 @@ def mirror_host_pairs(
     from ray.data.aggregate import Sum
 
     def emit(batch: pa.Table) -> pa.Table:
-        d, _pid, h, _plen = _doc_paragraphs(batch, text_col, id_col)
-        hosts = batch.column(host_col).to_pylist()
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        host_by_doc = {int(i): s for i, s in zip(ids, hosts)}
-        hs = h.view(np.int64)
-        return pa.table(
-            {
-                "_part": _part_column(
-                    pa.chunked_array([pa.array(hs)]), num_parts
-                ),
-                "h": pa.array(hs),
-                "host": pa.array(
-                    [host_by_doc[int(i)] for i in d], pa.string()
-                ).dictionary_encode(),
-            }
+        return host_para_rows(
+            batch, text_col, id_col, host_col, num_parts, with_plen=False
         )
 
     def pairs_and_sizes(part: pa.Table) -> pa.Table:

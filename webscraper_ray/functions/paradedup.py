@@ -133,3 +133,34 @@ def paragraph_dedup_stats(
             Sum("kept_chars", alias_name="kept_chars"),
         )
     )
+
+
+def host_para_rows(
+    batch: pa.Table,
+    text_col: str,
+    id_col: str,
+    host_col: str,
+    num_parts: int,
+    with_plen: bool,
+) -> pa.Table:
+    """Shared per-batch emit for the host-keyed paragraph operators
+    (:mod:`.boilerplate`, :mod:`.mirrors`): one row per 12-word window —
+    (_part = hash(para_hash), h, dict-encoded host[, plen]). One
+    definition so the two operators can never drift on fingerprints,
+    partitioning, or host attachment."""
+    d, _pid, h, plen = _doc_paragraphs(batch, text_col, id_col)
+    hosts = batch.column(host_col).to_pylist()
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    host_by_doc = {int(i): s for i, s in zip(ids, hosts)}
+    hs = h.view(np.int64)  # bit-view: partition + sort domain only
+    cols = {
+        "_part": _part_column(pa.chunked_array([pa.array(hs)]), num_parts),
+        "h": pa.array(hs),
+        "host": pa.array(
+            [host_by_doc[int(i)] for i in d], pa.string()
+        ).dictionary_encode(),
+    }
+    if with_plen:
+        cols["doc_id"] = pa.array(d)
+        cols["plen"] = pa.array(plen)
+    return pa.table(cols)

@@ -78,9 +78,12 @@ def two_sample_rank_stats(
     from ray.data.aggregate import Sum
 
     part_ds = ds.map_batches(partials, batch_format="pyarrow").materialize()
+    # materialize: consumed twice (guard count + the offset gather) —
+    # lazy, the groupby-Sum would re-execute for the second consumer
     bucket_tbl = (
         part_ds.groupby("bucket")
         .aggregate(Sum("c1", alias_name="c1"), Sum("c2", alias_name="c2"))
+        .materialize()
     )
     n_buckets = bucket_tbl.count()
     if n_buckets > max_buckets:

@@ -35,16 +35,9 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+from .joins import knuth_bucket
+
 __all__ = ["build_smb_store", "smb_join"]
-
-_KNUTH = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Same multiplicative hash family as ``joins._part_column`` — int64
-    keys only (the bucketed-fact-table contract)."""
-    h = (keys.astype(np.uint64) * _KNUTH) >> np.uint64(17)
-    return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
 def build_smb_store(
@@ -64,7 +57,7 @@ def build_smb_store(
                 f"build_smb_store: {key_col} must be integer, got {keys.dtype}"
             )
         return t.append_column(
-            "bucket", pa.array(_bucket_of(keys, num_buckets), pa.int64())
+            "bucket", pa.array(knuth_bucket(keys, num_buckets), pa.int64())
         )
 
     def sort_bucket(t: pa.Table) -> pa.Table:
@@ -119,6 +112,14 @@ def smb_join(
     if (lm["num_buckets"], lm["hash"]) != (rm["num_buckets"], rm["hash"]):
         raise ValueError(
             f"SMB stores are not co-partitioned: {lm} vs {rm}"
+        )
+    # the stores must have been BUCKETED on the very keys being joined —
+    # same hash family over different keys routes matching rows to
+    # different buckets and silently drops them
+    if lm["key"] != left_key or rm["key"] != right_key:
+        raise ValueError(
+            f"SMB stores were bucketed on ({lm['key']}, {rm['key']}), "
+            f"not the join keys ({left_key}, {right_key})"
         )
     lmap, rmap = _bucket_file_map(left_dir), _bucket_file_map(right_dir)
     # inner join: a bucket absent from either side contributes nothing

@@ -12426,13 +12426,16 @@ GROUP BY hashed.doc_id
 
 
 def _smb_store_for(sf_dir: str, table: str, key: str, cols: list[str]) -> str:
-    """Build-or-reuse the bucketed-sorted SMB store for ``table``."""
+    """Build-or-reuse the bucketed-sorted SMB store for ``table``. The
+    cache key carries key + column set + bucket count — a caller asking
+    for different columns must get a different store, not a stale one."""
     from .functions.smbjoin import build_smb_store
 
     def build(d: str) -> None:
         build_smb_store(_read_sized(sf_dir, table, cols), key, d, num_buckets=16)
 
-    return _source_cached_dir(sf_dir, table, "smb", f"k={key}", build)
+    suffix = f"k={key}:c={','.join(sorted(cols))}:b=16"
+    return _source_cached_dir(sf_dir, table, "smb", suffix, build)
 
 
 def q_smb_join_revenue(sf_dir: str):
@@ -12855,28 +12858,45 @@ def q_warc_cdx_lookup(sf_dir: str):
     out_dir = _source_cached_dir(sf_dir, "documents", "warccdx", "v1", build)
 
     def fetch(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        paths = t.column("path").to_pylist()
-        offs = t.column("offset").to_pylist()
-        lens = t.column("length").to_pylist()
-        out_text = []
-        for i, p, o, ln in zip(ids, paths, offs, lens):
-            with open(os.path.join(out_dir, p), "rb") as f:
+        rows = list(
+            zip(
+                t.column("doc_id").to_pylist(),
+                t.column("path").to_pylist(),
+                t.column("offset").to_pylist(),
+                t.column("length").to_pylist(),
+            )
+        )
+        # one open per SHARD, not per record: group the batch's probes
+        # by file, seek within the handle
+        rows.sort(key=lambda r: (r[1], r[2]))
+        out_ids, out_text = [], []
+        cur_path, f = None, None
+        try:
+            for i, p, o, ln in rows:
+                if p != cur_path:
+                    if f is not None:
+                        f.close()
+                    f = open(os.path.join(out_dir, p), "rb")
+                    cur_path = p
                 f.seek(o)
                 blob = f.read(ln)
-            (rec,) = parse_warc(blob)
-            if rec["record_id"] != f"urn:doc:{i}":
-                raise ValueError(
-                    f"cdx lookup: offset {o} in {p} holds "
-                    f"{rec['record_id']}, wanted doc {i}"
+                (rec,) = parse_warc(blob)
+                if rec["record_id"] != f"urn:doc:{i}":
+                    raise ValueError(
+                        f"cdx lookup: offset {o} in {p} holds "
+                        f"{rec['record_id']}, wanted doc {i}"
+                    )
+                payload = rec["payload"]
+                out_ids.append(i)
+                out_text.append(
+                    payload[payload.index(b"\r\n\r\n") + 4 :].decode("utf-8")
                 )
-            payload = rec["payload"]
-            out_text.append(
-                payload[payload.index(b"\r\n\r\n") + 4 :].decode("utf-8")
-            )
+        finally:
+            if f is not None:
+                f.close()
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": pa.array(out_ids, pa.int64()),
                 "text": pa.array(out_text, pa.string()),
             }
         )
