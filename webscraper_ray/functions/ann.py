@@ -811,3 +811,90 @@ def merge_ann_index(
     with no coordination. Merge cost is delta-proportional, never
     corpus-proportional."""
     return build_ann_index(ds, index_dir, bits=bits, salt=salt)
+
+
+KNN_NOISE_BUCKET_CAP = 8192
+
+
+def knn_label_noise(
+    ds: "ray.data.Dataset",
+    bits: int = 3,
+    k: int = 3,
+    dim: int = 64,
+    hot_bucket_cap: int = KNN_NOISE_BUCKET_CAP,
+) -> "ray.data.Dataset":
+    """Label-noise detection by neighbor disagreement (the
+    Confident-Learning-style data-cleaning sweep): every vector whose
+    LSH-bucket k-NN majority label differs from its own label is
+    flagged — the standard pre-training triage for mislabeled examples.
+
+    Scale shape = :func:`embed_cosine_dups`: deterministic hyperplane
+    buckets (salt ``label-noise``) are the ONLY all-to-all key; the
+    k-NN + vote runs INSIDE buckets as one normalized matmul per
+    bucket, never corpus-wide. Buckets over ``hot_bucket_cap`` refuse
+    loudly (an m^2 matmul on a degenerate bucket is a config error,
+    not a workload). Vote ties break (count DESC, label ASC); neighbor
+    ties break (cos DESC, id ASC) — the `_topk_rows` contract, so the
+    inlined-plane SQL oracle replays every flagged row exactly.
+    Output: (vec_id, own_label, peer_label, n_votes) for mismatches.
+    """
+    import pandas as pd
+
+    planes = _plane_matrix(dim, bits, salt=b"label-noise")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = _embedding_matrix(batch.column("embedding"))
+        if mat.size == 0:
+            buckets = pa.array([], pa.int64())
+        else:
+            buckets = pa.array(_bucket_of(mat, planes), pa.int64())
+        return pa.table(
+            {
+                "bucket": buckets,
+                "vec_id": batch.column("vec_id"),
+                "label": pc.cast(batch.column("label"), pa.int64()),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {"vec_id": [], "own_label": [], "peer_label": [], "n_votes": []}
+    )
+
+    def flag_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = len(g)
+        if m < 2:
+            return empty
+        if m > hot_bucket_cap:
+            raise ValueError(
+                f"knn_label_noise: bucket of {m} vectors exceeds "
+                f"{hot_bucket_cap}; raise bits (more buckets) or the cap."
+            )
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        labels = g["label"].to_numpy(dtype=np.int64)
+        mat = _norm_rows(
+            np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+        )
+        sims = np.round(mat @ mat.T, 6)
+        out = {"vec_id": [], "own_label": [], "peer_label": [], "n_votes": []}
+        for r in range(m):
+            s = sims[r].copy()
+            s[r] = -np.inf  # exclude self
+            peer_rows = _topk_rows(s, ids, min(k, m - 1))
+            peer_labels = labels[peer_rows]
+            uniq, counts = np.unique(peer_labels, return_counts=True)
+            order = np.lexsort((uniq, -counts))
+            winner, votes = int(uniq[order[0]]), int(counts[order[0]])
+            if winner != int(labels[r]):
+                out["vec_id"].append(int(ids[r]))
+                out["own_label"].append(int(labels[r]))
+                out["peer_label"].append(winner)
+                out["n_votes"].append(votes)
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(flag_in_bucket, batch_format="pandas")
+    )

@@ -12641,6 +12641,119 @@ def q_ann_index_delta(sf_dir: str):
     return ann_lsh_topk_indexed(idx, ids, mat, k=10)
 
 
+def q_text_augment(sf_dir: str):
+    """Deterministic EDA-style augmentation (Wei & Zou 2019, word
+    dropout arm): word i of doc d drops iff md5('aug:{d}:{i}') % 10 == 0
+    — a reproducible 10% dropout with NO RNG state, so augmented
+    corpora are identical at any parallelism and the SQL oracle replays
+    the augmented text byte-for-byte (gated via its md5). Pure
+    per-batch map; per-doc md5 loop is the documented md5-family cost.
+    Output: (doc_id, n_words, n_dropped, aug_md5)."""
+    from .functions.dedup import _md5_hex, md5_u64
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_n, out_d, out_h = [], [], []
+        for d, txt in zip(ids, texts):
+            words = (txt or "").split(" ")
+            kept = [
+                w
+                for i, w in enumerate(words, start=1)
+                if md5_u64(f"aug:{d}:{i}") % 10 != 0
+            ]
+            out_n.append(len(words))
+            out_d.append(len(words) - len(kept))
+            out_h.append(_md5_hex(" ".join(kept)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(out_n, pa.int64()),
+                "n_dropped": pa.array(out_d, pa.int64()),
+                "aug_md5": pa.array(out_h, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        augment, batch_format="pyarrow"
+    )
+
+
+SQL_TEXT_AUGMENT = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM w
+),
+flags AS (
+  SELECT doc_id, i, l[i] AS word,
+         CASE WHEN ('0x' || substr(md5('aug:' || doc_id || ':' || i),
+                    1, 16))::UBIGINT % 10 = 0
+              THEN 0 ELSE 1 END AS keep
+  FROM pos
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(1 - keep) AS BIGINT) AS n_dropped,
+       md5(coalesce(
+         string_agg(CASE WHEN keep = 1 THEN word END, ' ' ORDER BY i),
+         '')) AS aug_md5
+FROM flags GROUP BY doc_id
+"""
+
+
+def q_knn_label_noise(sf_dir: str):
+    """Label-noise triage: vectors whose in-bucket kNN majority label
+    disagrees with their own label (Confident-Learning-style data
+    cleaning). Bucketed matmul under deterministic 'label-noise'
+    planes; see functions/ann.py knn_label_noise."""
+    from .functions.ann import knn_label_noise
+
+    return knn_label_noise(
+        _read_sized(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        bits=3,
+        k=3,
+    )
+
+
+def _sql_knn_label_noise(dim: int = 64, bits: int = 3, k: int = 3) -> str:
+    from .functions.ann import _plane_matrix
+
+    planes = _plane_matrix(dim, bits, salt=b"label-noise")
+    terms = []
+    for i in range(bits):
+        consts = ", ".join(repr(float(v)) for v in planes[:, i])
+        terms.append(
+            f"(CASE WHEN list_dot_product(e, [{consts}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(terms)
+    return f"""
+WITH eb AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS e, CAST(label AS BIGINT) AS label
+  FROM embeddings
+),
+bb AS MATERIALIZED (SELECT vec_id, e, label, {bucket_expr} AS bucket FROM eb),
+p AS (
+  SELECT a.vec_id AS va, a.label AS la, b.label AS lb,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(a.e, b.e), 6) DESC, b.vec_id
+         ) AS rn
+  FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+v AS (
+  SELECT va, la, lb, count(*) AS n FROM p WHERE rn <= {k} GROUP BY va, la, lb
+),
+w AS (
+  SELECT va, la, lb, n,
+         row_number() OVER (PARTITION BY va ORDER BY n DESC, lb) AS rk
+  FROM v
+)
+SELECT va AS vec_id, la AS own_label, lb AS peer_label,
+       CAST(n AS BIGINT) AS n_votes
+FROM w WHERE rk = 1 AND lb <> la
+"""
+
+
 def q_analyze_orders(sf_dir: str):
     """Catalog ANALYZE: per-column statistics (row count, nulls, exact
     min/max in cents for money, distinct count) over orders — the stats
@@ -18179,6 +18292,8 @@ QUERIES = {
     "bitext_mine": q_bitext_mine,
     "analyze_orders": q_analyze_orders,
     "ann_index_delta": q_ann_index_delta,
+    "knn_label_noise": q_knn_label_noise,
+    "text_augment": q_text_augment,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -18437,6 +18552,8 @@ ORACLE_SQL = {
     "bitext_mine": SQL_BITEXT_MINE,
     "analyze_orders": SQL_ANALYZE_ORDERS,
     "ann_index_delta": _sql_ann_lsh(),
+    "knn_label_noise": _sql_knn_label_noise(),
+    "text_augment": SQL_TEXT_AUGMENT,
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
