@@ -12641,6 +12641,179 @@ def q_ann_index_delta(sf_dir: str):
     return ann_lsh_topk_indexed(idx, ids, mat, k=10)
 
 
+def q_lsm_compact(sf_dir: str):
+    """LSM-run compaction with tombstones (the log-structured storage
+    maintenance step: O'Neil et al. 1996): three derived runs — base
+    (seq 0, every doc), delta 1 (seq 1: %7 updated to [v2], %11
+    tombstoned), delta 2 (seq 2: %13 updated to [v3], %17 tombstoned;
+    tombstone wins within a run) — compact to latest-seq-per-key with
+    tombstoned keys DROPPED, the exactly-once keep-latest merge every
+    log-structured table needs.
+
+    Scale shape: runs are per-batch derived maps over ONE base read;
+    union -> ONE key-hash exchange -> per-partition (key, seq DESC)
+    sort + first-row pick (vectorized reduceat-style boundaries), so
+    the only shuffled payload is (key, seq, tomb, md5) rows."""
+    from .functions.dedup import _md5_hex
+    from .functions.joins import _part_column as _pcol
+
+    base = _read_sized(sf_dir, "documents", ["doc_id", "text"])
+
+    def run0(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "seq": pa.array([0] * len(ids), pa.int64()),
+                "tomb": pa.array([0] * len(ids), pa.int64()),
+                "pm": pa.array([_md5_hex(x or "") for x in texts], pa.string()),
+            }
+        )
+
+    def delta(seq: int, upd_mod: int, tomb_mod: int, tag: str):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+            texts = t.column("text").to_pylist()
+            sel = (ids % upd_mod == 0) | (ids % tomb_mod == 0)
+            out_i, out_t, out_p = [], [], []
+            for i, x in zip(ids[sel], [x for x, s in zip(texts, sel) if s]):
+                if int(i) % tomb_mod == 0:  # tombstone wins within a run
+                    out_i.append(int(i))
+                    out_t.append(1)
+                    out_p.append("")
+                else:
+                    out_i.append(int(i))
+                    out_t.append(0)
+                    out_p.append(_md5_hex((x or "") + tag))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_i, pa.int64()),
+                    "seq": pa.array([seq] * len(out_i), pa.int64()),
+                    "tomb": pa.array(out_t, pa.int64()),
+                    "pm": pa.array(out_p, pa.string()),
+                }
+            )
+
+        return fn
+
+    runs = (
+        base.map_batches(run0, batch_format="pyarrow")
+        .union(base.map_batches(delta(1, 7, 11, "[v2]"), batch_format="pyarrow"))
+        .union(base.map_batches(delta(2, 13, 17, "[v3]"), batch_format="pyarrow"))
+    )
+
+    def add_p(t: pa.Table) -> pa.Table:
+        return t.append_column("_p", _pcol(t.column("doc_id"), 16))
+
+    def compact(part: pa.Table) -> pa.Table:
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        seq = part.column("seq").to_numpy(zero_copy_only=False)
+        tomb = part.column("tomb").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-seq, ids))
+        first = np.flatnonzero(
+            np.r_[True, ids[order][1:] != ids[order][:-1]]
+        )
+        win = order[first]
+        live = tomb[win] == 0
+        win = win[live]
+        pm = part.column("pm").take(pa.array(win, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[win], pa.int64()),
+                "seq": pa.array(seq[win], pa.int64()),
+                "payload_md5": pm,
+            }
+        )
+
+    return (
+        runs.map_batches(add_p, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(compact, batch_format="pyarrow")
+    )
+
+
+SQL_LSM_COMPACT = """
+WITH base AS (
+  SELECT doc_id, 0 AS seq, 0 AS tomb, md5(text) AS pm FROM documents
+),
+d1 AS (
+  SELECT doc_id, 1 AS seq,
+         CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS tomb,
+         CASE WHEN doc_id % 11 = 0 THEN ''
+              ELSE md5(text || '[v2]') END AS pm
+  FROM documents WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+),
+d2 AS (
+  SELECT doc_id, 2 AS seq,
+         CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS tomb,
+         CASE WHEN doc_id % 17 = 0 THEN ''
+              ELSE md5(text || '[v3]') END AS pm
+  FROM documents WHERE doc_id % 13 = 0 OR doc_id % 17 = 0
+),
+runs AS (
+  SELECT * FROM base UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+  FROM runs
+)
+SELECT doc_id, CAST(seq AS BIGINT) AS seq, pm AS payload_md5
+FROM latest WHERE rn = 1 AND tomb = 0
+"""
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit (Sweeney 2002) over the quasi-identifier pair
+    (c_nationkey, c_mktsegment) + an acctbal sign bucket: every
+    equivalence class with fewer than k=5 members is a re-identification
+    risk a privacy-aware pipeline must generalize or drop before
+    release. Per-batch partial counts -> one QI-keyed exchange of
+    count rows (QI-cardinality-sized, never row-sized)."""
+    ds = _read_sized(
+        sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        tt = pa.table(
+            {
+                "c_nationkey": t.column("c_nationkey"),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "bal_sign": pa.array((bal >= 0).astype(np.int64), pa.int64()),
+            }
+        )
+        g = tt.group_by(["c_nationkey", "c_mktsegment", "bal_sign"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(
+            ["c_nationkey", "c_mktsegment", "bal_sign", "n"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment", "bal_sign"])
+        .aggregate(Sum("n", alias_name="class_size"))
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("class_size"), pa.scalar(5)))
+
+    return agg.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS bal_sign,
+       CAST(count(*) AS BIGINT) AS class_size
+FROM customer
+GROUP BY c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END
+HAVING count(*) < 5
+"""
+
+
 def q_text_augment(sf_dir: str):
     """Deterministic EDA-style augmentation (Wei & Zou 2019, word
     dropout arm): word i of doc d drops iff md5('aug:{d}:{i}') % 10 == 0
@@ -18294,6 +18467,8 @@ QUERIES = {
     "ann_index_delta": q_ann_index_delta,
     "knn_label_noise": q_knn_label_noise,
     "text_augment": q_text_augment,
+    "k_anonymity": q_k_anonymity,
+    "lsm_compact": q_lsm_compact,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -18554,6 +18729,8 @@ ORACLE_SQL = {
     "ann_index_delta": _sql_ann_lsh(),
     "knn_label_noise": _sql_knn_label_noise(),
     "text_augment": SQL_TEXT_AUGMENT,
+    "k_anonymity": SQL_K_ANONYMITY,
+    "lsm_compact": SQL_LSM_COMPACT,
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
