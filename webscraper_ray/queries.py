@@ -12641,6 +12641,115 @@ def q_ann_index_delta(sf_dir: str):
     return ann_lsh_topk_indexed(idx, ids, mat, k=10)
 
 
+def q_postings_varint(sf_dir: str):
+    """Posting-list compression accounting (the Lucene/PForDelta
+    family's baseline: sort doc ids, delta-gap, LEB128 varint): per
+    token with df >= 2, the exact compressed byte size of its
+    gap-varint posting list. The Ray side REALLY encodes the bytes and
+    asserts its own decode round-trips to the id list (a silent codec
+    bug fails the job, not just the hash); the oracle replays the byte
+    count arithmetically (varint length = ceil(bits/7) via CASE
+    thresholds over lag()-gaps). One (token, doc) distinct exchange —
+    the tfidf shape — then per-token vectorized gap math."""
+
+    def toks(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_t, out_d = [], []
+        for i, x in zip(ids, texts):
+            for w in set(x.split() if x and x.strip() else []):
+                out_t.append(w)
+                out_d.append(i)
+        return pa.table(
+            {
+                "token": pa.array(out_t, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    def encode_group(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        tok = g.column("token").to_pylist()
+        ids = np.sort(
+            np.unique(g.column("doc_id").to_numpy(zero_copy_only=False))
+        )
+        if ids.size < 2:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "bytes_len": pa.array([], pa.int64()),
+                }
+            )
+        gaps = np.diff(ids, prepend=0)
+        buf = bytearray()
+        for gp in gaps:
+            v = int(gp)
+            while True:
+                b = v & 0x7F
+                v >>= 7
+                if v:
+                    buf.append(b | 0x80)
+                else:
+                    buf.append(b)
+                    break
+        # decode round-trip: the codec must reproduce the id list
+        dec, cur, shift, acc = [], 0, 0, 0
+        for b in buf:
+            acc |= (b & 0x7F) << shift
+            if b & 0x80:
+                shift += 7
+            else:
+                cur += acc
+                dec.append(cur)
+                acc, shift = 0, 0
+        if dec != ids.tolist():
+            raise ValueError(f"postings_varint: roundtrip broke for {tok[0]!r}")
+        return pa.table(
+            {
+                "token": pa.array([tok[0]], pa.string()),
+                "n_docs": pa.array([int(ids.size)], pa.int64()),
+                "bytes_len": pa.array([len(buf)], pa.int64()),
+            }
+        )
+
+    return (
+        _read_sized(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(toks, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(encode_group, batch_format="pyarrow")
+    )
+
+
+SQL_POSTINGS_VARINT = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+gaps AS (
+  SELECT token, doc_id,
+         doc_id - coalesce(
+           lag(doc_id) OVER (PARTITION BY token ORDER BY doc_id), 0) AS g
+  FROM t
+),
+lens AS (
+  SELECT token,
+         CASE WHEN g < 128 THEN 1
+              WHEN g < 16384 THEN 2
+              WHEN g < 2097152 THEN 3
+              WHEN g < 268435456 THEN 4
+              ELSE 5 END AS l
+  FROM gaps
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(l) AS BIGINT) AS bytes_len
+FROM lens GROUP BY token HAVING count(*) >= 2
+"""
+
+
 def q_lsm_compact(sf_dir: str):
     """LSM-run compaction with tombstones (the log-structured storage
     maintenance step: O'Neil et al. 1996): three derived runs — base
@@ -18469,6 +18578,7 @@ QUERIES = {
     "text_augment": q_text_augment,
     "k_anonymity": q_k_anonymity,
     "lsm_compact": q_lsm_compact,
+    "postings_varint": q_postings_varint,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -18731,6 +18841,7 @@ ORACLE_SQL = {
     "text_augment": SQL_TEXT_AUGMENT,
     "k_anonymity": SQL_K_ANONYMITY,
     "lsm_compact": SQL_LSM_COMPACT,
+    "postings_varint": SQL_POSTINGS_VARINT,
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
