@@ -113,6 +113,18 @@ BENCH_QUERIES = [
     "smb_join_revenue",
     "ks_mwu_price",
     "kcore_docs",
+    "mirror_hosts",
+    "url_template_mine",
+    "recrawl_schedule",
+    "warc_cdx_lookup",
+    "bitext_mine",
+    "analyze_orders",
+    "ann_index_delta",
+    "knn_label_noise",
+    "text_augment",
+    "k_anonymity",
+    "lsm_compact",
+    "postings_varint",
 ]
 
 
