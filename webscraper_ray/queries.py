@@ -12641,6 +12641,117 @@ def q_ann_index_delta(sf_dir: str):
     return ann_lsh_topk_indexed(idx, ids, mat, k=10)
 
 
+def q_warc_revisit_dedup(sf_dir: str):
+    """Cross-crawl WARC revisit dedup — Common Crawl's storage trick
+    (WARC 1.1 §6.7 revisit records): a re-crawled page whose payload
+    digest already exists in the previous crawl is written as a
+    payload-FREE revisit record instead of a full response. Crawl 2 is
+    derived (%7 docs modified with ' [rev2]'); membership of each
+    crawl-2 digest in the corpus-wide crawl-1 digest set runs as the
+    house tagged-union hash-partition semi-join (NEVER a digest-set
+    broadcast — the set is corpus-sized); per-source rollup reports
+    response/revisit counts and the payload bytes actually written.
+    Note the digest set is CORPUS-wide, so a crawl-2 doc matching ANY
+    crawl-1 doc (exact-dup clusters!) revisits, not just its own
+    predecessor — exactly CC's digest semantics."""
+    from .functions.dedup import _md5_hex
+    from .functions.joins import _part_column as _pcol
+
+    base = _read_sized(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def crawl2(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        srcs = t.column("source").to_pylist()
+        texts = t.column("text").to_pylist()
+        t2 = [
+            (x or "") + " [rev2]" if int(i) % 7 == 0 else (x or "")
+            for i, x in zip(ids, texts)
+        ]
+        h = [_md5_hex(x) for x in t2]
+        return pa.table(
+            {
+                "_part": _pcol(pa.chunked_array([pa.array(h)]), 16),
+                "side": pa.array(np.zeros(len(ids), dtype=np.int8)),
+                "h": pa.array(h, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "nbytes": pa.array(
+                    [len(x.encode("utf-8")) for x in t2], pa.int64()
+                ),
+            }
+        )
+
+    def crawl1_digests(t: pa.Table) -> pa.Table:
+        hs = sorted({_md5_hex(x or "") for x in t.column("text").to_pylist()})
+        return pa.table(
+            {
+                "_part": _pcol(pa.chunked_array([pa.array(hs)]), 16),
+                "side": pa.array(np.ones(len(hs), dtype=np.int8)),
+                "h": pa.array(hs, pa.string()),
+                "source": pa.array([""] * len(hs), pa.string()),
+                "nbytes": pa.array([0] * len(hs), pa.int64()),
+            }
+        )
+
+    def classify(part: pa.Table) -> pa.Table:
+        side = part.column("side").to_numpy(zero_copy_only=False)
+        h = np.asarray(part.column("h").to_pylist(), dtype=object)
+        seen = set(h[side == 1])
+        rows = side == 0
+        src = [s for s, r in zip(part.column("source").to_pylist(), rows) if r]
+        nb = part.column("nbytes").to_numpy(zero_copy_only=False)[rows]
+        revisit = np.fromiter(
+            (x in seen for x in h[rows]), dtype=bool, count=int(rows.sum())
+        )
+        tt = pa.table(
+            {
+                "source": pa.array(src, pa.string()),
+                "n_response": pa.array((~revisit).astype(np.int64)),
+                "n_revisit": pa.array(revisit.astype(np.int64)),
+                "payload_bytes": pa.array(
+                    np.where(revisit, 0, nb).astype(np.int64)
+                ),
+            }
+        )
+        g = tt.group_by("source").aggregate(
+            [("n_response", "sum"), ("n_revisit", "sum"), ("payload_bytes", "sum")]
+        )
+        return g.rename_columns(
+            ["source", "n_response", "n_revisit", "payload_bytes"]
+        )
+
+    return (
+        base.map_batches(crawl2, batch_format="pyarrow")
+        .union(base.map_batches(crawl1_digests, batch_format="pyarrow"))
+        .groupby("_part")
+        .map_groups(classify, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_response", alias_name="n_response"),
+            Sum("n_revisit", alias_name="n_revisit"),
+            Sum("payload_bytes", alias_name="payload_bytes"),
+        )
+    )
+
+
+SQL_WARC_REVISIT_DEDUP = """
+WITH c2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS t2
+  FROM documents
+),
+d1 AS (SELECT DISTINCT md5(text) AS h FROM documents)
+SELECT source,
+       CAST(sum(CASE WHEN d1.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_response,
+       CAST(sum(CASE WHEN d1.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_revisit,
+       CAST(sum(CASE WHEN d1.h IS NULL THEN octet_length(encode(t2))
+                     ELSE 0 END) AS BIGINT) AS payload_bytes
+FROM c2 LEFT JOIN d1 ON md5(t2) = d1.h
+GROUP BY source
+"""
+
+
 def q_postings_varint(sf_dir: str):
     """Posting-list compression accounting (the Lucene/PForDelta
     family's baseline: sort doc ids, delta-gap, LEB128 varint): per
@@ -18579,6 +18690,7 @@ QUERIES = {
     "k_anonymity": q_k_anonymity,
     "lsm_compact": q_lsm_compact,
     "postings_varint": q_postings_varint,
+    "warc_revisit_dedup": q_warc_revisit_dedup,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -18842,6 +18954,7 @@ ORACLE_SQL = {
     "k_anonymity": SQL_K_ANONYMITY,
     "lsm_compact": SQL_LSM_COMPACT,
     "postings_varint": SQL_POSTINGS_VARINT,
+    "warc_revisit_dedup": SQL_WARC_REVISIT_DEDUP,
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
