@@ -12641,6 +12641,80 @@ def q_ann_index_delta(sf_dir: str):
     return ann_lsh_topk_indexed(idx, ids, mat, k=10)
 
 
+def q_aimd_politeness(sf_dir: str):
+    """Adaptive per-host politeness (AIMD — the TCP congestion rule
+    applied to crawl delays, as adaptive crawlers do): per host, walk
+    its fetches in doc order with a deterministic md5 latency
+    (md5('lat:{host}:{j}') % 500 ms); latency > 300 doubles the delay
+    (cap 6400), else it decays by 10 (floor 50). Per-host chains are
+    INHERENTLY sequential (that is what politeness state is), so the
+    scale unit is one host per group — the same partitioning contract
+    as the frontier's token buckets; chain length is that host's page
+    count. Gated by a recursive-CTE replay of every step. Output:
+    (source, final_delay, n_backoffs, max_delay)."""
+    from .functions.dedup import md5_u64
+
+    import pandas as pd
+
+    def walk_host(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["source"].iloc[0]
+        ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
+        delay, backoffs, maxd = 100, 0, 100
+        for j in range(1, len(ids) + 1):
+            lat = md5_u64(f"lat:{src}:{j}") % 500
+            if lat > 300:
+                delay = min(delay * 2, 6400)
+                backoffs += 1
+            else:
+                delay = max(50, delay - 10)
+            maxd = max(maxd, delay)
+        return pd.DataFrame(
+            {
+                "source": [src],
+                "final_delay": [delay],
+                "n_backoffs": [backoffs],
+                "max_delay": [maxd],
+            }
+        )
+
+    return (
+        _read_sized(sf_dir, "documents", ["doc_id", "source"])
+        .groupby("source")
+        .map_groups(walk_host, batch_format="pandas")
+    )
+
+
+SQL_AIMD_POLITENESS = """
+WITH RECURSIVE seq AS (
+  SELECT source, count(*) AS nmax FROM documents GROUP BY source
+),
+lat AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS j,
+         ('0x' || substr(md5('lat:' || source || ':' ||
+           row_number() OVER (PARTITION BY source ORDER BY doc_id)),
+           1, 16))::UBIGINT % 500 AS l
+  FROM documents
+),
+walk AS (
+  SELECT source, 0 AS j, 100 AS delay, 0 AS backoffs, 100 AS maxd FROM seq
+  UNION ALL
+  SELECT w.source, w.j + 1,
+         CASE WHEN lat.l > 300 THEN least(w.delay * 2, 6400)
+              ELSE greatest(50, w.delay - 10) END,
+         w.backoffs + CASE WHEN lat.l > 300 THEN 1 ELSE 0 END,
+         greatest(w.maxd,
+           CASE WHEN lat.l > 300 THEN least(w.delay * 2, 6400)
+                ELSE greatest(50, w.delay - 10) END)
+  FROM walk w JOIN lat ON lat.source = w.source AND lat.j = w.j + 1
+)
+SELECT w.source AS source, CAST(delay AS BIGINT) AS final_delay,
+       CAST(backoffs AS BIGINT) AS n_backoffs,
+       CAST(maxd AS BIGINT) AS max_delay
+FROM walk w JOIN seq ON w.source = seq.source WHERE w.j = seq.nmax
+"""
+
+
 def q_warc_revisit_dedup(sf_dir: str):
     """Cross-crawl WARC revisit dedup — Common Crawl's storage trick
     (WARC 1.1 §6.7 revisit records): a re-crawled page whose payload
@@ -18691,6 +18765,7 @@ QUERIES = {
     "lsm_compact": q_lsm_compact,
     "postings_varint": q_postings_varint,
     "warc_revisit_dedup": q_warc_revisit_dedup,
+    "aimd_politeness": q_aimd_politeness,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -18955,6 +19030,7 @@ ORACLE_SQL = {
     "lsm_compact": SQL_LSM_COMPACT,
     "postings_varint": SQL_POSTINGS_VARINT,
     "warc_revisit_dedup": SQL_WARC_REVISIT_DEDUP,
+    "aimd_politeness": SQL_AIMD_POLITENESS,
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
