@@ -813,7 +813,7 @@ def merge_ann_index(
     return build_ann_index(ds, index_dir, bits=bits, salt=salt)
 
 
-KNN_NOISE_BUCKET_CAP = 8192
+KNN_NOISE_BUCKET_CAP = 65536
 
 
 def knn_label_noise(
@@ -830,10 +830,14 @@ def knn_label_noise(
 
     Scale shape = :func:`embed_cosine_dups`: deterministic hyperplane
     buckets (salt ``label-noise``) are the ONLY all-to-all key; the
-    k-NN + vote runs INSIDE buckets as one normalized matmul per
-    bucket, never corpus-wide. Buckets over ``hot_bucket_cap`` refuse
-    loudly (an m^2 matmul on a degenerate bucket is a config error,
-    not a workload). Vote ties break (count DESC, label ASC); neighbor
+    k-NN + vote runs INSIDE buckets, never corpus-wide, with the
+    bucket matmul CHUNKED (1024 query rows at a time) so peak memory
+    is m*1024 doubles however large the bucket — compute within a
+    bucket is still O(m^2), so ``bits`` must scale with the corpus
+    (buckets ~ corpus/2^bits); past ``hot_bucket_cap`` the operator
+    refuses loudly rather than burning quadratic time on a
+    mis-configured bucket count. Vote ties break (count DESC, label
+    ASC); neighbor
     ties break (cos DESC, id ASC) — the `_topk_rows` contract, so the
     inlined-plane SQL oracle replays every flagged row exactly.
     Output: (vec_id, own_label, peer_label, n_votes) for mismatches.
@@ -876,21 +880,24 @@ def knn_label_noise(
         mat = _norm_rows(
             np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
         )
-        sims = np.round(mat @ mat.T, 6)
         out = {"vec_id": [], "own_label": [], "peer_label": [], "n_votes": []}
-        for r in range(m):
-            s = sims[r].copy()
-            s[r] = -np.inf  # exclude self
-            peer_rows = _topk_rows(s, ids, min(k, m - 1))
-            peer_labels = labels[peer_rows]
-            uniq, counts = np.unique(peer_labels, return_counts=True)
-            order = np.lexsort((uniq, -counts))
-            winner, votes = int(uniq[order[0]]), int(counts[order[0]])
-            if winner != int(labels[r]):
-                out["vec_id"].append(int(ids[r]))
-                out["own_label"].append(int(labels[r]))
-                out["peer_label"].append(winner)
-                out["n_votes"].append(votes)
+        CHUNK = 1024  # memory bound: m x CHUNK doubles, never m x m
+        for c0 in range(0, m, CHUNK):
+            sims = np.round(mat[c0 : c0 + CHUNK] @ mat.T, 6)
+            for rr in range(sims.shape[0]):
+                r = c0 + rr
+                s = sims[rr].copy()
+                s[r] = -np.inf  # exclude self
+                peer_rows = _topk_rows(s, ids, min(k, m - 1))
+                peer_labels = labels[peer_rows]
+                uniq, counts = np.unique(peer_labels, return_counts=True)
+                order = np.lexsort((uniq, -counts))
+                winner, votes = int(uniq[order[0]]), int(counts[order[0]])
+                if winner != int(labels[r]):
+                    out["vec_id"].append(int(ids[r]))
+                    out["own_label"].append(int(labels[r]))
+                    out["peer_label"].append(winner)
+                    out["n_votes"].append(votes)
         return pd.DataFrame(out)
 
     return (

@@ -12658,9 +12658,10 @@ def q_aimd_politeness(sf_dir: str):
 
     def walk_host(g: pd.DataFrame) -> pd.DataFrame:
         src = g["source"].iloc[0]
-        ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
+        # the latency chain depends only on (source, fetch index) —
+        # the host's PAGE COUNT drives the walk, no id sort needed
         delay, backoffs, maxd = 100, 0, 100
-        for j in range(1, len(ids) + 1):
+        for j in range(1, len(g) + 1):
             lat = md5_u64(f"lat:{src}:{j}") % 500
             if lat > 300:
                 delay = min(delay * 2, 6400)
@@ -12793,9 +12794,13 @@ def q_warc_revisit_dedup(sf_dir: str):
             ["source", "n_response", "n_revisit", "payload_bytes"]
         )
 
+    def emit_both(t: pa.Table) -> pa.Table:
+        # one scan feeds both sides (a union of two branches over the
+        # same Dataset re-reads the parquet per branch)
+        return pa.concat_tables([crawl2(t), crawl1_digests(t)])
+
     return (
-        base.map_batches(crawl2, batch_format="pyarrow")
-        .union(base.map_batches(crawl1_digests, batch_format="pyarrow"))
+        base.map_batches(emit_both, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(classify, batch_format="pyarrow")
         .groupby("source")
@@ -12868,27 +12873,17 @@ def q_postings_varint(sf_dir: str):
                 }
             )
         gaps = np.diff(ids, prepend=0)
-        buf = bytearray()
-        for gp in gaps:
-            v = int(gp)
-            while True:
-                b = v & 0x7F
-                v >>= 7
-                if v:
-                    buf.append(b | 0x80)
-                else:
-                    buf.append(b)
-                    break
+        # THE LEB128 codec (functions/protobuf.py) — one wire-format
+        # definition repo-wide, not a third hand-rolled copy
+        from .functions.protobuf import decode_varint, encode_varint
+
+        buf = b"".join(encode_varint(int(gp)) for gp in gaps)
         # decode round-trip: the codec must reproduce the id list
-        dec, cur, shift, acc = [], 0, 0, 0
-        for b in buf:
-            acc |= (b & 0x7F) << shift
-            if b & 0x80:
-                shift += 7
-            else:
-                cur += acc
-                dec.append(cur)
-                acc, shift = 0, 0
+        dec, cur, pos = [], 0, 0
+        while pos < len(buf):
+            g, pos = decode_varint(buf, pos)
+            cur += g
+            dec.append(cur)
         if dec != ids.tolist():
             raise ValueError(f"postings_varint: roundtrip broke for {tok[0]!r}")
         return pa.table(
@@ -12944,10 +12939,12 @@ def q_lsm_compact(sf_dir: str):
     tombstoned keys DROPPED, the exactly-once keep-latest merge every
     log-structured table needs.
 
-    Scale shape: runs are per-batch derived maps over ONE base read;
-    union -> ONE key-hash exchange -> per-partition (key, seq DESC)
-    sort + first-row pick (vectorized reduceat-style boundaries), so
-    the only shuffled payload is (key, seq, tomb, md5) rows."""
+    Scale shape: ONE base read, ONE per-batch map emitting all three
+    runs' rows together (a union of three branches over the same
+    Dataset would re-scan the parquet once per branch — Ray does not
+    share scans across union arms); then ONE key-hash exchange ->
+    per-partition (key, seq DESC) sort + first-row pick, so the only
+    shuffled payload is (key, seq, tomb, md5) rows."""
     from .functions.dedup import _md5_hex
     from .functions.joins import _part_column as _pcol
 
@@ -12991,11 +12988,12 @@ def q_lsm_compact(sf_dir: str):
 
         return fn
 
-    runs = (
-        base.map_batches(run0, batch_format="pyarrow")
-        .union(base.map_batches(delta(1, 7, 11, "[v2]"), batch_format="pyarrow"))
-        .union(base.map_batches(delta(2, 13, 17, "[v3]"), batch_format="pyarrow"))
-    )
+    d1, d2 = delta(1, 7, 11, "[v2]"), delta(2, 13, 17, "[v3]")
+
+    def emit_runs(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([run0(t), d1(t), d2(t)])
+
+    runs = base.map_batches(emit_runs, batch_format="pyarrow")
 
     def add_p(t: pa.Table) -> pa.Table:
         return t.append_column("_p", _pcol(t.column("doc_id"), 16))
@@ -13167,21 +13165,28 @@ FROM flags GROUP BY doc_id
 """
 
 
+_KNN_NOISE_BITS = 3  # ONE constant for Ray call site AND oracle: raise
+# together as the corpus grows (buckets ~ corpus / 2^bits)
+_KNN_NOISE_K = 3
+
+
 def q_knn_label_noise(sf_dir: str):
     """Label-noise triage: vectors whose in-bucket kNN majority label
     disagrees with their own label (Confident-Learning-style data
-    cleaning). Bucketed matmul under deterministic 'label-noise'
-    planes; see functions/ann.py knn_label_noise."""
+    cleaning). Chunked bucketed matmul under deterministic
+    'label-noise' planes; see functions/ann.py knn_label_noise."""
     from .functions.ann import knn_label_noise
 
     return knn_label_noise(
         _read_sized(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
-        bits=3,
-        k=3,
+        bits=_KNN_NOISE_BITS,
+        k=_KNN_NOISE_K,
     )
 
 
-def _sql_knn_label_noise(dim: int = 64, bits: int = 3, k: int = 3) -> str:
+def _sql_knn_label_noise(
+    dim: int = 64, bits: int = _KNN_NOISE_BITS, k: int = _KNN_NOISE_K
+) -> str:
     from .functions.ann import _plane_matrix
 
     planes = _plane_matrix(dim, bits, salt=b"label-noise")
