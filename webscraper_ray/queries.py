@@ -12641,6 +12641,120 @@ def q_ann_index_delta(sf_dir: str):
     return ann_lsh_topk_indexed(idx, ids, mat, k=10)
 
 
+def q_host_link_graph(sf_dir: str):
+    """Host-level link graph — the SITE graph crawl schedulers and
+    spam detectors actually rank (doc edges aggregated to
+    (src_host, dst_host) weights + the intra-host fraction): each doc
+    edge attaches its endpoint hosts via two node-keyed tagged-union
+    exchanges (the wl_relabel attach pattern — the doc->host map stays
+    distributed, never a broadcast), then one (host, host)-keyed count
+    rollup. Output: (src_host, dst_host, n_links)."""
+    from .functions.joins import _part_column as _pcol
+
+    edges, _n = _link_edges(sf_dir)
+    docs = _read_sized(sf_dir, "documents", ["doc_id", "source"])
+
+    def attach(edge_key: str, out_col: str):
+        """One exchange: edge rows keyed by ``edge_key`` pick up that
+        endpoint's host from the co-partitioned doc->host rows."""
+
+        def tag_edges(t: pa.Table) -> pa.Table:
+            cols = {
+                "_part": _pcol(t.column(edge_key), 16),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "host": pa.array([""] * t.num_rows, pa.string()),
+            }
+            for c in ("src_host",):
+                if c in t.schema.names:
+                    cols[c] = t.column(c)
+            return pa.table(cols)
+
+        def tag_docs(t: pa.Table) -> pa.Table:
+            cols = {
+                "_part": _pcol(t.column("doc_id"), 16),
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                "src": t.column("doc_id"),
+                "dst": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "host": t.column("source"),
+            }
+            if out_col == "dst_host":  # second pass carries src_host through
+                cols["src_host"] = pa.array([""] * t.num_rows, pa.string())
+            return pa.table(cols)
+
+        def resolve(part: pa.Table) -> pa.Table:
+            side = part.column("side").to_numpy(zero_copy_only=False)
+            key = part.column("src").to_numpy(zero_copy_only=False)
+            is_doc = side == 1
+            ref_ids = key[is_doc]
+            ref_hosts = np.asarray(
+                part.column("host").to_pandas(), dtype=object
+            )[is_doc]
+            order = np.argsort(ref_ids)
+            ref_ids, ref_hosts = ref_ids[order], ref_hosts[order]
+            e = part.filter(pa.array(~is_doc))
+            ek = e.column("src" if edge_key == "src" else "dst").to_numpy(
+                zero_copy_only=False
+            )
+            pos = np.searchsorted(ref_ids, ek)
+            pos = np.clip(pos, 0, max(ref_ids.size - 1, 0))
+            if ref_ids.size == 0 or not np.all(ref_ids[pos] == ek):
+                raise ValueError("host_link_graph: edge endpoint has no doc row")
+            hosts = ref_hosts[pos]
+            cols = {
+                "src": e.column("src"),
+                "dst": e.column("dst"),
+                out_col: pa.array(hosts.tolist(), pa.string()),
+            }
+            if "src_host" in e.schema.names and out_col == "dst_host":
+                cols["src_host"] = e.column("src_host")
+            return pa.table(cols)
+
+        return tag_edges, tag_docs, resolve
+
+    te1, td1, r1 = attach("src", "src_host")
+    with_src = (
+        edges.map_batches(te1, batch_format="pyarrow")
+        .union(docs.map_batches(td1, batch_format="pyarrow"))
+        .groupby("_part")
+        .map_groups(r1, batch_format="pyarrow")
+    )
+    te2, td2, r2 = attach("dst", "dst_host")
+    with_both = (
+        with_src.map_batches(te2, batch_format="pyarrow")
+        .union(docs.map_batches(td2, batch_format="pyarrow"))
+        .groupby("_part")
+        .map_groups(r2, batch_format="pyarrow")
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["src_host", "dst_host"]).group_by(
+            ["src_host", "dst_host"]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["src_host", "dst_host", "n_links"])
+
+    return (
+        with_both.map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n_links", alias_name="n_links"))
+    )
+
+
+def _sql_host_link_graph() -> str:
+    return f"""
+WITH e AS (
+{_sql_link_edges()}
+)
+SELECT a.source AS src_host, b.source AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM e
+JOIN documents a ON e.src = a.doc_id
+JOIN documents b ON e.dst = b.doc_id
+GROUP BY a.source, b.source
+"""
+
+
 def q_aimd_politeness(sf_dir: str):
     """Adaptive per-host politeness (AIMD — the TCP congestion rule
     applied to crawl delays, as adaptive crawlers do): per host, walk
@@ -18771,6 +18885,7 @@ QUERIES = {
     "postings_varint": q_postings_varint,
     "warc_revisit_dedup": q_warc_revisit_dedup,
     "aimd_politeness": q_aimd_politeness,
+    "host_link_graph": q_host_link_graph,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -19036,6 +19151,7 @@ ORACLE_SQL = {
     "postings_varint": SQL_POSTINGS_VARINT,
     "warc_revisit_dedup": SQL_WARC_REVISIT_DEDUP,
     "aimd_politeness": SQL_AIMD_POLITENESS,
+    "host_link_graph": _sql_host_link_graph(),
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
