@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     "k_anonymity",
     "lsm_compact",
     "postings_varint",
+    "warc_revisit_dedup",
+    "aimd_politeness",
+    "host_link_graph",
 ]
 
 
