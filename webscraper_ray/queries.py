@@ -12641,6 +12641,74 @@ def q_ann_index_delta(sf_dir: str):
     return ann_lsh_topk_indexed(idx, ids, mat, k=10)
 
 
+def q_url_param_stats(sf_dir: str):
+    """URL query-parameter mining per host (the canonicalizer's
+    companion audit: which params a site actually uses, and how much of
+    its link space is tracking chrome the E2 canonicalization strips).
+    Params derive from the SAME messy-url formulas as
+    `url_canonicalize` (id%3==0 -> b, utm_source, a; id%3==1 ->
+    utm_medium, a; else none), so the two operators audit one URL
+    population. Per-batch partial counts -> one (host, param)-keyed
+    exchange, param-cardinality-sized."""
+
+    def params(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = t.column("source").to_pylist()
+        out_h, out_p = [], []
+        for i, s in zip(ids, srcs):
+            m = int(i) % 3
+            if m == 0:
+                ps = ("b", "utm_source", "a")
+            elif m == 1:
+                ps = ("utm_medium", "a")
+            else:
+                ps = ()
+            for p in ps:
+                out_h.append(s)
+                out_p.append(p)
+        tt = pa.table(
+            {
+                "host": pa.array(out_h, pa.string()),
+                "param": pa.array(out_p, pa.string()),
+            }
+        )
+        g = tt.group_by(["host", "param"]).aggregate([([], "count_all")])
+        return g.rename_columns(["host", "param", "n"])
+
+    agg = (
+        _read_sized(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(params, batch_format="pyarrow")
+        .groupby(["host", "param"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_tracking",
+            pc.cast(
+                pc.starts_with(t.column("param"), "utm_"), pa.int64()
+            ),
+        )
+
+    return agg.map_batches(tag, batch_format="pyarrow")
+
+
+SQL_URL_PARAM_STATS = """
+WITH p AS (
+  SELECT source AS host,
+         unnest(CASE
+           WHEN doc_id % 3 = 0 THEN ['b', 'utm_source', 'a']
+           WHEN doc_id % 3 = 1 THEN ['utm_medium', 'a']
+           ELSE [] END) AS param
+  FROM documents
+)
+SELECT host, param, CAST(count(*) AS BIGINT) AS n,
+       CAST(CASE WHEN param LIKE 'utm\\_%' ESCAPE '\\'
+            THEN 1 ELSE 0 END AS BIGINT) AS is_tracking
+FROM p GROUP BY host, param
+"""
+
+
 def q_host_link_graph(sf_dir: str):
     """Host-level link graph — the SITE graph crawl schedulers and
     spam detectors actually rank (doc edges aggregated to
@@ -18886,6 +18954,7 @@ QUERIES = {
     "warc_revisit_dedup": q_warc_revisit_dedup,
     "aimd_politeness": q_aimd_politeness,
     "host_link_graph": q_host_link_graph,
+    "url_param_stats": q_url_param_stats,
     "gram_novelty": q_gram_novelty,
     "snapshot_diff": q_snapshot_diff,
     "cohort_retention": q_cohort_retention,
@@ -19152,6 +19221,7 @@ ORACLE_SQL = {
     "warc_revisit_dedup": SQL_WARC_REVISIT_DEDUP,
     "aimd_politeness": SQL_AIMD_POLITENESS,
     "host_link_graph": _sql_host_link_graph(),
+    "url_param_stats": SQL_URL_PARAM_STATS,
     "gram_novelty": SQL_GRAM_NOVELTY,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "cohort_retention": SQL_COHORT_RETENTION,
