@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "warc_revisit_dedup",
     "aimd_politeness",
     "host_link_graph",
+    "url_param_stats",
 ]
 
 
