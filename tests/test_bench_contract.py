@@ -27,3 +27,22 @@ def test_registry_oracle_alignment():
     assert set(QUERIES) == set(ORACLE_SQL)
     assert all(callable(v) for v in QUERIES.values())
     assert all(isinstance(v, str) and "SELECT" in v.upper() for v in ORACLE_SQL.values())
+
+
+def test_readme_operator_count_matches_registry():
+    """The README's advertised operator count has drifted twice; pin it
+    to the registry so the third drift fails a test instead of a
+    review."""
+    import os
+    import re
+
+    from webscraper_ray.queries import QUERIES
+
+    readme = open(
+        os.path.join(os.path.dirname(__file__), "..", "README.md")
+    ).read()
+    m = re.search(r"`webscraper_ray/queries\.py`\): (\d+) operators", readme)
+    assert m, "README no longer states the operator count"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} operators, registry has {len(QUERIES)}"
+    )

@@ -303,6 +303,22 @@ def _band_candidates(
             }
         )
 
+    bands = ds.map_batches(band_rows, batch_format="pyarrow")
+    return _pairs_from_bands(bands, id_col, hot_band_cap, num_parts)
+
+
+def _pairs_from_bands(
+    bands: "ray.data.Dataset",
+    id_col: str,
+    hot_band_cap: int = HOT_BAND_CAP,
+    num_parts: int = _BAND_PARTS,
+) -> "tuple":
+    """Pair emission half of :func:`_band_candidates`: a band-row Dataset
+    (``_part``, ``band_id``, ``band_u64``, id) -> distinct (a < b)
+    candidate pairs, materialized. Shared by the text path
+    (:func:`_band_candidates`) and the precomputed-signature path
+    (:func:`_band_candidates_from_sigs`) so both emit byte-identical
+    pair sets."""
     a_col, b_col = f"{id_col}_a", f"{id_col}_b"
     empty = pa.table(
         {a_col: pa.array([], pa.int64()), b_col: pa.array([], pa.int64())}
@@ -349,13 +365,53 @@ def _band_candidates(
             }
         )
 
-    bands = ds.map_batches(band_rows, batch_format="pyarrow")
     pairs = _hash_distinct(
         bands.groupby("_part").map_groups(emit_pairs, batch_format="pyarrow"),
         [a_col, b_col],
         num_parts,
     ).materialize()  # output-sized; reused by the verify joins
     return pairs, a_col, b_col
+
+
+def _band_candidates_from_sigs(
+    sig_ds: "ray.data.Dataset",
+    id_col: str,
+    hot_band_cap: int = HOT_BAND_CAP,
+    num_parts: int = _BAND_PARTS,
+) -> "tuple":
+    """:func:`_band_candidates` fed from a precomputed signature table
+    (columns ``id_col``, ``sig`` binary — null for shingle-less docs)
+    instead of raw text. Band keys are re-derived from the stored
+    signature bytes exactly as the text path derives them from the fresh
+    signature, so the candidate pair set is byte-identical; the corpus
+    text is not re-read or re-tokenized."""
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        sigs = batch.column("sig").to_pylist()
+        out_band, out_hash, out_id = [], [], []
+        for doc, sig in zip(ids, sigs):
+            if sig is None:
+                continue
+            row = np.frombuffer(sig, dtype=np.uint64)
+            for b, bh in enumerate(_band_hashes_u64(row)):
+                out_band.append(b)
+                out_hash.append(bh)
+                out_id.append(doc)
+        bu = np.array(out_hash, dtype=np.uint64)
+        return pa.table(
+            {
+                "_part": pa.array((bu % num_parts).astype(np.int32)),
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_u64": pa.array(bu),
+                id_col: pa.array(out_id, pa.int64()),
+            }
+        )
+
+    bands = sig_ds.select_columns([id_col, "sig"]).map_batches(
+        band_rows, batch_format="pyarrow"
+    )
+    return _pairs_from_bands(bands, id_col, hot_band_cap, num_parts)
 
 
 # Involved-id broadcast bound: above this many distinct candidate-pair doc
@@ -420,11 +476,28 @@ def _involved_docs(
       corpus the verify must recompute signatures for ~every doc anyway —
       and the driver never holds the id list.
     """
+    return _involved_rows(ds, pairs, id_col, [text_col], a_col, b_col, broadcast_max)
+
+
+def _involved_rows(
+    ds: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    id_col: str,
+    cols: list[str],
+    a_col: str,
+    b_col: str,
+    broadcast_max: int = INVOLVED_BROADCAST_MAX,
+) -> "ray.data.Dataset":
+    """Generalized :func:`_involved_docs`: filter ``ds`` (any per-doc
+    payload table — raw text, or a precomputed signature/shingle store)
+    to the rows whose ``id_col`` appears in a candidate pair. Same two
+    plans: broadcast ``is_in`` under ``broadcast_max`` distinct ids,
+    distributed hash semi-join above it."""
     import pyarrow.compute as pc
 
     inv_ds = _involved_ids_ds(pairs, a_col, b_col)
     n_inv = inv_ds.count()
-    docs = ds.select_columns([id_col, text_col])
+    docs = ds.select_columns([id_col, *cols])
     if n_inv <= broadcast_max:
         ref = _involved_ids_ref(inv_ds)
 
@@ -476,16 +549,9 @@ def minhash_near_dups(
     import pyarrow.compute as pc
 
     pairs, a_col, b_col = _band_candidates(ds, id_col, text_col, hot_band_cap)
-    empty = pa.table(
-        {
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "est_jaccard": pa.array([], pa.float64()),
-        }
-    )
     n_pairs = pairs.count()
     if n_pairs == 0:
-        return ray.data.from_arrow(empty)
+        return ray.data.from_arrow(_EMPTY_EST_PAIRS)
     involved = _involved_docs(
         ds, pairs, id_col, text_col, a_col, b_col, involved_broadcast_max
     )
@@ -503,6 +569,35 @@ def minhash_near_dups(
         )
 
     sig_ds = involved.map_batches(sig_kernel, batch_format="pyarrow").materialize()
+    return _minhash_verify(
+        pairs, sig_ds, id_col, a_col, b_col, n_pairs, jaccard_threshold
+    )
+
+
+_EMPTY_EST_PAIRS = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64()),
+    }
+)
+
+
+def _minhash_verify(
+    pairs: "ray.data.Dataset",
+    sig_ds: "ray.data.Dataset",
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    n_pairs: int,
+    jaccard_threshold: float,
+    sort: bool = True,
+) -> "ray.data.Dataset":
+    """Signature-agreement verify of a candidate pair set against a
+    per-doc signature table (``id_col``, ``sig`` binary) — the tail of
+    :func:`minhash_near_dups`, shared with :func:`ensemble_near_dups`
+    which feeds it the pre-materialized shared signature store."""
+    empty = _EMPTY_EST_PAIRS
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -523,9 +618,10 @@ def minhash_near_dups(
             }
         )
 
-    return _join_pair_sides(pairs, sig_ds, id_col, a_col, b_col, "sig", n_pairs).map_batches(
-        verify, batch_format="pyarrow"
-    ).sort(["doc_a", "doc_b"])
+    out = _join_pair_sides(
+        pairs, sig_ds, id_col, a_col, b_col, "sig", n_pairs
+    ).map_batches(verify, batch_format="pyarrow")
+    return out.sort(["doc_a", "doc_b"]) if sort else out
 
 
 def _join_pair_sides(
@@ -640,25 +736,46 @@ def simhash_near_dups(
 
     def sketch_rows(batch: pa.Table) -> pa.Table:
         hashes = simhash_batch(batch.column(text_col).to_pylist())
-        ids = batch.column(id_col).to_pylist()
-        t_ids, prefixes, out_ids, sketches = [], [], [], []
-        for doc, h in zip(ids, hashes):
-            hx = f"{int(h):016x}"
-            rolled = hx + hx
-            for t in range(n_tables):
-                t_ids.append(t)
-                prefixes.append(rolled[4 * t : 4 * t + 4])
-                out_ids.append(doc)
-                sketches.append(hx)
-        return pa.table(
-            {
-                "table_id": pa.array(t_ids, pa.int32()),
-                "prefix": pa.array(prefixes, pa.string()),
-                id_col: pa.array(out_ids),
-                "simhash": pa.array(sketches, pa.string()),
-            }
-        )
+        return _simhash_expand(batch.column(id_col).to_pylist(), hashes, id_col, n_tables)
 
+    rows = ds.map_batches(sketch_rows, batch_format="pyarrow")
+    return _simhash_verify_tail(rows, id_col, max_hamming, hot_prefix_cap)
+
+
+def _simhash_expand(
+    ids: list, hashes, id_col: str, n_tables: int
+) -> pa.Table:
+    """(table_id, prefix, id, simhash-hex) LSH rows from per-doc 64-bit
+    sketches — the rotated-prefix expansion of :func:`simhash_near_dups`,
+    shared with the precomputed-sketch path in
+    :func:`ensemble_near_dups`."""
+    t_ids, prefixes, out_ids, sketches = [], [], [], []
+    for doc, h in zip(ids, hashes):
+        hx = f"{int(h):016x}"
+        rolled = hx + hx
+        for t in range(n_tables):
+            t_ids.append(t)
+            prefixes.append(rolled[4 * t : 4 * t + 4])
+            out_ids.append(doc)
+            sketches.append(hx)
+    return pa.table(
+        {
+            "table_id": pa.array(t_ids, pa.int32()),
+            "prefix": pa.array(prefixes, pa.string()),
+            id_col: pa.array(out_ids),
+            "simhash": pa.array(sketches, pa.string()),
+        }
+    )
+
+
+def _simhash_verify_tail(
+    rows: "ray.data.Dataset",
+    id_col: str,
+    max_hamming: int,
+    hot_prefix_cap: int,
+) -> "ray.data.Dataset":
+    """Bucket-group + xor/popcount verify over the expanded LSH rows —
+    the shuffle/verify half of :func:`simhash_near_dups`."""
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -697,8 +814,7 @@ def simhash_near_dups(
     from ray.data.aggregate import Min
 
     return (
-        ds.map_batches(sketch_rows, batch_format="pyarrow")
-        .groupby(["table_id", "prefix"])
+        rows.groupby(["table_id", "prefix"])
         .map_groups(emit_verified, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
@@ -808,6 +924,24 @@ def exact_jaccard_verify(
         lambda t: shingle_hash_table(t, id_col, text_col),
         batch_format="pyarrow",
     ).materialize()
+    return _jaccard_verify_from_hashes(
+        pairs, hash_ds, id_col, a_col, b_col, n_pairs, jaccard_threshold
+    )
+
+
+def _jaccard_verify_from_hashes(
+    pairs: "ray.data.Dataset",
+    hash_ds: "ray.data.Dataset",
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    n_pairs: int,
+    jaccard_threshold: float,
+) -> "ray.data.Dataset":
+    """Join+verify half of :func:`exact_jaccard_verify`, taking the
+    per-doc sorted shingle-hash table (``id_col``, ``hashes`` binary)
+    directly — shared with :func:`ensemble_near_dups`, which supplies it
+    from the one-pass signature store instead of re-hashing text."""
 
     def verify(t: pa.Table) -> pa.Table:
         # per-pair loop is fine here: the candidate set is output-sized
@@ -837,3 +971,217 @@ def exact_jaccard_verify(
     return _join_pair_sides(
         pairs, hash_ds, id_col, a_col, b_col, "hashes", n_pairs
     ).map_batches(verify, batch_format="pyarrow")
+
+
+# --- Shared one-pass signature store + ensemble ----------------------------
+
+
+def combined_signature_batch(
+    texts: list[str],
+) -> tuple[np.ndarray, np.ndarray, list, np.ndarray]:
+    """ONE tokenize pass per doc -> everything the three near-dup
+    families need: ``(minhash sigs, has_sig, sorted shingle-hash arrays,
+    simhash)``.
+
+    Produces bit-identical values to running
+    :func:`minhash_signatures_batch`, :func:`shingle_hash_table` and
+    :func:`simhash_batch` separately (the per-family oracles are
+    unchanged), but tokenizes each text once and md5-hashes each
+    distinct shingle once instead of three tokenize passes + two
+    shingle-hash passes — the kernel behind
+    :func:`ensemble_near_dups`'s single corpus scan.
+    """
+    n = len(texts)
+    sigs = np.full((n, N_HASHES), np.iinfo(np.uint64).max, dtype=np.uint64)
+    has_sig = np.zeros(n, dtype=bool)
+    sim = np.zeros(n, dtype=np.uint64)
+    hash_arrays: list = [None] * n
+    tok_flat: list[int] = []
+    tok_offsets: list[int] = []
+    tok_doc: list[int] = []
+    sh_flat: list[int] = []
+    sh_offsets: list[int] = []
+    sh_doc: list[int] = []
+    for i, t in enumerate(texts):
+        toks = _tokens(t or "")
+        if toks:
+            tok_offsets.append(len(tok_flat))
+            tok_doc.append(i)
+            tok_flat.extend(md5_u64(tok) for tok in toks)
+        if len(toks) >= 3:
+            sh = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+            sh_offsets.append(len(sh_flat))
+            sh_doc.append(i)
+            sh_flat.extend(md5_u64(s) for s in sh)
+            has_sig[i] = True
+    if sh_doc:
+        h = np.array(sh_flat, dtype=np.uint64)
+        grid = h[:, None] ^ _XOR_C[None, :]
+        mins = np.minimum.reduceat(grid, np.array(sh_offsets, dtype=np.int64), axis=0)
+        sigs[np.array(sh_doc, dtype=np.int64)] = mins
+        ends = sh_offsets[1:] + [len(sh_flat)]
+        for d, s, e in zip(sh_doc, sh_offsets, ends):
+            hash_arrays[d] = np.sort(h[s:e])
+    if tok_doc:
+        th = np.array(tok_flat, dtype=np.uint64)
+        bits = ((th[:, None] >> _BITS[None, :]) & np.uint64(1)).astype(np.int32)
+        votes = np.add.reduceat(
+            bits * 2 - 1, np.array(tok_offsets, dtype=np.int64), axis=0
+        )
+        sim[np.array(tok_doc, dtype=np.int64)] = (
+            (votes > 0).astype(np.uint64) << _BITS[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+    return sigs, has_sig, hash_arrays, sim
+
+
+def signature_store_rows(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per-doc signature-store rows ``(id, sig, hashes, simhash)`` from
+    one :func:`combined_signature_batch` pass. ``sig`` (512-B minhash
+    signature) and ``hashes`` (sorted shingle md5-u64s) are null for
+    docs with < 3 tokens — such docs never enter LSH pairing; every doc
+    keeps a ``simhash`` row (empty text sketches to 0, matching
+    :func:`simhash_batch`)."""
+    texts = batch.column(text_col).to_pylist()
+    sigs, has_sig, hash_arrays, sim = combined_signature_batch(texts)
+    n = len(texts)
+    return pa.table(
+        {
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "sig": pa.array(
+                [sigs[i].tobytes() if has_sig[i] else None for i in range(n)],
+                pa.binary(),
+            ),
+            "hashes": pa.array(
+                [
+                    hash_arrays[i].tobytes() if hash_arrays[i] is not None else None
+                    for i in range(n)
+                ],
+                pa.binary(),
+            ),
+            "simhash": pa.array(sim),
+        }
+    )
+
+
+def ensemble_near_dups(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    max_hamming: int = 3,
+    n_tables: int = 4,
+    hot_band_cap: int = HOT_BAND_CAP,
+    involved_broadcast_max: int = INVOLVED_BROADCAST_MAX,
+    min_votes: int = 2,
+) -> "ray.data.Dataset":
+    """Ensemble near-dup voting ``(doc_a, doc_b, n_votes)`` over the
+    three families (minhash-estimate, simhash-hamming, exact n-gram
+    Jaccard), ``n_votes >= min_votes`` — SAME pair semantics as running
+    the three registered family pipelines and voting on the union, but
+    over ONE corpus scan:
+
+    - one :func:`signature_store_rows` pass materializes per-doc minhash
+      signature + sorted shingle hashes + simhash (the only
+      corpus-proportional materialization; at ingest scale this is the
+      persisted signature store of ``functions/increment.py``);
+    - ONE LSH candidate stage (:func:`_band_candidates_from_sigs`)
+      serves both the minhash and ngram families — their candidate sets
+      are identical by construction, previously computed twice;
+    - both verifies read payloads from the store via one involved-id
+      filter (:func:`_involved_rows`) instead of re-reading + re-hashing
+      corpus text; the simhash family expands rotated prefixes from the
+      stored sketch column.
+
+    Scale shape: the store adds ~text-sized bytes to the object store
+    (spillable, corpus-partitioned) and removes two full corpus
+    scans + tokenize passes and two filtered recompute passes — the
+    trade that wins whenever the corpus read+tokenize dominates, i.e.
+    always at 100 TB.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    sig_ds = ds.map_batches(
+        lambda t: signature_store_rows(t, id_col, text_col),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def sim_rows(t: pa.Table) -> pa.Table:
+        return _simhash_expand(
+            t.column(id_col).to_pylist(),
+            t.column("simhash").to_numpy(zero_copy_only=False),
+            id_col,
+            n_tables,
+        )
+
+    sh_pairs = _simhash_verify_tail(
+        sig_ds.select_columns([id_col, "simhash"]).map_batches(
+            sim_rows, batch_format="pyarrow"
+        ),
+        id_col,
+        max_hamming,
+        hot_band_cap,
+    )
+
+    def pairs_only(t: pa.Table) -> pa.Table:
+        return t.select(["doc_a", "doc_b"])
+
+    pairs, a_col, b_col = _band_candidates_from_sigs(sig_ds, id_col, hot_band_cap)
+    n_pairs = pairs.count()
+    u = sh_pairs.map_batches(pairs_only, batch_format="pyarrow")
+    if n_pairs > 0:
+        payload = _involved_rows(
+            sig_ds,
+            pairs,
+            id_col,
+            ["sig", "hashes"],
+            a_col,
+            b_col,
+            involved_broadcast_max,
+        ).materialize()
+        mh_pairs = _minhash_verify(
+            pairs,
+            payload.select_columns([id_col, "sig"]),
+            id_col,
+            a_col,
+            b_col,
+            n_pairs,
+            jaccard_threshold,
+            sort=False,
+        )
+        ng_pairs = _jaccard_verify_from_hashes(
+            pairs,
+            payload.select_columns([id_col, "hashes"]),
+            id_col,
+            a_col,
+            b_col,
+            n_pairs,
+            jaccard_threshold,
+        )
+        u = u.union(
+            mh_pairs.map_batches(pairs_only, batch_format="pyarrow")
+        ).union(ng_pairs.map_batches(pairs_only, batch_format="pyarrow"))
+
+    def add_p(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return t.append_column("_p", pa.array(xor_mix_parts([a, b], 16)))
+
+    def vote(t: pa.Table) -> pa.Table:
+        g = (
+            t.drop_columns(["_p"])
+            .group_by(["doc_a", "doc_b"])
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns(["doc_a", "doc_b", "n_votes"])
+        return g.filter(pc.greater_equal(g.column("n_votes"), pa.scalar(min_votes)))
+
+    return (
+        u.map_batches(add_p, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(vote, batch_format="pyarrow")
+        .sort(["doc_a", "doc_b"])
+    )

@@ -65,6 +65,15 @@ def mirror_host_pairs(
         h = part.column("h").to_numpy(zero_copy_only=False)
         host = np.asarray(part.column("host").to_pandas(), dtype=object)
         labels, hc = np.unique(host, return_inverse=True)
+        # host_b == '' is the row-kind sentinel separating size rows from
+        # pair rows below; an empty-string host label would corrupt both
+        # silently, so refuse it loudly (np.unique sorts '' first).
+        if labels.size and labels[0] == "":
+            raise ValueError(
+                "mirror_host_pairs: empty-string host label collides with "
+                "the size-row sentinel — clean or drop unlabeled docs "
+                "upstream."
+            )
         # distinct (h, host) via composite sort
         order = np.lexsort((hc, h))
         h, hc = h[order], hc[order]

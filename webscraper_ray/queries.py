@@ -8845,16 +8845,21 @@ def q_dbscan_clusters(sf_dir: str):
     MINPTS = 3  # neighbors (self excluded), mirrored in the oracle
 
     def coords(t: pa.Table) -> pa.Table:
+        # md5 per id is the oracle contract (ids are already distinct, so
+        # there is no distinct-trick win); the modulo and column build are
+        # vectorized — only the digest itself stays a C-level loop.
         ids = t.column("doc_id").to_pylist()
+        hx = np.fromiter(
+            (md5_u64(f"dbx:{i}") for i in ids), dtype=np.uint64, count=len(ids)
+        )
+        hy = np.fromiter(
+            (md5_u64(f"dby:{i}") for i in ids), dtype=np.uint64, count=len(ids)
+        )
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "x": pa.array(
-                    [md5_u64(f"dbx:{i}") % 1009 for i in ids], pa.int64()
-                ),
-                "y": pa.array(
-                    [md5_u64(f"dby:{i}") % 997 for i in ids], pa.int64()
-                ),
+                "x": pa.array((hx % 1009).astype(np.int64), pa.int64()),
+                "y": pa.array((hy % 997).astype(np.int64), pa.int64()),
             }
         )
 
@@ -12712,7 +12717,8 @@ FROM p GROUP BY host, param
 def q_host_link_graph(sf_dir: str):
     """Host-level link graph — the SITE graph crawl schedulers and
     spam detectors actually rank (doc edges aggregated to
-    (src_host, dst_host) weights + the intra-host fraction): each doc
+    (src_host, dst_host) weights; intra-host edges are the rows where
+    src_host == dst_host): each doc
     edge attaches its endpoint hosts via two node-keyed tagged-union
     exchanges (the wl_relabel attach pattern — the doc->host map stays
     distributed, never a broadcast), then one (host, host)-keyed count
@@ -13063,8 +13069,8 @@ def q_postings_varint(sf_dir: str):
         # decode round-trip: the codec must reproduce the id list
         dec, cur, pos = [], 0, 0
         while pos < len(buf):
-            g, pos = decode_varint(buf, pos)
-            cur += g
+            gap, pos = decode_varint(buf, pos)
+            cur += gap
             dec.append(cur)
         if dec != ids.tolist():
             raise ValueError(f"postings_varint: roundtrip broke for {tok[0]!r}")
@@ -13098,12 +13104,20 @@ gaps AS (
   FROM t
 ),
 lens AS (
+  -- full LEB128 ladder: ceil(bits/7) bytes per gap. doc_id is int64, so
+  -- gaps top out below 2^63 -> 9 bytes; every rung the Ray-side encoder
+  -- can emit is priced (it was capped at ELSE 5, silently diverging for
+  -- gaps >= 2^35).
   SELECT token,
          CASE WHEN g < 128 THEN 1
               WHEN g < 16384 THEN 2
               WHEN g < 2097152 THEN 3
               WHEN g < 268435456 THEN 4
-              ELSE 5 END AS l
+              WHEN g < 34359738368 THEN 5
+              WHEN g < 4398046511104 THEN 6
+              WHEN g < 562949953421312 THEN 7
+              WHEN g < 72057594037927936 THEN 8
+              ELSE 9 END AS l
   FROM gaps
 )
 SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
@@ -15262,7 +15276,12 @@ def q_ab_test_zscore(sf_dir: str):
         u, p = u[order], p[order]
         first = np.r_[True, u[1:] != u[:-1]]
         u, p = u[first], p[first]
-        arms = np.array([md5_u64(f"ab:{int(x)}") % 2 for x in u], dtype=np.int64)
+        arms = (
+            np.fromiter(
+                (md5_u64(f"ab:{int(x)}") for x in u), dtype=np.uint64, count=u.size
+            )
+            % 2
+        ).astype(np.int64)
         n_ = np.bincount(arms, minlength=2).astype(np.int64)
         c_ = np.bincount(arms, weights=p.astype(np.float64), minlength=2).astype(
             np.int64
@@ -15363,8 +15382,14 @@ def q_nb_lang_confusion(sf_dir: str):
 
     def split_col(t: pa.Table, want_train: bool) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
-        m = np.array(
-            [md5_u64(f"split:{i}") % 10 < 8 for i in ids], dtype=bool
+        m = (
+            np.fromiter(
+                (md5_u64(f"split:{i}") for i in ids),
+                dtype=np.uint64,
+                count=len(ids),
+            )
+            % 10
+            < 8
         )
         return t.filter(pa.array(m if want_train else ~m))
 
@@ -15609,49 +15634,21 @@ def q_dedup_ensemble(sf_dir: str):
     """Ensemble near-dup VOTING: pairs flagged by >= 2 of the three
     independent near-dup families (minhash-Jaccard, simhash-hamming,
     exact n-gram Jaccard) — the production curation trick for cutting
-    single-detector false positives before destructive dedup. Pure
-    composition: the three registered pair pipelines run with their own
-    scale shapes; their output-sized pair sets union and reduce through
-    ONE xor-mix hash-partition count (`xor_mix_parts` — no sort-based
-    Aggregate over the pair domain), HAVING n_votes >= 2."""
-    from .functions.dedup import xor_mix_parts
+    single-detector false positives before destructive dedup.
 
-    def pairs_only(t: pa.Table) -> pa.Table:
-        return t.select(["doc_a", "doc_b"])
+    ONE corpus scan (:func:`~webscraper_ray.functions.dedup.ensemble_near_dups`):
+    a single tokenize pass materializes the per-doc signature store
+    (minhash sig + sorted shingle hashes + simhash); one shared LSH
+    candidate stage serves minhash AND ngram (their candidate sets are
+    identical by construction); both verifies and the simhash rotation
+    read the store. Previously this composed the three registered
+    pipelines and scanned/tokenized the corpus three times. The pair
+    semantics — and the SQL oracle — are unchanged: the union of the
+    family pair sets reduces through one xor-mix hash-partition count,
+    HAVING n_votes >= 2."""
+    from .functions.dedup import ensemble_near_dups
 
-    u = (
-        q_dedup_minhash(sf_dir)
-        .map_batches(pairs_only, batch_format="pyarrow")
-        .union(
-            q_dedup_simhash_near(sf_dir).map_batches(
-                pairs_only, batch_format="pyarrow"
-            )
-        )
-        .union(
-            q_dedup_ngram(sf_dir).map_batches(pairs_only, batch_format="pyarrow")
-        )
-    )
-
-    def add_p(t: pa.Table) -> pa.Table:
-        a = t.column("doc_a").to_numpy(zero_copy_only=False)
-        b = t.column("doc_b").to_numpy(zero_copy_only=False)
-        return t.append_column("_p", pa.array(xor_mix_parts([a, b], 16)))
-
-    def vote(t: pa.Table) -> pa.Table:
-        g = (
-            t.drop_columns(["_p"])
-            .group_by(["doc_a", "doc_b"])
-            .aggregate([([], "count_all")])
-        )
-        g = g.rename_columns(["doc_a", "doc_b", "n_votes"])
-        return g.filter(pc.greater_equal(g.column("n_votes"), pa.scalar(2)))
-
-    return (
-        u.map_batches(add_p, batch_format="pyarrow")
-        .groupby("_p")
-        .map_groups(vote, batch_format="pyarrow")
-        .sort(["doc_a", "doc_b"])
-    )
+    return ensemble_near_dups(_read_sized(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def _sql_dedup_ensemble() -> str:
