@@ -632,7 +632,7 @@ def _rc4_test(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _enc_params(r: int, n: int, user_pw: bytes = b""):
+def _enc_params(r: int, n: int, user_pw: bytes = b"", em: bool = True):
     import hashlib
 
     owner = (b"" + _ENC_PAD)[:32]  # empty owner password
@@ -655,6 +655,7 @@ def _enc_params(r: int, n: int, user_pw: bytes = b""):
         + o
         + (p & 0xFFFFFFFF).to_bytes(4, "little")
         + _ID0
+        + (b"\xff\xff\xff\xff" if r >= 4 and not em else b"")
     ).digest()
     if r >= 3:
         for _ in range(50):
@@ -725,11 +726,154 @@ def test_password_protected_rejected():
         extract_pdf_items(_encrypted_pdf(3, 2, 128, user_pw=b"secret"))
 
 
-def test_aes_rejected():
-    pdf = _encrypted_pdf(3, 2, 128).replace(
-        b"/V 2 /R 3", b"/V 4 /R 4"
+# V4/R4 crypt filters (AESV2 = AES-128-CBC). The block cipher itself is
+# pinned below to the published FIPS-197 / NIST SP 800-38A known-answer
+# vectors; the fixture builder derives keys, the sAlT object-key salt,
+# the IV+CBC layering and the RFC 2898 padding INDEPENDENTLY (hashlib +
+# its own CBC loop over the KAT-pinned block primitive), so the module's
+# V4 path is checked by round-trip like the RC4 fixtures.
+
+
+def test_aes128_fips197_kat():
+    from webscraper_ray.oracle.pdf import (
+        _aes128_decrypt_block,
+        _aes128_encrypt_block,
+        _aes128_round_keys,
     )
-    with pytest.raises(PdfError, match="RC4"):
+
+    # FIPS-197 Appendix C.1
+    rk = _aes128_round_keys(bytes.fromhex("000102030405060708090a0b0c0d0e0f"))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    assert _aes128_encrypt_block(rk, pt) == ct
+    assert _aes128_decrypt_block(rk, ct) == pt
+    # NIST SP 800-38A F.2.1 (CBC-AES128.Encrypt), all four blocks
+    rk = _aes128_round_keys(bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c"))
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pts = [
+        "6bc1bee22e409f96e93d7e117393172a",
+        "ae2d8a571e03ac9c9eb76fac45af8e51",
+        "30c81c46a35ce411e5fbc1191a0a52ef",
+        "f69f2445df4f9b17ad2b417be66c3710",
+    ]
+    cts = [
+        "7649abac8119b246cee98e9b12e9197d",
+        "5086cb9b507219ee95db113a917678b2",
+        "73bed6b8e3c1743b7116e69e22229516",
+        "3ff1caa1681fac09120eca307586e1a7",
+    ]
+    prev = iv
+    for p_hex, c_hex in zip(pts, cts):
+        c = _aes128_encrypt_block(
+            rk, bytes(a ^ b for a, b in zip(bytes.fromhex(p_hex), prev))
+        )
+        assert c == bytes.fromhex(c_hex)
+        prev = c
+
+
+def _aes_cbc_encrypt_test(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Test-side CBC encryptor + RFC 2898 padder over the KAT-pinned
+    block primitive; returns IV || ciphertext as the AESV2 stream
+    layout requires."""
+    from webscraper_ray.oracle.pdf import _aes128_encrypt_block, _aes128_round_keys
+
+    rk = _aes128_round_keys(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out, prev = bytearray(iv), iv
+    for off in range(0, len(data), 16):
+        prev = _aes128_encrypt_block(
+            rk, bytes(a ^ b for a, b in zip(data[off : off + 16], prev))
+        )
+        out += prev
+    return bytes(out)
+
+
+def _v4_encrypted_pdf(cfm: bytes = b"AESV2", em: bool = True) -> bytes:
+    import hashlib
+    import zlib as _z
+
+    key, o, u, p = _enc_params(4, 16, em=em)
+    data = _z.compress(_content())
+    if cfm == b"AESV2":
+        ok = hashlib.md5(
+            key + (4).to_bytes(3, "little") + (0).to_bytes(2, "little") + b"sAlT"
+        ).digest()[:16]
+        enc_data = _aes_cbc_encrypt_test(ok, bytes(range(16)), data)
+    elif cfm == b"V2":
+        enc_data = _rc4_test(_obj_key_test(key, 4), data)
+    else:  # Identity / rejected methods: stream stays plaintext
+        enc_data = data
+    stream = (
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(enc_data)
+        + enc_data
+        + b"\nendstream"
+    )
+    em_entry = b"" if em else b" /EncryptMetadata false"
+    stmf = b"Identity" if cfm == b"Identity" else b"StdCF"
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        4: stream,
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: b"<< /Filter /Standard /V 4 /R 4 /Length 128%s "
+        b"/CF << /StdCF << /CFM /%s /Length 16 >> >> /StmF /%s /StrF /%s "
+        b"/O <%s> /U <%s> /P %d >>"
+        % (em_entry, cfm, stmf, stmf, o.hex().encode(), u.hex().encode(), p),
+    }
+    pdf = _pdf(objects, root=1)
+    return pdf.replace(
+        b"trailer\n<< /Size",
+        b"trailer\n<< /Encrypt 6 0 R /ID [<%s> <%s>] /Size"
+        % (_ID0.hex().encode(), _ID0.hex().encode()),
+    )
+
+
+@pytest.mark.parametrize("cfm", [b"AESV2", b"V2", b"Identity"])
+def test_encrypted_v4_roundtrip(cfm):
+    pages = extract_pdf_items(_v4_encrypted_pdf(cfm))
+    assert [i["str"] for i in pages[0]] == [
+        "Title Line",
+        "First body line.",
+        "Second body line.",
+    ]
+
+
+def test_encrypted_aesv2_encrypt_metadata_false():
+    """R4 with /EncryptMetadata false changes Algorithm 2 (ffffffff
+    appended); both sides must apply it or the U check fails."""
+    pages = extract_pdf_items(_v4_encrypted_pdf(b"AESV2", em=False))
+    assert pages[0][0]["str"] == "Title Line"
+
+
+def test_aes_wrong_key_padding_is_loud():
+    """A corrupt final block must raise (bad padding), never emit
+    silently truncated garbage text."""
+    pdf = _v4_encrypted_pdf(b"AESV2")
+    i = pdf.find(b"stream\n") + len(b"stream\n")
+    j = pdf.find(b"\nendstream", i)
+    corrupted = pdf[: j - 1] + bytes([pdf[j - 1] ^ 0xFF]) + pdf[j:]
+    with pytest.raises(PdfError, match="padding"):
+        extract_pdf_items(corrupted)
+
+
+def test_aes256_v5_rejected():
+    pdf = _encrypted_pdf(3, 2, 128).replace(b"/V 2 /R 3", b"/V 5 /R 6")
+    with pytest.raises(PdfError, match="subset"):
+        extract_pdf_items(pdf)
+
+
+def test_aesv3_crypt_filter_rejected():
+    pdf = _v4_encrypted_pdf(b"AESV2").replace(b"/CFM /AESV2", b"/CFM /AESV3")
+    with pytest.raises(PdfError, match="AESV3"):
+        extract_pdf_items(pdf)
+
+
+def test_non_stdcf_stream_filter_rejected():
+    pdf = _v4_encrypted_pdf(b"AESV2").replace(b"/StmF /StdCF", b"/StmF /MyCF")
+    with pytest.raises(PdfError, match="MyCF"):
         extract_pdf_items(pdf)
 
 

@@ -28,18 +28,22 @@ Supported:
   (1-byte) or ``chr(code)`` (2-byte Identity) — embedded-CMap CID->GID
   resolution (the full pdfjs path) stays out of subset.
 
-- encryption: the Standard security handler with RC4 (V 1/2, R 2/3,
-  40..128-bit) and an empty user password — the common "encrypted for
-  permissions, readable by anyone" case pdfjs opens without a password;
-  per-object keys via MD5 (PDF 1.7 §7.6.3 Algorithms 1/2/4/5), streams
-  decrypted before filters
+- encryption: the Standard security handler with an empty user
+  password — the common "encrypted for permissions, readable by
+  anyone" case pdfjs opens without a password: RC4 (V 1/2, R 2/3,
+  40..128-bit) and V4/R4 crypt filters with /StdCF /CFM of /AESV2
+  (AES-128-CBC, from-scratch FIPS-197 core pinned to the published
+  known-answer vectors), /V2 (RC4-128) or /Identity; per-object keys
+  via MD5 (PDF 1.7 §7.6.3 Algorithms 1/2/4/5, + the AESV2 ``sAlT``),
+  streams decrypted before filters
 
 - /Predictor on Flate/LZW DecodeParms: TIFF horizontal differencing and
   the full PNG filter set (the xref-stream / ObjStm layout)
 
 Not supported (raise ``ValueError`` -> converter error channel, the
 reference's HTTP 400 analog): password-protected files (user-password
-check fails), AES / crypt filters / non-Standard handlers,
+check fails), AES-256 (/V 5 /AESV3 — different SHA-256 key
+derivation), non-/StdCF crypt filters, non-Standard handlers,
 filters other than the list above, xref-stream-only files whose objects
 are all in object streams we fail to locate, vertical writing modes.
 
@@ -312,14 +316,22 @@ def _md5(b: bytes) -> bytes:
 
 
 def _std_file_key(
-    user_pw: bytes, o: bytes, p: int, id0: bytes, r: int, n: int
+    user_pw: bytes,
+    o: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    n: int,
+    encrypt_metadata: bool = True,
 ) -> bytes:
-    """Algorithm 2: the file encryption key."""
+    """Algorithm 2: the file encryption key. R4 with
+    /EncryptMetadata false appends ffffffff to the hash input."""
     h = _md5(
         (user_pw + _PAD)[:32]
         + o[:32]
         + (p & 0xFFFFFFFF).to_bytes(4, "little")
         + id0
+        + (b"\xff\xff\xff\xff" if r >= 4 and not encrypt_metadata else b"")
     )
     if r >= 3:
         for _ in range(50):
@@ -337,14 +349,164 @@ def _check_user_password(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
     return x == u[:16]
 
 
-def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: the per-object RC4 key."""
+def _object_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
+    """Algorithm 1: the per-object key. For AESV2 the spec appends the
+    fixed salt ``sAlT`` (73 41 6C 54) to the MD5 input."""
     h = _md5(
         file_key
         + (num & 0xFFFFFF).to_bytes(3, "little")
         + (gen & 0xFFFF).to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     )
     return h[: min(len(file_key) + 5, 16)]
+
+
+# AES-128 (FIPS-197), from scratch for the /AESV2 crypt filter. The
+# S-box and GF(2^8) multiply tables are GENERATED from the spec's
+# definitions (multiplicative inverse + affine transform; xtime with the
+# 0x1B reduction polynomial) rather than transcribed — no 256-entry
+# literal to typo — and the block cipher is pinned to the FIPS-197
+# Appendix C.1 / NIST SP 800-38A F.2 known-answer vectors in
+# tests/test_pdf.py, plus a round-trip against an independent in-test
+# encryptor (the same discipline as the RC4 fixtures).
+
+
+def _gf_mul(a: int, b: int) -> int:
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        hi = a & 0x80
+        a = (a << 1) & 0xFF
+        if hi:
+            a ^= 0x1B
+        b >>= 1
+    return p
+
+
+_AES_TABLES: dict | None = None
+
+
+def _aes_tables() -> dict:
+    """Lazily build (and cache) the S-box, inverse S-box and the
+    InvMixColumns multiply tables."""
+    global _AES_TABLES
+    if _AES_TABLES is not None:
+        return _AES_TABLES
+    # multiplicative inverses via the group generator 3 (log/antilog)
+    exp = [0] * 256
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x = _gf_mul(x, 3)
+    inv = [0] * 256
+    for v in range(1, 256):
+        inv[v] = exp[(255 - log[v]) % 255]
+    sbox = [0] * 256
+    for v in range(256):
+        b = inv[v]
+        res = 0
+        for i in range(8):
+            bit = (
+                (b >> i)
+                ^ (b >> ((i + 4) % 8))
+                ^ (b >> ((i + 5) % 8))
+                ^ (b >> ((i + 6) % 8))
+                ^ (b >> ((i + 7) % 8))
+                ^ (0x63 >> i)
+            ) & 1
+            res |= bit << i
+        sbox[v] = res
+    inv_sbox = [0] * 256
+    for v in range(256):
+        inv_sbox[sbox[v]] = v
+    mul = {c: [_gf_mul(v, c) for v in range(256)] for c in (2, 3, 9, 11, 13, 14)}
+    _AES_TABLES = {"sbox": sbox, "inv_sbox": inv_sbox, "mul": mul}
+    return _AES_TABLES
+
+
+def _aes128_round_keys(key: bytes) -> list[list[int]]:
+    """Key expansion (FIPS-197 §5.2): 11 round keys of 16 bytes."""
+    t = _aes_tables()
+    sbox = t["sbox"]
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    rcon = 1
+    for i in range(4, 44):
+        tmp = list(w[i - 1])
+        if i % 4 == 0:
+            tmp = [sbox[tmp[1]], sbox[tmp[2]], sbox[tmp[3]], sbox[tmp[0]]]
+            tmp[0] ^= rcon
+            rcon = _gf_mul(rcon, 2)
+        w.append([a ^ b for a, b in zip(w[i - 4], tmp)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+
+
+def _aes128_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    """Forward cipher — needed by CBC decrypt's test twin and kept next
+    to the decryptor so the KAT suite can pin both directions."""
+    t = _aes_tables()
+    sbox, mul = t["sbox"], t["mul"]
+    s = [b ^ k for b, k in zip(block, rk[0])]
+    for rnd in range(1, 11):
+        s = [sbox[v] for v in s]
+        # ShiftRows: row r (byte index i%4) rotates left by r columns
+        s = [s[(4 * ((i // 4) + (i % 4)) + (i % 4)) % 16] for i in range(16)]
+        if rnd < 10:
+            m2, m3 = mul[2], mul[3]
+            ns = list(s)
+            for c in range(0, 16, 4):
+                a0, a1, a2, a3 = s[c : c + 4]
+                ns[c] = m2[a0] ^ m3[a1] ^ a2 ^ a3
+                ns[c + 1] = a0 ^ m2[a1] ^ m3[a2] ^ a3
+                ns[c + 2] = a0 ^ a1 ^ m2[a2] ^ m3[a3]
+                ns[c + 3] = m3[a0] ^ a1 ^ a2 ^ m2[a3]
+            s = ns
+        s = [v ^ k for v, k in zip(s, rk[rnd])]
+    return bytes(s)
+
+
+def _aes128_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    """Inverse cipher (FIPS-197 §5.3, straightforward structure)."""
+    t = _aes_tables()
+    inv_sbox, mul = t["inv_sbox"], t["mul"]
+    m9, m11, m13, m14 = mul[9], mul[11], mul[13], mul[14]
+    s = [b ^ k for b, k in zip(block, rk[10])]
+    for rnd in range(9, -1, -1):
+        # InvShiftRows: row r rotates right by r columns
+        s = [s[(4 * ((i // 4) - (i % 4)) + (i % 4)) % 16] for i in range(16)]
+        s = [inv_sbox[v] for v in s]
+        s = [v ^ k for v, k in zip(s, rk[rnd])]
+        if rnd > 0:
+            ns = list(s)
+            for c in range(0, 16, 4):
+                a0, a1, a2, a3 = s[c : c + 4]
+                ns[c] = m14[a0] ^ m11[a1] ^ m13[a2] ^ m9[a3]
+                ns[c + 1] = m9[a0] ^ m14[a1] ^ m11[a2] ^ m13[a3]
+                ns[c + 2] = m13[a0] ^ m9[a1] ^ m14[a2] ^ m11[a3]
+                ns[c + 3] = m11[a0] ^ m13[a1] ^ m9[a2] ^ m14[a3]
+            s = ns
+    return bytes(s)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AESV2 stream layout (PDF 1.7 §7.6.2): a 16-byte IV prefix, then
+    CBC ciphertext with RFC 2898 padding — validated loudly, never
+    silently truncated."""
+    if len(data) < 32 or len(data) % 16:
+        raise PdfError("AES stream not a 16-byte-block multiple with IV")
+    rk = _aes128_round_keys(key)
+    prev = data[:16]
+    out = bytearray()
+    for off in range(16, len(data), 16):
+        blk = data[off : off + 16]
+        out += bytes(a ^ b for a, b in zip(_aes128_decrypt_block(rk, blk), prev))
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+        raise PdfError("bad AES padding (wrong key or corrupt stream)")
+    return bytes(out[:-pad])
 
 
 def _unpredict(data: bytes, pred: int, colors: int, bpc: int, cols: int) -> bytes:
@@ -569,14 +731,23 @@ class _Pdf:
         XRef stream dict's) — not a whole-buffer byte scan, which
         false-positives on '/Encrypt' inside string/stream content.
 
-        Supported: the Standard security handler with RC4 (V 1/2,
-        R 2/3, i.e. 40..128-bit) and an EMPTY user password — the
-        overwhelmingly common "encrypted for permissions, readable by
-        anyone" case (PDF 1.7 §7.6.3, Algorithms 2/4/5; pdfjs opens
-        these without a password, `src/converting.ts:43-145`). AES
-        (/V 4+), crypt filters, and files that actually require a
-        password raise ``PdfError`` (the converter's error channel)."""
+        Supported: the Standard security handler with an EMPTY user
+        password — the overwhelmingly common "encrypted for
+        permissions, readable by anyone" case (PDF 1.7 §7.6.3,
+        Algorithms 2/4/5; pdfjs opens these without a password,
+        `src/converting.ts:43-145`):
+
+        - RC4 V 1/2, R 2/3 (40..128-bit), and
+        - V 4 / R 4 crypt filters with /StdCF as the stream filter and
+          /CFM of /AESV2 (AES-128-CBC, FIPS-197-KAT-pinned in
+          tests/test_pdf.py), /V2 (RC4-128) or /Identity.
+
+        AES-256 (/V 5, /AESV3 — a different, SHA-256-based key
+        derivation), non-/StdCF stream filters, and files that actually
+        require a password raise ``PdfError`` (the converter's error
+        channel)."""
         self._enc_key: bytes | None = None
+        self._stm_cipher: str = "rc4"
         trailers: list[dict] = []
         for m in re.finditer(rb"trailer", self.buf):
             lex = _Lexer(self.buf, m.end())
@@ -600,22 +771,57 @@ class _Pdf:
             raise PdfError("non-Standard security handlers are out of subset")
         v = int(self.resolve(enc.get("V", 0)))
         r = int(self.resolve(enc.get("R", 0)))
-        if v not in (1, 2) or r not in (2, 3):
-            raise PdfError("only RC4 V1/V2 R2/R3 encryption is in subset")
+        if (v, r) == (4, 4):
+            self._stm_cipher = self._v4_stream_cipher(enc)
+        elif v not in (1, 2) or r not in (2, 3):
+            raise PdfError(
+                "only RC4 V1/V2 R2/R3 and V4/R4 (/AESV2 or /V2 crypt "
+                "filters) encryption is in subset"
+            )
         o = self.resolve(enc.get("O"))
         u = self.resolve(enc.get("U"))
         if not isinstance(o, bytes) or not isinstance(u, bytes):
             raise PdfError("malformed /Encrypt O/U entries")
         p = int(self.resolve(enc.get("P", -1)))
-        n = int(self.resolve(enc.get("Length", 40))) // 8 if v == 2 else 5
+        # /Length defaults: 40 bits through V2, 128 bits for V4 (AESV2
+        # keys are always 16 bytes)
+        if v == 4:
+            n = int(self.resolve(enc.get("Length", 128))) // 8
+        elif v == 2:
+            n = int(self.resolve(enc.get("Length", 40))) // 8
+        else:
+            n = 5
         ids = self.resolve(tr.get("ID"))
         id0 = self.resolve(ids[0]) if isinstance(ids, list) and ids else b""
         if not isinstance(id0, bytes):
             id0 = b""
-        key = _std_file_key(b"", o, p, id0, r, n)
+        em = self.resolve(enc.get("EncryptMetadata", True))
+        key = _std_file_key(b"", o, p, id0, r, n, encrypt_metadata=bool(em))
         if not _check_user_password(key, u, id0, r):
             raise PdfError("password-protected PDFs are out of subset")
         self._enc_key = key
+
+    def _v4_stream_cipher(self, enc: dict) -> str:
+        """Resolve the V4 crypt-filter method for STREAMS: /StmF names a
+        filter in /CF (or /Identity); only /StdCF with /CFM of /AESV2,
+        /V2 or /None is in subset — everything else raises, loudly,
+        rather than emitting garbage text."""
+        stmf = str(self.resolve(enc.get("StmF", "Identity")))
+        if stmf == "Identity":
+            return "identity"
+        if stmf != "StdCF":
+            raise PdfError(f"non-StdCF stream crypt filter {stmf!r} is out of subset")
+        cf = self.resolve(enc.get("CF"))
+        cfd = self.resolve(cf.get("StdCF")) if isinstance(cf, dict) else None
+        cfm = str(self.resolve(cfd.get("CFM"))) if isinstance(cfd, dict) else "None"
+        if cfm == "AESV2":
+            return "aes"
+        if cfm == "V2":
+            return "rc4"
+        if cfm == "None":
+            return "identity"
+        # AESV3 (AES-256, SHA-256 key derivation) lands here by design
+        raise PdfError(f"crypt filter method {cfm!r} is out of subset")
 
     def _expand_object_streams(self) -> None:
         for obj in list(self.objects.values()):
@@ -667,8 +873,14 @@ class _Pdf:
             self._enc_key is not None
             and s.num is not None
             and self.resolve(s.dict.get("Type")) != "XRef"
+            and self._stm_cipher != "identity"
         ):
-            raw = _rc4(_object_key(self._enc_key, s.num, s.gen), raw)
+            if self._stm_cipher == "aes":
+                raw = _aes_cbc_decrypt(
+                    _object_key(self._enc_key, s.num, s.gen, aes=True), raw
+                )
+            else:
+                raw = _rc4(_object_key(self._enc_key, s.num, s.gen), raw)
         if filt is None:
             return raw
         filters = filt if isinstance(filt, list) else [filt]
