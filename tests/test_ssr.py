@@ -192,3 +192,65 @@ def test_group_docs_page_over_layout(ray_session, tmp_path):
     colls = html.split('<ul id="collections">', 1)[1].split("</ul>", 1)[0]
     assert colls.count("<li ") == 3
     assert 'href="https://a.x/sec0"' in colls
+
+
+def test_render_index_page_shape_and_lang_fallback():
+    from webscraper_ray.pipelines.ssr import SITE_META, render_index_page
+
+    colls = [{"id": "a.x/sec", "url": "https://a.x/sec", "title": "sec"}]
+    pubs = [
+        {"id": "p1", "url": "https://a.x/sec/p1", "title": "P1",
+         "language": "fra", "summary": "s1"}
+    ]
+    html = render_index_page(colls, pubs, lang="fr")
+    # ISO-639-3 lookup: "fr" normalizes to fra
+    assert f"<title>{SITE_META['fra']['title']}</title>" in html
+    colls_ul = html.split('<ul id="collections">', 1)[1].split("</ul>", 1)[0]
+    pubs_ul = html.split('<ul id="publications">', 1)[1].split("</ul>", 1)[0]
+    assert colls_ul.count("<li ") == 1 and pubs_ul.count("<li ") == 1
+    assert '<p title="summary">s1</p>' in pubs_ul
+    # unknown language falls back to eng (reference: metaInfos[lang] || eng)
+    html2 = render_index_page([], [], lang="xx-klingon")
+    assert f"<title>{SITE_META['eng']['title']}</title>" in html2
+    # the 404 branch writes "<url> not found" into #content
+    html3 = render_index_page(lang="eng", not_found_url="https://a.x/nope")
+    assert '<div id="content">https://a.x/nope not found</div>' in html3
+
+
+def test_index_docs_page_over_layout(ray_session, tmp_path):
+    """index_docs_page composes latest publications (id DESC window) +
+    the window's host/segment collections — the reference's renderIndex
+    over the engine docs layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webscraper_ray.oracle.xid import make_xid
+    from webscraper_ray.pipelines.ssr import index_docs_page
+
+    rows = [
+        {
+            "id": make_xid(100 + i, 0, f"u{i}"),
+            "url": f"https://{'a.x' if i % 2 == 0 else 'b.x'}/sec{i % 3}/p{i}",
+            "src": f"https://a.x/{i}",
+            "title": f"Doc {i}",
+            "meta": [("description", f"s{i}")],
+        }
+        for i in range(30)
+    ]
+    rows.sort(key=lambda r: r["id"])
+    d = tmp_path / "wave=0"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), d / "part.parquet")
+    html = index_docs_page(str(tmp_path), lang="eng", page_size=10)
+    pubs = html.split('<ul id="publications">', 1)[1].split("</ul>", 1)[0]
+    assert pubs.count("<li ") == 10
+    # newest docs first: the max-timestamp xid (Doc 29) leads the list
+    first_li_title = pubs.split('title="', 1)[1].split('"', 1)[0]
+    assert first_li_title == "Doc 29"
+    colls = html.split('<ul id="collections">', 1)[1].split("</ul>", 1)[0]
+    # the 10-newest window (docs 20..29) covers both hosts, sections 0-2
+    assert 1 <= colls.count("<li ") <= 6
+    # empty dir renders both uls empty (ignoreError tolerance)
+    empty = index_docs_page(str(tmp_path / "nope"), lang="eng")
+    assert '<ul id="collections"></ul>' in empty
+    assert '<ul id="publications"></ul>' in empty

@@ -29,6 +29,8 @@ __all__ = [
     "render_collection_page",
     "render_group_page",
     "group_docs_page",
+    "render_index_page",
+    "index_docs_page",
 ]
 
 _TEMPLATE = """<!DOCTYPE html>
@@ -386,3 +388,126 @@ def list_docs_page(
         if token is None:
             break
     return render_list_page(title, items)
+
+
+# --- index page (src/ssr.ts:51-82 renderIndex) -------------------------------
+
+_INDEX_TEMPLATE = """<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<title>{title}</title>
+<meta name="description" content="{desc}">
+</head>
+<body>
+<div id="content">{content}</div>
+<ul id="collections">{collections}</ul>
+<ul id="publications">{publications}</ul>
+</body>
+</html>"""
+
+# The reference's per-language site title/description table
+# (``src/ssr.ts:21-49`` metaInfos) is deployment CONFIG — marketing copy
+# fed from its config store, keyed by ISO 639-3 with an ``eng``
+# fallback. The engine models the same lookup+fallback contract with
+# neutral defaults; pass ``site_meta`` to brand a deployment.
+SITE_META: dict[str, dict[str, str]] = {
+    lang: {
+        "title": f"Webscraper Ray — latest publications [{lang}]",
+        "desc": f"Index of the latest collections and publications ({lang}).",
+    }
+    for lang in ("zho", "eng", "fra", "rus", "ara", "spa")
+}
+
+
+def render_index_page(
+    collections: list[dict] | None = None,
+    publications: list[dict] | None = None,
+    lang: str = "eng",
+    not_found_url: str | None = None,
+    site_meta: dict[str, dict[str, str]] | None = None,
+) -> str:
+    """The reference's index composition (``src/ssr.ts:51-82``): site
+    title + meta description looked up by language with ``eng``
+    fallback, then the latest collections and latest publications as the
+    two ``renderList`` uls. Each list is error-tolerant in the reference
+    (``ignoreError`` leaves its ul empty) — pass an empty list for the
+    same render. The 404 branch (both fetches failed AND an
+    ``x-request-url`` header was present) writes "<url> not found" into
+    ``#content``; ``not_found_url`` reproduces it."""
+    meta = site_meta or SITE_META
+    info = meta.get(lang639_3(lang or "eng")) or meta["eng"]
+    content = ""
+    if not_found_url is not None:
+        content = _html.escape(f"{not_found_url} not found")
+    return _INDEX_TEMPLATE.format(
+        title=_html.escape(info["title"], quote=True),
+        desc=_html.escape(info["desc"], quote=True),
+        content=content,
+        collections=_list_items(collections or []),
+        publications=_list_items(publications or []),
+    )
+
+
+def index_docs_page(
+    docs_dir: str,
+    lang: str = "eng",
+    page_size: int = 100,
+    site_meta: dict[str, dict[str, str]] | None = None,
+) -> str:
+    """Index endpoint over the engine's docs layout — the composition the
+    round-4 review flagged missing: latest publications are the newest
+    ``page_size`` docs platform-wide (per-block partial top-k by id
+    DESC, then one sort+limit over the ``page_size x n_blocks``
+    survivors — the :func:`~.docs_api.paginate_docs` discipline, never a
+    full-corpus gather); latest collections are the distinct
+    host/first-path-segment pairs seen in that window (the
+    :func:`group_docs_page` collection analog, across hosts). An
+    empty/unreadable docs dir renders both uls empty, matching the
+    reference's ``ignoreError`` tolerance."""
+    from urllib.parse import urlsplit
+
+    from .docs_api import read_docs
+
+    pubs: list[dict] = []
+    segments: dict[tuple, str] = {}
+    try:
+        docs = read_docs(docs_dir, output="basic")
+
+        def block_topk(t: pa.Table, k=page_size) -> pa.Table:
+            return t.sort_by([("id", "descending")]).slice(0, k)
+
+        reduced = docs.map_batches(block_topk, batch_format="pyarrow")
+        page = reduced.sort("id", descending=True).limit(page_size).to_pandas()
+        rows = page.to_dict("records")
+    except Exception:  # noqa: BLE001 — the reference's ignoreError branch
+        rows = []
+    for row in rows:
+        raw_meta = row.get("meta")  # numpy array via to_pandas; no `or []`
+        meta = dict(raw_meta) if raw_meta is not None and len(raw_meta) else {}
+        rid = row.get("id")
+        url = row.get("url") or ""
+        parts = urlsplit(url)
+        seg = parts.path.split("/", 2)[1] if parts.path.count("/") >= 1 else ""
+        if seg and parts.netloc:
+            segments.setdefault(
+                (parts.netloc, seg), f"https://{parts.netloc}/{seg}"
+            )
+        pubs.append(
+            {
+                "id": rid.hex() if isinstance(rid, bytes) else str(rid),
+                "url": url,
+                "title": row.get("title"),
+                "language": meta.get("og:locale", ""),
+                "summary": meta.get("description")
+                or meta.get("og:description")
+                or "",
+            }
+        )
+    collections = [
+        {"id": f"{host}/{seg}", "url": url, "title": seg, "language": ""}
+        for (host, seg), url in sorted(segments.items())
+    ]
+    return render_index_page(
+        collections, pubs, lang=lang, site_meta=site_meta
+    )
