@@ -266,6 +266,17 @@ def run_query_bench(trials: int = 2):
     the crawl headline uses."""
     from webscraper_ray.queries import QUERIES
 
+    # untimed warm-up: one execution of the first benched query absorbs
+    # the suite's one-time costs (query-module import, Arrow kernel
+    # loading, parquet footer/page-cache touch for the documents table)
+    # that otherwise land inside the first timed trial — the r4 driver
+    # run showed the first heavy query 2-3x its warm time from exactly
+    # this.
+    if BENCH_QUERIES:
+        warm = QUERIES[BENCH_QUERIES[0]](SF_DIR)
+        if hasattr(warm, "count"):
+            warm.count()
+
     timings = {}
     for name in BENCH_QUERIES:
         best = None

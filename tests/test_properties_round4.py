@@ -115,3 +115,54 @@ def test_fpe_tokenize_is_bijective(ray_session):
     assert all(0 <= t < 2**32 for t in toks)
     # tokens actually move (not the identity permutation)
     assert sum(1 for v, t in zip(vals, toks) if v == t) < len(vals) // 10
+
+
+# --- round 5: shared one-pass signature kernel ------------------------------
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F
+            )
+            | st.sampled_from(" \t._-"),
+            max_size=120,
+        ),
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_combined_signature_matches_family_kernels(texts):
+    """ensemble_near_dups' one-pass kernel must be bit-identical to the
+    three family kernels it replaces — minhash sigs, sorted shingle
+    hashes, simhash — for any input, including empty/short docs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from webscraper_ray.functions.dedup import (
+        combined_signature_batch,
+        minhash_signatures_batch,
+        shingle_hash_table,
+        simhash_batch,
+    )
+
+    sigs, has_sig, harr, sim = combined_signature_batch(texts)
+    ref_sigs, ref_has = minhash_signatures_batch(texts)
+    assert np.array_equal(sigs, ref_sigs)
+    assert np.array_equal(has_sig, ref_has)
+    assert np.array_equal(sim, simhash_batch(texts))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ref = shingle_hash_table(t)
+    ref_map = dict(
+        zip(ref.column("doc_id").to_pylist(), ref.column("hashes").to_pylist())
+    )
+    mine = {
+        i: harr[i].tobytes() for i in range(len(texts)) if harr[i] is not None
+    }
+    assert mine == ref_map

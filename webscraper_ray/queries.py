@@ -103,11 +103,18 @@ def _vector_lookup(
 
 def _join_partitions() -> int:
     """Hash-join partition count sized to the session (bounded driver-side
-    control overhead; on a real cluster this tracks node count)."""
+    control overhead; on a real cluster this tracks node count).
+
+    cpus//2 keeps low-CPU sessions at 2 partitions (the 4-cpu
+    chained-join deadlock regime needs few concurrent exchanges), while
+    the 32-cap lets a 32-cpu session run 16-way joins — the sf10 (100x)
+    stress run measured the previous flat cap of 8 leaving 3/4 of the
+    session idle through the fact-table exchanges (top_revenue_orders
+    106 s -> see BASELINE session-8)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2, min(8, cpus // 2))
+    return max(2, min(32, cpus // 2))
 
 
 # ---------------------------------------------------------------------------
@@ -532,22 +539,41 @@ def q_top_revenue_orders(sf_dir: str, broadcast_max_rows: int | None = None):
             right_on=("o_orderkey",),
         )
 
-    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
-        Sum("rev_c4", alias_name="rev_c4")
-    )
-    return (
-        agg.map_batches(
-            lambda t: pa.table(
-                {
-                    "o_orderkey": t.column("l_orderkey"),
-                    "o_orderdate": t.column("o_orderdate"),
-                    "revenue": pc.divide(
-                        t.column("rev_c4").cast(pa.float64()), 10_000.0
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
+    # final rollup: ONE orderkey-hash exchange + per-partition arrow
+    # group_by (o_orderdate is functionally dependent on the orderkey, so
+    # key-partitioning co-locates whole groups), replacing the sort-based
+    # Aggregate over the ~|orders|-sized key domain the sf10 stress run
+    # flagged; then per-block partial top-10 so the global sort sees
+    # 10 x n_blocks survivor rows, not every building order.
+    from .functions.joins import _part_column
+
+    def add_p(t: pa.Table) -> pa.Table:
+        return t.append_column("_p", _part_column(t.column("l_orderkey"), 64))
+
+    def rollup(t: pa.Table) -> pa.Table:
+        g = (
+            t.drop_columns(["_p"])
+            .group_by(["l_orderkey", "o_orderdate"])
+            .aggregate([("rev_c4", "sum")])
         )
+        g = g.rename_columns(["l_orderkey", "o_orderdate", "rev_c4"])
+        out = pa.table(
+            {
+                "o_orderkey": g.column("l_orderkey"),
+                "o_orderdate": g.column("o_orderdate"),
+                "revenue": pc.divide(
+                    g.column("rev_c4").cast(pa.float64()), 10_000.0
+                ),
+            }
+        )
+        return out.sort_by(
+            [("revenue", "descending"), ("o_orderkey", "ascending")]
+        ).slice(0, 10)
+
+    return (
+        joined.map_batches(add_p, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(rollup, batch_format="pyarrow")
         .sort(["revenue", "o_orderkey"], descending=[True, False])
         .limit(10)
     )
@@ -752,11 +778,15 @@ def q_order_priority(sf_dir: str, broadcast_max_rows: int | None = None):
             .aggregate(Count(alias_name="n_orders"))
         )
 
-    late_keys = (
-        partials.groupby("l_orderkey")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["l_orderkey"])
-    )
+    # distinct late keys via ONE xor-mix hash-partition + per-partition
+    # np.unique — the sf10 stress run measured the previous sort-based
+    # groupby(l_orderkey).count() over the ~|orders|-sized key domain as
+    # this query's scale-killer (150.9 s of which ~2/3 was the Aggregate
+    # sort; BASELINE session-8), the exact pattern the r3 audit replaced
+    # everywhere else.
+    from .functions.dedup import _hash_distinct
+
+    late_keys = _hash_distinct(partials, ["l_orderkey"])
     return (
         orders.join(
             late_keys,
