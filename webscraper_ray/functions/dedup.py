@@ -811,13 +811,31 @@ def _simhash_verify_tail(
             }
         )
 
-    from ray.data.aggregate import Min
+    # cross-table pair dedupe (a hamming<=k pair collides in up to
+    # n_tables tables) via ONE xor-mix hash-partition + per-partition
+    # arrow group_by — the sf10 stress run measured the previous
+    # sort-based Aggregate over the pair domain as this operator's
+    # scale-killer on a high-duplication corpus (~25M distinct pairs x 4
+    # tables of rows through a global sort; BASELINE session-8).
+    def add_p(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return t.append_column("_p", pa.array(xor_mix_parts([a, b], _BAND_PARTS)))
+
+    def min_ham(t: pa.Table) -> pa.Table:
+        g = (
+            t.drop_columns(["_p"])
+            .group_by(["doc_a", "doc_b"])
+            .aggregate([("hamming", "min")])
+        )
+        return g.rename_columns(["doc_a", "doc_b", "hamming"])
 
     return (
         rows.groupby(["table_id", "prefix"])
         .map_groups(emit_verified, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+        .map_batches(add_p, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(min_ham, batch_format="pyarrow")
     )
 
 
