@@ -217,7 +217,19 @@ def run_crawl_bench(store):
         # 67.9/49.3/43.5 s): the pools' real work is ~2-3 s/run, so the
         # larger booking just starves extract task slots.
         pool_cpu_fraction=float(os.environ.get("GRAFT_POOL_CPU_FRACTION", "0.125")),
-        politeness=PolitenessConfig(window_ms=300_000, per_host_cap=4096),
+        # seen-filter sized to the workload (~4 slots per expected URL per
+        # shard), as a real deployment would size it: the 2^16 test-scale
+        # default saturated at the 1M-page point — kick-chain storms, then
+        # dropped keys (the filter now auto-grows as a safety net, but
+        # growth is a mis-sizing signal, not the plan)
+        politeness=PolitenessConfig(
+            window_ms=300_000,
+            per_host_cap=4096,
+            seen_capacity=max(
+                1 << 16,
+                4 * BENCH_PAGES // int(os.environ.get("GRAFT_SHARDS", "8")),
+            ),
+        ),
     )
     seeds = load_seeds(os.path.join(CORPUS_DIR, "seeds.parquet"))
     robots = load_robots(os.path.join(CORPUS_DIR, "robots.parquet"))

@@ -169,3 +169,36 @@ def test_freshness_state_survives_checkpoint():
     assert fc2.offer("https://h.x/p") == "duplicate"
     fc2.pop_wave(); fc2.pop_wave()
     assert fc2.offer("https://h.x/p") == "queued"
+
+
+def test_cuckoo_auto_growth_never_drops_keys():
+    """A filter driven far past its configured capacity must keep O(1)
+    adds and 100% recall via the overflow chain (the 1M-page bench run
+    saturated the 2^16 default into kick-chain storms + dropped keys);
+    chain state survives checkpoint round-trip."""
+    cf = CuckooFilter(1024)
+    keys = [f"https://h{i % 37}.x/p/{i}" for i in range(10_000)]
+    for k in keys:
+        assert cf.add(k)
+    assert cf.levels() > 1  # it DID outgrow the configured capacity
+    assert cf.total_count() == len(keys)
+    assert all(cf.contains(k) for k in keys)
+    cf2 = CuckooFilter.from_state(cf.state())
+    assert cf2.levels() == cf.levels()
+    assert all(cf2.contains(k) for k in keys)
+
+
+def test_cuckoo_growth_is_loud_in_shard_stats(ray_session):
+    from webscraper_ray.state.frontier import FrontierShard
+
+    import ray
+
+    shard = FrontierShard.options(name="t_growth", namespace="t").remote(
+        0, {}, PolitenessConfig(seen_capacity=256, exact_check=False)
+    )
+    offers = [(f"https://h.x/p/{i}", 1, 0) for i in range(2000)]
+    ray.get(shard.offer_canonical_batch.remote(offers))
+    stats = ray.get(shard.stats.remote())
+    assert stats["seen_filter_levels"] > 1
+    assert stats["queued"] == 2000
+    ray.kill(shard)

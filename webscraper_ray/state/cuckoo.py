@@ -51,6 +51,20 @@ class CuckooFilter:
         self.mask = n_buckets - 1
         self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
         self.count = 0
+        # auto-growth: a filter driven past ~84% load degrades from
+        # O(1) adds to ~500-blake2b kick chains per add and then DROPS
+        # keys — measured as a 35x whole-crawl slowdown with silent
+        # dedup decay when a 1M-URL run met the 2^16 test-scale default
+        # (BASELINE session-8). Past the threshold, NEW keys go to an
+        # overflow filter of 4x capacity (itself growable), so a
+        # mis-sized shard degrades to 2x probe cost, never to kick
+        # storms or dropped keys. Deterministic; total memory <= 4/3 of
+        # the final level. Size shards correctly upfront; this is the
+        # safety net, and `levels` in stats makes mis-sizing visible.
+        self._overflow: "CuckooFilter | None" = None
+
+    def _grow_threshold(self) -> int:
+        return (self.n_buckets * self.SLOTS * 84) // 100
 
     # fingerprint 0 means empty; map real fp 0 -> 1
     def _fp_and_index(self, key: str) -> tuple[int, int]:
@@ -72,10 +86,24 @@ class CuckooFilter:
         if (self.table[i1] == fp).any():
             return True
         i2 = self._alt_index(i1, fp)
-        return bool((self.table[i2] == fp).any())
+        if (self.table[i2] == fp).any():
+            return True
+        return self._overflow.contains(key) if self._overflow is not None else False
 
     def add(self, key: str) -> bool:
-        """Insert; False when the filter is over capacity (caller resizes/shards)."""
+        """Insert (grows past ~84% load); False only if every level's
+        kick chain fails — practically unreachable with growth."""
+        if self.count >= self._grow_threshold():
+            if self._overflow is None:
+                self._overflow = CuckooFilter(self.n_buckets * self.SLOTS * 4)
+            return self._overflow.add(key)
+        if self._add_here(key):
+            return True
+        if self._overflow is None:
+            self._overflow = CuckooFilter(self.n_buckets * self.SLOTS * 4)
+        return self._overflow.add(key)
+
+    def _add_here(self, key: str) -> bool:
         fp, i1 = self._fp_and_index(key)
         i2 = self._alt_index(i1, fp)
         for idx in (i1, i2):
@@ -101,8 +129,19 @@ class CuckooFilter:
 
     # --- checkpointing ----------------------------------------------------
 
+    def total_count(self) -> int:
+        return self.count + (self._overflow.total_count() if self._overflow else 0)
+
+    def levels(self) -> int:
+        """Chain length (1 = correctly sized). Surfaced via shard stats
+        so an operator sees mis-sizing instead of silent growth."""
+        return 1 + (self._overflow.levels() if self._overflow else 0)
+
     def state(self) -> dict:
-        return {"n_buckets": self.n_buckets, "table": self.table.copy(), "count": self.count}
+        s = {"n_buckets": self.n_buckets, "table": self.table.copy(), "count": self.count}
+        if self._overflow is not None:
+            s["overflow"] = self._overflow.state()
+        return s
 
     @classmethod
     def from_state(cls, state: dict) -> "CuckooFilter":
@@ -111,4 +150,6 @@ class CuckooFilter:
         obj.mask = obj.n_buckets - 1
         obj.table = state["table"].copy()
         obj.count = state["count"]
+        ov = state.get("overflow")  # absent in pre-growth checkpoints
+        obj._overflow = cls.from_state(ov) if ov else None
         return obj

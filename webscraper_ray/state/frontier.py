@@ -294,6 +294,9 @@ class FrontierShard:
         return vars(self.core.stats) | {
             "pending": self.core.pending(),
             "dead_letters": len(self.core.dead_letters),
+            # seen-filter chain length; > 1 means the shard outgrew its
+            # configured seen_capacity and auto-grew (resize deliberately)
+            "seen_filter_levels": self.core.seen_filter.levels(),
         }
 
     def dead_letters(self) -> list[tuple[str, str, int]]:
