@@ -536,41 +536,53 @@ def minhash_near_dups(
     - candidates: groupby the band key with a hot-band star cap (see
       :func:`_band_candidates`) — an all-to-all of band rows only,
       bounded pair output even under giant duplicate clusters.
-    - estimate: fully distributed. The signature recompute reads only the
-      involved docs via :func:`_involved_docs` (broadcast filter under
-      ``involved_broadcast_max`` distinct ids, distributed semi-join
-      above it — a 90%-duplicate corpus never gathers a corpus-sized id
-      list); pairs join the signature table twice (both sides
-      output-sized) and the agreement estimate is a vectorized per-batch
-      kernel. No pair set is ever gathered.
+    - estimate: fully distributed. The verify reads the SAME materialized
+      signature table the candidate stage derived its bands from,
+      filtered to the involved docs via :func:`_involved_rows`
+      (broadcast ``is_in`` under ``involved_broadcast_max`` distinct
+      ids, distributed semi-join above it — a 90%-duplicate corpus
+      never gathers a corpus-sized id list); pairs join it twice (both
+      sides output-sized) and the agreement estimate is a vectorized
+      per-batch kernel. No pair set is ever gathered.
+
+    Single signature pass (round 5): signatures are computed ONCE into a
+    materialized (id, 512-B sig) table feeding both the band stage and
+    the verify — previously the band stage hashed the corpus and the
+    verify re-read + re-hashed the involved docs, which on a
+    high-duplication corpus (involved ≈ everyone) doubled the dominant
+    tokenize+md5 cost. The sig table is ~512 B/doc (an order smaller
+    than the text), spillable, corpus-partitioned.
     """
     import ray  # noqa: F401  (ray.data used via ds)
 
     import pyarrow.compute as pc
 
-    pairs, a_col, b_col = _band_candidates(ds, id_col, text_col, hot_band_cap)
-    n_pairs = pairs.count()
-    if n_pairs == 0:
-        return ray.data.from_arrow(_EMPTY_EST_PAIRS)
-    involved = _involved_docs(
-        ds, pairs, id_col, text_col, a_col, b_col, involved_broadcast_max
-    )
-
-    def sig_kernel(kept: pa.Table) -> pa.Table:
-        sigs, has_sig = minhash_signatures_batch(kept.column(text_col).to_pylist())
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        sigs, has_sig = minhash_signatures_batch(batch.column(text_col).to_pylist())
         keep_idx = np.flatnonzero(has_sig)
         return pa.table(
             {
-                id_col: pc.take(kept.column(id_col), pa.array(keep_idx, pa.int64())),
-                "sig": pa.array(
-                    [sigs[i].tobytes() for i in keep_idx], pa.binary()
-                ),
+                id_col: pc.take(
+                    batch.column(id_col), pa.array(keep_idx, pa.int64())
+                ).cast(pa.int64()),
+                "sig": pa.array([sigs[i].tobytes() for i in keep_idx], pa.binary()),
             }
         )
 
-    sig_ds = involved.map_batches(sig_kernel, batch_format="pyarrow").materialize()
+    sig_ds = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(sig_rows, batch_format="pyarrow")
+        .materialize()
+    )
+    pairs, a_col, b_col = _band_candidates_from_sigs(sig_ds, id_col, hot_band_cap)
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(_EMPTY_EST_PAIRS)
+    payload = _involved_rows(
+        sig_ds, pairs, id_col, ["sig"], a_col, b_col, involved_broadcast_max
+    )
     return _minhash_verify(
-        pairs, sig_ds, id_col, a_col, b_col, n_pairs, jaccard_threshold
+        pairs, payload, id_col, a_col, b_col, n_pairs, jaccard_threshold
     )
 
 
