@@ -882,7 +882,36 @@ def ngram_near_dups(
     """
     import ray  # noqa: F401
 
-    pairs, a_col, b_col = _band_candidates(ds, id_col, text_col, hot_band_cap)
+    import pyarrow.compute as pc
+
+    def store_rows(batch: pa.Table) -> pa.Table:
+        # one tokenize + shingle-md5 pass serves BOTH the band stage and
+        # the exact-Jaccard verify (previously the verify re-read and
+        # re-hashed the involved docs — corpus-sized work on a
+        # high-duplication corpus); simhash is skipped, its token-md5
+        # pass is not needed here
+        sigs, has_sig, hash_arrays, _ = combined_signature_batch(
+            batch.column(text_col).to_pylist(), with_simhash=False
+        )
+        keep_idx = np.flatnonzero(has_sig)
+        return pa.table(
+            {
+                id_col: pc.take(
+                    batch.column(id_col), pa.array(keep_idx, pa.int64())
+                ).cast(pa.int64()),
+                "sig": pa.array([sigs[i].tobytes() for i in keep_idx], pa.binary()),
+                "hashes": pa.array(
+                    [hash_arrays[i].tobytes() for i in keep_idx], pa.binary()
+                ),
+            }
+        )
+
+    store = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(store_rows, batch_format="pyarrow")
+        .materialize()
+    )
+    pairs, a_col, b_col = _band_candidates_from_sigs(store, id_col, hot_band_cap)
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -893,16 +922,11 @@ def ngram_near_dups(
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ray.data.from_arrow(empty)
-    return exact_jaccard_verify(
-        pairs,
-        ds,
-        id_col,
-        text_col,
-        a_col,
-        b_col,
-        n_pairs,
-        jaccard_threshold,
-        involved_broadcast_max,
+    hash_ds = _involved_rows(
+        store, pairs, id_col, ["hashes"], a_col, b_col, involved_broadcast_max
+    )
+    return _jaccard_verify_from_hashes(
+        pairs, hash_ds, id_col, a_col, b_col, n_pairs, jaccard_threshold
     ).sort(["doc_a", "doc_b"])
 
 
@@ -1008,6 +1032,7 @@ def _jaccard_verify_from_hashes(
 
 def combined_signature_batch(
     texts: list[str],
+    with_simhash: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, list, np.ndarray]:
     """ONE tokenize pass per doc -> everything the three near-dup
     families need: ``(minhash sigs, has_sig, sorted shingle-hash arrays,
@@ -1034,7 +1059,7 @@ def combined_signature_batch(
     sh_doc: list[int] = []
     for i, t in enumerate(texts):
         toks = _tokens(t or "")
-        if toks:
+        if toks and with_simhash:
             tok_offsets.append(len(tok_flat))
             tok_doc.append(i)
             tok_flat.extend(md5_u64(tok) for tok in toks)
