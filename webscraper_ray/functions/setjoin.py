@@ -121,26 +121,57 @@ def _partition_pairs(t: pa.Table, threshold: float) -> pa.Table:
     total = int(counts.sum())
     if total == 0:
         return empty
-    j_idx = np.repeat(np.arange(ns.size), counts)
-    offs = np.cumsum(counts) - counts
-    i_idx = np.arange(total) - np.repeat(offs, counts) + np.repeat(lo, counts)
-    a, b = ids[i_idx], ids[j_idx]
-    doc_a, doc_b = np.minimum(a, b), np.maximum(a, b)
-    keep = doc_a != doc_b  # same doc twice can't happen; equal ids can't
-    # POSITIONAL filter (PPJoin): at this shared hash the overlap can't
-    # exceed 1 + min(remaining suffix of either side); a TRUE pair's
-    # occurrence at its minimum common element always passes (its
-    # position precedes all other common elements on both sides), so
-    # pruning failing occurrences never loses a pair — it only stops
-    # junk collisions from reaching the verify join.
-    na, nb = ns[i_idx], ns[j_idx]
-    alpha = np.ceil(
-        threshold / (1.0 + threshold) * (na + nb) - 1e-9
-    ).astype(np.int64)
-    ub = 1 + np.minimum(na - pos[i_idx] - 1, nb - pos[j_idx] - 1)
-    keep &= ub >= alpha
+    # Chunked emission + periodic in-partition dedup — same shape and
+    # same rationale as `_cont_partition_pairs`: a hot shingle shared by
+    # m docs emits O(m^2) rows per prefix hash and a high-duplication
+    # corpus repeats each pair across ~every prefix hash; the one-shot
+    # np.repeat over all emissions OOM-killed workers and filled the
+    # spill disk at the 100x stress point. Only DISTINCT pairs leave the
+    # partition; the final pair set (and the oracle) is unchanged.
+    c = np.cumsum(counts)
+    chunk = 1 << 23
+    cuts = np.searchsorted(c, np.arange(chunk, int(c[-1]) + chunk, chunk))
+    bounds = np.unique(np.r_[0, cuts + 1, counts.size])
+    acc: list[np.ndarray] = []
+    acc_rows = 0
+    for s_i, e_i in zip(bounds[:-1], bounds[1:]):
+        cts = counts[s_i:e_i]
+        tot = int(cts.sum())
+        if tot == 0:
+            continue
+        j_idx = np.repeat(np.arange(s_i, e_i), cts)
+        offs = np.cumsum(cts) - cts
+        i_idx = np.arange(tot) - np.repeat(offs, cts) + np.repeat(lo[s_i:e_i], cts)
+        a, b = ids[i_idx], ids[j_idx]
+        doc_a, doc_b = np.minimum(a, b), np.maximum(a, b)
+        keep = doc_a != doc_b  # same doc twice can't happen; equal ids can't
+        # POSITIONAL filter (PPJoin): at this shared hash the overlap
+        # can't exceed 1 + min(remaining suffix of either side); a TRUE
+        # pair's occurrence at its minimum common element always passes
+        # (its position precedes all other common elements on both
+        # sides), so pruning failing occurrences never loses a pair —
+        # it only stops junk collisions from reaching the verify join.
+        na, nb = ns[i_idx], ns[j_idx]
+        alpha = np.ceil(
+            threshold / (1.0 + threshold) * (na + nb) - 1e-9
+        ).astype(np.int64)
+        ub = 1 + np.minimum(na - pos[i_idx] - 1, nb - pos[j_idx] - 1)
+        keep &= ub >= alpha
+        if not keep.any():
+            continue
+        pairs_chunk = np.unique(
+            np.stack([doc_a[keep], doc_b[keep]], axis=1), axis=0
+        )
+        acc.append(pairs_chunk)
+        acc_rows += pairs_chunk.shape[0]
+        if acc_rows > (1 << 25):
+            merged = np.unique(np.concatenate(acc, axis=0), axis=0)
+            acc, acc_rows = [merged], merged.shape[0]
+    if not acc:
+        return empty
+    merged = np.unique(np.concatenate(acc, axis=0), axis=0)
     return pa.table(
-        {"doc_a": pa.array(doc_a[keep]), "doc_b": pa.array(doc_b[keep])}
+        {"doc_a": pa.array(merged[:, 0]), "doc_b": pa.array(merged[:, 1])}
     )
 
 
@@ -286,25 +317,62 @@ def _cont_partition_pairs(t: pa.Table, threshold: float) -> pa.Table:
     total = int(counts.sum())
     if total == 0:
         return empty
-    j_idx = np.repeat(np.arange(counts.size), counts)  # prefix-row index
-    offs = np.cumsum(counts) - counts
-    i_idx = np.arange(total) - np.repeat(offs, counts) + np.repeat(lo, counts)
     id0, n0, p0 = ids[m0], ns[m0], pos[m0]
     id1, n1, p1 = ids[m1], ns[m1], pos[m1]
-    a, b = id0[j_idx], id1[i_idx]
-    keep = a != b
-    # positional bound: overlap <= 1 + min(remaining suffixes); a true
-    # pair needs >= ceil(t * n_small) and here n_small = the prefix
-    # row's n (the size filter made the other side no smaller)
-    alpha = np.ceil(threshold * n0[j_idx] - 1e-9).astype(np.int64)
-    ub = 1 + np.minimum(
-        n0[j_idx] - p0[j_idx] - 1, n1[i_idx] - p1[i_idx] - 1
-    )
-    keep &= ub >= alpha
+    # Chunked emission with periodic in-partition dedup. A hot shingle
+    # shared by m docs emits O(m^2) candidate rows per prefix hash, and
+    # a high-duplication corpus repeats each pair across ~every prefix
+    # hash: at the 100x stress point the one-shot np.repeat over all
+    # emissions (~3B rows) OOM-killed workers and then filled the spill
+    # disk through the downstream distinct exchange. Emissions now
+    # stream in ~8M-row vectorized slices, each slice dedupes, and the
+    # accumulator compacts to distinct pairs past 32M rows — per-task
+    # memory is bounded by the compaction window instead of sum(m^2),
+    # and only DISTINCT pairs leave the partition. The final pair SET
+    # (and the oracle) is unchanged: the cross-partition _hash_distinct
+    # collapsed the duplicate emissions anyway.
+    c = np.cumsum(counts)
+    chunk = 1 << 23
+    cuts = np.searchsorted(c, np.arange(chunk, int(c[-1]) + chunk, chunk))
+    bounds = np.unique(np.r_[0, cuts + 1, counts.size])
+    acc: list[np.ndarray] = []
+    acc_rows = 0
+    for s_i, e_i in zip(bounds[:-1], bounds[1:]):
+        cts = counts[s_i:e_i]
+        tot = int(cts.sum())
+        if tot == 0:
+            continue
+        j_idx = np.repeat(np.arange(s_i, e_i), cts)  # prefix-row index
+        offs = np.cumsum(cts) - cts
+        i_idx = np.arange(tot) - np.repeat(offs, cts) + np.repeat(lo[s_i:e_i], cts)
+        a, b = id0[j_idx], id1[i_idx]
+        keep = a != b
+        # positional bound: overlap <= 1 + min(remaining suffixes); a
+        # true pair needs >= ceil(t * n_small) and here n_small = the
+        # prefix row's n (the size filter made the other side no smaller)
+        alpha = np.ceil(threshold * n0[j_idx] - 1e-9).astype(np.int64)
+        ub = 1 + np.minimum(
+            n0[j_idx] - p0[j_idx] - 1, n1[i_idx] - p1[i_idx] - 1
+        )
+        keep &= ub >= alpha
+        if not keep.any():
+            continue
+        pairs_chunk = np.unique(
+            np.stack([np.minimum(a, b)[keep], np.maximum(a, b)[keep]], axis=1),
+            axis=0,
+        )
+        acc.append(pairs_chunk)
+        acc_rows += pairs_chunk.shape[0]
+        if acc_rows > (1 << 25):
+            merged = np.unique(np.concatenate(acc, axis=0), axis=0)
+            acc, acc_rows = [merged], merged.shape[0]
+    if not acc:
+        return empty
+    merged = np.unique(np.concatenate(acc, axis=0), axis=0)
     return pa.table(
         {
-            "doc_a": pa.array(np.minimum(a, b)[keep]),
-            "doc_b": pa.array(np.maximum(a, b)[keep]),
+            "doc_a": pa.array(merged[:, 0]),
+            "doc_b": pa.array(merged[:, 1]),
         }
     )
 
