@@ -232,15 +232,24 @@ def _hash_distinct(
         return t.append_column("_dp", pa.array(parts))
 
     def uniq(t: pa.Table) -> pa.Table:
-        mat = np.stack(
-            [
-                t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
-                for c in cols
-            ],
-            axis=1,
+        # lexsort + neighbor-diff, not np.unique(axis=0): the void-dtype
+        # structured sort behind axis=0 measured ~10x slower on the 100x
+        # stress corpus's multi-hundred-million-row pair streams
+        arrs = [
+            t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in cols
+        ]
+        if not arrs or arrs[0].size == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        order = np.lexsort(arrs[::-1])
+        arrs = [a[order] for a in arrs]
+        keep = np.zeros(arrs[0].size, dtype=bool)
+        keep[0] = True
+        for a in arrs:
+            keep[1:] |= a[1:] != a[:-1]
+        return pa.table(
+            {c: pa.array(a[keep], pa.int64()) for c, a in zip(cols, arrs)}
         )
-        u = np.unique(mat, axis=0)
-        return pa.table({c: pa.array(u[:, j], pa.int64()) for j, c in enumerate(cols)})
 
     return (
         ds.map_batches(add_p, batch_format="pyarrow")
@@ -353,15 +362,17 @@ def _pairs_from_bands(
         if not out_a:
             return empty
         # partition-local distinct shrinks the final dedupe shuffle (a
-        # duplicate cluster collides in all 16 bands -> 16x repeat here)
-        pairs_arr = np.unique(
-            np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1),
-            axis=0,
-        )
+        # duplicate cluster collides in all 16 bands -> 16x repeat here);
+        # lexsort + neighbor-diff, not np.unique(axis=0) — the void-dtype
+        # sort behind axis=0 is ~10x slower at stress-corpus volumes
+        ua, ub = np.concatenate(out_a), np.concatenate(out_b)
+        order = np.lexsort((ub, ua))
+        ua, ub = ua[order], ub[order]
+        keep = np.r_[True, (ua[1:] != ua[:-1]) | (ub[1:] != ub[:-1])]
         return pa.table(
             {
-                a_col: pa.array(pairs_arr[:, 0], pa.int64()),
-                b_col: pa.array(pairs_arr[:, 1], pa.int64()),
+                a_col: pa.array(ua[keep], pa.int64()),
+                b_col: pa.array(ub[keep], pa.int64()),
             }
         )
 

@@ -130,10 +130,28 @@ def _partition_pairs(t: pa.Table, threshold: float) -> pa.Table:
     # partition; the final pair set (and the oracle) is unchanged.
     c = np.cumsum(counts)
     chunk = 1 << 23
-    cuts = np.searchsorted(c, np.arange(chunk, int(c[-1]) + chunk, chunk))
-    bounds = np.unique(np.r_[0, cuts + 1, counts.size])
+    # single-slice fast path: when the whole partition's emissions fit
+    # one slice (every realistic corpus; the memory bound the chunking
+    # exists for is inherently satisfied), emit exactly as before the
+    # chunking — no in-partition dedup, the downstream cross-partition
+    # distinct handles it. The dedup work only pays for itself at
+    # stress-corpus volumes, where it cuts the exchange ~10-30x; paying
+    # it at sf0.1 measured ~40% on the whole query.
+    one_slice = int(c[-1]) <= chunk
+    if one_slice:
+        bounds = np.array([0, counts.size])
+    else:
+        cuts = np.searchsorted(c, np.arange(chunk, int(c[-1]) + chunk, chunk))
+        bounds = np.unique(np.r_[0, cuts + 1, counts.size])
     acc: list[np.ndarray] = []
     acc_rows = 0
+    # geometric compaction threshold: re-compacting at a FIXED size is
+    # quadratic when the pairs are genuinely distinct (each compaction
+    # lexsorts the whole accumulator and shrinks nothing); doubling the
+    # threshold after each compaction keeps the total sort work
+    # O(n log n) of the final distinct size, which the partition must
+    # hold to return anyway
+    compact_at = 1 << 25
     for s_i, e_i in zip(bounds[:-1], bounds[1:]):
         cts = counts[s_i:e_i]
         tot = int(cts.sum())
@@ -159,17 +177,22 @@ def _partition_pairs(t: pa.Table, threshold: float) -> pa.Table:
         keep &= ub >= alpha
         if not keep.any():
             continue
-        pairs_chunk = np.unique(
-            np.stack([doc_a[keep], doc_b[keep]], axis=1), axis=0
-        )
+        if one_slice:
+            return pa.table(
+                {"doc_a": pa.array(doc_a[keep]), "doc_b": pa.array(doc_b[keep])}
+            )
+        pairs_chunk = _uniq_pairs(doc_a[keep], doc_b[keep])
         acc.append(pairs_chunk)
         acc_rows += pairs_chunk.shape[0]
-        if acc_rows > (1 << 25):
-            merged = np.unique(np.concatenate(acc, axis=0), axis=0)
+        if acc_rows > compact_at:
+            cat = np.concatenate(acc, axis=0)
+            merged = _uniq_pairs(cat[:, 0], cat[:, 1])
             acc, acc_rows = [merged], merged.shape[0]
+            compact_at = max(1 << 25, 2 * acc_rows)
     if not acc:
         return empty
-    merged = np.unique(np.concatenate(acc, axis=0), axis=0)
+    cat = np.concatenate(acc, axis=0)
+    merged = _uniq_pairs(cat[:, 0], cat[:, 1])
     return pa.table(
         {"doc_a": pa.array(merged[:, 0]), "doc_b": pa.array(merged[:, 1])}
     )
@@ -222,6 +245,37 @@ def similarity_join(
 # ---------------------------------------------------------------------------
 # Exact containment (overlap-coefficient) self-join
 # ---------------------------------------------------------------------------
+
+
+def _uniq_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Distinct (a, b) rows as an (n, 2) int64 array.
+
+    Fast path: ids in [0, 2^31) (every corpus this engine generates or
+    ingests by default) pack into ONE uint64 and dedupe with a
+    single-key ``np.unique`` — one C sort instead of the two indirect
+    argsorts of ``np.lexsort`` (~4x) and ~10x over the void-dtype sort
+    of ``np.unique(axis=0)``, which dominated the chunked emission at
+    the 100x stress point. Anything outside the packable domain falls
+    back to lexsort + neighbor-diff, same result."""
+    if a.size == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    if (
+        min(int(a.min()), int(b.min())) >= 0
+        and max(int(a.max()), int(b.max())) < (1 << 31)
+    ):
+        packed = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        u = np.unique(packed)
+        return np.stack(
+            [
+                (u >> np.uint64(32)).astype(np.int64),
+                (u & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            ],
+            axis=1,
+        )
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return np.stack([a[keep], b[keep]], axis=1)
 
 
 def _cont_rows(
@@ -333,10 +387,23 @@ def _cont_partition_pairs(t: pa.Table, threshold: float) -> pa.Table:
     # collapsed the duplicate emissions anyway.
     c = np.cumsum(counts)
     chunk = 1 << 23
-    cuts = np.searchsorted(c, np.arange(chunk, int(c[-1]) + chunk, chunk))
-    bounds = np.unique(np.r_[0, cuts + 1, counts.size])
+    # single-slice fast path — see `_partition_pairs`: realistic corpora
+    # fit one slice and skip the in-partition dedup entirely
+    one_slice = int(c[-1]) <= chunk
+    if one_slice:
+        bounds = np.array([0, counts.size])
+    else:
+        cuts = np.searchsorted(c, np.arange(chunk, int(c[-1]) + chunk, chunk))
+        bounds = np.unique(np.r_[0, cuts + 1, counts.size])
     acc: list[np.ndarray] = []
     acc_rows = 0
+    # geometric compaction threshold: re-compacting at a FIXED size is
+    # quadratic when the pairs are genuinely distinct (each compaction
+    # lexsorts the whole accumulator and shrinks nothing); doubling the
+    # threshold after each compaction keeps the total sort work
+    # O(n log n) of the final distinct size, which the partition must
+    # hold to return anyway
+    compact_at = 1 << 25
     for s_i, e_i in zip(bounds[:-1], bounds[1:]):
         cts = counts[s_i:e_i]
         tot = int(cts.sum())
@@ -357,18 +424,25 @@ def _cont_partition_pairs(t: pa.Table, threshold: float) -> pa.Table:
         keep &= ub >= alpha
         if not keep.any():
             continue
-        pairs_chunk = np.unique(
-            np.stack([np.minimum(a, b)[keep], np.maximum(a, b)[keep]], axis=1),
-            axis=0,
-        )
+        if one_slice:
+            return pa.table(
+                {
+                    "doc_a": pa.array(np.minimum(a, b)[keep]),
+                    "doc_b": pa.array(np.maximum(a, b)[keep]),
+                }
+            )
+        pairs_chunk = _uniq_pairs(np.minimum(a, b)[keep], np.maximum(a, b)[keep])
         acc.append(pairs_chunk)
         acc_rows += pairs_chunk.shape[0]
-        if acc_rows > (1 << 25):
-            merged = np.unique(np.concatenate(acc, axis=0), axis=0)
+        if acc_rows > compact_at:
+            cat = np.concatenate(acc, axis=0)
+            merged = _uniq_pairs(cat[:, 0], cat[:, 1])
             acc, acc_rows = [merged], merged.shape[0]
+            compact_at = max(1 << 25, 2 * acc_rows)
     if not acc:
         return empty
-    merged = np.unique(np.concatenate(acc, axis=0), axis=0)
+    cat = np.concatenate(acc, axis=0)
+    merged = _uniq_pairs(cat[:, 0], cat[:, 1])
     return pa.table(
         {
             "doc_a": pa.array(merged[:, 0]),
